@@ -1,0 +1,138 @@
+"""Join operators: cross, range/distance (naive + grid-accelerated), equi.
+
+J1-J3 in SURVEY.md §2.3. The reference's entire join surface is one
+crossJoin + distance filter (gold_batch_job.py:52-61) — a
+BroadcastNestedLoopJoin that is O(n*m) and would never survive 100 TB.
+The grid-bucketed rewrite here turns it into a shuffle equi-join on
+grid cells with an exact distance refine, which scales linearly in
+candidate pairs and shuffles only on the cell key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.scalar import euclidean_distance_deg
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """J1 — Cartesian product (gold_batch_job.py:52)."""
+    return left.crossJoin(right)
+
+
+def distance_join_naive(
+    points: DataFrame,
+    sites: DataFrame,
+    max_distance: float,
+    p_lat: str = "lat",
+    p_lon: str = "lon",
+    s_lat: str = "s_lat",
+    s_lon: str = "s_lon",
+    distance_col: str = "distance_deg",
+) -> DataFrame:
+    """J2 as built: cross join + Euclidean-degree filter.
+
+    Catalyst folds the filter into the join condition
+    (PushPredicateThroughJoin) → BroadcastNestedLoopJoin when a side
+    is small. Correct at any scale, fast only when min(n, m) is small.
+    """
+    dist = euclidean_distance_deg(
+        F.col(p_lat), F.col(p_lon), F.col(s_lat), F.col(s_lon)
+    )
+    return points.crossJoin(sites).withColumn(distance_col, dist).filter(
+        F.col(distance_col) < max_distance
+    )
+
+
+def distance_join_grid(
+    points: DataFrame,
+    sites: DataFrame,
+    max_distance: float,
+    p_lat: str = "lat",
+    p_lon: str = "lon",
+    s_lat: str = "s_lat",
+    s_lon: str = "s_lon",
+    distance_col: str = "distance_deg",
+) -> DataFrame:
+    """J2 at scale: grid-cell equi-join + exact refine (SURVEY.md §7.3).
+
+    Both sides get a cell id ``(floor(lat/eps), floor(lon/eps))`` with
+    eps = max_distance. The probe side (points) is exploded to its
+    3x3 neighborhood so every true pair shares a cell; the join is
+    then a plain shuffle/broadcast HASH equi-join on the cell key,
+    and the exact Euclidean predicate refines candidates. Identical
+    output to :func:`distance_join_naive`, hash-join physical plan.
+
+    Cost: |points| x 9 rows shuffled on cell — linear, skew handled
+    by AQE skew-join splitting. This is the form that survives 100 TB.
+    """
+    eps = float(max_distance)
+    cell_x = F.floor(F.col(s_lat) / eps)
+    cell_y = F.floor(F.col(s_lon) / eps)
+    sites_c = sites.withColumn(
+        "__cell", F.concat_ws(":", cell_x, cell_y)
+    )
+
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    points_c = (
+        points.withColumn("__cx", F.floor(F.col(p_lat) / eps))
+        .withColumn("__cy", F.floor(F.col(p_lon) / eps))
+        .withColumn("__dx", F.explode(offsets))
+        .withColumn("__dy", F.explode(offsets))
+        .withColumn(
+            "__cell",
+            F.concat_ws(":", F.col("__cx") + F.col("__dx"), F.col("__cy") + F.col("__dy")),
+        )
+        .drop("__cx", "__cy", "__dx", "__dy")
+    )
+
+    dist = euclidean_distance_deg(
+        F.col(p_lat), F.col(p_lon), F.col(s_lat), F.col(s_lon)
+    )
+    return (
+        points_c.join(sites_c, on="__cell", how="inner")
+        .drop("__cell")
+        .withColumn(distance_col, dist)
+        .filter(F.col(distance_col) < max_distance)
+    )
+
+
+def value_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_val: str,
+    r_val: str,
+    epsilon: float,
+    how: str = "inner",
+) -> DataFrame:
+    """1-D theta join |l - r| < eps via the same bucketing trick.
+
+    Used for the corpus phrasing of J2 over numeric columns
+    (e.g. customer/supplier acctbal proximity).
+    """
+    lb = left.withColumn("__b0", F.floor(F.col(l_val) / epsilon))
+    rb = right.withColumn("__b", F.floor(F.col(r_val) / epsilon))
+    lb = lb.withColumn("__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+    lb = lb.withColumn("__b", F.col("__b0") + F.col("__off")).drop("__b0", "__off")
+    return (
+        lb.join(rb, on="__b", how=how)
+        .drop("__b")
+        .filter(F.abs(F.col(l_val) - F.col(r_val)) < epsilon)
+    )
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J3 — hash/broadcast/sort-merge equi join; Catalyst+AQE pick the
+    physical strategy, ``broadcast_right`` forces the hint for known
+    small dims (SURVEY.md §4.2)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)

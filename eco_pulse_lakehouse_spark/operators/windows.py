@@ -1,0 +1,90 @@
+"""Window operators: latest-per-key, keep-best dedup, rolling frames.
+
+W1/W2/W3 in SURVEY.md §2.5. The reference implements W1 with
+row_number over (partition location_id order timestamp desc) then
+rank==1 (gold_batch_job.py:32-35) and W2 in pandas via sort +
+drop_duplicates (app.py:63-67); both are the same ranking-window
+shape, expressed here once.
+
+Determinism: callers MUST pass a unique tiebreak column in
+``order_by`` (SURVEY.md §7.4.5) — row_number over ties is otherwise
+nondeterministic across runs/engines.
+
+Scale: the window shuffles once on the partition keys. Spark's
+WindowGroupLimit (3.5+) pushes the rank<=k limit below the shuffle
+for rank functions, so latest-per-key does a partial top-k map-side
+— this is the plan we want at 100 TB; verified in tests via explain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__rn"
+
+
+def top_k_per_key(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    k: int = 1,
+    keep_rank_as: str | None = None,
+) -> DataFrame:
+    """Generic ranking-window limiter: keep the first k rows per key.
+
+    latest-per-key == order_by [ts.desc(), id] with k=1.
+    keep-best      == order_by [rank.asc(), dist.asc(), id] with k=1.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) <= k)
+    if keep_rank_as:
+        return out.withColumnRenamed(_RN, keep_rank_as)
+    return out.drop(_RN)
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """W1 — newest row per key (gold_batch_job.py:32-35 shape)."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    return top_k_per_key(df, list(key_cols), order, k=1)
+
+
+def keep_best(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """W2 — best row per key under an explicit multi-column order
+    (app.py:63-67: sort by (fire_id, risk_rank, distance) + drop_duplicates).
+    """
+    return top_k_per_key(df, list(key_cols), list(order_by), k=1)
+
+
+def rolling(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    frame_rows: tuple[int, int],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """W3 — ROWS-frame rolling aggregates (north-star time-series surface).
+
+    ``aggs`` maps output column name -> aggregate expression built on
+    input columns; each is applied ``.over`` the frame window.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(frame_rows[0], frame_rows[1])
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

@@ -1,0 +1,162 @@
+"""Flagship gold-risk pipeline (SURVEY.md §7.2).
+
+Semantics pinned by the reference's batch gold job
+(``gold_batch_job.py:22-78``):
+
+    latest = weather → row_number per location_id by ts desc → rn=1
+    risk   = fires x latest → distance < 20.0
+             → risk_level CASE chain → 9-col projection
+
+Two phrasings:
+
+* :func:`gold_risk_domain` — verbatim on the reference's domain
+  schemas (fire_events / weather_events fixtures, tests/fixtures.py).
+* :func:`gold_risk_events` — the same operator DAG phrased over the
+  driver's synthetic ``events`` table so it can be oracle-checked
+  against DuckDB (events plays both streams, keyed by user_id).
+
+Scale notes: the reference recomputes gold with an O(n*m)
+CartesianProduct every 60 s and executes the DAG twice (count then
+write, no cache — gold_batch_job.py:81-87). Here the join is
+grid-bucketed (operators/joins.py:distance_join_grid) and the plan
+is executed once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.scalar import risk_level
+from eco_pulse_lakehouse_spark.operators.joins import (
+    distance_join_grid,
+    distance_join_naive,
+)
+from eco_pulse_lakehouse_spark.operators.windows import latest_per_key
+
+MAX_DISTANCE_DEG = 20.0  # gold_batch_job.py:61
+
+
+def gold_risk_domain(
+    fires: DataFrame,
+    weather: DataFrame,
+    use_grid_join: bool = True,
+) -> DataFrame:
+    """Reference-shape gold pipeline over domain tables.
+
+    fires:   source, region, lat, lon, temp_k, confidence, timestamp
+    weather: source, location_id, lat, lon, wind_speed, wind_deg,
+             humidity, temperature, timestamp
+    Output 9 cols exactly as gold_batch_job.py:75-78.
+    """
+    latest = latest_per_key(
+        weather, ["location_id"], "timestamp", tiebreak_cols=["location_id"]
+    ).select(
+        F.col("location_id").alias("weather_station"),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        "wind_speed",
+        "temperature",
+        "humidity",
+    )
+    f = fires.select(
+        "timestamp",
+        F.col("lat").alias("fire_lat"),
+        F.col("lon").alias("fire_lon"),
+        "confidence",
+    )
+    join = distance_join_grid if use_grid_join else distance_join_naive
+    paired = join(
+        f,
+        latest,
+        MAX_DISTANCE_DEG,
+        p_lat="fire_lat",
+        p_lon="fire_lon",
+        s_lat="s_lat",
+        s_lon="s_lon",
+    )
+    return paired.withColumn(
+        "risk_level",
+        risk_level(
+            F.col("confidence"),
+            F.col("wind_speed"),
+            F.col("temperature"),
+            F.col("humidity"),
+        ),
+    ).select(
+        "timestamp",
+        "fire_lat",
+        "fire_lon",
+        "weather_station",
+        "wind_speed",
+        "temperature",
+        "humidity",
+        "risk_level",
+        F.col("distance_deg"),
+    )
+
+
+def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFrame:
+    """The same DAG phrased over the synthetic ``events`` table.
+
+    * "weather" side: events with event_type in (view, click) — latest
+      reading per user_id (tiebreak event_id) supplies ``value`` as a
+      wind-speed-like measure.
+    * "fire" side: events with event_type = 'error'; confidence 'h'
+      when value >= 100.
+    * range join on |fire.value - station.value| < 50 (1-D analogue of
+      the 20-degree spatial predicate, bucketed identically).
+    * CASE classify on the joined measures, 30/20-style thresholds.
+    """
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.operators.joins import value_range_join
+
+    events = load_table(spark, sf_dir, "events")
+
+    stations = latest_per_key(
+        events.filter(F.col("event_type").isin("view", "click")),
+        ["user_id"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        F.col("user_id").alias("station_id"),
+        F.col("value").alias("station_value"),
+        F.col("ts").alias("station_ts"),
+    )
+
+    fires = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("fire_id"),
+        F.col("user_id").alias("fire_user"),
+        F.col("value").alias("fire_value"),
+        F.when(F.col("value") >= 100.0, "h").otherwise("n").alias("confidence"),
+    )
+
+    if use_grid_join:
+        paired = value_range_join(
+            fires, stations, "fire_value", "station_value", epsilon=50.0
+        )
+    else:
+        paired = fires.crossJoin(stations).filter(
+            F.abs(F.col("fire_value") - F.col("station_value")) < 50.0
+        )
+
+    classified = paired.withColumn(
+        "risk_level",
+        risk_level(
+            F.col("confidence"),
+            F.col("station_value") / 5.0,  # wind-like, straddles 20/30
+            F.lit(310.0),  # temp branch always satisfied (as-built literal)
+            F.col("fire_value") % 100.0,  # humidity-like, straddles 30
+        ),
+    )
+    return classified.select(
+        "fire_id",
+        "fire_user",
+        "station_id",
+        F.round("fire_value", 2).alias("fire_value"),
+        F.round("station_value", 2).alias("station_value"),
+        F.round(F.abs(F.col("fire_value") - F.col("station_value")), 6).alias(
+            "distance_val"
+        ),
+        "risk_level",
+    )

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from eco_pulse_lakehouse_spark.session import get_session
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session("eco-pulse-tests", shuffle_partitions=8)
+    yield s
+    # keep the session alive across the whole run; stop at interpreter exit
