@@ -1,7 +1,321 @@
-"""North-star corpus — X1-X5 (filled in incrementally)."""
+"""North-star corpus — X1-X5 (SURVEY.md §2.11): the training-data-
+pipeline operators over ``documents`` and ``embeddings``.
+
+Exact operators carry DuckDB oracles (list/lambda SQL mirrors the
+Spark higher-order expressions bit-for-bit — verified fold order).
+Sketch-based operators (minhash LSH, simhash, random-hyperplane ANN)
+are rows-only here and recall-tested against their exact twins in
+tests/test_northstar.py.
+"""
 
 from __future__ import annotations
 
-from eco_pulse_lakehouse_spark.corpus._registry import make_registry
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry
+from eco_pulse_lakehouse_spark.functions import text as xt
+from eco_pulse_lakehouse_spark.operators import dedup as xd
+from eco_pulse_lakehouse_spark.operators import multimodal as xm
+from eco_pulse_lakehouse_spark.operators import similarity as xs
 
 QUERIES, ORACLES, q = make_registry()
+
+_STOPS_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+# dot(a,b) in DuckDB SQL, mirroring functions/vector.py exactly
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+# =====================================================================
+# X1 — exact deduplication
+# =====================================================================
+
+
+@q(
+    "x1_exact_dedup",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def x1_exact_dedup(spark, sf_dir):
+    """X1 — exact content dedup, deterministic keep-lowest-id
+    (operators/dedup.py:exact_dedup)."""
+    d = T(spark, sf_dir, "documents")
+    return xd.exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "x1_hash_dedup_key",
+    "SELECT doc_id, sha256(text) AS content_key FROM documents",
+)
+def x1_hash_dedup_key(spark, sf_dir):
+    """X1 — sha256 content key: shuffle 32 bytes, not the document
+    (operators/dedup.py:content_key)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", xd.content_key([F.col("text")]).alias("content_key"))
+
+
+# =====================================================================
+# X2 — near-duplicate detection
+# =====================================================================
+
+
+@q(
+    "x2_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def x2_ngram_jaccard(spark, sf_dir):
+    """X2 ground truth — exact 3-gram Jaccard pairs ≥ 0.2
+    (operators/dedup.py:ngram_jaccard_pairs)."""
+    d = T(spark, sf_dir, "documents")
+    return xd.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+@q("x2_minhash_lsh")  # sketch-based: rows-only; recall tested in pytest
+def x2_minhash_lsh(spark, sf_dir):
+    """X2 — MinHash banded-LSH candidate pairs (32 hashes, 8 bands).
+    Candidate generation is an equi-join on (band, band_hash) — the
+    only shape that survives 100 TB."""
+    d = T(spark, sf_dir, "documents")
+    return xd.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+
+
+@q("x2_simhash")  # sketch-based: rows-only; hamming refine tested in pytest
+def x2_simhash(spark, sf_dir):
+    """X2 — SimHash near-dup pairs, prefix-bucketed + hamming ≤ 8."""
+    d = T(spark, sf_dir, "documents")
+    return xd.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=8)
+
+
+# =====================================================================
+# X3 — similarity search over embeddings
+# =====================================================================
+
+
+@q(
+    "x3_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT q_id, c_id, round({_cos('qv', 'cv')}, 6) AS sim
+           FROM q CROSS JOIN c WHERE q_id != c_id
+         )
+    SELECT q_id, c_id, sim, rk FROM (
+      SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def x3_cosine_topk(spark, sf_dir):
+    """X3 — exact brute-force cosine top-10 for a query batch
+    (operators/similarity.py:cosine_topk_bruteforce)."""
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return xs.cosine_topk_bruteforce(qs, cs, k=10)
+
+
+@q(
+    "x3_cosine_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE sim >= 0.3
+    """,
+)
+def x3_cosine_neardup(spark, sf_dir):
+    """X2/X3 — embedding-cosine near-dup pairs (threshold 0.3 — the
+    synthetic embeddings are near-orthogonal, max pairwise ≈ 0.51)."""
+    e = T(spark, sf_dir, "embeddings")
+    return xs.cosine_neardup_pairs(e, threshold=0.3)
+
+
+@q("x3_ann_lsh")  # approximate: rows-only; recall vs brute force in pytest
+def x3_ann_lsh(spark, sf_dir):
+    """X3 scale path — random-hyperplane LSH buckets + exact refine."""
+    e = T(spark, sf_dir, "embeddings")
+    return xs.cosine_topk_lsh(e, bits=8, k=10)
+
+
+# =====================================================================
+# X4 — text analysis
+# =====================================================================
+
+
+@q(
+    "x4_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           (length(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    w -> w IN {_STOPS_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_ratio
+    FROM documents
+    """,
+)
+def x4_text_stats(spark, sf_dir):
+    """X4 — token count / avg token length / stopword ratio, all
+    built-in array expressions (functions/text.py)."""
+    d = T(spark, sf_dir, "documents")
+    toks = xt.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            (F.length("text") - (F.size(toks) - F.lit(1))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        xt.stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+
+
+@q(
+    "x4_quality_score",
+    f"""
+    SELECT doc_id,
+           least(1.0, len(string_split(text, ' ')) / 100.0)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN {_STOPS_SQL})) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1))
+                         / len(string_split(text, ' '))) / 8.0) AS quality
+    FROM documents
+    """,
+)
+def x4_quality_score(spark, sf_dir):
+    """X4 — composite quality heuristic (functions/text.py:quality_score)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", xt.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "x4_lang_id",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), w -> w IN ('the','a','table','row'))) AS s_en,
+        len(list_filter(string_split(text,' '), w -> w IN ('data','column','part'))) AS s_es,
+        len(list_filter(string_split(text,' '), w -> w IN ('window','batch','stream'))) AS s_de,
+        len(list_filter(string_split(text,' '), w -> w IN ('join','merge','order'))) AS s_fr,
+        len(list_filter(string_split(text,' '), w -> w IN ('spark','hash','scan'))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+                ELSE 'und' END AS predicted_lang
+    FROM s
+    """,
+)
+def x4_lang_id(spark, sf_dir):
+    """X4 — marker-based language-ID heuristic (functions/text.py:lang_id);
+    deterministic argmax with fixed tie order."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        xt.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@q(
+    "x4_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) * 31 + unicode(w) AS BIGINT))),
+             (h, c) -> (h * {xt.FINGERPRINT_MULT} + c) % {xt.FINGERPRINT_MOD}
+           ) AS fp
+    FROM documents
+    """,
+)
+def x4_fingerprint(spark, sf_dir):
+    """X4 — rolling polynomial document fingerprint, exact BIGINT
+    arithmetic (functions/text.py:fingerprint)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", xt.fingerprint(F.col("text")).alias("fp"))
+
+
+# =====================================================================
+# X5 — multimodal binary columns
+# =====================================================================
+
+
+@q(
+    "x5_multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+           'utf8-text' AS format
+    FROM documents
+    """,
+)
+def x5_multimodal_meta(spark, sf_dir):
+    """X5 — binary payload + typed metadata struct; the metadata
+    columns are scannable without reading the payload (parquet column
+    pruning — what makes a 100 TB image manifest browsable)."""
+    d = T(spark, sf_dir, "documents")
+    mm = xm.to_multimodal(d)
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+@q("x5_multimodal_features")  # mapInPandas decode stub: rows-only
+def x5_multimodal_features(spark, sf_dir):
+    """X5 — Arrow-batched feature extraction over binary payloads
+    (operators/multimodal.py:extract_features; decode stubbed with a
+    deterministic featurizer, pytest pins the values)."""
+    d = T(spark, sf_dir, "documents")
+    return xm.extract_features(xm.to_multimodal(d))

@@ -1,0 +1,119 @@
+"""Text-analysis column expressions (north-star X4, SURVEY.md §2.11).
+
+All pure built-in expressions (split / transform / aggregate /
+sequence) — JVM-side, codegen-friendly, no UDFs — so they run at
+100 TB without Python in the hot path AND stay expressible in ANSI
+SQL for the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small deterministic stopword list over the corpus vocabulary.
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# Marker words per language for the n-gram/stopword lang-id heuristic.
+# Deterministic and domain-synthetic: real lang-id would use char
+# n-gram profiles; the Spark plumbing (score -> argmax) is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "table", "row"),
+    "es": ("data", "column", "part"),
+    "de": ("window", "batch", "stream"),
+    "fr": ("join", "merge", "order"),
+    "zh": ("spark", "hash", "scan"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_MULT = 131
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the corpus is single-space separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Overlapping word n-grams as space-joined strings.
+
+    transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(toks, i, n)))
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    # guard: Spark's sequence(1, x) DESCENDS for x < 1 instead of being
+    # empty — short docs must yield an empty shingle list
+    return F.when(F.size(toks) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+                  ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stops = F.filter(toks, lambda w: w.isin(*STOPWORDS))
+    return F.size(stops).cast("double") / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: rewards mid-length docs,
+    penalizes stopword stuffing and very short tokens.
+
+    score = least(1.0, n_tokens/100) * (1 - stopword_ratio)
+            * least(1.0, avg_token_len/8)
+    Pure arithmetic on exact ints → double; deterministic across
+    engines (single division per factor, same association).
+    """
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    avg_len = (F.length(text) - (F.size(toks) - 1)).cast("double") / F.size(toks)
+    return (
+        F.least(F.lit(1.0), n / 100.0)
+        * (F.lit(1.0) - stopword_ratio(text))
+        * F.least(F.lit(1.0), avg_len / 8.0)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the n-gram-profile shape)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits via greatest + first-match CASE —
+    ties resolve in fixed declaration order (deterministic, and
+    trivially mirrored in the SQL oracle); 'und' when nothing hits."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, "und")
+    for lang in LANG_MARKERS:
+        expr = expr.when(scores[lang] == best, lang)
+    return expr.otherwise("und")
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial document fingerprint over words.
+
+    h_0 = 0;  h_i = (h_{i-1} * 131 + len(w_i) * 31 + code(w_i[0])) mod 1e9+7
+
+    Exact BIGINT arithmetic (h < 1e9, h*131 + c < 2^63) — identical in
+    any engine; the DuckDB twin is list_reduce over string_split.
+    """
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda h, w: (
+            h * F.lit(FINGERPRINT_MULT)
+            + F.length(w).cast("long") * F.lit(31)
+            + F.ascii(w).cast("long")
+        )
+        % F.lit(FINGERPRINT_MOD),
+    )

@@ -1,0 +1,217 @@
+"""Deduplication operators — north-star X1/X2 (SURVEY.md §2.11).
+
+Closes the reference's claimed-but-unimplemented dedup (README.MD:70,
+absent from fire_risk_processor.py — SURVEY.md §4.3) and extends it
+to the near-duplicate family a 100 TB training-data pipeline needs:
+
+  exact          — hash-groupBy on content (or sha2 content key)
+  minhash + LSH  — shingle → k minhashes → bands → bucket equi-join
+  simhash        — 64-bit sign-aggregated token hashes, hamming refine
+  n-gram Jaccard — exact set overlap (the refine stage / oracle truth)
+
+Scale: every candidate-generation step is an equi-join on a computed
+key (band hash / simhash prefix), never a cross product; the exact
+Jaccard/hamming check runs only on bucket-mates. Skewed buckets
+(boilerplate shingles) are bounded by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.text import word_shingles
+
+# --- exact ----------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """X1 — keep the lowest-id row per exact content. Deterministic
+    (dropDuplicates keeps an arbitrary row; a ranking window does not).
+    """
+    w = Window.partitionBy(*content_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_key(cols: list[Column]) -> Column:
+    """sha256 content fingerprint — the groupBy key when content is
+    wide (hash once, shuffle 32 bytes instead of the payload)."""
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+# --- minhash --------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(col: Column, seed: int) -> Column:
+    """xxhash64 with per-function seed, mapped to a positive range."""
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(_MERSENNE))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature: sig[i] = min over shingles of h_i(s).
+
+    Pure higher-order expressions: shingles once, then one
+    array_min(transform(...)) per hash function — no explode, no
+    shuffle; the signature computation is embarrassingly parallel.
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: _hash64(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 — candidate near-dup pairs via banded LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes//bands``
+    rows; docs sharing any band hash become a candidate pair. The
+    band table is exploded (|docs| x bands rows), self-equi-joined on
+    (band_idx, band_hash) — a shuffle join on a 16-byte key, the
+    100 TB-safe shape — then pairs are deduped.
+
+    Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    # bands is a small constant → build the band array explicitly
+    # (explode of a literal array, one row per band per doc)
+    band_structs = []
+    for b in range(bands):
+        chunk = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at(chunk, j + 1).cast("string")
+                    for j in range(rows_per_band)
+                ])).alias("bh"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b_ = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b_, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# --- simhash --------------------------------------------------------------
+
+
+def simhash(text_col: Column, bits: int = 64) -> Column:
+    """SimHash over tokens: bit j of the fingerprint is the sign of
+    Σ_tokens (±1 by token-hash bit j). Built-in expressions only.
+
+    The shift amount of shiftright/shiftleft must be a Python int, so
+    the bit loop is driver-side (bits is a small constant); per-bit
+    sums are one aggregate over the token array each — no UDF, no
+    shuffle, embarrassingly parallel per row."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        # bit j as a sign-safe mask literal (j=63 is the sign bit of a
+        # two's-complement long → negative literal)
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        def _merge(m):
+            # pyspark inspects lambda arity: keep exactly (acc, w)
+            return lambda acc, w: acc + F.when(
+                F.xxhash64(w).bitwiseAND(F.lit(m)) != 0, 1
+            ).otherwise(-1)
+
+        s_j = F.aggregate(toks, F.lit(0), _merge(mask))
+        out = out.bitwiseOR(
+            F.when(s_j > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """X2 — simhash near-dup candidates, bucketed by the high
+    ``prefix_bits`` of the fingerprint (cheap LSH: near-dups usually
+    share the prefix), refined by exact Hamming distance."""
+    s = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    s = s.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
+    b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- exact n-gram Jaccard -------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """X2 ground truth — exact Jaccard over distinct word n-grams for
+    all pairs (id_a < id_b) meeting the threshold.
+
+    O(n²) refine by construction — at scale this runs on LSH-candidate
+    pairs only; here it doubles as the DuckDB-oracle-checkable truth.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

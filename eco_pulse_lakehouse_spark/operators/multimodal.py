@@ -1,0 +1,92 @@
+"""Multimodal (binary) column plumbing — north-star X5 (SURVEY.md §2.11).
+
+Images/audio/video are opaque ``binary`` payloads with a typed
+metadata struct. The Spark-side plumbing — schema, partition-friendly
+layout, Arrow-batched decode UDF signature — is real and tested; the
+actual byte decode is STUBBED (image/audio libraries are not in this
+container): ``decode_features`` computes a deterministic fake feature
+vector from the bytes, and ``decode_image`` raises
+``NotImplementedError`` to mark the integration point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 8
+
+MULTIMODAL_SCHEMA = (
+    "doc_id BIGINT, payload BINARY, "
+    "meta STRUCT<format: STRING, n_bytes: BIGINT, width: INT, height: INT>"
+)
+
+
+def to_multimodal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a multimodal table from documents: payload = utf-8 bytes
+    (stand-in for image bytes), metadata struct with deterministic
+    fake dimensions. At scale this is the shape of an image-manifest
+    table: small metadata columns scan-prunable without touching the
+    payload column (parquet column pruning)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n_bytes = F.length(payload).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("utf8-text").alias("format"),
+            n_bytes.alias("n_bytes"),
+            (F.pmod(n_bytes, F.lit(64)) + 1).cast("int").alias("width"),
+            (F.pmod(n_bytes, F.lit(48)) + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """REAL decode integration point (PIL/torchvision/ffmpeg).
+
+    Not implemented in this container — the callers below use the
+    deterministic fake featurizer instead.
+    """
+    raise NotImplementedError(
+        "image/audio decode libraries are not available in this image; "
+        "plug PIL/ffmpeg here on a real cluster"
+    )
+
+
+def _fake_features(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in featurizer: FEATURE_DIM means of byte
+    slices — same batch shape/cost profile as a thumbnail embed."""
+    import numpy as np
+
+    feats = []
+    for b in payload:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        chunks = np.array_split(arr, FEATURE_DIM)
+        feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+    return pd.DataFrame({"features": feats})
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column via
+    mapInPandas — the canonical shape for decode/resize/frame-sample
+    at scale (one Python worker per partition, Arrow batch transfer,
+    payload never passes through the driver)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _fake_features(pdf["payload"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": out["features"].values,
+                }
+            )
+
+    return mm.mapInPandas(
+        op, schema="doc_id BIGINT, n_bytes BIGINT, features ARRAY<DOUBLE>"
+    )

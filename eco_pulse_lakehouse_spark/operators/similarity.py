@@ -1,0 +1,154 @@
+"""Similarity search over embeddings — north-star X3 (SURVEY.md §2.11).
+
+Two tiers, as a 100 TB ANN system is actually built:
+
+  brute-force cosine top-k — exact; the refine stage and the recall
+      ground truth. O(|Q|·|C|): fine when |Q| is small (a query
+      batch) or candidates are pre-bucketed.
+  random-hyperplane LSH    — sign-bit signatures via deterministic
+      projections; candidates = bucket-mates (equi-join on the
+      signature), then exact cosine refine. Sub-linear candidate
+      generation, shuffle only on the signature key.
+
+All vector math is built-in higher-order functions in DOUBLE
+(functions/vector.py) — no UDFs, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Exact top-k by cosine per query (excluding self-matches by id).
+
+    Ranking uses (rounded sim desc, candidate id asc) — the rounding
+    plus unique tiebreak makes the result set stable across engines
+    and partitionings (SURVEY.md §7.4.5).
+    """
+    sim = cosine_similarity(F.col(q_vec), F.col(c_vec))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        queries.crossJoin(candidates)
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "sim", "rk")
+    )
+
+
+def _deterministic_projections(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Seeded pseudo-random unit-free hyperplanes, generated driver-side
+    (constants in the plan — no RNG at executor time, reproducible)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def lsh_signature(vec_col, projections: list[list[float]]):
+    """Sign-bit signature: bit j = 1 if vec·proj_j > 0 — packed to a
+    LONG so the bucket join key is 8 bytes."""
+    bits = []
+    for j, proj in enumerate(projections):
+        dot_j = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(p)) for p in proj]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        bits.append(
+            F.when(dot_j > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 12,
+    dim: int = 64,
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket by LSH signature, exact
+    cosine within buckets. Recall measured in tests against the
+    brute-force truth (~bits trades recall for bucket size)."""
+    projections = _deterministic_projections(dim, bits)
+    sig = embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), projections))
+    a = sig.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "__sig"
+    )
+    b = sig.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "__sig"
+    )
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        a.join(b, "__sig")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """X2/X3 — embedding-cosine near-duplicate pairs (id_a < id_b).
+    Brute-force form (oracle truth); LSH-bucketed candidates at scale.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    sim = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
