@@ -63,7 +63,7 @@ _TMP = os.path.join(tempfile.gettempdir(), "eco_pulse_corpus")
                 WHEN confidence = 'h' THEN 'MODERATE'
                 ELSE 'LOW' END AS risk_level
     FROM fires JOIN stations
-      ON abs(fire_value - station_value) < 50.0
+      ON abs(fire_value - station_value) < 5.0
     """,
 )
 def flagship_gold_risk(spark, sf_dir):

@@ -1,7 +1,108 @@
-"""Streaming corpus — T1-T7 (filled in incrementally)."""
+"""Streaming corpus — T-rows (SURVEY.md §2.9), hermetically.
+
+Each entry stages the synthetic ``events`` table into a temp
+directory, streams it back through a file source (the Kafka
+stand-in: same unbounded-append semantics), runs the streaming
+pipeline to completion with an ``availableNow`` trigger, and returns
+the materialized result as a batch DataFrame — so the driver can
+oracle-check STREAMING semantics against plain SQL.
+
+Fresh uuid sink/checkpoint dirs per call keep replays honest
+(checkpoint reuse semantics are pinned separately in
+tests/test_streaming.py).
+"""
 
 from __future__ import annotations
 
-from eco_pulse_lakehouse_spark.corpus._registry import make_registry
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry
+from eco_pulse_lakehouse_spark.streaming import pipeline as sp
 
 QUERIES, ORACLES, q = make_registry()
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _stage_events(spark, sf_dir: str, copies: int = 1, parts: int = 4) -> str:
+    """Write events to a temp dir as ``parts`` files x ``copies``
+    (copies > 1 injects exact replays, the Kafka-redelivery case)."""
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_stream_{uuid.uuid4().hex}"
+    )
+    ev = T(spark, sf_dir, "events").repartition(parts)
+    ev.write.mode("overwrite").parquet(stage)
+    for _ in range(copies - 1):
+        ev.write.mode("append").parquet(stage)
+    return stage
+
+
+@q(
+    "t6_stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t6_stream_windowed_counts(spark, sf_dir):
+    """T6 — tumbling 1-hour event-time windows over a stream; the
+    memory-sink result must equal the batch GROUP BY (window start ==
+    epoch-aligned date_trunc)."""
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    agg = sp.windowed_counts(stream, "ts", "1 hour", ["event_type"])
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    out = sp.run_to_memory(agg, name, output_mode="complete")
+    return out.select(
+        F.col("win.start").alias("window_start"), "event_type", "n"
+    )
+
+
+@q(
+    "t5_stream_dedup",
+    "SELECT event_id, user_id, value FROM events",
+)
+def t5_stream_dedup(spark, sf_dir):
+    """T4+T5 — watermark + keyed dropDuplicates over a stream carrying
+    every event TWICE (simulated Kafka redelivery). Output must equal
+    the batch table exactly once — the dedup the reference claims
+    (README.MD:70) but never implements (SURVEY.md §4.3)."""
+    stage = _stage_events(spark, sf_dir, copies=2)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    silver = sp.to_silver(
+        stream, "ts", ["event_id"], watermark="10 minutes", with_processed_at=False
+    )
+    sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
+    sp.run_to_parquet(silver, sink)
+    return spark.read.parquet(sink).select("event_id", "user_id", "value")
+
+
+@q(
+    "t3_stream_append_silver",
+    """
+    SELECT event_id, user_id, value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def t3_stream_append_silver(spark, sf_dir):
+    """T1-T3 — the bronze→silver shape end-to-end: stream in, JSON
+    side-field parse (S2), filter, checkpointed append parquet sink
+    (S3), snapshot read back (S4)."""
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    silver = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withColumn("data", F.from_json(F.col("props").cast("string"), "k BIGINT"))
+        .select("event_id", "user_id", "value", F.col("data.k").alias("k"))
+    )
+    sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
+    sp.run_to_parquet(silver, sink)
+    return spark.read.parquet(sink)

@@ -104,7 +104,7 @@ def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFram
       wind-speed-like measure.
     * "fire" side: events with event_type = 'error'; confidence 'h'
       when value >= 100.
-    * range join on |fire.value - station.value| < 50 (1-D analogue of
+    * range join on |fire.value - station.value| < 5 (1-D analogue of
       the 20-degree spatial predicate, bucketed identically).
     * CASE classify on the joined measures, 30/20-style thresholds.
     """
@@ -133,11 +133,11 @@ def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFram
 
     if use_grid_join:
         paired = value_range_join(
-            fires, stations, "fire_value", "station_value", epsilon=50.0
+            fires, stations, "fire_value", "station_value", epsilon=5.0
         )
     else:
         paired = fires.crossJoin(stations).filter(
-            F.abs(F.col("fire_value") - F.col("station_value")) < 50.0
+            F.abs(F.col("fire_value") - F.col("station_value")) < 5.0
         )
 
     classified = paired.withColumn(
