@@ -12,9 +12,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from eco_pulse_lakehouse_spark.corpus import northstar, relational, streaming_corpus
+from eco_pulse_lakehouse_spark.corpus import (
+    extended,
+    northstar,
+    relational,
+    streaming_corpus,
+)
 
-_MODULES = (relational, northstar, streaming_corpus)
+_MODULES = (relational, extended, northstar, streaming_corpus)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

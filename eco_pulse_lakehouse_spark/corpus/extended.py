@@ -1,0 +1,413 @@
+"""Extended corpus — engine-completeness operators beyond the
+reference's literal surface (SURVEY.md §2.3 J3-extensions, §2.10,
+§4.2 rewrites): as-of join, MERGE upsert, pandas escape hatches,
+sessionization, pivot, quantiles, explode, map lookup, haversine,
+salted (skew-safe) aggregation, partitioned/JSON source round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry, o_dec_sum
+from eco_pulse_lakehouse_spark.operators import joins as oj
+from eco_pulse_lakehouse_spark.operators import merge as om
+from eco_pulse_lakehouse_spark.operators import pandas_ops as op
+from eco_pulse_lakehouse_spark.operators import skew as osk
+from eco_pulse_lakehouse_spark.sources import batch_io
+
+QUERIES, ORACLES, q = make_registry()
+
+_TMP = os.path.join(tempfile.gettempdir(), "eco_pulse_corpus")
+
+
+# --- joins ----------------------------------------------------------------
+
+
+@q(
+    "j4_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.value AS station_value, r.ts AS station_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type IN ('view','click')) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j4_asof_join(spark, sf_dir):
+    """J4 — as-of join (operators/joins.py:asof_join): for each error
+    event, the most recent prior view/click of the same user. One
+    union-tag + ranking-window sweep, one shuffle on the key."""
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("station_value"),
+    )
+    joined = oj.asof_join(
+        left,
+        right.withColumnRenamed("r_ts", "ts_r"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts_r",
+        right_vals=["station_value", "ts_r"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        "station_value", F.col("ts_r").alias("station_ts"),
+    )
+
+
+# --- MERGE / upsert -------------------------------------------------------
+
+
+@q(
+    "m1_merge_upsert",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def m1_merge_upsert(spark, sf_dir):
+    """MERGE semantics without Delta (operators/merge.py:upsert):
+    updates win on key collision, everything else survives — replaces
+    the reference's overwrite-the-world loop (gold_batch_job.py:83-101).
+    """
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return om.upsert(o, updates, ["o_orderkey"])
+
+
+# --- pandas escape hatch --------------------------------------------------
+
+
+@q(
+    "u1_pandas_running_max",
+    """
+    SELECT user_id, event_id, value,
+           MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+    FROM events
+    """,
+)
+def u1_pandas_running_max(spark, sf_dir):
+    """§2.10 — grouped-map applyInPandas (Arrow batches per group);
+    comparison-only math so the result is exact across engines."""
+    return op.grouped_running_max(
+        T(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value"
+    )
+
+
+@q(
+    "u2_pandas_normalize",
+    "SELECT doc_id, text AS norm FROM documents",
+)
+def u2_pandas_normalize(spark, sf_dir):
+    """§2.10 — vectorized scalar pandas_udf: normalize(' ' || UPPER(text)
+    || ' ') must round-trip to the original lowercase text."""
+    d = T(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("  "), F.upper("text"), F.lit("  "))
+    return d.select("doc_id", op.normalize_text(noisy).alias("norm"))
+
+
+# --- windows: sessionization ---------------------------------------------
+
+
+@q(
+    "w7_sessionize",
+    """
+    SELECT event_id, user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+               <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+      FROM events
+    )
+    """,
+)
+def w7_sessionize(spark, sf_dir):
+    """W7 — sessionization: lag-gap flag + running sum (the guide's
+    batch sessionize; session_window covers the streaming case).
+    Exact integer arithmetic only."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) <= 1800
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap_ok, 0).otherwise(1).alias("is_new"),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("is_new")
+
+
+# --- aggregation extensions ----------------------------------------------
+
+
+@q(
+    "a9_pivot",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def a9_pivot(spark, sf_dir):
+    """A9 — pivot with explicit value list (never inferred: inference
+    is an extra job and unstable columns at scale)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out
+
+
+@q(
+    "a10_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a10_quantiles(spark, sf_dir):
+    """A10 — exact linear-interpolated percentiles (both engines use
+    the (n-1)p rule); approx_percentile is the 100 TB variant
+    (rows-only: a10_approx_quantiles)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@q("a10_approx_quantiles")  # sketch (GK) — no cross-engine oracle
+def a10_approx_quantiles(spark, sf_dir):
+    """A10 — approx_percentile sketch, the scale path for quantiles;
+    accuracy asserted against exact percentiles in pytest."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "p50_approx"
+        )
+    )
+
+
+# --- scalar extensions ----------------------------------------------------
+
+
+@q(
+    "f_explode_tokens",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def f_explode_tokens(spark, sf_dir):
+    """F — explode/unnest + re-aggregate (the token-count shape)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "f_map_lookup",
+    """
+    SELECT event_id,
+           CASE event_type WHEN 'signup' THEN 0 WHEN 'purchase' THEN 1
+                WHEN 'click' THEN 2 WHEN 'view' THEN 3 WHEN 'error' THEN 4
+                ELSE NULL END AS type_code
+    FROM events
+    """,
+)
+def f_map_lookup(spark, sf_dir):
+    """F7 — dict-map ordinal lookup (app.py:63-64's risk_order dict) as
+    element_at(create_map(...)) — the literal-map alternative to a
+    when-chain."""
+    m = F.create_map(
+        F.lit("signup"), F.lit(0),
+        F.lit("purchase"), F.lit(1),
+        F.lit("click"), F.lit(2),
+        F.lit("view"), F.lit(3),
+        F.lit("error"), F.lit(4),
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id", F.element_at(m, F.col("event_type")).alias("type_code")
+    )
+
+
+@q(
+    "f_haversine",
+    """
+    SELECT event_id,
+           round(2 * 6371.0088 * asin(sqrt(
+             sin(radians(40.0 - (value % 90.0)) / 2)
+               * sin(radians(40.0 - (value % 90.0)) / 2)
+             + cos(radians(value % 90.0)) * cos(radians(40.0))
+               * sin(radians(-3.0 - (value % 180.0)) / 2)
+               * sin(radians(-3.0 - (value % 180.0)) / 2)
+           )), 4) AS dist_km
+    FROM events
+    """,
+)
+def f_haversine(spark, sf_dir):
+    """F — Haversine (the canonical mode the reference's README claims
+    but never implements — README.MD:281 vs gold_batch_job.py:54-57).
+    Rounded to 4 (libm trig may differ in the last ulp across engines).
+    """
+    from eco_pulse_lakehouse_spark.functions.scalar import haversine_km
+
+    ev = T(spark, sf_dir, "events")
+    lat = F.col("value") % 90.0
+    lon = F.col("value") % 180.0
+    return ev.select(
+        "event_id",
+        F.round(haversine_km(lat, lon, F.lit(40.0), F.lit(-3.0)), 4).alias(
+            "dist_km"
+        ),
+    )
+
+
+# --- skew-safe aggregation ------------------------------------------------
+
+
+@q(
+    "skew1_salted_count",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def skew1_salted_count(spark, sf_dir):
+    """Skew — two-phase salted count (operators/skew.py): bit-identical
+    to the plain groupBy, shuffle pressure divided by the salt factor."""
+    return osk.salted_count(
+        T(spark, sf_dir, "events"), ["event_type"], salt_buckets=16,
+        tiebreak="event_id",
+    )
+
+
+@q(
+    "skew2_salted_sum",
+    f"""
+    SELECT event_type, {o_dec_sum('value', 'total_value')}
+    FROM events GROUP BY event_type
+    """,
+)
+def skew2_salted_sum(spark, sf_dir):
+    """Skew — two-phase salted decimal sum: exact accumulation makes
+    the two-phase result provably equal to single-phase."""
+    return osk.salted_decimal_sum(
+        T(spark, sf_dir, "events"), ["event_type"], F.col("value"),
+        "total_value", salt_buckets=16, tiebreak="event_id",
+    )
+
+
+# --- sources --------------------------------------------------------------
+
+
+@q(
+    "s8_json_source",
+    "SELECT event_id, ts, user_id, value FROM events",
+)
+def s8_json_source(spark, sf_dir):
+    """S8 — JSON-lines round trip with explicit schema (HTTP-payload
+    ingest shape, weather_producer.py:94-114)."""
+    path = os.path.join(_TMP, f"s8_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = T(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    # default JSON timestampFormat truncates to milliseconds — keep micros
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    return (
+        spark.read.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+        )
+        .option("timestampFormat", fmt)
+        .json(path)
+    )
+
+
+@q(
+    "s11_partitioned_scan",
+    """
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def s11_partitioned_scan(spark, sf_dir):
+    """S11 — hive-partitioned write + partition-pruned read (closes the
+    README.MD:73 claim; pruning asserted in tests/test_plans.py)."""
+    path = os.path.join(_TMP, f"s11_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    batch_io.write_partitioned(ev, path, ["event_type"])
+    return spark.read.parquet(path).filter(F.col("event_type") == "click")
+
+
+# --- global total-order (O2) ---------------------------------------------
+
+
+@q(
+    "o2_global_rank",
+    """
+    SELECT l_orderkey, l_linenumber, rn FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(row_number() OVER (ORDER BY l_returnflag, l_linestatus,
+               l_orderkey, l_linenumber) AS INT) AS rn
+      FROM lineitem
+    ) WHERE rn <= 100
+    """,
+)
+def o2_global_rank(spark, sf_dir):
+    """O2 — multi-key total order (app.py:66) surfaced as a global
+    row_number. Single-partition window — corpus-scale only; at scale
+    use orderBy().limit() (TakeOrderedAndProject) or zipWithIndex."""
+    w = Window.orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 100)
+    )

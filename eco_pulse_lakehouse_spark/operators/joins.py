@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.functions.scalar import euclidean_distance_deg
@@ -122,6 +122,70 @@ def value_range_join(
         .drop("__b")
         .filter(F.abs(F.col(l_val) - F.col(r_val)) < epsilon)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` on the same key (direction='backward').
+
+    Spark has no native ASOF JOIN (DuckDB/pandas do); the idiomatic
+    distributed form is union-tag + one ranking-window sweep:
+    interleave both sides sorted by (key, ts), then carry the last
+    seen right-side values forward with last_value(ignorenulls).
+    ONE shuffle on the key — no per-row range probe, no cross
+    product; this is the 100 TB shape (a merge_asof per group via
+    applyInPandas would move all data through Python instead).
+
+    Ties (right_ts == left_ts) take the right row, matching DuckDB
+    ASOF JOIN's >= semantics.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    lcols = [c for c in left.columns]
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # right rows sort first on ts ties
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            l_tag.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+    )
+    merged = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "__k",
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__rv_{v}")
+            for v in right_vals
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__l.*"),
+        *[F.col(f"__rv_{v}").alias(v) for v in right_vals],
+    )
+    return out
 
 
 def equi_join(

@@ -1,0 +1,62 @@
+"""Upsert / MERGE and incremental maintenance — SURVEY.md §4.2.
+
+The reference maintains its gold table by overwriting the world
+every 60 s (``gold_batch_job.py:83-101``) — O(all-data) per minute.
+The scalable replacement is incremental MERGE: with Delta on the
+classpath that is ``DeltaTable.merge``; in this image the same
+semantics are emulated relationally (anti-join + union), which is
+also exactly how you reason about MERGE's result for testing.
+
+At 100 TB: partition the target by a pruning key (date/region) and
+merge only touched partitions — ``upsert`` is a pure DataFrame
+transform, so callers control the write granularity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE semantics: rows of ``updates`` win on key collision
+    (whenMatchedUpdateAll), unmatched target rows survive, unmatched
+    update rows insert (whenNotMatchedInsertAll).
+
+    updates ∪ (target ⟕anti updates): one shuffle-or-broadcast
+    anti-join on the keys.
+    """
+    kept = target.join(updates.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return updates.unionByName(kept)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current rows that
+    have a newer change (set valid_to) and append the new versions as
+    open rows. ``current`` must carry valid_from/valid_to columns;
+    ``changes`` carries ``ts_col`` as the new valid_from."""
+    ch = changes.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lit(None).cast("timestamp")
+    )
+    first_change = ch.groupBy(*keys).agg(F.min("valid_from").alias("__new_from"))
+    closed = (
+        current.join(first_change, on=list(keys), how="left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("valid_to").isNull() & F.col("__new_from").isNotNull(),
+                F.col("__new_from"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .drop("__new_from")
+    )
+    return closed.unionByName(ch.drop(ts_col), allowMissingColumns=False)

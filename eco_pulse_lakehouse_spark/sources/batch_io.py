@@ -1,0 +1,57 @@
+"""Batch source/sink helpers — S4/S5/S7/S8 + partitioned layout.
+
+The reference claims time/spatial partitioning (README.MD:73) but
+writes unpartitioned (fire_risk_processor.py:76-85 — SURVEY.md §4.3).
+``write_partitioned`` closes that gap: hive-style directory
+partitioning so equality/range filters on the partition columns
+prune entire directories at planning time — at 100 TB the difference
+between scanning a day and scanning three years.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """S7 — CSV with header and explicit schema (never inferSchema in
+    production: one extra full scan and nondeterministic typing)."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """S8 — JSON-lines with explicit schema (the HTTP-payload ingest
+    shape, weather_producer.py:94-114)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], fmt: str = "parquet"
+) -> None:
+    """Partitioned overwrite. Choose low-cardinality, filter-bearing
+    columns (event_date, region); never high-cardinality keys (one
+    directory per value)."""
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates join/agg keys at write time
+    so later equi-joins on the bucket columns skip the shuffle
+    entirely (needs a warehouse dir; used in plan tests)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

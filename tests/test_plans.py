@@ -1,0 +1,105 @@
+"""Physical-plan assertions (SURVEY.md §4.2, the 100 TB checklist):
+filters/projections reach the parquet scan, small dims broadcast,
+the grid range-join is a HASH join (never CartesianProduct/BNLJ),
+partition pruning fires on hive layouts, and whole-stage codegen
+covers the hot paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.catalog import load_table
+from eco_pulse_lakehouse_spark.corpus import relational, extended
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    df = relational.QUERIES["s4_scan_pushdown"](spark, SF)
+    plan = _formatted(df)
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThanOrEqual(l_quantity" in plan
+    # column pruning: ReadSchema carries only the 4 selected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_small_dim_join_is_broadcast(spark):
+    df = relational.QUERIES["j3_equi_join_3way"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grid_range_join_is_hash_join_not_cartesian(spark):
+    df = relational.QUERIES["j2_range_join_grid"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_naive_range_join_is_nested_loop(spark):
+    # the as-built reference shape — documented contrast to the grid form
+    df = relational.QUERIES["j2_range_join_naive"](spark, SF)
+    plan = _plan(df)
+    assert ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan)
+
+
+def test_partition_pruning_on_hive_layout(spark):
+    extended.QUERIES["s11_partitioned_scan"](spark, SF)  # writes the layout
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), "eco_pulse_corpus", "s11_part_sf0.01"
+    )
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan
+    # only one of five event_type directories survives pruning
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "event_type=click" in scan or "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    df = relational.QUERIES["o3_topk_orders"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = relational.QUERIES["a7_summary"](spark, SF)
+    df.collect()  # AQE finalizes (and annotates codegen) only at runtime
+    plan = _plan(df)
+    # compact plan marks WholeStageCodegen stages with a "*(n)" prefix
+    assert "*(" in plan
+    # map-side combine: partial agg below the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_latest_per_key_single_shuffle(spark):
+    """W1 must shuffle exactly once (on the partition key)."""
+    df = relational.QUERIES["w1_latest_per_key"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_salted_sum_two_phase_no_single_hot_partition(spark):
+    """The salted plan aggregates on (key, salt) before key — two
+    exchanges by design, but the first is on the salted compound."""
+    df = extended.QUERIES["skew2_salted_sum"](spark, SF)
+    plan = _plan(df)
+    assert "__salt" in plan
