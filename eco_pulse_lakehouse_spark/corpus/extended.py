@@ -169,6 +169,44 @@ def w7_sessionize(spark, sf_dir):
     ).drop("is_new")
 
 
+@q(
+    "w8_range_frame",
+    """
+    SELECT event_id, user_id, epoch_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_30m_sum
+    FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+          FROM events)
+    """,
+)
+def w8_range_frame(spark, sf_dir):
+    """W3/W8 — RANGE frame over event-time seconds: trailing-30-minute
+    sum per key (value-based frame, not row-count — the time-series
+    rolling form; decimal-exact)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("epoch_s"),
+        "value",
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30m_sum"),
+    )
+
+
 # --- aggregation extensions ----------------------------------------------
 
 

@@ -85,6 +85,32 @@ def t5_stream_dedup(spark, sf_dir):
 
 
 @q(
+    "t8_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def t8_stream_static_join(spark, sf_dir):
+    """T8 — stream-static join: each micro-batch joins against the
+    static dim (broadcast: the dim re-reads per batch, no state).
+    The reference joins two batch snapshots instead (gold_batch_job
+    .py:28-29); this is the streaming-native form."""
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    dim = T(spark, sf_dir, "customer")
+    joined = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "value", "c_name", "c_mktsegment")
+    )
+    sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
+    sp.run_to_parquet(joined, sink)
+    return spark.read.parquet(sink)
+
+
+@q(
     "t3_stream_append_silver",
     """
     SELECT event_id, user_id, value,

@@ -96,6 +96,40 @@ def gold_risk_domain(
     )
 
 
+def run_gold_cycle(
+    fires_batch: DataFrame,
+    weather: DataFrame,
+    target_path: str,
+    spark=None,
+) -> None:
+    """T7 — one incremental gold maintenance cycle.
+
+    The reference loops { full recompute → count() → overwrite }
+    every 60 s, executing its DAG twice per cycle with no cache
+    (gold_batch_job.py:81-101). Here each cycle computes gold only
+    for the NEW fire batch and MERGEs it into the target keyed on
+    (timestamp, fire_lat, fire_lon) — O(batch), not O(world), and
+    the plan executes once. With Delta on the classpath the upsert
+    becomes a transactional MERGE (sources/delta_io.py).
+    """
+    import os
+
+    from eco_pulse_lakehouse_spark.operators.merge import upsert
+
+    spark = spark or fires_batch.sparkSession
+    delta = gold_risk_domain(fires_batch, weather)
+    keys = ["timestamp", "fire_lat", "fire_lon"]
+    if os.path.exists(target_path):
+        current = spark.read.parquet(target_path)
+        merged = upsert(current, delta, keys)
+    else:
+        merged = delta
+    # write via temp + atomic-ish swap is storage-layer's job (Delta);
+    # plain parquet needs the materialize-then-replace dance:
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(target_path)
+
+
 def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFrame:
     """The same DAG phrased over the synthetic ``events`` table.
 

@@ -50,7 +50,20 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table: co-locates join/agg keys at write time
     so later equi-joins on the bucket columns skip the shuffle
-    entirely (needs a warehouse dir; used in plan tests)."""
+    entirely (needs a warehouse dir; used in plan tests).
+
+    Drops any stale table AND its warehouse location first — the
+    in-memory catalog forgets tables across sessions while the
+    directory survives, which LOCATION_ALREADY_EXISTS rejects."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

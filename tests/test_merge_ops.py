@@ -1,0 +1,41 @@
+"""MERGE/upsert and SCD2 operator semantics (operators/merge.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.operators.merge import scd2_apply, upsert
+
+
+def test_upsert_updates_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "k INT, v STRING"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new"), (3, "ins")], "k INT, v STRING"
+    )
+    out = {r.k: r.v for r in upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_scd2_closes_and_appends(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None), (2, "v1", t0, None)],
+        "k INT, attr STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", t1)], "k INT, attr STRING, changed_at TIMESTAMP"
+    )
+    out = scd2_apply(current, changes, ["k"], "changed_at").collect()
+    rows = sorted(
+        ((r.k, r.attr, r.valid_from, r.valid_to) for r in out)
+    )
+    assert rows == [
+        (1, "v1", t0, t1),      # closed out by the change
+        (1, "v2", t1, None),    # new open version
+        (2, "v1", t0, None),    # untouched key stays open
+    ]

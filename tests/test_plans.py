@@ -97,6 +97,34 @@ def test_latest_per_key_single_shuffle(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketed tables co-locate join keys at write time: the
+    bucket-aligned equi-join must run with ZERO exchanges
+    (sources/batch_io.py:write_bucketed_table) — at 100 TB this is
+    the repeated-join escape from paying the shuffle every query."""
+    from eco_pulse_lakehouse_spark.sources.batch_io import write_bucketed_table
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    write_bucketed_table(o, "b_orders", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(c, "b_customer", ["c_custkey"], 8, ["c_custkey"])
+    # force the shuffle-join path: at corpus scale the planner would
+    # broadcast instead (and rightly bypass bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        j.collect()
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_salted_sum_two_phase_no_single_hot_partition(spark):
     """The salted plan aggregates on (key, salt) before key — two
     exchanges by design, but the first is on the salted compound."""
