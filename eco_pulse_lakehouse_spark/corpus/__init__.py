@@ -17,9 +17,10 @@ from eco_pulse_lakehouse_spark.corpus import (
     northstar,
     relational,
     streaming_corpus,
+    tpch,
 )
 
-_MODULES = (relational, extended, northstar, streaming_corpus)
+_MODULES = (relational, extended, tpch, northstar, streaming_corpus)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,109 @@
+"""TPC-H-style OLAP corpus over the synthetic star schema, phrased
+through the SQL API (``spark.sql`` over registered views) — Catalyst
+produces the same plans as the DataFrame phrasings, and the judge
+gets classic decision-support coverage: scan-heavy aggregation (Q1),
+selective-filter revenue (Q6), multi-way join top-k (Q3-ish), 5-way
+star join rollup (Q5-ish).
+
+Column set is the driver's schema (TESTDATA.md), so predicates are
+adapted; sums run through exact DECIMAL per the engine's float-
+determinism policy (corpus/_registry.py:dec_sum).
+"""
+
+from __future__ import annotations
+
+from eco_pulse_lakehouse_spark.catalog import register_views
+from eco_pulse_lakehouse_spark.corpus._registry import make_registry
+
+QUERIES, ORACLES, q = make_registry()
+
+
+def _sql(spark, sf_dir: str, query: str):
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("tpch_q1", _Q1)
+def tpch_q1(spark, sf_dir):
+    """Q1 pricing summary — scan + 2-key hash agg with 7 aggregates;
+    partial (map-side) aggregation carries the whole reduction."""
+    return _sql(spark, sf_dir, _Q1)
+
+
+_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@q("tpch_q6", _Q6)
+def tpch_q6(spark, sf_dir):
+    """Q6 forecast revenue — every predicate pushes into the parquet
+    scan; the answer is one map-side-combined sum."""
+    return _sql(spark, sf_dir, _Q6)
+
+
+_Q3 = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@q("tpch_q3", _Q3)
+def tpch_q3(spark, sf_dir):
+    """Q3-style shipping-priority top-k — selective dim filter,
+    two shuffle joins, decimal-exact revenue so the top-10 ordering
+    is engine-independent (tiebreak on l_orderkey)."""
+    return _sql(spark, sf_dir, _Q3)
+
+
+_Q5 = """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, n_name
+"""
+
+
+@q("tpch_q5", _Q5)
+def tpch_q5(spark, sf_dir):
+    """Q5-style regional revenue — 5-way star join: two broadcast dims
+    (region, nation), shuffle joins on the fact chain, rollup by
+    geography."""
+    return _sql(spark, sf_dir, _Q5)
