@@ -32,6 +32,8 @@ HEADLINE = [
     "x2_minhash_lsh",          # shingle → minhash → banded LSH join
     "x3_cosine_topk",          # brute-force vector top-k
     "x4_text_stats",           # tokenize/array analytics
+    "tpch_q1",                 # SQL API: scan + 7-agg summary
+    "tpch_q5",                 # SQL API: 5-way star join rollup
     "t5_stream_dedup",         # streaming watermark+dedup drain
 ]
 

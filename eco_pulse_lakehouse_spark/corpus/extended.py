@@ -268,6 +268,70 @@ def a10_approx_quantiles(spark, sf_dir):
     )
 
 
+@q(
+    "a11_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a11_grouping_sets(spark, sf_dir):
+    """A11 — explicit grouping sets (disjoint subtotal lattices beyond
+    rollup's prefix chain)."""
+    from eco_pulse_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q(
+    "a12_exact_stats",
+    """
+    SELECT l_returnflag,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+    FROM (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def a12_exact_stats(spark, sf_dir):
+    """A12 — variance/stddev via decimal-exact moment sums. The
+    built-in stddev is single-pass (Welford) and ORDER-DEPENDENT in
+    its float error — nondeterministic under AQE repartitioning; the
+    two-moment decimal form is partitioning-independent (the engine's
+    float-determinism policy applied to second moments)."""
+    li = T(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return base.select(
+        "l_returnflag",
+        var.alias("var_samp"),
+        F.sqrt(var).alias("stddev_samp"),
+    )
+
+
 # --- scalar extensions ----------------------------------------------------
 
 

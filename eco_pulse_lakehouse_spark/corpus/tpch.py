@@ -87,6 +87,43 @@ def tpch_q3(spark, sf_dir):
     return _sql(spark, sf_dir, _Q3)
 
 
+_Q4 = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+"""
+
+
+@q("tpch_q4", _Q4)
+def tpch_q4(spark, sf_dir):
+    """Q4-style order-priority check — correlated EXISTS, decorrelated
+    by Catalyst into a left-semi join (no per-row subquery execution)."""
+    return _sql(spark, sf_dir, _Q4)
+
+
+_QSCALAR = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >
+      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+              / COUNT(*) * 1.5
+       FROM orders)
+"""
+
+
+@q("tpch_scalar_subquery", _QSCALAR)
+def tpch_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate (evaluated once, broadcast into
+    the filter); the threshold is decimal-exact so the boundary
+    comparison is engine-independent."""
+    return _sql(spark, sf_dir, _QSCALAR)
+
+
 _Q5 = """
     SELECT r_name, n_name,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)

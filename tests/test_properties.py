@@ -1,0 +1,92 @@
+"""Property-based pins (SURVEY.md §5.2.3): the risk CASE chain against
+a pure-Python reference across boundary-heavy generated inputs, and
+grid-join ≡ naive-join on random point clouds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.scalar import risk_level
+from eco_pulse_lakehouse_spark.operators.joins import (
+    distance_join_grid,
+    distance_join_naive,
+)
+
+
+def _risk_py(conf, wind, temp, hum):
+    """Literal transcription of gold_batch_job.py:65-74."""
+    if conf == "h" and wind >= 30.0 and temp >= 303.15 and hum <= 30.0:
+        return "EXTREME"
+    if conf == "h" and wind >= 30.0:
+        return "VERY_HIGH"
+    if conf == "h" and wind >= 20.0:
+        return "HIGH"
+    if conf == "h":
+        return "MODERATE"
+    return "LOW"
+
+
+# boundary-heavy domains: exact thresholds included
+_wind = st.sampled_from([0.0, 19.99, 20.0, 29.99, 30.0, 30.01, 60.0])
+_temp = st.sampled_from([280.0, 303.14, 303.15, 303.16, 400.0])
+_hum = st.sampled_from([0.0, 29.99, 30.0, 30.01, 90.0])
+_conf = st.sampled_from(["h", "n", "l"])
+_coord = st.floats(
+    min_value=-80.0, max_value=80.0, allow_nan=False, allow_infinity=False
+)
+
+
+def test_risk_case_chain_matches_python_reference(spark):
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(st.tuples(_conf, _wind, _temp, _hum), min_size=1, max_size=30)
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            rows, "confidence STRING, wind DOUBLE, temp DOUBLE, hum DOUBLE"
+        )
+        got = [
+            r.lvl
+            for r in df.select(
+                risk_level(
+                    F.col("confidence"), F.col("wind"), F.col("temp"),
+                    F.col("hum"),
+                ).alias("lvl")
+            ).collect()
+        ]
+        assert got == [_risk_py(*row) for row in rows]
+
+    check()
+
+
+def test_grid_join_equivalence_property(spark):
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.tuples(_coord, _coord), min_size=1, max_size=12),
+        st.lists(st.tuples(_coord, _coord), min_size=1, max_size=6),
+    )
+    def check(points, sites):
+        p = spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(points)],
+            "pid INT, lat DOUBLE, lon DOUBLE",
+        )
+        s = spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(sites)],
+            "sid INT, s_lat DOUBLE, s_lon DOUBLE",
+        )
+        naive = {
+            (r.pid, r.sid)
+            for r in distance_join_naive(p, s, 20.0)
+            .select("pid", "sid")
+            .collect()
+        }
+        grid = {
+            (r.pid, r.sid)
+            for r in distance_join_grid(p, s, 20.0)
+            .select("pid", "sid")
+            .collect()
+        }
+        assert naive == grid
+
+    check()
