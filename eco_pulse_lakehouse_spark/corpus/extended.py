@@ -443,6 +443,39 @@ def skew2_salted_sum(spark, sf_dir):
     )
 
 
+@q(
+    "q1_quality_gate",
+    """
+    SELECT event_id,
+           list_filter([
+             CASE WHEN NOT coalesce(value < 150.0, false)
+                  THEN 'value_bounded' END,
+             CASE WHEN NOT coalesce(event_type != 'error', false)
+                  THEN 'not_error' END,
+             CASE WHEN NOT coalesce(
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) <= 50,
+                    false)
+                  THEN 'k_small' END
+           ], x -> x IS NOT NULL) AS violations
+    FROM events
+    """,
+)
+def q1_quality_gate(spark, sf_dir):
+    """Quality gate (operators/quality.py): expectation checks as one
+    pass of column expressions, violations annotated per row — the
+    dead-letter path the reference lacks (silent all-NULL rows,
+    SURVEY.md §1.3)."""
+    from eco_pulse_lakehouse_spark.operators.quality import annotate
+
+    ev = T(spark, sf_dir, "events")
+    rules = {
+        "value_bounded": F.col("value") < 150.0,
+        "not_error": F.col("event_type") != "error",
+        "k_small": F.from_json(F.col("props"), "k BIGINT").getField("k") <= 50,
+    }
+    return annotate(ev, rules).select("event_id", "violations")
+
+
 # --- sources --------------------------------------------------------------
 
 

@@ -85,6 +85,36 @@ def t5_stream_dedup(spark, sf_dir):
 
 
 @q(
+    "t9_session_window",
+    """
+    SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
+    FROM (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                 <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def t9_session_window(spark, sf_dir):
+    """T6+ — built-in session_window (gap-merged event-time sessions):
+    must agree with the lag/cumsum batch sessionization (w7) on
+    session starts and sizes. Runs on the batch frame here; the same
+    expression works under a stream with a watermark."""
+    from eco_pulse_lakehouse_spark.streaming.stateful import session_windows
+
+    ev = T(spark, sf_dir, "events")
+    return session_windows(ev, "ts", ["user_id"], gap="30 minutes")
+
+
+@q(
     "t8_stream_static_join",
     """
     SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment

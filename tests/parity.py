@@ -35,8 +35,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
+            import numpy as np
+
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v,
                 na_action="ignore",
             )
     return df.sort_values(by=list(df.columns), ignore_index=True)
@@ -81,7 +85,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Par
                 )
         else:
             def norm(v):
-                if isinstance(v, (tuple, list)):
+                import numpy as np
+
+                if isinstance(v, (tuple, list, np.ndarray)):
                     return tuple(v)
                 return None if pd.isna(v) else v
 

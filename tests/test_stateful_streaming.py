@@ -1,0 +1,96 @@
+"""Custom stateful streaming: applyInPandasWithState running totals
+across micro-batches, and the foreachBatch MERGE sink (streaming/
+stateful.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.catalog import load_table
+from eco_pulse_lakehouse_spark.streaming import pipeline as sp
+from eco_pulse_lakehouse_spark.streaming.stateful import (
+    foreach_batch_upsert,
+    running_totals_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def _stage(spark, tmp_path, parts=3) -> str:
+    stage = str(tmp_path / "input")
+    load_table(spark, SF, "events").repartition(parts).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    return stage
+
+
+def test_running_totals_state_survives_batches(spark, tmp_path):
+    stage = _stage(spark, tmp_path)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(stage)
+        .select("user_id", "value")
+    )
+    out = running_totals_stream(stream)
+    name = "state_totals"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per batch: last row per key
+    # is the final state
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.table(name).collect()  # later rows overwrite earlier
+    }
+    # (dict build keeps the LAST occurrence per key only if ordered —
+    # sort by n, which is monotone per key)
+    rows = sorted(spark.table(name).collect(), key=lambda r: r.n)
+    got = {r.user_id: (r.n, r.total) for r in rows}
+
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+def test_foreach_batch_upsert_sink(spark, tmp_path):
+    stage = _stage(spark, tmp_path)
+    target = str(tmp_path / "target")
+    stream = sp.read_file_stream(spark, stage, SCHEMA).select(
+        "event_id", "user_id", "value"
+    )
+    q = foreach_batch_upsert(
+        stream, target, keys=["event_id"], checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(target).count() == 1000
+
+    # replaying the same input through a NEW stream (fresh checkpoint)
+    # re-upserts the same keys — target must not grow
+    stream2 = sp.read_file_stream(spark, stage, SCHEMA).select(
+        "event_id", "user_id", "value"
+    )
+    q2 = foreach_batch_upsert(
+        stream2, target, keys=["event_id"], checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(target).count() == 1000
