@@ -174,6 +174,66 @@ def x3_ann_lsh(spark, sf_dir):
     return xs.cosine_topk_lsh(e, bits=8, k=10)
 
 
+@q("x3_ivf_topk")  # approximate: rows-only; recall vs brute force in pytest
+def x3_ivf_topk(spark, sf_dir):
+    """X3 scale path #2 — IVF inverted lists (nearest-centroid
+    partitions, n_probe search); complements the LSH variant with
+    data-adaptive buckets."""
+    e = T(spark, sf_dir, "embeddings")
+    return xs.ivf_topk(e, n_centroids=16, n_probe=2, k=10)
+
+
+@q(
+    "flagship_text_pipeline",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_filter(string_split(text, ' '),
+                      w -> w IN {'(' + "'the', 'a', 'of', 'and', 'to'" + ')'}))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    ), clean AS (
+      SELECT doc_id, lang, text FROM toks
+      WHERE coalesce(n_tok >= 20, false)
+        AND coalesce(stop_ratio < 0.5, false)
+    ), unique_docs AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, lang,
+             least(1.0, len(string_split(text, ' ')) / 100.0)
+             * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                            w -> w IN ('the','a','of','and','to'))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             * least(1.0, ((length(text) - (len(string_split(text, ' ')) - 1))
+                           / len(string_split(text, ' '))) / 8.0) AS q,
+             list_reduce(
+               list_concat([CAST(0 AS BIGINT)],
+                 list_transform(string_split(text, ' '),
+                   w -> CAST(length(w) * 31 + unicode(w) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007) AS fp
+      FROM unique_docs
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+             AS avg_quality,
+           COUNT(DISTINCT fp) AS distinct_fingerprints
+    FROM scored GROUP BY lang
+    """,
+)
+def flagship_text_pipeline(spark, sf_dir):
+    """North-star flagship — the COMPOSED curation pipeline (quality
+    gate → dedup → score/fingerprint → per-lang rollup), end-to-end
+    oracle-checked (plans/text_pipeline.py)."""
+    from eco_pulse_lakehouse_spark.plans.text_pipeline import curate_documents
+
+    return curate_documents(T(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # X4 — text analysis
 # =====================================================================

@@ -126,6 +126,79 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN: partition vectors into inverted lists by nearest
+    centroid, search only the query's ``n_probe`` nearest lists.
+
+    Centroids here are the first ``n_centroids`` vectors (deterministic;
+    a production build would k-means them — the *search* plumbing is
+    identical). Assignment is a broadcast join against the tiny
+    centroid set + argmin; search is an equi-join on the list id —
+    the candidate set shrinks |C|/n_centroids-fold while staying a
+    pure shuffle join (the 100 TB shape, same property as LSH but
+    with data-adaptive partitions).
+    """
+    cents = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
+        """n_lists nearest centroids per row via rank over the
+        broadcast cross product (centroid count is tiny)."""
+        sim = cosine_similarity(F.col(vecc), F.col("cent_vec"))
+        scored = df.crossJoin(F.broadcast(cents)).withColumn("__cs", sim)
+        w = Window.partitionBy(idc).orderBy(
+            F.col("__cs").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_lists)
+            .drop("__cs", "__r", "cent_vec")
+        )
+
+    lists = assign(
+        embeddings.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+        "c_vec",
+        1,  # each vector lives in exactly one inverted list
+    )
+    probes = assign(
+        embeddings.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_id",
+        "q_vec",
+        n_probe,
+    )
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        probes.join(lists, "cent_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

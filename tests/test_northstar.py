@@ -84,6 +84,29 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=2 of 16 lists: recall must beat chance by a
+    wide margin and be well-formed (the data-adaptive counterpart of
+    the LSH test above)."""
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_bruteforce(qs, cs, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.c_id)
+        for r in xs.ivf_topk(emb, n_centroids=16, n_probe=2, k=5)
+        .filter(F.col("q_id") < 20)
+        .collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall > 0.15, f"IVF recall {recall} near chance"
+
+
 def test_multimodal_features_deterministic_and_shaped(spark):
     docs = load_table(spark, SF, "documents").limit(20)
     mm = xm.to_multimodal(docs)
