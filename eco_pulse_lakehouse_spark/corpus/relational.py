@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -125,7 +126,7 @@ def s4_scan_pushdown(spark, sf_dir):
 def s5_write_roundtrip(spark, sf_dir):
     """S5 — batch sink overwrite + readback (gold_batch_job.py:83-87
     maps Delta overwrite → parquet overwrite in this image)."""
-    path = os.path.join(_TMP, "s5_roundtrip")
+    path = os.path.join(_TMP, f"s5_roundtrip_{uuid.uuid4().hex[:8]}")
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
     li.write.mode("overwrite").parquet(path)
     return (
@@ -139,7 +140,7 @@ def s5_write_roundtrip(spark, sf_dir):
 def s7_csv_roundtrip(spark, sf_dir):
     """S7 — CSV source with header + explicit schema (nasa_producer.py
     FIRMS CSV ingest shape, no inferSchema)."""
-    path = os.path.join(_TMP, "s7_csv")
+    path = os.path.join(_TMP, f"s7_csv_{uuid.uuid4().hex[:8]}")
     T(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     return spark.read.option("header", True).schema(
         "n_nationkey INT, n_name STRING, n_regionkey INT"

@@ -31,9 +31,19 @@ EVENTS_SCHEMA = (
 )
 
 
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
 def _stage_events(spark, sf_dir: str, copies: int = 1, parts: int = 4) -> str:
     """Write events to a temp dir as ``parts`` files x ``copies``
-    (copies > 1 injects exact replays, the Kafka-redelivery case)."""
+    (copies > 1 injects exact replays, the Kafka-redelivery case).
+    Deterministic input → cached per (sf_dir, copies, parts) within
+    the process so repeated bench runs time the STREAM, not the
+    staging write. Sinks/checkpoints stay uuid-fresh per run."""
+    key = (sf_dir, copies, parts)
+    cached = _STAGE_CACHE.get(key)
+    if cached and os.path.exists(cached):
+        return cached
     stage = os.path.join(
         tempfile.gettempdir(), f"eco_pulse_stream_{uuid.uuid4().hex}"
     )
@@ -41,6 +51,7 @@ def _stage_events(spark, sf_dir: str, copies: int = 1, parts: int = 4) -> str:
     ev.write.mode("overwrite").parquet(stage)
     for _ in range(copies - 1):
         ev.write.mode("append").parquet(stage)
+    _STAGE_CACHE[key] = stage
     return stage
 
 

@@ -124,6 +124,68 @@ def tpch_scalar_subquery(spark, sf_dir):
     return _sql(spark, sf_dir, _QSCALAR)
 
 
+_Q10 = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-06-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+@q("tpch_q10", _Q10)
+def tpch_q10(spark, sf_dir):
+    """Q10-style returned-item losses — fact-side filter, 3 joins,
+    top-20 customers by decimal-exact revenue."""
+    return _sql(spark, sf_dir, _Q10)
+
+
+_Q12 = """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
+           SUM(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END) AS kept_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@q("tpch_q12", _Q12)
+def tpch_q12(spark, sf_dir):
+    """Q12-style bucketed counts — CASE aggregation over a join
+    (conditional counting pivots without a pivot)."""
+    return _sql(spark, sf_dir, _Q12)
+
+
+_Q18 = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 120
+    )
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+"""
+
+
+@q("tpch_q18", _Q18)
+def tpch_q18(spark, sf_dir):
+    """Q18-style large-quantity orders — IN-subquery with HAVING over
+    a decimal-exact sum (boundary comparison engine-independent),
+    rewritten by Catalyst into a semi join."""
+    return _sql(spark, sf_dir, _Q18)
+
+
 _Q5 = """
     SELECT r_name, n_name,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
