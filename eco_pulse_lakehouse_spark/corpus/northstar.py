@@ -372,6 +372,47 @@ def x5_multimodal_meta(spark, sf_dir):
     )
 
 
+@q(
+    "x5_resize_plan",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS w,
+             CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(greatest(floor(w * least(32.0 / w, 32.0 / h, 1.0)), 1) AS INT)
+             AS out_w,
+           CAST(greatest(floor(h * least(32.0 / w, 32.0 / h, 1.0)), 1) AS INT)
+             AS out_h,
+           round(least(32.0 / w, 32.0 / h, 1.0), 6) AS scale
+    FROM m
+    """,
+)
+def x5_resize_plan(spark, sf_dir):
+    """X5 — aspect-preserving resize planning as pure metadata math
+    (operators/multimodal.py:resize_meta): filterable without reading
+    a single payload byte."""
+    d = T(spark, sf_dir, "documents")
+    planned = xm.resize_meta(xm.to_multimodal(d), 32, 32)
+    return planned.select(
+        "doc_id",
+        F.col("resize_plan.out_w").alias("out_w"),
+        F.col("resize_plan.out_h").alias("out_h"),
+        F.col("resize_plan.scale").alias("scale"),
+    )
+
+
+@q("x5_frame_sampling")  # mapInPandas decode stub: rows-only
+def x5_frame_sampling(spark, sf_dir):
+    """X5 — evenly-spaced frame sampling over binary payloads
+    (operators/multimodal.py:sample_frames); slice semantics pinned
+    in pytest."""
+    d = T(spark, sf_dir, "documents")
+    return xm.sample_frames(xm.to_multimodal(d), n_frames=4)
+
+
 @q("x5_multimodal_features")  # mapInPandas decode stub: rows-only
 def x5_multimodal_features(spark, sf_dir):
     """X5 — Arrow-batched feature extraction over binary payloads

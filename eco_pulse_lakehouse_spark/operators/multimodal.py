@@ -70,6 +70,53 @@ def _fake_features(payload: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"features": feats})
 
 
+def resize_meta(mm: DataFrame, max_w: int = 32, max_h: int = 32) -> DataFrame:
+    """Resize planning as pure metadata math (aspect-preserving fit
+    into max_w x max_h). The pixel resample itself belongs in the
+    decode UDF (decode_image stub); the planned dimensions are
+    column expressions — scannable and filterable WITHOUT touching
+    payload bytes."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    return mm.withColumn(
+        "resize_plan",
+        F.struct(
+            F.greatest(F.floor(w * scale).cast("int"), F.lit(1)).alias("out_w"),
+            F.greatest(F.floor(h * scale).cast("int"), F.lit(1)).alias("out_h"),
+            F.round(scale, 6).alias("scale"),
+        ),
+    )
+
+
+def sample_frames(mm: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over a "video" payload: emit ``n_frames``
+    evenly-spaced byte slices per document as (doc_id, frame_idx,
+    frame) rows via mapInPandas — the batch shape of real
+    ffmpeg-frame extraction (decode stubbed: slices stand in for
+    decoded frames; one output row per frame, payload never on the
+    driver)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                step = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    start = min(i * step, max(n - 1, 0))
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[start : start + step]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return mm.mapInPandas(
+        op, schema="doc_id BIGINT, frame_idx INT, frame BINARY"
+    )
+
+
 def extract_features(mm: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column via
     mapInPandas — the canonical shape for decode/resize/frame-sample

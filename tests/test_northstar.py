@@ -120,6 +120,27 @@ def test_multimodal_features_deterministic_and_shaped(spark):
     assert meta == nb
 
 
+def test_resize_meta_and_frame_sampling(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    mm = xm.to_multimodal(docs)
+    planned = xm.resize_meta(mm, 32, 32).collect()
+    for r in planned:
+        assert 1 <= r.resize_plan.out_w <= 32
+        assert 1 <= r.resize_plan.out_h <= 32
+        assert r.resize_plan.scale <= 1.0
+    frames = xm.sample_frames(mm, n_frames=4).collect()
+    assert len(frames) == 40  # 4 frames x 10 docs
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    payloads = {r.doc_id: bytes(r.payload) for r in mm.collect()}
+    for doc_id, fr in by_doc.items():
+        assert sorted(f.frame_idx for f in fr) == [0, 1, 2, 3]
+        # frames are slices of the original payload
+        for f in fr:
+            assert bytes(f.frame) in payloads[doc_id]
+
+
 def test_decode_image_is_marked_stub():
     import pytest
 
