@@ -269,6 +269,25 @@ def a10_approx_quantiles(spark, sf_dir):
 
 
 @q(
+    "a13_collect_set",
+    """
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def a13_collect_set(spark, sf_dir):
+    """A13 — set aggregation to an array column. collect_set order is
+    nondeterministic; sort_array makes it canonical (the only way an
+    array-valued aggregate can be stable across partitionings)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+
+
+@q(
     "a11_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n
