@@ -541,6 +541,27 @@ def s11_partitioned_scan(spark, sf_dir):
 
 
 @q(
+    "o4_distributed_global_rank",
+    """
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+)
+def o4_distributed_global_rank(spark, sf_dir):
+    """O2 at scale — total-order row_number WITHOUT a single-partition
+    window (operators/rank.py:global_row_number): range shuffle +
+    per-partition local ranks + broadcast offsets. Same oracle as the
+    one-partition form ⇒ composition proven exact."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    ev = T(spark, sf_dir, "events").select("event_id", "ts")
+    return global_row_number(
+        ev, [F.col("ts"), F.col("event_id")], out_col="rn"
+    ).select("event_id", "rn")
+
+
+@q(
     "o2_global_rank",
     """
     SELECT l_orderkey, l_linenumber, rn FROM (
