@@ -207,6 +207,57 @@ def w8_range_frame(spark, sf_dir):
     )
 
 
+@q(
+    "w9_rank_family",
+    """
+    SELECT event_id, user_id,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def w9_rank_family(spark, sf_dir):
+    """W9 — ntile/percent_rank/cume_dist over a total per-key order
+    (small-int ratios → engine-independent doubles)."""
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@q(
+    "w10_null_ordering",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (
+             ORDER BY nullif(value, 0.0) ASC NULLS LAST, event_id) AS INT)
+             AS rn_nulls_last
+    FROM events WHERE user_id = 0
+    """,
+)
+def w10_null_ordering(spark, sf_dir):
+    """W10 — explicit null ordering. Spark's ASC default is NULLS
+    FIRST, DuckDB's is NULLS LAST — any ordered operator over nullable
+    keys MUST pin the null position explicitly on both sides."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(
+        F.nullif(F.col("value"), F.lit(0.0)).asc_nulls_last(),
+        F.col("event_id"),
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 0)
+        .select("event_id", F.row_number().over(w).alias("rn_nulls_last"))
+    )
+
+
 # --- aggregation extensions ----------------------------------------------
 
 
@@ -352,6 +403,34 @@ def a12_exact_stats(spark, sf_dir):
 
 
 # --- scalar extensions ----------------------------------------------------
+
+
+@q(
+    "f_string_extended",
+    """
+    SELECT p_partkey,
+           translate(p_brand, '#', '_') AS brand_t,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_2x,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(position('A' IN p_name) AS INT) AS first_a
+    FROM part
+    """,
+)
+def f_string_extended(spark, sf_dir):
+    """F — extended string surface: translate/lpad/reverse/repeat/
+    split_part/position (F6/F11 family completion)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_2x"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.instr("p_name", "A").alias("first_a"),
+    )
 
 
 @q(
