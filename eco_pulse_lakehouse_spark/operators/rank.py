@@ -54,18 +54,20 @@ def global_row_number(
         r[_PID]: r["cnt"]
         for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col(_PID) == pid, F.lit(off).cast("long")).otherwise(
-            offset_expr
-        )
+    # broadcast-join the offsets (a when-chain would be an
+    # O(partitions)-deep expression tree — pathological at cluster
+    # partition counts)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID} INT, __offset LONG"
+    )
     w = Window.partitionBy(_PID).orderBy(*order_by)
     return (
         ranged.withColumn(_LOCAL, F.row_number().over(w))
-        .withColumn(out_col, (offset_expr + F.col(_LOCAL)).cast("long"))
-        .drop(_PID, _LOCAL)
+        .join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, (F.col("__offset") + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, "__offset")
     )
