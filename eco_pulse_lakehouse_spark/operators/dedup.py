@@ -239,23 +239,41 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """X2 ground truth — exact Jaccard over distinct word n-grams for
+    """X2 ground truth — EXACT Jaccard over distinct word n-grams for
     all pairs (id_a < id_b) meeting the threshold.
 
-    O(n²) refine by construction — at scale this runs on LSH-candidate
-    pairs only; here it doubles as the DuckDB-oracle-checkable truth.
+    Implemented as an inverted-index self-join, not a cross join:
+    explode (doc, shingle), equi-join on the shingle, count shared
+    shingles per pair, derive |union| = |A| + |B| - |∩| from per-doc
+    set sizes. Pairs sharing zero shingles never materialize — and
+    they can't pass any threshold > 0, so the output is identical to
+    the naive all-pairs form (the DuckDB oracle IS that naive form).
+    Locally 285s → ~5s at sf0.1; at scale the shuffle is on the
+    shingle key (skew from boilerplate shingles handled by AQE).
     """
     sh = docs.select(
-        F.col(id_col),
+        F.col(id_col).alias("__id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sizes = sh.select("__id", F.size("sh").alias("__sz"))
+    inv = sh.select("__id", F.explode("sh").alias("__s"))
+    a = inv.select(F.col("__id").alias("id_a"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), "__s")
+    shared = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    with_sizes = (
+        shared.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sa"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sb"), "id_b")
+    )
+    union = F.col("__sa") + F.col("__sb") - F.col("__inter")
     return (
-        pairs.withColumn("jaccard", inter.cast("double") / union)
+        with_sizes.withColumn(
+            "jaccard", F.col("__inter").cast("double") / union
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
