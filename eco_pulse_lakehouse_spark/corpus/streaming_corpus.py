@@ -96,6 +96,58 @@ def t5_stream_dedup(spark, sf_dir):
 
 
 @q(
+    "t10_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def t10_stream_stream_join(spark, sf_dir):
+    """T8+ — STREAM-STREAM inner join (beyond the reference's
+    batch-snapshot join): purchases joined to clicks of the same user
+    within the preceding hour. Both sides watermarked; the time-range
+    condition bounds the join state Spark must retain — without it a
+    stream-stream join is unbounded-state and rejected. Drained with
+    availableNow and oracle-checked against the equivalent batch SQL.
+    """
+    stage = _stage_events(spark, sf_dir)
+    left = (
+        sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    right = (
+        sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_value")
+    sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
+    sp.run_to_parquet(joined, sink)
+    return spark.read.parquet(sink)
+
+
+@q(
     "t9_session_window",
     """
     SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n
