@@ -33,7 +33,10 @@ HEADLINE = [
     "x3_cosine_topk",          # brute-force vector top-k
     "x4_text_stats",           # tokenize/array analytics
     "tpch_q1",                 # SQL API: scan + 7-agg summary
+    "tpch_q3",                 # SQL API: join top-k
     "tpch_q5",                 # SQL API: 5-way star join rollup
+    "x2_ngram_jaccard",        # inverted-index exact Jaccard
+    "o4_distributed_global_rank",  # range-partitioned total order
     "t5_stream_dedup",         # streaming watermark+dedup drain
 ]
 

@@ -574,6 +574,24 @@ def q1_quality_gate(spark, sf_dir):
     return annotate(ev, rules).select("event_id", "violations")
 
 
+@q(
+    "skew3_salted_join",
+    """
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def skew3_salted_join(spark, sf_dir):
+    """Skew — salted equi-join (operators/skew.py:salted_join): fact
+    sharded 8 ways, dim replicated ×8, join on (key, salt). Identical
+    to the plain join (the oracle IS the plain join)."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return osk.salted_join(
+        o, c, "o_custkey", "c_custkey", salt_buckets=8, tiebreak="o_orderkey"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
 # --- sources --------------------------------------------------------------
 
 

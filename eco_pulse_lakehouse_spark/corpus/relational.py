@@ -362,6 +362,22 @@ def j2_range_join_grid(spark, sf_dir):
     )
 
 
+@q("j2_range_join_band", _J2_ORACLE)
+def j2_range_join_band(spark, sf_dir):
+    """J2, ×2-replication variant — 2·eps buckets with half-aware
+    single-neighbor probing (operators/joins.py:value_range_join_band):
+    33% less probe shuffle than the ×3 form, same oracle proves it
+    exact."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    joined = oj.value_range_join_band(c, s, "c_acctbal", "s_acctbal", epsilon=10.0)
+    return joined.select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 6).alias("bal_gap"),
+    )
+
+
 @q(
     "j3_equi_join_3way",
     f"""

@@ -124,6 +124,37 @@ def value_range_join(
     )
 
 
+def value_range_join_band(
+    left: DataFrame,
+    right: DataFrame,
+    l_val: str,
+    r_val: str,
+    epsilon: float,
+    how: str = "inner",
+) -> DataFrame:
+    """|l - r| < eps with ×2 probe replication instead of ×3.
+
+    Buckets of width 2·eps: a probe in the lower half of its bucket
+    can only also match the bucket below, upper half only the bucket
+    above — exactly one neighbor each, so the probe side replicates
+    ×2 (×4 in 2-D) versus the ×3 (×9) of eps-width buckets
+    (value_range_join). Each true pair shares exactly one bucket —
+    no post-dedup needed. Same output, same oracle, 33% less probe
+    shuffle.
+    """
+    w = 2.0 * float(epsilon)
+    b0 = F.floor(F.col(l_val) / w)
+    lower_half = (F.col(l_val) - b0.cast("double") * w) < epsilon
+    neighbor = F.when(lower_half, b0 - 1).otherwise(b0 + 1)
+    lb = left.withColumn("__b", F.explode(F.array(b0, neighbor)))
+    rb = right.withColumn("__b", F.floor(F.col(r_val) / w))
+    return (
+        lb.join(rb, on="__b", how=how)
+        .drop("__b")
+        .filter(F.abs(F.col(l_val) - F.col(r_val)) < epsilon)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -46,6 +46,35 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("__c").alias("n"))
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    tiebreak: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) fact side into
+    ``salt_buckets`` shards, replicate the dim side once per shard,
+    join on (key, salt). A hot fact key spreads over ``salt_buckets``
+    reducers instead of melting one. Output identical to the plain
+    join; cost is dim × salt_buckets replication — use when the dim
+    is small-ish but too big (or the key too hot) for broadcast.
+    AQE's skew-join split covers most cases; this is the manual form
+    for paths AQE can't rewrite (e.g. stream-static joins)."""
+    salt = F.pmod(F.xxhash64(F.col(tiebreak or fact_key)), F.lit(salt_buckets))
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__dsalt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return fact_s.join(
+        dim_s,
+        (F.col(fact_key) == F.col(dim_key)) & (F.col("__salt") == F.col("__dsalt")),
+        how,
+    ).drop("__salt", "__dsalt")
+
+
 def salted_decimal_sum(
     df: DataFrame,
     keys: Sequence[str],

@@ -107,6 +107,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall > 0.15, f"IVF recall {recall} near chance"
 
 
+def test_kmeans_ivf_recall_not_worse_than_seeded(spark):
+    """Lloyd-iterated centroids must not lose recall vs first-k seeds
+    at equal n_probe (usually they gain; assert no regression and
+    well-formed centroids)."""
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_bruteforce(qs, cs, k=5).collect()
+    }
+
+    def recall(res):
+        got = {(r.q_id, r.c_id) for r in res.filter(F.col("q_id") < 20).collect()}
+        return len(truth & got) / len(truth)
+
+    seeded = recall(xs.ivf_topk(emb, n_centroids=16, n_probe=2, k=5))
+    km = xs.kmeans_centroids(emb, k=16, iterations=2)
+    assert km.count() <= 16  # clusters can merge/empty, never grow
+    adaptive = recall(
+        xs.ivf_topk(emb, n_centroids=16, n_probe=2, k=5, centroids=km)
+    )
+    assert adaptive >= seeded - 0.05, (adaptive, seeded)
+
+
 def test_multimodal_features_deterministic_and_shaped(spark):
     docs = load_table(spark, SF, "documents").limit(20)
     mm = xm.to_multimodal(docs)
