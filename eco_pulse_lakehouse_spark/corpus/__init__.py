@@ -22,6 +22,29 @@ from eco_pulse_lakehouse_spark.corpus import (
 
 _MODULES = (relational, extended, tpch, northstar, streaming_corpus)
 
+# Entries the round-1 driver already CORRECTNESS-checked green
+# (CORRECTNESS_r01.json). The driver windows the registry from the
+# front, so never-checked entries must lead; these go last.
+_DRIVER_GREEN_R01 = frozenset(
+    {
+        "flagship_gold_risk", "s2_json_decode", "s4_scan_pushdown",
+        "s5_write_roundtrip", "s7_csv_roundtrip", "s9_json_roundtrip",
+        "s10_synthetic_generator", "p1_project_rename", "p2_derived_column",
+        "p3_eq_filter", "p4_range_filter", "p5_compound_filter", "p9_unpivot",
+        "p6_in_filter", "j1_cross_join", "j2_range_join_naive",
+        "j2_range_join_grid", "j2_range_join_band", "j3_equi_join_3way",
+        "j3_semi_join", "j3_anti_join", "j3_outer_join", "a1_count_star",
+        "a2_conditional_counts", "a3_avg", "a4_groupby_count", "a5_distinct",
+        "a6_count_distinct", "a6_approx_count_distinct", "a7_summary",
+        "a8_rollup", "w1_latest_per_key", "w2_keep_best", "w3_rolling_avg",
+        "w4_lag_delta", "w5_rank", "w6_running_sum", "o1_latest_events",
+        "o3_topk_orders", "set_union", "set_intersect", "set_except",
+        "f_case_when_chain", "f_math", "f_string", "f_datetime",
+        "f_null_handling", "f_random_generator", "j4_asof_join",
+        "m1_merge_upsert",
+    }
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
@@ -30,7 +53,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate corpus query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    # Driver-unchecked entries first so a windowed CORRECTNESS run
+    # covers them; round-1-green entries re-verify afterwards.
+    ordered = {k: v for k, v in out.items() if k not in _DRIVER_GREEN_R01}
+    ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN_R01})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
