@@ -49,8 +49,14 @@ def gold_risk_domain(
              humidity, temperature, timestamp
     Output 9 cols exactly as gold_batch_job.py:75-78.
     """
+    # Tiebreak must be unique WITHIN a location (location_id is the
+    # partition key, so it can't break ties); the measure columns give
+    # a deterministic total order for same-timestamp readings.
     latest = latest_per_key(
-        weather, ["location_id"], "timestamp", tiebreak_cols=["location_id"]
+        weather,
+        ["location_id"],
+        "timestamp",
+        tiebreak_cols=["wind_speed", "wind_deg", "humidity", "temperature"],
     ).select(
         F.col("location_id").alias("weather_station"),
         F.col("lat").alias("s_lat"),
@@ -96,6 +102,9 @@ def gold_risk_domain(
     )
 
 
+GOLD_PARTITION_COL = "gold_date"
+
+
 def run_gold_cycle(
     fires_batch: DataFrame,
     weather: DataFrame,
@@ -108,26 +117,54 @@ def run_gold_cycle(
     every 60 s, executing its DAG twice per cycle with no cache
     (gold_batch_job.py:81-101). Here each cycle computes gold only
     for the NEW fire batch and MERGEs it into the target keyed on
-    (timestamp, fire_lat, fire_lon) — O(batch), not O(world), and
-    the plan executes once. With Delta on the classpath the upsert
-    becomes a transactional MERGE (sources/delta_io.py).
+    (timestamp, fire_lat, fire_lon).
+
+    The target is partitioned by ``gold_date`` (day of the fire
+    timestamp) and the write uses dynamic-partition overwrite, so the
+    cycle reads and rewrites ONLY the partitions the batch touches —
+    O(batch partitions) compute AND write, never O(world). Untouched
+    partition directories are left byte-identical
+    (tests/test_incremental_gold.py pins this).
+
+    Durability: at-least-once with idempotent-by-key replay. A crash
+    mid-commit can lose *touched* partitions of the current cycle
+    (replay the batch to repair), never the rest of the table; a
+    transactional Delta MERGE (sources/delta_io.py) is the
+    exactly-once upgrade when delta-spark is on the classpath.
     """
     import os
 
     from eco_pulse_lakehouse_spark.operators.merge import upsert
 
     spark = spark or fires_batch.sparkSession
-    delta = gold_risk_domain(fires_batch, weather)
+    delta = gold_risk_domain(fires_batch, weather).withColumn(
+        GOLD_PARTITION_COL,
+        F.to_date(F.timestamp_seconds(F.col("timestamp"))),
+    )
     keys = ["timestamp", "fire_lat", "fire_lon"]
     if os.path.exists(target_path):
-        current = spark.read.parquet(target_path)
+        # Driver-side list of touched partitions: O(distinct days in
+        # the batch) date values, metadata-sized (same sanction as the
+        # partition-bounds collect in operators/rank.py).
+        touched = [
+            r[0]
+            for r in delta.select(GOLD_PARTITION_COL).distinct().collect()
+        ]
+        current = spark.read.parquet(target_path).filter(
+            F.col(GOLD_PARTITION_COL).isin(touched)  # partition-pruned scan
+        )
         merged = upsert(current, delta, keys)
     else:
         merged = delta
-    # write via temp + atomic-ish swap is storage-layer's job (Delta);
-    # plain parquet needs the materialize-then-replace dance:
+    # Materialize before overwriting the path being read; only the
+    # touched partitions' rows are pinned (O(batch partitions)).
     staged = merged.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(target_path)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(GOLD_PARTITION_COL)
+        .parquet(target_path)
+    )
 
 
 def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFrame:

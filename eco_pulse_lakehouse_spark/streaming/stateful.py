@@ -76,24 +76,79 @@ def session_windows(
 
 
 def foreach_batch_upsert(
-    stream: DataFrame, target_path: str, keys: list[str], checkpoint: str
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    partition_col: str | None = None,
 ):
     """Streaming MERGE sink: each micro-batch upserts into the parquet
-    target (Delta MERGE when delta-spark is present). Exactly-once
-    per batch via the checkpoint + idempotent-by-key upsert."""
+    target (Delta MERGE is the transactional upgrade when delta-spark
+    is present).
+
+    Semantics: at-least-once with idempotent-by-key replay — the
+    checkpoint dedups source offsets, and re-running a batch converges
+    because the upsert is keyed.
+
+    Write path, by scale:
+
+    * ``partition_col`` set (the 100 TB shape): the target is
+      partitioned on it and each batch reads + dynamically overwrites
+      ONLY the partitions present in the batch — O(batch partitions)
+      read and write. A crash mid-commit can lose touched partitions
+      (replay repairs); untouched partitions are never rewritten.
+    * ``partition_col=None`` (small reference tables): full rewrite via
+      a staging directory + rename swap, so a crash never leaves the
+      target deleted — worst case the previous table survives at
+      ``<target>.__old`` and the swap is re-run on replay.
+    """
     from eco_pulse_lakehouse_spark.operators.merge import upsert
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         import os
+        import shutil
 
         spark = batch_df.sparkSession
-        if os.path.exists(target_path):
+        exists = os.path.exists(target_path)
+        if partition_col is not None:
+            batch = batch_df
+            if exists:
+                touched = [
+                    r[0]
+                    for r in batch.select(partition_col).distinct().collect()
+                ]
+                current = spark.read.parquet(target_path).filter(
+                    F.col(partition_col).isin(touched)
+                )
+                merged = upsert(current, batch, keys)
+            else:
+                merged = batch
+            staged = merged.localCheckpoint(eager=True)
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(partition_col)
+                .parquet(target_path)
+            )
+            return
+
+        # Unpartitioned fallback: stage to a sibling dir (no
+        # read-write-same-path hazard, no lineage pin needed), then
+        # swap via two metadata renames.
+        if exists:
             current = spark.read.parquet(target_path)
             merged = upsert(current, batch_df, keys)
         else:
             merged = batch_df
-        staged = merged.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(target_path)
+        staging = f"{target_path}.__staging"
+        backup = f"{target_path}.__old"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(backup, ignore_errors=True)
+        if exists:
+            os.rename(target_path, backup)
+        os.rename(staging, target_path)
+        shutil.rmtree(backup, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -94,3 +94,55 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(target).count() == 1000
+
+
+def test_foreach_batch_upsert_swap_leaves_no_staging(spark, tmp_path):
+    import os
+
+    stage = _stage(spark, tmp_path)
+    target = str(tmp_path / "target")
+    stream = sp.read_file_stream(spark, stage, SCHEMA).select("event_id", "value")
+    foreach_batch_upsert(
+        stream, target, keys=["event_id"], checkpoint=str(tmp_path / "ckpt")
+    ).awaitTermination()
+    assert not os.path.exists(target + ".__staging")
+    assert not os.path.exists(target + ".__old")
+    assert spark.read.parquet(target).count() == 1000
+
+
+def test_foreach_batch_upsert_partitioned(spark, tmp_path):
+    """partition_col path: dynamic-partition upsert converges to the
+    same keyed table, laid out as part=N directories."""
+    import os
+
+    stage = _stage(spark, tmp_path)
+    target = str(tmp_path / "target")
+
+    def partitioned_stream():
+        return (
+            sp.read_file_stream(spark, stage, SCHEMA)
+            .select("event_id", "user_id", "value")
+            .withColumn("part", F.pmod(F.col("user_id"), F.lit(4)))
+        )
+
+    foreach_batch_upsert(
+        partitioned_stream(),
+        target,
+        keys=["event_id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_col="part",
+    ).awaitTermination()
+    assert spark.read.parquet(target).count() == 1000
+    assert sorted(
+        d for d in os.listdir(target) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2", "part=3"]
+
+    # replay through a fresh checkpoint: keyed upsert keeps it at 1000
+    foreach_batch_upsert(
+        partitioned_stream(),
+        target,
+        keys=["event_id"],
+        checkpoint=str(tmp_path / "ckpt2"),
+        partition_col="part",
+    ).awaitTermination()
+    assert spark.read.parquet(target).count() == 1000
