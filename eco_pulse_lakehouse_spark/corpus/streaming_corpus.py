@@ -147,6 +147,106 @@ def t10_stream_stream_join(spark, sf_dir):
     return spark.read.parquet(sink)
 
 
+_SENTINEL_STAGE_CACHE: dict[str, str] = {}
+
+
+def _stage_events_with_wm_sentinels(spark, sf_dir: str) -> str:
+    """Stage events as ONE data file plus two trailing sentinel files
+    (one purchase + one click row each, user_id = -1, event time a
+    year past the data). With ``maxFilesPerTrigger=1`` the stream sees
+    batches [data], [s1], [s2]: s1 advances both sides' watermarks
+    past every data row, s2 triggers the state-eviction batch that
+    emits the outer join's NULL rows (emission lags the watermark
+    advance by one batch). Hermetic-drain trick only: a production
+    stream advances its watermark with ordinary arriving data.
+    """
+    cached = _SENTINEL_STAGE_CACHE.get(sf_dir)
+    if cached and os.path.exists(cached):
+        return cached
+    import datetime
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_stream_wm_{uuid.uuid4().hex}"
+    )
+    ev = T(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i in range(2):
+        sent_ts = max_ts + datetime.timedelta(days=365 + i)
+        rows = [
+            (-1 - 10 * i, sent_ts, -1, "purchase", 0.0, "{}"),
+            (-2 - 10 * i, sent_ts, -1, "click", 0.0, "{}"),
+        ]
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    _SENTINEL_STAGE_CACHE[sf_dir] = stage
+    return stage
+
+
+@q(
+    "t11_stream_stream_left_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def t11_stream_stream_left_join(spark, sf_dir):
+    """T8++ — LEFT-OUTER stream-stream join: unmatched purchases emit
+    a NULL-extended row once the watermark proves no click can still
+    arrive. Oracle-exact vs the batch LEFT JOIN, including the tail
+    rows (flushed by the watermark sentinels, see
+    :func:`_stage_events_with_wm_sentinels`).
+
+    Pitfall pinned here: the sentinel-exclusion filter
+    (``user_id >= 0``) must be applied AFTER reading the sink back —
+    put on the streaming frame, Catalyst pushes it below the
+    EventTimeWatermark node, the sentinel rows are pruned at the
+    source, and the watermark never advances (the NULL rows for the
+    last 2 h of purchases are silently never emitted).
+    """
+    stage = _stage_events_with_wm_sentinels(spark, sf_dir)
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    left = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    right = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "purchase_value")
+    sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
+    sp.run_to_parquet(joined, sink)
+    return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+
+
 @q(
     "t9_session_window",
     """

@@ -24,11 +24,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
-def running_totals_stream(events: DataFrame) -> DataFrame:
+def running_totals_stream(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Per-user running (count, sum) maintained as explicit group
     state across micro-batches. Emits one row per key per batch.
 
     Input schema: user_id BIGINT, value DOUBLE (a stream).
+
+    ``ttl_ms`` arms a processing-time timeout: a key that receives no
+    data for that long is evicted on the next micro-batch — the knob
+    that keeps a 100 TB stream from accumulating one state row per
+    ever-seen key forever. ``None`` keeps state indefinitely (only
+    for bounded key domains). Eviction is silent (no tombstone row);
+    a later event for an evicted key restarts its totals from zero
+    (pinned by tests/test_stateful_streaming.py).
     """
 
     def update(
@@ -37,6 +47,9 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n, total = state.get
         else:
@@ -45,16 +58,23 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "n": [n], "total": [total]}
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id BIGINT, n BIGINT, total DOUBLE",
         stateStructType="n BIGINT, total DOUBLE",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -146,3 +146,72 @@ def test_foreach_batch_upsert_partitioned(spark, tmp_path):
         partition_col="part",
     ).awaitTermination()
     assert spark.read.parquet(target).count() == 1000
+
+
+def test_running_totals_ttl_evicts_idle_keys(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: a key idle past the TTL is
+    dropped from the state store; later data restarts from zero.
+
+    Runs a CONTINUOUS trigger (availableNow never terminates under
+    processing-time timeouts: Spark keeps scheduling empty batches to
+    service them) and polls the sink.
+    """
+    import time
+    from datetime import datetime
+
+    stage = str(tmp_path / "input")
+    out = str(tmp_path / "out")
+    ts = datetime(2024, 1, 1)
+
+    def emit(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    def sink_rows() -> set[tuple[int, int]]:
+        try:
+            return {
+                (r.user_id, r.n) for r in spark.read.parquet(out).collect()
+            }
+        except Exception:  # sink dir not created yet
+            return set()
+
+    def wait_for(pred, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if pred(sink_rows()):
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"sink never satisfied: {sink_rows()}")
+
+    emit([(i, ts, 1, "view", 1.0, "{}") for i in range(3)]
+         + [(10 + i, ts, 2, "view", 1.0, "{}") for i in range(2)])
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMA)
+        .load(stage)
+        .select("user_id", "value")
+    )
+    q = (
+        running_totals_stream(stream, ttl_ms=500)
+        .writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        wait_for(lambda rows: {(1, 3), (2, 2)} <= rows)
+        time.sleep(2.0)  # idle past the 500 ms TTL → both keys evicted
+        emit([(30, ts, 2, "view", 1.0, "{}")])
+        # restart-from-zero proves the state was really removed
+        wait_for(lambda rows: (2, 1) in rows)
+    finally:
+        q.stop()
+
+    rows = sink_rows()
+    assert (2, 3) not in rows  # continuation would mean no eviction
+    assert {n for (u, n) in rows if u == 1} == {3}
