@@ -30,6 +30,7 @@ HEADLINE = [
     "w6_running_sum",          # frame window
     "x1_hash_dedup_key",       # sha256 content keys
     "x2_minhash_lsh",          # shingle → minhash → banded LSH join
+    "x2_simhash",              # explode → 64 partial bit-sums → pack
     "x3_cosine_topk",          # brute-force vector top-k
     "x4_text_stats",           # tokenize/array analytics
     "tpch_q1",                 # SQL API: scan + 7-agg summary

@@ -202,6 +202,51 @@ def simhash(text_col: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """Per-doc 64-bit simhash via the same shape that won for minhash:
+    explode tokens → ONE codegen'd xxhash64 projection → ``bits``
+    conditional-SUM partial aggregates → sign-pack into a long.
+
+    The Column-form :func:`simhash` computes the same fingerprint with
+    64 interpreted ``F.aggregate`` passes over the token array (HOF
+    lambdas are interpreted and re-hash the token per bit) — kept as
+    the semantic reference; this is the fast path
+    (tests/test_northstar.py pins bit-equality between the two).
+
+    Scale: the shuffle carries one row of 64 ints per doc regardless
+    of document length; partial aggregation sums token contributions
+    map-side. Docs with zero tokens get fingerprint 0 (the empty sum
+    is non-positive for every bit), matching the Column form.
+    """
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(bits)]
+    aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+        ).alias(f"__s{j}")
+        for j, m in enumerate(masks)
+    ]
+    packed = F.lit(0).cast("long")
+    for j, m in enumerate(masks):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"__s{j}") > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sigs = ex.groupBy(id_col).agg(*aggs).select(id_col, packed.alias("sh"))
+    return (
+        docs.select(id_col)
+        .join(sigs, id_col, "left")
+        .fillna({"sh": 0})
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -216,7 +261,7 @@ def simhash_neardup_pairs(
     """X2 — simhash near-dup candidates, bucketed by the high
     ``prefix_bits`` of the fingerprint (cheap LSH: near-dups usually
     share the prefix), refined by exact Hamming distance."""
-    s = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    s = simhash_signatures(docs, id_col, text_col)
     s = s.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
     a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
     b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "bucket")

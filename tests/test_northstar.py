@@ -173,3 +173,16 @@ def test_decode_image_is_marked_stub():
 
     with pytest.raises(NotImplementedError):
         xm.decode_image(b"\x89PNG")
+
+
+def test_simhash_explode_form_matches_hof_form(spark):
+    """The explode/partial-agg signature builder must be bit-identical
+    to the Column-form (64 interpreted HOF aggregates) it replaces."""
+    docs = load_table(spark, SF, "documents").limit(200)
+    fast = xd.simhash_signatures(docs, "doc_id", "text")
+    slow = docs.select(
+        F.col("doc_id"), xd.simhash(F.col("text")).alias("sh_ref")
+    )
+    joined = fast.join(slow, "doc_id")
+    assert joined.count() == 200
+    assert joined.filter(F.col("sh") != F.col("sh_ref")).count() == 0
