@@ -183,6 +183,63 @@ def x3_ivf_topk(spark, sf_dir):
     return xs.ivf_topk(e, n_centroids=16, n_probe=2, k=10)
 
 
+def _lsh_sig_sql(vec: str, projs: list[list[float]]) -> str:
+    """DuckDB twin of operators/similarity.py:lsh_signature — the SAME
+    literal projections, sign-packed the same way, so the composed
+    LSH→refine pipeline is exactly reproducible in SQL."""
+    terms = []
+    for j, p in enumerate(projs):
+        arr = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec})+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ANN_REFINED_TABLES = 3
+_ANN_REFINED_BITS = 6
+_ANN_REFINED_CAND_SQL = "\nUNION\n".join(
+    f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM (SELECT vec_id, {_lsh_sig_sql('embedding', xs._deterministic_projections(64, _ANN_REFINED_BITS, seed=7 + t))} AS sig
+            FROM embeddings) a
+      JOIN (SELECT vec_id, {_lsh_sig_sql('embedding', xs._deterministic_projections(64, _ANN_REFINED_BITS, seed=7 + t))} AS sig
+            FROM embeddings) b
+        ON a.sig = b.sig AND a.vec_id < b.vec_id
+    """
+    for t in range(_ANN_REFINED_TABLES)
+)
+
+
+@q(
+    "x3_ann_refined",
+    f"""
+    WITH cand AS ({_ANN_REFINED_CAND_SQL})
+    SELECT id_a, id_b, sim FROM (
+      SELECT c.id_a, c.id_b,
+             round({_cos('ea.embedding', 'eb.embedding')}, 6) AS sim
+      FROM cand c
+      JOIN embeddings ea ON c.id_a = ea.vec_id
+      JOIN embeddings eb ON c.id_b = eb.vec_id
+    ) WHERE sim >= 0.3
+    """,
+)
+def x3_ann_refined(spark, sf_dir):
+    """X3 composed — LSH candidate generation → exact-cosine refine
+    as ONE corpus query (operators/similarity.py:ann_neardup_refined).
+    Oracle-exact: the SQL replays the identical literal hyperplanes,
+    so result == truth ∩ candidates on both engines. Closes the gap
+    that the only oracle-checked near-dup path was the O(n²)
+    cross-join form (x3_cosine_neardup stays as the truth contrast).
+    """
+    e = T(spark, sf_dir, "embeddings")
+    return xs.ann_neardup_refined(
+        e, threshold=0.3, bits=_ANN_REFINED_BITS, tables=_ANN_REFINED_TABLES
+    )
+
+
 @q(
     "flagship_text_pipeline",
     f"""

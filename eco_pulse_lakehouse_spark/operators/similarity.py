@@ -126,6 +126,27 @@ def cosine_topk_lsh(
     )
 
 
+def seed_centroids(
+    embeddings: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Deterministic k seed vectors: the k lowest-id rows, re-labeled
+    0..k-1. Works for ANY id type/distribution (string, UUID, sparse
+    ints) — unlike ``filter(id < k)``, which silently under-seeds
+    when ids aren't dense 0..n. orderBy+limit plans as
+    TakeOrderedAndProject (no global sort); the k-row window that
+    assigns labels runs on a single partition of k rows."""
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .withColumn("cent_id", F.row_number().over(w).cast("int") - 1)
+        .select(
+            "cent_id", F.col(vec_col).cast("array<double>").alias("cent_vec")
+        )
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -138,15 +159,15 @@ def kmeans_centroids(
     (cosine), recompute centroids as element-wise means via
     posexplode + groupBy — both stages shuffle only (vec_id, dim)
     pairs, never a matrix to the driver. Seeded deterministically
-    with the first k vectors. Returns (cent_id, cent_vec).
+    with the k lowest-id vectors (id-type agnostic). A cluster that
+    receives no assignments keeps its previous centroid instead of
+    vanishing, so k never shrinks across iterations.
+    Returns (cent_id, cent_vec).
 
     Used to upgrade ivf_topk's inverted lists from arbitrary seeds to
     data-adaptive clusters (measurably better recall at equal
     n_probe — see tests/test_northstar.py)."""
-    cents = embeddings.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cent_id"),
-        F.col(vec_col).cast("array<double>").alias("cent_vec"),
-    )
+    cents = seed_centroids(embeddings, id_col, vec_col, k)
     vecs = embeddings.select(
         F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
     )
@@ -163,7 +184,7 @@ def kmeans_centroids(
             .select("__vid", "__v", "cent_id")
         )
         # element-wise mean per cluster: posexplode -> avg per (cluster, pos)
-        cents = (
+        recomputed = (
             assigned.select(
                 "cent_id", F.posexplode(F.col("__v").cast("array<double>"))
             )
@@ -182,6 +203,10 @@ def kmeans_centroids(
                 ),
             )
         )
+        # clusters with no assigned vectors keep their previous centroid
+        cents = recomputed.unionByName(
+            cents.join(recomputed.select("cent_id"), "cent_id", "left_anti")
+        )
     return cents
 
 
@@ -198,19 +223,19 @@ def ivf_topk(
     """IVF-style ANN: partition vectors into inverted lists by nearest
     centroid, search only the query's ``n_probe`` nearest lists.
 
-    Default centroids are the first ``n_centroids`` vectors
-    (deterministic seeds); pass ``centroids=kmeans_centroids(...)``
-    for data-adaptive lists (better recall at equal n_probe).
+    Default centroids are the ``n_centroids`` lowest-id vectors
+    (deterministic, id-type agnostic — see :func:`seed_centroids`);
+    pass ``centroids=kmeans_centroids(...)`` for data-adaptive lists
+    (better recall at equal n_probe).
     Assignment is a broadcast join against the tiny centroid set +
     argmin; search is an equi-join on the list id — the candidate set
     shrinks |C|/n_centroids-fold while staying a pure shuffle join
     (the 100 TB shape, same property as LSH but data-adaptive).
     """
-    cents = centroids if centroids is not None else (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(embeddings, id_col, vec_col, n_centroids)
     )
 
     def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
@@ -256,6 +281,66 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "sim", "rk")
+    )
+
+
+def ann_neardup_refined(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    bits: int = 6,
+    tables: int = 3,
+    dim: int = 64,
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """X3 composed pipeline — the production near-dup shape:
+    LSH CANDIDATES → exact-cosine REFINE, in one declarative plan.
+
+    ``tables`` independent random-hyperplane signatures (seeds 7, 8,
+    …); a pair is a candidate if it collides in ANY table (union of
+    equi-joins on the 8-byte signature key — never a cross join).
+    Candidates are then refined by exact cosine >= threshold, so the
+    output is exactly truth ∩ candidates: a deterministic subset of
+    :func:`cosine_neardup_pairs`, which makes the whole composition
+    oracle-checkable (the oracle replays the same literal projections
+    in SQL). Returns (id_a, id_b, sim).
+
+    Scale: per table the shuffle key is one long per vector; refine
+    touches only colliding pairs (|pairs| ≪ n²). Recall tunes with
+    tables × bits, cost with bucket sizes — the knobs a 100 TB run
+    actually turns.
+    """
+    cands = None
+    for t in range(tables):
+        projs = _deterministic_projections(dim, bits, seed=7 + t)
+        sig = embeddings.select(
+            F.col(id_col), lsh_signature(F.col(vec_col), projs).alias("__sig")
+        )
+        a = sig.select(F.col(id_col).alias("id_a"), "__sig")
+        b = sig.select(F.col(id_col).alias("id_b"), "__sig")
+        p = (
+            a.join(b, "__sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    e_a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    e_b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    return (
+        cands.join(e_a, "id_a")
+        .join(e_b, "id_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )
 
 

@@ -186,3 +186,24 @@ def test_simhash_explode_form_matches_hof_form(spark):
     joined = fast.join(slow, "doc_id")
     assert joined.count() == 200
     assert joined.filter(F.col("sh") != F.col("sh_ref")).count() == 0
+
+
+def test_centroid_seeding_survives_sparse_and_string_ids(spark):
+    """seed_centroids / ivf_topk / kmeans_centroids must not assume
+    dense integer ids: string and offset ids get full-size centroid
+    sets and working recall (the filter(id < k) trap)."""
+    emb = load_table(spark, SF, "embeddings")
+    as_string = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", F.col("vec_id"))).alias("vec_id"),
+        "embedding",
+    )
+    sparse = emb.select((F.col("vec_id") * 1000 + 500_000).alias("vec_id"), "embedding")
+
+    for variant in (as_string, sparse):
+        cents = xs.kmeans_centroids(variant, k=8, iterations=2)
+        assert cents.count() == 8  # never under-seeded, never shrinks
+        out = xs.ivf_topk(variant, n_centroids=8, n_probe=2, k=5)
+        # every query id surfaces with well-formed ranks
+        n_q = out.select("q_id").distinct().count()
+        assert n_q == variant.count()
+        assert out.filter(F.col("rk") > 5).count() == 0
