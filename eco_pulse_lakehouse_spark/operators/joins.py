@@ -112,7 +112,17 @@ def value_range_join(
 
     Used for the corpus phrasing of J2 over numeric columns
     (e.g. customer/supplier acctbal proximity).
+
+    Inner-only: the probe side is bucket-replicated ×3 and the
+    post-join epsilon filter drops null-extended rows, so any outer
+    variant would silently degenerate to inner (or triplicate
+    unmatched rows without the filter).
     """
+    if how != "inner":
+        raise ValueError(
+            f"value_range_join is inner-only (got how={how!r}); outer "
+            "range semantics need unmatched-row re-attachment"
+        )
     lb = left.withColumn("__b0", F.floor(F.col(l_val) / epsilon))
     rb = right.withColumn("__b", F.floor(F.col(r_val) / epsilon))
     lb = lb.withColumn("__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
@@ -140,8 +150,13 @@ def value_range_join_band(
     ×2 (×4 in 2-D) versus the ×3 (×9) of eps-width buckets
     (value_range_join). Each true pair shares exactly one bucket —
     no post-dedup needed. Same output, same oracle, 33% less probe
-    shuffle.
+    shuffle. Inner-only, same reason as value_range_join.
     """
+    if how != "inner":
+        raise ValueError(
+            f"value_range_join_band is inner-only (got how={how!r}); outer "
+            "range semantics need unmatched-row re-attachment"
+        )
     w = 2.0 * float(epsilon)
     b0 = F.floor(F.col(l_val) / w)
     lower_half = (F.col(l_val) - b0.cast("double") * w) < epsilon

@@ -41,11 +41,23 @@ def scd2_apply(
     ts_col: str,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: close out current rows that
-    have a newer change (set valid_to) and append the new versions as
-    open rows. ``current`` must carry valid_from/valid_to columns;
-    ``changes`` carries ``ts_col`` as the new valid_from."""
-    ch = changes.withColumn("valid_from", F.col(ts_col)).withColumn(
-        "valid_to", F.lit(None).cast("timestamp")
+    have a newer change (set valid_to) and append the new versions.
+    ``current`` must carry valid_from/valid_to columns; ``changes``
+    carries ``ts_col`` as the new valid_from.
+
+    Multiple changes for one key in a single batch chain correctly:
+    each appended version is closed by the NEXT change's valid_from
+    (lead over the per-key change sequence); only the latest change
+    stays open, and the pre-existing current row closes at the
+    earliest change ts. One window shuffle on the keys.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    ch = (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .drop(ts_col)
     )
     first_change = ch.groupBy(*keys).agg(F.min("valid_from").alias("__new_from"))
     closed = (
@@ -59,4 +71,4 @@ def scd2_apply(
         )
         .drop("__new_from")
     )
-    return closed.unionByName(ch.drop(ts_col), allowMissingColumns=False)
+    return closed.unionByName(ch, allowMissingColumns=False)

@@ -62,7 +62,16 @@ def salted_join(
     join; cost is dim × salt_buckets replication — use when the dim
     is small-ish but too big (or the key too hot) for broadcast.
     AQE's skew-join split covers most cases; this is the manual form
-    for paths AQE can't rewrite (e.g. stream-static joins)."""
+    for paths AQE can't rewrite (e.g. stream-static joins).
+
+    Inner/left_semi/left_anti/left only: the dim side is replicated
+    × salt_buckets, so 'right'/'full' would emit each unmatched dim
+    row once per salt shard."""
+    if how not in ("inner", "left", "left_semi", "left_anti", "semi", "anti", "leftsemi", "leftanti", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: the salt-replicated "
+            "dim side duplicates unmatched right rows x salt_buckets"
+        )
     salt = F.pmod(F.xxhash64(F.col(tiebreak or fact_key)), F.lit(salt_buckets))
     fact_s = fact.withColumn("__salt", salt)
     dim_s = dim.withColumn(

@@ -39,3 +39,31 @@ def test_scd2_closes_and_appends(spark):
         (1, "v2", t1, None),    # new open version
         (2, "v1", t0, None),    # untouched key stays open
     ]
+
+
+def test_scd2_chains_multiple_changes_per_key(spark):
+    """Several changes for one key in ONE batch must chain: each
+    version closed by the next one's valid_from, only the latest
+    open, history linear (the multi-change batch case)."""
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 3, 1)
+    t2 = dt.datetime(2024, 6, 1)
+    t3 = dt.datetime(2024, 9, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None)],
+        "k INT, attr STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    changes = spark.createDataFrame(
+        [(1, "v3", t2), (1, "v2", t1), (1, "v4", t3)],  # out of order
+        "k INT, attr STRING, changed_at TIMESTAMP",
+    )
+    out = scd2_apply(current, changes, ["k"], "changed_at").collect()
+    rows = sorted((r.attr, r.valid_from, r.valid_to) for r in out)
+    assert rows == [
+        ("v1", t0, t1),
+        ("v2", t1, t2),
+        ("v3", t2, t3),
+        ("v4", t3, None),  # exactly one open row
+    ]
+    open_rows = [r for r in out if r.valid_to is None]
+    assert len(open_rows) == 1 and open_rows[0].attr == "v4"
