@@ -3,12 +3,15 @@
 
 Runs the flagship pipeline plus representative corpus queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], 1 untimed warm-up + median of 3 timed runs
-per query, full materialization through the noop sink (no driver
-collect). Prints exactly ONE JSON line:
+local[$SPARK_GRAFT_CPUS], 1 untimed warm-up + 5 timed runs per
+query, full materialization through the noop sink (no driver
+collect). Prints exactly ONE JSON line; "queries" carries the p50
+per query (the headline number), "spread" the p50/p95/min over the
+5 runs so regressions are separable from scheduler noise:
 
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <total p50 sec>, "unit": "sec",
+   "queries": {name: p50_sec, ...},
+   "spread": {name: {"p50": s, "p95": s, "min": s}, ...}, "sf": <sf>}
 """
 
 from __future__ import annotations
@@ -93,16 +96,25 @@ def main() -> None:
 
     qs = entry.queries()
     sf_dir, staging_sec = stage_silver(spark, sf_dir)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
         materialize(fn(spark, sf_dir))  # warm-up (untimed)
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+        p50 = statistics.median(runs)
+        p95 = statistics.quantiles(runs, n=100, method="inclusive")[94]
+        timings[name] = round(p50, 3)
+        spread[name] = {
+            "p50": round(p50, 3),
+            "p95": round(p95, 3),
+            "min": round(min(runs), 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +124,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "silver_staging_sec": staging_sec,
             }
