@@ -167,6 +167,21 @@ def x3_cosine_neardup(spark, sf_dir):
     return xs.cosine_neardup_pairs(e, threshold=0.3)
 
 
+@q("x3_cosine_topk_block")  # numpy matmul scorer: rows-only (pairwise
+# float summation differs from the sequential fold in the last ulp);
+# rank-set equality vs the JVM form pinned in pytest
+def x3_cosine_topk_block(spark, sf_dir):
+    """X3 fast path — Arrow/numpy block-matmul top-k
+    (operators/similarity.py:cosine_topk_block): same queries as
+    x3_cosine_topk, scored as one matrix product per Arrow batch."""
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return xs.cosine_topk_block(qs, cs, k=10)
+
+
 @q("x3_ann_lsh")  # approximate: rows-only; recall vs brute force in pytest
 def x3_ann_lsh(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH buckets + exact refine."""

@@ -206,3 +206,255 @@ def tpch_q5(spark, sf_dir):
     (region, nation), shuffle joins on the fact chain, rollup by
     geography."""
     return _sql(spark, sf_dir, _Q5)
+
+
+_Q7 = """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+@q("tpch_q7", _Q7)
+def tpch_q7(spark, sf_dir):
+    """Q7 volume shipping — 6-way join (two nation broadcast copies),
+    year extraction, decimal-exact revenue by nation pair."""
+    return _sql(spark, sf_dir, _Q7)
+
+
+_Q8 = """
+    SELECT yr,
+           CAST(SUM(CASE WHEN nat = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol,
+             n1.n_name AS nat
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'REGION_0'
+    ) all_nations
+    GROUP BY yr
+"""
+
+
+@q("tpch_q8", _Q8)
+def tpch_q8(spark, sf_dir):
+    """Q8 market share — conditional decimal share-of-total per year
+    (the ratio of two exact sums is engine-independent)."""
+    return _sql(spark, sf_dir, _Q8)
+
+
+_Q9 = """
+    SELECT nat, yr, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nat,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6)) AS amount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'PROMO'
+    ) profit
+    GROUP BY nat, yr
+"""
+
+
+@q("tpch_q9", _Q9)
+def tpch_q9(spark, sf_dir):
+    """Q9-style product profit — part-filtered 5-way join, profit
+    expression (retailprice stands in for the absent partsupp cost),
+    nation x year rollup."""
+    return _sql(spark, sf_dir, _Q9)
+
+
+_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@q("tpch_q13", _Q13)
+def tpch_q13(spark, sf_dir):
+    """Q13 customer distribution — outer join with join-time filter,
+    two-level aggregation (count of counts; COUNT over the
+    null-extended column counts only matches)."""
+    return _sql(spark, sf_dir, _Q13)
+
+
+_Q14 = """
+    SELECT 100.00
+           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@q("tpch_q14", _Q14)
+def tpch_q14(spark, sf_dir):
+    """Q14 promotion effect — conditional-over-total revenue ratio in
+    one aggregate pass."""
+    return _sql(spark, sf_dir, _Q14)
+
+
+_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@q("tpch_q15", _Q15)
+def tpch_q15(spark, sf_dir):
+    """Q15 top supplier — CTE reused twice (aggregate + scalar MAX
+    over it); the decimal-exact revenue makes the equality join on a
+    double safe across engines."""
+    return _sql(spark, sf_dir, _Q15)
+
+
+_Q16 = """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+"""
+
+
+@q("tpch_q16", _Q16)
+def tpch_q16(spark, sf_dir):
+    """Q16-style supplier counts — NOT IN subquery (null-safe anti
+    join) + COUNT(DISTINCT) per attribute group."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+_Q17 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+@q("tpch_q17", _Q17)
+def tpch_q17(spark, sf_dir):
+    """Q17 small-quantity revenue — correlated scalar subquery
+    (per-part average), decorrelated by Catalyst into an aggregate +
+    join; the threshold is decimal-exact."""
+    return _sql(spark, sf_dir, _Q17)
+
+
+_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_size BETWEEN 20 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@q("tpch_q19", _Q19)
+def tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue — disjunctive mixed-table predicates
+    (classic OR-pushdown/join-condition stress)."""
+    return _sql(spark, sf_dir, _Q19)
+
+
+_Q21 = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+"""
+
+
+@q("tpch_q21", _Q21)
+def tpch_q21(spark, sf_dir):
+    """Q21-style waiting suppliers — EXISTS + NOT EXISTS over the
+    fact table (semi join + anti join on the same key), top-k."""
+    return _sql(spark, sf_dir, _Q21)
+
+
+_Q22 = """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT SUBSTRING(c_name, 10, 1) AS cntrycode, c_acctbal AS acctbal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+"""
+
+
+@q("tpch_q22", _Q22)
+def tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity — scalar average threshold +
+    NOT EXISTS anti join + substring bucketing."""
+    return _sql(spark, sf_dir, _Q22)

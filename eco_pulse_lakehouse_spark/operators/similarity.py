@@ -284,6 +284,80 @@ def ivf_topk(
     )
 
 
+def cosine_topk_block(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the fast
+    scorer for paths that don't need bit-parity with a SQL oracle
+    (numpy's pairwise summation orders float adds differently than a
+    sequential fold, so sims can differ in the last ulp; ranking and
+    sets agree — pinned by tests/test_northstar.py).
+
+    Shape: the query batch (small by contract — a probe set, not the
+    corpus) is collected and BROADCAST as one dense matrix; each
+    candidate Arrow batch computes a Q×B matmul and emits only its
+    per-query partial top-k. The shuffle then carries
+    O(#batches · Q · k) short rows into a final ranking window —
+    candidate vectors themselves never shuffle. This is the refine
+    stage a 100 TB ANN system runs after LSH/IVF candidate pruning,
+    and the |Q| ≪ |C| brute-force form.
+    """
+    q_rows = queries.select(q_id, q_vec).collect()  # small probe batch
+    import numpy as np
+
+    q_ids = [r[0] for r in q_rows]
+    qm = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    spark = queries.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, qn))
+
+    id_type = candidates.schema[c_id].dataType.simpleString()
+    qid_type = queries.schema[q_id].dataType.simpleString()
+    out_schema = f"{q_id} {qid_type}, {c_id} {id_type}, sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        q_ids_l, qn_l = b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.asarray(
+                [list(v) for v in pdf[c_vec].values], dtype=np.float64
+            )
+            cn = cm / np.maximum(
+                np.linalg.norm(cm, axis=1, keepdims=True), 1e-300
+            )
+            sims = qn_l @ cn.T  # Q x B
+            # k+1: the batch may contain the query itself (dropped below)
+            kk = min(k + 1, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_c, out_s = [], [], []
+            cids = pdf[c_id].values
+            for qi, qv in enumerate(q_ids_l):
+                for ci in part[qi]:
+                    if cids[ci] == qv:
+                        continue  # self-match
+                    out_q.append(qv)
+                    out_c.append(cids[ci])
+                    out_s.append(sims[qi, ci])
+            yield pd.DataFrame({q_id: out_q, c_id: out_c, "sim": out_s})
+
+    partial = candidates.select(c_id, c_vec).mapInPandas(score, out_schema)
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "sim", "rk")
+    )
+
+
 def ann_neardup_refined(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -207,3 +207,22 @@ def test_centroid_seeding_survives_sparse_and_string_ids(spark):
         n_q = out.select("q_id").distinct().count()
         assert n_q == variant.count()
         assert out.filter(F.col("rk") > 5).count() == 0
+
+
+def test_block_matmul_topk_matches_jvm_fold(spark):
+    """cosine_topk_block (numpy matmul) must produce the same ranked
+    neighbor sets as the JVM-fold brute force; sims agree to 1e-9
+    (numpy pairwise summation vs sequential fold differs only in the
+    last ulp)."""
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    jvm = {(r.q_id, r.c_id): r.sim
+           for r in xs.cosine_topk_bruteforce(qs, cs, k=10, round_sim=None).collect()}
+    blk = {(r.q_id, r.c_id): r.sim
+           for r in xs.cosine_topk_block(qs, cs, k=10).collect()}
+    assert jvm.keys() == blk.keys()
+    for key, sim in jvm.items():
+        assert abs(sim - blk[key]) < 1e-9
