@@ -46,6 +46,22 @@ _DRIVER_GREEN_R01 = frozenset(
 )
 
 
+def _priority(name: str) -> tuple[int, int]:
+    """Sort key for a windowed CORRECTNESS run: never-driver-checked
+    entries first, and within those the engine's most differentiated
+    families (north-star X/flagship, streaming, TPC-H) lead so a
+    fixed-size window certifies them before the long tail."""
+    if name in _DRIVER_GREEN_R01:
+        return (9, 0)
+    fam = (
+        0 if name.startswith(("x", "flagship", "q1_quality")) else
+        1 if name.startswith("t") and not name.startswith("tpch") else
+        2 if name.startswith("tpch") else
+        3
+    )
+    return (fam, 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for m in _MODULES:
@@ -53,11 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate corpus query names: {overlap}")
         out.update(m.QUERIES)
-    # Driver-unchecked entries first so a windowed CORRECTNESS run
-    # covers them; round-1-green entries re-verify afterwards.
-    ordered = {k: v for k, v in out.items() if k not in _DRIVER_GREEN_R01}
-    ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN_R01})
-    return ordered
+    # Stable sort: priority tiers, registration order within a tier.
+    names = sorted(out, key=_priority)
+    return {k: out[k] for k in names}
 
 
 def oracle_sql() -> dict[str, str]:
