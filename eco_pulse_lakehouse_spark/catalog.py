@@ -76,3 +76,54 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# Fact tables and their co-location keys: bucketing facts on the join
+# key makes fact-fact equi-joins zero-exchange (dims stay broadcast).
+FACT_BUCKET_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+}
+
+
+def create_silver_database(
+    spark: SparkSession,
+    sf_dir: str,
+    db_name: str = "eco_pulse",
+    buckets: int = 8,
+) -> None:
+    """SQL-ergonomics layer: a real spark_catalog database so users
+    run ``USE eco_pulse; SELECT ...`` against managed silver tables.
+
+    Fact tables are bucketed (and sorted) on their join keys — a
+    bucket-aligned fact-fact join then plans with ZERO exchanges
+    (tests/test_catalog_db.py), which at 100 TB converts every
+    lineitem ⋈ orders from a full shuffle into a local merge per
+    bucket. Dims are plain managed tables (they broadcast anyway).
+
+    Re-runnable: drops stale tables AND their warehouse directories
+    first (the in-memory catalog forgets tables across sessions while
+    the directories survive — LOCATION_ALREADY_EXISTS otherwise).
+    """
+    from eco_pulse_lakehouse_spark.sources.batch_io import write_bucketed_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db_name}")
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        fq = f"{db_name}.{name}"
+        key = FACT_BUCKET_KEYS.get(name)
+        if key:
+            write_bucketed_table(df, fq, [key], buckets, [key])
+        else:
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            if wh:
+                shutil.rmtree(
+                    os.path.join(wh, f"{db_name}.db", name), ignore_errors=True
+                )
+            df.write.mode("overwrite").saveAsTable(fq)

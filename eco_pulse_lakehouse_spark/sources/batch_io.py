@@ -63,7 +63,14 @@ def write_bucketed_table(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if wh:
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        # default-db tables live at <wh>/<name>, database-qualified
+        # ones at <wh>/<db>.db/<name>
+        if "." in table:
+            db, name = table.split(".", 1)
+            loc = os.path.join(wh, f"{db}.db", name)
+        else:
+            loc = os.path.join(wh, table)
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
