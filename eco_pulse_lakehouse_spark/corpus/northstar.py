@@ -492,3 +492,129 @@ def x5_multimodal_features(spark, sf_dir):
     deterministic featurizer, pytest pins the values)."""
     d = T(spark, sf_dir, "documents")
     return xm.extract_features(xm.to_multimodal(d))
+
+
+# =====================================================================
+# X6/X7 — training-pipeline ops beyond the reference: deterministic
+# splits/sampling and context-length sequence packing
+# =====================================================================
+
+_BPE_SQL = (
+    "list_sum(list_transform(string_split(text, ' '), "
+    "t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))"
+)
+
+_UNIT_HASH_SQL = (
+    "(CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
+)
+
+
+@q(
+    "x4_token_estimate",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           {_BPE_SQL} AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def x4_token_estimate(spark, sf_dir):
+    """X4 — token counting two ways: whitespace words and the
+    BPE-ish ceil(len/4) subword estimate
+    (functions/text.py:bpe_ish_token_count)."""
+    from eco_pulse_lakehouse_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens_ws"),
+        bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@q(
+    "x6_hash_split",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CASE WHEN {_UNIT_HASH_SQL} < 0.9 THEN 'train'
+                WHEN {_UNIT_HASH_SQL} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def x6_hash_split(spark, sf_dir):
+    """X6 — deterministic train/val/test assignment by id hash
+    (operators/sampling.py:hash_split): partitioning-independent,
+    rerun-stable — the property df.sample cannot give. Oracle replays
+    the same Knuth multiplicative hash in plain BIGINT arithmetic."""
+    from eco_pulse_lakehouse_spark.operators.sampling import hash_split
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang"
+    )
+    return hash_split(d, "doc_id")
+
+
+@q(
+    "x6_deterministic_sample",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE {_UNIT_HASH_SQL} < 0.25
+    """,
+)
+def x6_deterministic_sample(spark, sf_dir):
+    """X6 — hash-thresholded 25% sample: the same rows survive under
+    any partitioning or cluster size
+    (operators/sampling.py:deterministic_sample)."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang"
+    )
+    return deterministic_sample(d, "doc_id", 0.25)
+
+
+@q(
+    "x7_pack_documents",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(doc_id AS BIGINT) AS doc_id,
+             {_BPE_SQL} AS tok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ), pack AS (
+      SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin, tok AS used
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.tok,
+             CASE WHEN p.used + d.tok > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.used + d.tok > 256 THEN d.tok ELSE p.used + d.tok END
+      FROM d JOIN pack p ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM pack GROUP BY shard, bin
+    """,
+)
+def x7_pack_documents(spark, sf_dir):
+    """X7 — context-length sequence packing: sharded greedy first-fit
+    into 256-token bins (operators/packing.py:pack_documents). The
+    oracle replays the identical sequential fold with a recursive CTE
+    — an exact value check for an iterative, non-relational operator.
+    """
+    from eco_pulse_lakehouse_spark.functions.text import bpe_ish_token_count
+    from eco_pulse_lakehouse_spark.operators.packing import pack_documents
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"),
+        bpe_ish_token_count(F.col("text")).alias("tok"),
+    )
+    return pack_documents(d, "doc_id", "tok", capacity=256, num_shards=8)

@@ -38,6 +38,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def bpe_ish_token_count(text: Column, piece_len: int = 4) -> Column:
+    """Subword token ESTIMATE: each whitespace word contributes
+    ceil(len/piece_len) pieces — the ~4-chars-per-token heuristic a
+    BPE vocabulary averages out to. Pure arithmetic over the token
+    array (no dictionary), so the estimate is exactly reproducible in
+    any engine — the property the context-length budgeting and
+    packing operators need. Returns BIGINT."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.ceil(F.length(t) / F.lit(float(piece_len))).cast("bigint"),
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Overlapping word n-grams as space-joined strings.
 

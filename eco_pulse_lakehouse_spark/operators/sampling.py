@@ -1,0 +1,70 @@
+"""Deterministic sampling & split assignment — training-pipeline ops.
+
+A 100 TB curation run can't use ``df.sample`` for train/val/test
+splits: Spark's sampler is seeded per-partition, so the assignment of
+a ROW changes whenever partitioning changes (repartition, AQE, scale
+factor), and reruns aren't reproducible across layouts. The
+production-safe form hashes a STABLE ID into a unit interval and
+thresholds it — assignment is a pure function of the row, independent
+of partitioning, cluster size, and execution order.
+
+The hash here is Knuth's multiplicative congruential step
+(id · 2654435761 mod 2³²) — plain BIGINT arithmetic, so the DuckDB
+oracle reproduces it exactly (unlike xxhash64, which DuckDB lacks).
+For adversarial id distributions compose with ``F.xxhash64`` first;
+for the oracle-checked corpus the arithmetic form is the point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hash
+M32 = 1 << 32
+
+
+def unit_hash(id_col: Column) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from an integer id."""
+    return (
+        F.pmod(id_col.cast("bigint") * F.lit(KNUTH), F.lit(M32)) / F.lit(M32)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Assign every row to a named split by thresholding the unit
+    hash: cumulative fraction boundaries partition [0, 1). Adds a
+    ``split`` column; fractions must sum to 1."""
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = unit_hash(F.col(id_col))
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(splits[-1][0]) if expr is None else expr.otherwise(splits[-1][0])
+    )
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen purely by id hash — the
+    same rows survive under any partitioning, cluster size, or rerun
+    (``df.sample`` guarantees none of these)."""
+    return df.filter(unit_hash(F.col(id_col)) < F.lit(float(fraction)))

@@ -1,0 +1,73 @@
+"""Training-pipeline ops: deterministic splits/sampling and sequence
+packing (operators/sampling.py, operators/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.catalog import load_table
+from eco_pulse_lakehouse_spark.functions.text import bpe_ish_token_count
+from eco_pulse_lakehouse_spark.operators.packing import pack_documents
+from eco_pulse_lakehouse_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+
+
+def test_hash_split_partitioning_invariant(spark):
+    """The split assignment must not change with partitioning — the
+    exact property df.sample lacks."""
+    d = _docs(spark)
+    a = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(d.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    # all three splits populated, fractions sane on 500 docs
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 0.8 * len(a)
+
+
+def test_deterministic_sample_is_subset_stable(spark):
+    d = _docs(spark)
+    s1 = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.25).collect()}
+    s2 = {
+        r.doc_id
+        for r in deterministic_sample(d.coalesce(1), "doc_id", 0.25).collect()
+    }
+    assert s1 == s2
+    assert 0.1 < len(s1) / d.count() < 0.4
+    # nested property: a 10% sample is a subset of the 25% sample
+    s3 = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.10).collect()}
+    assert s3 <= s1
+
+
+def test_pack_documents_invariants(spark):
+    d = _docs(spark).select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("tok")
+    )
+    capacity = 256
+    bins = pack_documents(d, "doc_id", "tok", capacity, num_shards=8).collect()
+
+    toks = {r.doc_id: r.tok for r in d.collect()}
+    # every doc packed exactly once (doc count conservation)
+    assert sum(r.n_docs for r in bins) == len(toks)
+    assert sum(r.total_tokens for r in bins) == sum(toks.values())
+    for r in bins:
+        # a bin respects capacity unless it holds one oversized doc
+        assert r.total_tokens <= capacity or r.n_docs == 1
+        # id-contiguity per shard: first <= last, same shard residue
+        assert r.first_doc <= r.last_doc
+        assert r.first_doc % 8 == r.shard and r.last_doc % 8 == r.shard
