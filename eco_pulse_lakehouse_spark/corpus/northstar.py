@@ -618,3 +618,39 @@ def x7_pack_documents(spark, sf_dir):
         bpe_ish_token_count(F.col("text")).alias("tok"),
     )
     return pack_documents(d, "doc_id", "tok", capacity=256, num_shards=8)
+
+
+@q(
+    "x5_chunked_pages",
+    """
+    WITH pg AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             CAST(ceil(length(text) / 64.0) AS INT) AS n_pages
+      FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS page_idx,
+           CAST(length(substring(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS BIGINT)
+             AS page_len,
+           md5(substring(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS page_md5,
+           n_pages
+    FROM (SELECT doc_id, text, n_pages,
+                 unnest(range(1, n_pages + 1)) AS i
+          FROM pg) ex
+    """,
+)
+def x5_chunked_pages(spark, sf_dir):
+    """X5 — paged payload layout (operators/multimodal.py:
+    chunk_payloads, 64-byte pages): every record bounded, pages
+    shuffle independently, reassembly at the consumer. Oracle slices
+    the VARCHAR twin of the payload — byte == char offsets because
+    the corpus is pure ASCII (payload = utf-8 of text); md5 of the
+    page bytes matches md5 of the page string."""
+    d = T(spark, sf_dir, "documents")
+    pages = xm.chunk_payloads(xm.to_multimodal(d), page_bytes=64)
+    return pages.select(
+        "doc_id",
+        "page_idx",
+        F.length("page").cast("bigint").alias("page_len"),
+        F.md5("page").alias("page_md5"),
+        "n_pages",
+    )

@@ -45,6 +45,69 @@ def to_multimodal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def chunk_payloads(mm: DataFrame, page_bytes: int = 1024) -> DataFrame:
+    """Split each binary payload into fixed-size pages:
+    (doc_id, page_idx, page, n_pages).
+
+    The larger-than-one-Arrow-batch shape: a 100 TB multimodal table
+    can't move GB-scale payloads as single cells (Arrow batch and
+    shuffle-record limits); paged layout keeps every record bounded
+    by ``page_bytes``, pages shuffle/write independently, and
+    :func:`reassemble_chunks` restores the payload where it's
+    consumed. Pure JVM expressions — the slicing never enters Python.
+    """
+    n_pages = F.ceil(F.col("meta.n_bytes") / F.lit(float(page_bytes))).cast(
+        "int"
+    )
+    ex = (
+        mm.select(
+            "doc_id",
+            "payload",
+            n_pages.alias("n_pages"),
+        )
+        # sequence(0, -1) DESCENDS for empty payloads — guard to none
+        .filter(F.col("n_pages") >= 1)
+        .select(
+            "doc_id",
+            "payload",
+            "n_pages",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_pages") - 1)
+            ).alias("page_idx"),
+        )
+    )
+    return ex.select(
+        "doc_id",
+        "page_idx",
+        F.expr(
+            f"substring(payload, page_idx * {page_bytes} + 1, {page_bytes})"
+        ).alias("page"),
+        "n_pages",
+    )
+
+
+def reassemble_chunks(chunks: DataFrame) -> DataFrame:
+    """Inverse of :func:`chunk_payloads`: order pages per doc and
+    binary-concat them back into (doc_id, payload). One shuffle on
+    doc_id; the fold is a JVM higher-order concat (no Python)."""
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("page_idx", "page"))
+            ).alias("__ps")
+        )
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.col("__ps"),
+                F.lit(b""),
+                lambda acc, s: F.concat(acc, s.getField("page")),
+            ).alias("payload"),
+        )
+    )
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub
     """REAL decode integration point (PIL/torchvision/ffmpeg).
 

@@ -71,3 +71,25 @@ def test_pack_documents_invariants(spark):
         # id-contiguity per shard: first <= last, same shard residue
         assert r.first_doc <= r.last_doc
         assert r.first_doc % 8 == r.shard and r.last_doc % 8 == r.shard
+
+
+def test_chunk_reassemble_roundtrip(spark):
+    """chunk_payloads → reassemble_chunks must restore every payload
+    byte-exactly (sha256 equality), with every page bounded."""
+    from eco_pulse_lakehouse_spark.operators import multimodal as xm
+
+    d = load_table(spark, SF, "documents")
+    mm = xm.to_multimodal(d)
+    pages = xm.chunk_payloads(mm, page_bytes=64)
+    assert pages.filter(F.length("page") > 64).count() == 0
+    back = xm.reassemble_chunks(pages)
+    diff = (
+        mm.select("doc_id", F.sha2(F.col("payload"), 256).alias("h"))
+        .join(
+            back.select("doc_id", F.sha2(F.col("payload"), 256).alias("h2")),
+            "doc_id",
+        )
+        .filter(F.col("h") != F.col("h2"))
+    )
+    assert diff.count() == 0
+    assert back.count() == mm.count()
