@@ -131,3 +131,52 @@ def test_salted_sum_two_phase_no_single_hot_partition(spark):
     df = extended.QUERIES["skew2_salted_sum"](spark, SF)
     plan = _plan(df)
     assert "__salt" in plan
+
+
+def test_hash_split_is_shuffle_free(spark):
+    """Split assignment is a pure projection over the scan — no
+    Exchange anywhere (the property that lets it run at scan speed
+    over 100 TB)."""
+    from eco_pulse_lakehouse_spark.operators.sampling import hash_split
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang"
+    )
+    plan = _plan(hash_split(d, "doc_id"))
+    assert "Exchange" not in plan, plan
+
+
+def test_chunk_payloads_is_shuffle_free(spark):
+    """Paging a payload column is explode+projection — map-side only."""
+    from eco_pulse_lakehouse_spark.operators import multimodal as xm
+
+    d = load_table(spark, SF, "documents")
+    plan = _plan(xm.chunk_payloads(xm.to_multimodal(d), page_bytes=64))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_documents_single_shuffle(spark):
+    """Sharded greedy packing shuffles ONCE (on the shard key) into
+    applyInPandas groups — no second exchange afterwards."""
+    from eco_pulse_lakehouse_spark.functions.text import bpe_ish_token_count
+    from eco_pulse_lakehouse_spark.operators.packing import pack_documents
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"),
+        bpe_ish_token_count(F.col("text")).alias("tok"),
+    )
+    plan = _plan(pack_documents(d, "doc_id", "tok", 256, num_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ann_refined_no_cartesian(spark):
+    """The composed LSH->refine pipeline must be equi-joins all the
+    way down — never a CartesianProduct/BNLJ."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        ann_neardup_refined,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    plan = _plan(ann_neardup_refined(e, threshold=0.3, bits=6, tables=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
