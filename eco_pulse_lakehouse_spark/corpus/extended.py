@@ -683,3 +683,59 @@ def o2_global_rank(spark, sf_dir):
         )
         .filter(F.col("rn") <= 100)
     )
+
+
+@q(
+    "q2_zscore_outliers",
+    """
+    WITH s AS (SELECT event_type, avg(value) AS m,
+                      stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(abs(value - m) / sd, 6) AS zscore
+    FROM events JOIN s USING (event_type)
+    WHERE round(abs(value - m) / sd, 6) > 3.0
+    """,
+)
+def q2_zscore_outliers(spark, sf_dir):
+    """Data quality — per-group z-score anomaly flagging
+    (operators/anomaly.py:zscore_outliers): one partial-aggregated
+    groupBy + join back; rounded z so the threshold never straddles
+    engines' last-ulp variance differences."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import zscore_outliers
+
+    ev = T(spark, sf_dir, "events")
+    return zscore_outliers(ev, ["event_type"], "value", threshold=3.0).select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "zscore"
+    )
+
+
+@q(
+    "q3_iqr_outliers",
+    """
+    WITH s AS (SELECT event_type,
+                      quantile_cont(value, 0.25) AS q1,
+                      quantile_cont(value, 0.75) AS q3
+               FROM events GROUP BY event_type)
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(q1 - 1.5 * (q3 - q1), 6) AS fence_lo,
+           round(q3 + 1.5 * (q3 - q1), 6) AS fence_hi
+    FROM events JOIN s USING (event_type)
+    WHERE value < round(q1 - 1.5 * (q3 - q1), 6)
+       OR value > round(q3 + 1.5 * (q3 - q1), 6)
+    """,
+)
+def q3_iqr_outliers(spark, sf_dir):
+    """Data quality — Tukey-fence outliers per group
+    (operators/anomaly.py:iqr_outliers): robust where z-score is not
+    (extremes inflate stddev but barely move quartiles)."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import iqr_outliers
+
+    ev = T(spark, sf_dir, "events")
+    return iqr_outliers(ev, ["event_type"], "value", k=1.5).select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "fence_lo",
+        "fence_hi",
+    )

@@ -1,0 +1,78 @@
+"""Anomaly / outlier detection over measurement streams.
+
+The reference's whole domain is sensor readings feeding a risk CASE
+chain; the missing analytical layer is flagging readings that are
+anomalous FOR THEIR GROUP (a 40 °C reading is normal in one region,
+an instrument fault in another). Two standard detectors, both pure
+aggregation + join (scales as a groupBy, no iteration):
+
+  z-score  — |x - mean| / stddev over the group exceeds k
+  IQR      — outside [q1 - k·iqr, q3 + k·iqr] (robust to the
+             outliers themselves inflating the spread)
+
+Float determinism: z-scores and fences are rounded to 6 decimals so
+a threshold comparison never straddles engines' last-ulp variance
+differences (same policy as every order-sensitive aggregate here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` sample
+    standard deviations from their group mean. One partial-aggregated
+    groupBy + one broadcast-or-shuffle join back; groups with a
+    single row (stddev NULL) flag nothing."""
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = F.round(
+        F.abs(F.col(value_col) - F.col("__mean")) / F.col("__sd"), 6
+    )
+    return (
+        df.join(stats, on=list(keys))
+        .withColumn("zscore", z)
+        .filter(F.col("zscore") > threshold)
+        .drop("__mean", "__sd")
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outliers per group: value outside
+    [q1 - k·iqr, q3 + k·iqr] with linear-interpolated quartiles
+    (both engines use the (n-1)p rule). Robust where z-score is not:
+    extreme outliers inflate the stddev but barely move quartiles."""
+    fences = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(0.25)).alias("__q1"),
+        F.percentile(value_col, F.lit(0.75)).alias("__q3"),
+    )
+    lo = F.round(F.col("__q1") - F.lit(k) * (F.col("__q3") - F.col("__q1")), 6)
+    hi = F.round(F.col("__q3") + F.lit(k) * (F.col("__q3") - F.col("__q1")), 6)
+    return (
+        df.join(fences, on=list(keys))
+        .withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .filter(
+            (F.col(value_col) < F.col("__lo"))
+            | (F.col(value_col) > F.col("__hi"))
+        )
+        .withColumn("fence_lo", F.col("__lo"))
+        .withColumn("fence_hi", F.col("__hi"))
+        .drop("__q1", "__q3", "__lo", "__hi")
+    )
