@@ -654,3 +654,16 @@ def x5_chunked_pages(spark, sf_dir):
         F.md5("page").alias("page_md5"),
         "n_pages",
     )
+
+
+@q("x3_ivf_bounded")  # approximate: rows-only; cap/recall pytest
+def x3_ivf_bounded(spark, sf_dir):
+    """X3 skew path — IVF with bounded inverted lists (overflow
+    spills to the second-nearest centroid): worst-case probe cost is
+    capped regardless of how lumpy the embedding distribution is
+    (operators/similarity.py:ivf_topk_bounded)."""
+    e = T(spark, sf_dir, "embeddings")
+    n = e.count()
+    return xs.ivf_topk_bounded(
+        e, n_centroids=16, n_probe=2, k=10, max_list_size=max(10, n // 16)
+    )

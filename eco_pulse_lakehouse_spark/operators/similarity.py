@@ -418,6 +418,116 @@ def ann_neardup_refined(
     )
 
 
+def ivf_topk_bounded(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    max_list_size: int | None = None,
+    round_sim: int | None = 6,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF with BOUNDED inverted lists: vectors beyond
+    ``max_list_size`` in their nearest list spill to their
+    second-nearest centroid (one spill round).
+
+    Why: real embedding distributions are lumpy — one hot centroid
+    can swallow a large share of the corpus, making every probe of
+    that list cost O(hot share) and hiding a straggler in each query
+    wave. Capping list size bounds the worst-case probe cost at
+    ``max_list_size`` regardless of skew (the same argument as salting
+    a hot join key). Membership is decided by a ranking window within
+    each list (sim desc — the best-fitting vectors stay), so the
+    result is deterministic. One spill round: a vector spilled from
+    its 1st and (if full) kept in its 2nd list even when that list is
+    also at cap — a fixed bound beats an unbounded cascade.
+
+    Recall: queries probe ``n_probe`` lists, so a spilled vector is
+    still found via its second list; tests/test_northstar.py pins
+    recall against the unbounded form.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(embeddings, id_col, vec_col, n_centroids)
+    )
+
+    sim_c = cosine_similarity(F.col("__v"), F.col("cent_vec"))
+    ranked = (
+        embeddings.select(
+            F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cs", sim_c)
+        .withColumn(
+            "__choice",
+            F.row_number().over(
+                Window.partitionBy("__vid").orderBy(
+                    F.col("__cs").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__choice") <= 2)
+    )
+    first = ranked.filter(F.col("__choice") == 1)
+    if max_list_size is not None:
+        pos = F.row_number().over(
+            Window.partitionBy("cent_id").orderBy(
+                F.col("__cs").desc(), F.col("__vid").asc()
+            )
+        )
+        first = first.withColumn("__pos", pos)
+        kept = first.filter(F.col("__pos") <= max_list_size).drop("__pos")
+        spilled = (
+            first.filter(F.col("__pos") > max_list_size)
+            .select("__vid")
+            .join(ranked.filter(F.col("__choice") == 2), "__vid")
+        )
+        lists = kept.unionByName(spilled, allowMissingColumns=True).select(
+            F.col("__vid").alias("c_id"),
+            F.col("__v").alias("c_vec"),
+            "cent_id",
+        )
+    else:
+        lists = first.select(
+            F.col("__vid").alias("c_id"), F.col("__v").alias("c_vec"), "cent_id"
+        )
+
+    probes = (
+        embeddings.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__qs", cosine_similarity(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("__qs").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select("q_id", "q_vec", "cent_id")
+    )
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        probes.join(lists, "cent_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

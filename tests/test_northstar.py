@@ -226,3 +226,33 @@ def test_block_matmul_topk_matches_jvm_fold(spark):
     assert jvm.keys() == blk.keys()
     for key, sim in jvm.items():
         assert abs(sim - blk[key]) < 1e-9
+
+
+def test_bounded_ivf_caps_lists_and_keeps_recall(spark):
+    """ivf_topk_bounded: no inverted list exceeds the cap (except
+    via spill-into-full-second-list, bounded at cap + spilled), every
+    vector stays searchable, and recall stays near the unbounded
+    form's."""
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    cap = max(10, n // 16)  # force some spilling
+
+    unbounded = {
+        (r.q_id, r.c_id)
+        for r in xs.ivf_topk(emb, n_centroids=16, n_probe=2, k=5)
+        .filter(F.col("q_id") < 20)
+        .collect()
+    }
+    bounded = {
+        (r.q_id, r.c_id)
+        for r in xs.ivf_topk_bounded(
+            emb, n_centroids=16, n_probe=2, k=5, max_list_size=cap
+        )
+        .filter(F.col("q_id") < 20)
+        .collect()
+    }
+    # every probed query still answers with full rank lists
+    assert len(bounded) == len(unbounded)
+    # bounded search keeps most of the unbounded result set
+    overlap = len(bounded & unbounded) / len(unbounded)
+    assert overlap > 0.5, f"bounded IVF diverged: overlap {overlap}"
