@@ -46,20 +46,22 @@ _DRIVER_GREEN_R01 = frozenset(
 )
 
 
-def _priority(name: str) -> tuple[int, int]:
+def _priority(name: str, has_oracle: bool) -> tuple[int, int]:
     """Sort key for a windowed CORRECTNESS run: never-driver-checked
-    entries first, and within those the engine's most differentiated
-    families (north-star X/flagship, streaming, TPC-H) lead so a
-    fixed-size window certifies them before the long tail."""
+    entries first; within those the engine's most differentiated
+    families (north-star X/flagship, streaming, TPC-H) lead, and
+    oracle-backed entries precede rows-only ones (an oracle row is
+    the stronger external signal) — so a fixed-size window certifies
+    the most load-bearing evidence first."""
     if name in _DRIVER_GREEN_R01:
         return (9, 0)
     fam = (
-        0 if name.startswith(("x", "flagship", "q1_quality")) else
+        0 if name.startswith(("x", "flagship", "q")) else
         1 if name.startswith("t") and not name.startswith("tpch") else
         2 if name.startswith("tpch") else
         3
     )
-    return (fam, 0)
+    return (fam, 0 if has_oracle else 1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -69,8 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate corpus query names: {overlap}")
         out.update(m.QUERIES)
+    oracles = oracle_sql().keys()
     # Stable sort: priority tiers, registration order within a tier.
-    names = sorted(out, key=_priority)
+    names = sorted(out, key=lambda n: _priority(n, n in oracles))
     return {k: out[k] for k in names}
 
 
