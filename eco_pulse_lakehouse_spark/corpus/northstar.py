@@ -667,3 +667,51 @@ def x3_ivf_bounded(spark, sf_dir):
     return xs.ivf_topk_bounded(
         e, n_centroids=16, n_probe=2, k=10, max_list_size=max(10, n // 16)
     )
+
+
+@q(
+    "x2_dedup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+    """,
+)
+def x2_dedup_clusters(spark, sf_dir):
+    """X2 end-game — near-dup PAIRS resolved into CLUSTERS via
+    iterative min-label propagation
+    (operators/components.py:connected_components); component id =
+    min reachable doc_id. The oracle computes the same fixpoint as a
+    recursive-CTE transitive closure — exact value check for an
+    iterative graph operator."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    pairs = xd.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+    return connected_components(pairs)

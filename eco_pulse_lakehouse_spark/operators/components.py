@@ -1,0 +1,86 @@
+"""Connected components over near-duplicate pair graphs.
+
+X2 operators emit PAIRS (id_a, id_b); a dedup pipeline must resolve
+them into CLUSTERS and keep one canonical document per cluster —
+near-duplication is transitive in effect (A~B, B~C → one cluster)
+even when the pairwise predicate isn't.
+
+Implementation is iterative min-label propagation, DataFrame-only:
+every node starts labeled with its own id; each round every node
+takes the min label in its neighborhood; converged when no label
+changes. Rounds = graph diameter (near-dup clusters are shallow —
+a handful of rounds), each round one shuffle on the node id. Labels
+are monotonically non-increasing, so convergence is guaranteed; the
+driver-side loop checks a one-long count per round (metadata, same
+sanction as operators/rank.py). At 100 TB this is the standard
+pre-GraphX/GraphFrames shape: joins + aggregations only, no RDDs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve an undirected pair list into (id, component) where
+    ``component`` is the minimum node id reachable from ``id``.
+    Nodes appearing in no pair are absent (callers union singletons
+    if needed)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                F.col("comp").alias("__old"),
+            )
+        )
+        # one long to the driver per round: convergence check
+        changed = updated.filter(F.col("comp") != F.col("__old")).count()
+        labels = updated.drop("__old").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical document (lowest id) per near-dup cluster;
+    documents in no pair survive untouched. The end-to-end X2 shape:
+    pairs → components → canonical filter."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        docs.join(comp, docs[id_col] == comp["id"], "left")
+        .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
+        .drop("id", "comp")
+    )

@@ -93,3 +93,44 @@ def test_chunk_reassemble_roundtrip(spark):
     )
     assert diff.count() == 0
     assert back.count() == mm.count()
+
+
+def test_connected_components_and_resolve(spark):
+    """Known graph: {1-2, 2-3} ∪ {10-11} → two clusters with min-id
+    components; resolve keeps one canonical doc per cluster plus all
+    unpaired docs."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+        resolve_duplicates,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {
+        r.id: r.comp for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 10, 11)], "doc_id BIGINT, t STRING"
+    )
+    kept = sorted(
+        r.doc_id for r in resolve_duplicates(docs, pairs).collect()
+    )
+    assert kept == [1, 5, 10]  # canonical per cluster + untouched 5
+
+
+def test_connected_components_chain_diameter(spark):
+    """A 12-node path graph needs multiple propagation rounds — the
+    loop must still reach the global min label."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a BIGINT, id_b BIGINT"
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 12
