@@ -672,7 +672,7 @@ def x3_ivf_bounded(spark, sf_dir):
 @q(
     "x2_dedup_clusters",
     """
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(
                CASE WHEN len(string_split(text, ' ')) >= 3 THEN
@@ -681,7 +681,7 @@ def x3_ivf_bounded(spark, sf_dir):
                    i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
                ELSE [] END) AS s
       FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
