@@ -101,7 +101,7 @@ def s2_json_decode(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
     FROM lineitem
-    WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity >= 45.0
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity >= 45.0
     """,
 )
 def s4_scan_pushdown(spark, sf_dir):
@@ -110,7 +110,7 @@ def s4_scan_pushdown(spark, sf_dir):
     ReadSchema)."""
     li = T(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_quantity") >= 45.0)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
 
@@ -452,13 +452,17 @@ def j3_semi_join(spark, sf_dir):
     "j3_anti_join",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
     """,
 )
 def j3_anti_join(spark, sf_dir):
-    """J3 — left-anti (NOT EXISTS): customers with no orders."""
+    """J3 — left-anti (NOT EXISTS): customers with no finished
+    orders (the status filter keeps the anti side non-empty in the
+    synthetic data, where every customer has at least one order)."""
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return oj.equi_join(
         c, o, F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
     ).select("c_custkey", "c_name")
@@ -846,16 +850,19 @@ def set_intersect(spark, sf_dir):
 @q(
     "set_except",
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     """,
 )
 def set_except(spark, sf_dir):
-    """Set — EXCEPT (distinct semantics)."""
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Set — EXCEPT (distinct semantics): high-balance customers
+    outside the BUILDING segment (both operands overlap, so the
+    difference is a real subset rather than empty or everything)."""
+    c = T(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 5000.0).select(F.col("c_custkey").alias("custkey"))
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    return hi.subtract(bld)
 
 
 # =====================================================================

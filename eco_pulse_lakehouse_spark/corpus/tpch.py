@@ -252,7 +252,7 @@ _Q8 = """
                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
                     JOIN region ON n2.n_regionkey = r_regionkey
-      WHERE r_name = 'REGION_0'
+      WHERE r_name = 'EUROPE'
     ) all_nations
     GROUP BY yr
 """
@@ -447,7 +447,9 @@ _Q22 = """
           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
           FROM customer WHERE c_acctbal > 0.0
         )
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND o_orderstatus = 'F')
     ) custsale
     GROUP BY cntrycode
 """
@@ -456,5 +458,98 @@ _Q22 = """
 @q("tpch_q22", _Q22)
 def tpch_q22(spark, sf_dir):
     """Q22 global sales opportunity — scalar average threshold +
-    NOT EXISTS anti join + substring bucketing."""
+    NOT EXISTS anti join + substring bucketing (the status filter
+    keeps the anti side non-empty: every synthetic customer has at
+    least one order, but not all have finished ones)."""
     return _sql(spark, sf_dir, _Q22)
+
+
+_Q2 = """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 5
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT MAX(s2.s_acctbal)
+        FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                         JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                         JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey
+          AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+"""
+
+
+@q("tpch_q2", _Q2)
+def tpch_q2(spark, sf_dir):
+    """Q2-style minimum-cost supplier — the absent partsupp table is
+    stood in by lineitem linkage (suppliers that shipped the part);
+    the correlated MAX subquery is decorrelated by Catalyst into an
+    aggregate + join. s_acctbal is compared raw (no arithmetic), so
+    float equality is engine-independent."""
+    return _sql(spark, sf_dir, _Q2)
+
+
+_Q11 = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              * 0.0005
+       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_1')
+"""
+
+
+@q("tpch_q11", _Q11)
+def tpch_q11(spark, sf_dir):
+    """Q11-style important stock — per-part value concentration with a
+    HAVING threshold from an uncorrelated scalar subquery over the
+    same join (partsupp value stood in by shipped extendedprice *
+    quantity). Both sides of the boundary are exact decimals cast to
+    double, so the > comparison is engine-independent."""
+    return _sql(spark, sf_dir, _Q11)
+
+
+_Q20 = """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM (
+        SELECT l_suppkey, qty,
+               SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM shipped
+      ) shares
+      WHERE CAST(qty AS DOUBLE) > 0.2 * CAST(part_qty AS DOUBLE)
+    )
+"""
+
+
+@q("tpch_q20", _Q20)
+def tpch_q20(spark, sf_dir):
+    """Q20-style potential promotion — suppliers carrying an outsized
+    share (>20%) of some PROMO part's 1996 volume: nested IN over a
+    windowed share-of-part computation (availqty stood in by shipped
+    quantity). Decimal-exact sums make the share boundary
+    engine-independent."""
+    return _sql(spark, sf_dir, _Q20)
