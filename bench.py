@@ -41,6 +41,7 @@ HEADLINE = [
     "tpch_q5",                 # SQL API: 5-way star join rollup
     "x2_ngram_jaccard",        # inverted-index exact Jaccard
     "o4_distributed_global_rank",  # range-partitioned total order
+    "cat_bucketed_join_agg",   # zero-exchange fact join on bucketed catalog
     "t5_stream_dedup",         # streaming watermark+dedup drain
 ]
 
@@ -96,6 +97,14 @@ def main() -> None:
 
     qs = entry.queries()
     sf_dir, staging_sec = stage_silver(spark, sf_dir)
+
+    # managed bucketed catalog (cat_bucketed_join_agg): build once up
+    # front so the timing loop measures the query, not the re-layout
+    from eco_pulse_lakehouse_spark.catalog import ensure_silver_database
+
+    t0 = time.perf_counter()
+    ensure_silver_database(spark, sf_dir)
+    catalog_staging_sec = round(time.perf_counter() - t0, 3)
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -130,6 +139,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "silver_staging_sec": staging_sec,
+                "catalog_staging_sec": catalog_staging_sec,
                 "stream_batch_ms": latency,
             }
         )

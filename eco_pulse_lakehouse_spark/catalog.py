@@ -114,7 +114,12 @@ def create_silver_database(
         fq = f"{db_name}.{name}"
         key = FACT_BUCKET_KEYS.get(name)
         if key:
-            write_bucketed_table(df, fq, [key], buckets, [key])
+            # one file per bucket (repartition on the bucket key first):
+            # Spark then trusts the per-file sort order and plans
+            # bucket joins with no Exchange AND no Sort on either side
+            write_bucketed_table(
+                df.repartition(buckets, key), fq, [key], buckets, [key]
+            )
         else:
             import os
             import shutil
@@ -127,3 +132,28 @@ def create_silver_database(
                     os.path.join(wh, f"{db_name}.db", name), ignore_errors=True
                 )
             df.write.mode("overwrite").saveAsTable(fq)
+
+
+# (db_name) -> (realpath(sf_dir), buckets) already materialized this
+# process — lets corpus entries run against managed tables without
+# paying the re-layout on every invocation.
+_SILVER_DBS: dict[str, tuple[str, int]] = {}
+
+
+def ensure_silver_database(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> str:
+    """Memoized :func:`create_silver_database` with a per-scale-factor
+    database name (``eco_pulse_sf0_01`` for ``.../sf0.01``). Returns
+    the database name; creation runs at most once per process for a
+    given (sf_dir, buckets), so benchmark timing loops and repeated
+    corpus invocations see only the query cost."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    db_name = "eco_pulse_" + "".join(
+        ch if ch.isalnum() else "_" for ch in base
+    )
+    key = (os.path.realpath(sf_dir), buckets)
+    if _SILVER_DBS.get(db_name) != key:
+        create_silver_database(spark, sf_dir, db_name=db_name, buckets=buckets)
+        _SILVER_DBS[db_name] = key
+    return db_name

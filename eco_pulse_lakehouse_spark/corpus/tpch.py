@@ -12,7 +12,7 @@ determinism policy (corpus/_registry.py:dec_sum).
 
 from __future__ import annotations
 
-from eco_pulse_lakehouse_spark.catalog import register_views
+from eco_pulse_lakehouse_spark.catalog import ensure_silver_database, register_views
 from eco_pulse_lakehouse_spark.corpus._registry import make_registry
 
 QUERIES, ORACLES, q = make_registry()
@@ -543,6 +543,41 @@ _Q20 = """
       WHERE CAST(qty AS DOUBLE) > 0.2 * CAST(part_qty AS DOUBLE)
     )
 """
+
+
+_BUCKETED_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+@q("cat_bucketed_join_agg", _BUCKETED_ORACLE)
+def cat_bucketed_join_agg(spark, sf_dir):
+    """Fact-fact join over the managed silver catalog: lineitem and
+    orders are bucketed on the order key (one file per bucket,
+    catalog.create_silver_database), so the MERGE-hinted sort-merge
+    join plans with NO exchange on either side — at 100 TB that
+    converts the dominant fact shuffle into a local per-bucket merge
+    (the per-bucket sorts stay, local and spill-free; Spark 3+ does
+    not trust bucket sort metadata by default). The only exchange
+    left is the tiny final agg on o_orderpriority (asserted in
+    tests/test_plans.py)."""
+    db = ensure_silver_database(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT /*+ MERGE(l) */ o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM {db}.lineitem l JOIN {db}.orders o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        """
+    )
 
 
 @q("tpch_q20", _Q20)

@@ -180,3 +180,15 @@ def test_ann_refined_no_cartesian(spark):
     plan = _plan(ann_neardup_refined(e, threshold=0.3, bits=6, tables=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_catalog_bucketed_corpus_entry_single_exchange(spark):
+    """cat_bucketed_join_agg: the fact-fact join runs on bucket-aligned
+    managed tables, so the ONLY Exchange in the executed plan is the
+    5-group final aggregation — the join itself is shuffle-free."""
+    from eco_pulse_lakehouse_spark.corpus import tpch
+
+    df = tpch.QUERIES["cat_bucketed_join_agg"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" in plan, plan
