@@ -739,3 +739,29 @@ def q3_iqr_outliers(spark, sf_dir):
         "fence_lo",
         "fence_hi",
     )
+
+
+@q(
+    "a14_histogram",
+    """
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY CAST(FLOOR(value / 10.0) AS BIGINT)
+    """,
+)
+def a14_histogram(spark, sf_dir):
+    """A-extra — equi-width histogram (width 10) over the metric
+    column: one map-side-combinable aggregation keyed by the computed
+    bucket (the distributed form of width_bucket; bucket count stays
+    bounded no matter the row count, so the shuffle is tiny at any
+    scale). min/max per bucket double as the bin-edge sanity check."""
+    ev = T(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(10.0)).cast("bigint")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )

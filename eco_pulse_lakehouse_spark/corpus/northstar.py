@@ -715,3 +715,102 @@ def x2_dedup_clusters(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     pairs = xd.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
     return connected_components(pairs)
+
+
+@q(
+    "x4_pii_scrub",
+    r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com visit http://u' || CAST(doc_id AS VARCHAR)
+                      || '.example.org/page?q=1 call 555-' || CAST(doc_id AS VARCHAR)
+                      || ' now',
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b555-[0-9]+\b', '<PHONE>', 'g') AS clean
+    FROM documents
+    """,
+)
+def x4_pii_scrub(spark, sf_dir):
+    """X4 — PII redaction (functions/text.py:scrub_pii): URL, email
+    and phone patterns replaced by typed placeholders via chained
+    JVM-side regexp_replace (one codegen span, no UDF). The synthetic
+    corpus has no real PII, so the entry first appends a
+    deterministic contact string derived from doc_id — both engines
+    build and scrub the identical text, making the redaction
+    behaviour (not just the no-op path) oracle-checked."""
+    from eco_pulse_lakehouse_spark.functions.text import scrub_pii
+
+    d = T(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com visit http://u"), F.col("doc_id").cast("string"),
+        F.lit(".example.org/page?q=1 call 555-"), F.col("doc_id").cast("string"),
+        F.lit(" now"),
+    )
+    return d.select(
+        F.col("doc_id").cast("bigint"), scrub_pii(dirty).alias("clean")
+    )
+
+
+@q(
+    "x4_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+             AS dup_frac
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def x4_repetition_stats(spark, sf_dir):
+    """X4 — Gopher-style repetition profile per document
+    (operators/quality.py:repetition_stats): token total, distinct
+    count, modal-token count, duplicate fraction. Two doc-keyed hash
+    aggregations (map-side combinable); the dup_frac division is a
+    single IEEE op on exact integers, bit-identical across engines."""
+    from eco_pulse_lakehouse_spark.operators.quality import repetition_stats
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return repetition_stats(d, "doc_id", "text")
+
+
+@q(
+    "x6_stratified_sample",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_UNIT_HASH_SQL} ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) ranked WHERE rn <= 40
+    """,
+)
+def x6_stratified_sample(spark, sf_dir):
+    """X6 — balanced per-class cap (operators/sampling.py:
+    stratified_sample): keep the 40 smallest-hash docs per source.
+    One ranking window keyed on the class column; survivors are a
+    pure function of the row (partitioning/cluster-size independent),
+    which df.sampleBy's per-partition seeding cannot guarantee."""
+    from eco_pulse_lakehouse_spark.operators.sampling import stratified_sample
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "source"
+    )
+    return stratified_sample(d, "source", "doc_id", 40)

@@ -133,3 +133,27 @@ def fingerprint(text: Column) -> Column:
         )
         % F.lit(FINGERPRINT_MOD),
     )
+
+
+# PII scrubbing — ordered (URL before EMAIL: a URL can embed '@';
+# EMAIL before PHONE is arbitrary but fixed). Patterns restricted to
+# syntax shared by Java regex and RE2 so the DuckDB oracle replays
+# them verbatim (with the 'g' flag — DuckDB replaces first-only by
+# default, Spark replaces all).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b555-[0-9]+\b", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact URLs, emails and (555-prefixed) phone numbers with typed
+    placeholder tokens — the standard pre-training text-curation pass.
+    Chained JVM-side ``regexp_replace`` (codegen, no UDF): at 100 TB
+    this runs inside the same whole-stage-codegen span as the
+    surrounding projection."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -40,3 +40,31 @@ def split(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, DataFrame
     good = annotated.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     bad = annotated.filter(F.size(VIOLATIONS_COL) > 0)
     return good, bad
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token-repetition profile (the Gopher-style
+    repetition quality rules): total tokens, distinct tokens, the
+    modal token's count, and the duplicate-token fraction
+    ``1 - distinct/total``.
+
+    Two hash aggregations, both keyed by the document id — the
+    explode never shuffles raw tokens across documents and the
+    second agg is map-side-combinable, so the op scales linearly in
+    corpus size with one shuffle of (id, token) partial counts and
+    one of per-doc rows. High dup_frac or a dominant modal token
+    flags boilerplate/spam for the curation gate.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    ).withColumn(
+        "dup_frac",
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+    )

@@ -68,3 +68,34 @@ def deterministic_sample(
     same rows survive under any partitioning, cluster size, or rerun
     (``df.sample`` guarantees none of these)."""
     return df.filter(unit_hash(F.col(id_col)) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    n_per_class: int,
+) -> DataFrame:
+    """Deterministic per-class cap: keep the ``n_per_class`` rows with
+    the smallest unit-hash inside every class (ties broken by id).
+
+    The balanced-corpus op (cap each source/domain/language at N docs)
+    phrased as one ranking window per class — a single shuffle on the
+    class key, no driver-side class enumeration, and the SAME rows
+    survive under any partitioning or cluster size because rank order
+    is a pure function of the row. For classes with heavy skew the
+    window sort is per-class (each reducer sorts only its classes);
+    at 100 TB a two-phase refinement (per-partition top-N, then
+    global top-N per class) drops the sort to O(partition · N) — the
+    rank operator in operators/rank.py implements that shape.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(
+        unit_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_class)
+        .drop("__rn")
+    )

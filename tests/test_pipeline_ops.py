@@ -134,3 +134,53 @@ def test_connected_components_chain_diameter(spark):
     comp = {r.id: r.comp for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 12
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """The same rows survive the per-class cap under any layout, and
+    no class exceeds the cap."""
+    from eco_pulse_lakehouse_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"), "source"
+    )
+    a = stratified_sample(d, "source", "doc_id", 7)
+    b = stratified_sample(d.repartition(13), "source", "doc_id", 7)
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b
+    caps = a.groupBy("source").count().collect()
+    assert caps and all(r["count"] <= 7 for r in caps)
+
+
+def test_scrub_pii_redacts_each_kind(spark):
+    from eco_pulse_lakehouse_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at a.b+c@sub.example.io today", "mail me at <EMAIL> today"),
+            ("see https://x.io/a?b=1#f and http://y.de", "see <URL> and <URL>"),
+            ("call 555-0134 or 555-9", "call <PHONE> or <PHONE>"),
+            ("no pii here", "no pii here"),
+            # a URL embedding an '@' must be taken by <URL>, not <EMAIL>
+            ("go http://u:p@host.com/x now", "go <URL> now"),
+        ],
+        ["raw", "expected"],
+    )
+    bad = df.filter(scrub_pii(F.col("raw")) != F.col("expected")).count()
+    assert bad == 0
+
+
+def test_repetition_stats_edge_cases(spark):
+    from eco_pulse_lakehouse_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "a b a b a")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_distinct"] == 1
+    assert got[1]["top_count"] == 4 and got[1]["dup_frac"] == 0.75
+    assert got[2]["dup_frac"] == 0.0 and got[2]["top_count"] == 1
+    assert got[3]["n_tokens"] == 5 and got[3]["n_distinct"] == 2
+    assert got[3]["top_count"] == 3
