@@ -147,6 +147,68 @@ def s7_csv_roundtrip(spark, sf_dir):
     ).csv(path)
 
 
+@q(
+    "s12_orc_roundtrip",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def s12_orc_roundtrip(spark, sf_dir):
+    """S12 — ORC sink + source (sources/batch_io.py:read_orc): Spark's
+    second native columnar format; pushdown/pruning semantics match
+    parquet, so the same agg over the round-tripped copy is
+    oracle-exact."""
+    from eco_pulse_lakehouse_spark.sources.batch_io import read_orc, write_orc
+
+    path = os.path.join(_TMP, f"s12_orc_{uuid.uuid4().hex[:8]}")
+    write_orc(T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O"), path)
+    return (
+        read_orc(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "s13_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS n_alias FROM nation
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name,
+           'N' || CAST(n_nationkey AS VARCHAR) AS n_alias
+    FROM nation
+    """,
+)
+def s13_schema_evolution(spark, sf_dir):
+    """S13 — schema evolution on read: two parquet batches with
+    different column sets land in one directory; ``mergeSchema``
+    unions the schemas and null-fills the gaps — the lakehouse
+    append-with-evolving-producers path (Delta's schema evolution,
+    expressed at the parquet layer). At 100 TB merging happens on
+    file FOOTERS only (no data scan), so evolution costs planning
+    time, not a rewrite."""
+    path = os.path.join(_TMP, f"s13_evo_{uuid.uuid4().hex[:8]}")
+    n = T(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(path)
+    n.select(
+        "n_nationkey",
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("n_alias"),
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_alias")
+    )
+
+
 @q("s9_json_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def s9_json_roundtrip(spark, sf_dir):
     """S9 — to_json(struct(*)) → from_json round trip (the Kafka sink

@@ -27,6 +27,19 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S12 — ORC source (native in Spark, columnar like parquet:
+    predicate pushdown + column pruning apply identically). Avro is
+    NOT available here: spark-avro is an external module and this
+    image has no jar and disallows installs — gate any avro path on
+    a format probe, as delta_io.py does for Delta."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: Sequence[str], fmt: str = "parquet"
 ) -> None:
