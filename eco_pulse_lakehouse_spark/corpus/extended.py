@@ -765,3 +765,92 @@ def a14_histogram(spark, sf_dir):
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
     )
+
+
+@q(
+    "f_sql_udf",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE WHEN value >= 150.0 THEN 'EXTREME'
+                WHEN value >= 100.0 THEN 'VERY_HIGH'
+                WHEN value >= 50.0 THEN 'HIGH'
+                WHEN value >= 10.0 THEN 'MODERATE'
+                ELSE 'LOW' END AS level,
+           CAST((event_id * 2654435761) % 4294967296 AS DOUBLE)
+             / 4294967296.0 AS u
+    FROM events
+    """,
+)
+def f_sql_udf(spark, sf_dir):
+    """F-extra — Spark 4 SQL scalar UDFs (functions/sql_udfs.py):
+    CREATE FUNCTION ... RETURN <expr> gives SQL-only users the
+    engine's expressions, inlined by the analyzer into the calling
+    plan (codegen, no Python round-trip). The oracle replays the
+    UDF bodies inline — which is literally what Spark executes."""
+    from eco_pulse_lakehouse_spark.catalog import register_views
+    from eco_pulse_lakehouse_spark.functions.sql_udfs import register_sql_udfs
+
+    register_views(spark, sf_dir)
+    register_sql_udfs(spark)
+    return spark.sql(
+        """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               eco_level(value) AS level,
+               eco_unit_hash(event_id) AS u
+        FROM events
+        """
+    )
+
+
+@q(
+    "f_variant_extract",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def f_variant_extract(spark, sf_dir):
+    """F-extra — VARIANT semi-structured path (Spark 4):
+    parse_json(props) -> variant_get('$.k'). VARIANT stores a parsed
+    binary form, so repeated path extraction skips re-tokenizing the
+    JSON text — the 100 TB answer to string-typed props columns
+    (at rest it becomes a typed shredded column). DuckDB oracle uses
+    its native json_extract."""
+    ev = T(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("bigint"),
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+
+
+@q(
+    "s14_python_datasource",
+    """
+    SELECT CAST(i // 1000 AS INT) AS bucket,
+           COUNT(*) AS n,
+           SUM(CAST((i * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)
+             AS total_u
+    FROM range(0, 8000) t(i)
+    GROUP BY CAST(i // 1000 AS INT)
+    """,
+)
+def s14_python_datasource(spark, sf_dir):
+    """S14 — Python DataSource API (sources/pydatasource.py): the
+    synthetic generator as an executor-side source with one
+    InputPartition per split (vs the reference's driver-side mock
+    rows). Values are pure functions of the global row id, so the
+    aggregate is layout-independent; u's dyadic-rational construction
+    keeps the float SUM exact without decimal accumulation."""
+    from eco_pulse_lakehouse_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("eco_synthetic")
+        .option("partitions", 8)
+        .option("rowsPerPartition", 1000)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("u").alias("total_u")
+    )

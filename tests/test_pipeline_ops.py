@@ -184,3 +184,63 @@ def test_repetition_stats_edge_cases(spark):
     assert got[2]["dup_frac"] == 0.0 and got[2]["top_count"] == 1
     assert got[3]["n_tokens"] == 5 and got[3]["n_distinct"] == 2
     assert got[3]["top_count"] == 3
+
+
+def test_sql_udfs_match_column_forms(spark):
+    """Each SQL UDF body is the same expression as its Column twin —
+    and none of them puts Python in the plan (no BatchEvalPython:
+    the analyzer inlines the body)."""
+    from eco_pulse_lakehouse_spark.functions.scalar import haversine_km
+    from eco_pulse_lakehouse_spark.functions.sql_udfs import register_sql_udfs
+    from eco_pulse_lakehouse_spark.functions.text import bpe_ish_token_count
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    register_sql_udfs(spark)
+
+    d = load_table(spark, SF, "documents")
+    bad = d.select(
+        (F.expr("eco_bpe_tokens(text)") != bpe_ish_token_count(F.col("text")))
+        .alias("m1"),
+        (F.expr("eco_unit_hash(doc_id)") != unit_hash(F.col("doc_id"))).alias("m2"),
+    ).filter(F.col("m1") | F.col("m2"))
+    assert bad.count() == 0
+
+    pts = spark.createDataFrame(
+        [(28.1, -15.4, 40.4, -3.7), (0.0, 0.0, 0.0, 0.0), (-33.9, 151.2, 51.5, -0.1)],
+        ["lat1", "lon1", "lat2", "lon2"],
+    )
+    diff = pts.select(
+        F.abs(
+            F.expr("eco_haversine_km(lat1, lon1, lat2, lon2)")
+            - haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+        ).alias("d")
+    ).agg(F.max("d").alias("mx")).first().mx
+    assert diff < 1e-9
+
+    plan = (
+        d.select(F.expr("eco_bpe_tokens(text)"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_python_datasource_partition_scaling(spark):
+    """The source emits partitions() splits and the same global rows
+    regardless of split count."""
+    from eco_pulse_lakehouse_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def rows(parts, rpp):
+        return (
+            spark.read.format("eco_synthetic")
+            .option("partitions", parts)
+            .option("rowsPerPartition", rpp)
+            .load()
+        )
+
+    a = rows(4, 100)
+    assert a.rdd.getNumPartitions() == 4
+    ids_a = sorted(r.id for r in a.select("id").collect())
+    ids_b = sorted(r.id for r in rows(2, 200).select("id").collect())
+    assert ids_a == ids_b == list(range(400))
