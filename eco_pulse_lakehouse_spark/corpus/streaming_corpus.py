@@ -325,3 +325,51 @@ def t3_stream_append_silver(spark, sf_dir):
     sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
     sp.run_to_parquet(silver, sink)
     return spark.read.parquet(sink)
+
+
+@q(
+    "t12_python_stream_source",
+    """
+    SELECT CAST(i // 250 AS INT) AS bucket,
+           COUNT(*) AS n,
+           SUM(CAST((i * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)
+             AS total_u
+    FROM range(0, 1000) t(i)
+    GROUP BY CAST(i // 250 AS INT)
+    """,
+)
+def t12_python_stream_source(spark, sf_dir):
+    """T12 — Python streaming DataSource
+    (sources/pydatasource.py:SyntheticStreamReader) drained through
+    FOUR separate availableNow runs sharing one checkpoint: each run
+    commits exactly one micro-batch and stops, the next resumes from
+    the stored offset — restart-resume exactly-once, across a
+    Python-defined source. The batch aggregate over the four drained
+    batches must equal the closed-form oracle over range(0, 1000)."""
+    from eco_pulse_lakehouse_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t12_{uuid.uuid4().hex}"
+    )
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    stream = (
+        spark.readStream.format("eco_synthetic")
+        .option("rowsPerBatch", 250)
+        .option("maxBatches", 4)
+        .load()
+    )
+    for _ in range(4):
+        q_ = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("u").alias("total_u"))
+    )

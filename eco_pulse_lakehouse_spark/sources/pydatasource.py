@@ -16,7 +16,12 @@ is what makes the DuckDB oracle able to replay it from ``range()``.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 KNUTH = 2654435761
 M32 = 1 << 32
@@ -43,9 +48,49 @@ class SyntheticReader(DataSourceReader):
             yield (i, k, (i * KNUTH % M32) / M32)
 
 
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch form of the same generator: batch
+    ``b`` emits ids ``[b*rows, (b+1)*rows)`` (bucket = batch id) and
+    advances the offset, up to ``maxBatches``. Offsets are plain
+    dicts checkpointed by the engine, so a restarted query resumes
+    exactly where the last one committed — the property
+    t12_python_stream_source drains through N separate
+    ``availableNow`` runs to prove."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rowsperbatch", 100))
+        self.max_batches = int(options.get("maxbatches", 5))
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def _rows(self, b: int) -> list:
+        base = b * self.rows_per_batch
+        return [
+            (i, b, (i * KNUTH % M32) / M32)
+            for i in range(base, base + self.rows_per_batch)
+        ]
+
+    # both hooks return LIST iterators: the engine's prefetch cache
+    # copy.copy()s them (datasource_internal.getCache), which fails
+    # on generators
+    def read(self, start: dict):
+        b = start["batch"]
+        if b >= self.max_batches:
+            return iter([]), start
+        return iter(self._rows(b)), {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list = []
+        for b in range(start["batch"], end["batch"]):
+            out.extend(self._rows(b))
+        return iter(out)
+
+
 class SyntheticDataSource(DataSource):
     """``spark.read.format("eco_synthetic").option("partitions", 8)
-    .option("rowsPerPartition", 1000).load()``"""
+    .option("rowsPerPartition", 1000).load()`` — or ``readStream``
+    with ``rowsPerBatch``/``maxBatches`` for the micro-batch form."""
 
     @classmethod
     def name(cls) -> str:
@@ -56,6 +101,9 @@ class SyntheticDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticReader:
         return SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
 
 
 def register(spark) -> None:
