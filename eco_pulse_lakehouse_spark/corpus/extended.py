@@ -854,3 +854,42 @@ def s14_python_datasource(spark, sf_dir):
     return df.groupBy("bucket").agg(
         F.count("*").alias("n"), F.sum("u").alias("total_u")
     )
+
+
+@q(
+    "x8_zorder_values",
+    None,  # oracle generated below (identical bit-interleave in SQL)
+)
+def x8_zorder_values(spark, sf_dir):
+    """X8 — Z-order clustering key (operators/layout.py:z_value):
+    bit-interleave of (user_id mod 1024, clipped value) — the
+    codegen'd projection behind zorder_layout. The data-skipping
+    payoff (per-file bounding boxes an order of magnitude tighter) is
+    measured in tests/test_pipeline_ops.py."""
+    from eco_pulse_lakehouse_spark.operators.layout import z_value
+
+    ev = T(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(1023).cast("bigint"), F.floor(F.col("value")).cast("bigint")),
+    )
+    return ev.select(
+        F.col("event_id").cast("bigint"),
+        z_value(x, y).alias("z"),
+    )
+
+
+def _x8_oracle() -> str:
+    from eco_pulse_lakehouse_spark.operators.layout import z_value_sql
+
+    x = "(user_id % 1024)"
+    y = "GREATEST(0, LEAST(1023, CAST(FLOOR(value) AS BIGINT)))"
+    return f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           {z_value_sql(x, y)} AS z
+    FROM events
+    """
+
+
+ORACLES["x8_zorder_values"] = _x8_oracle()

@@ -68,3 +68,32 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "dup_frac",
         F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
     )
+
+
+def observed_split(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame, "object"]:
+    """:func:`split` plus an :class:`~pyspark.sql.Observation` riding
+    the annotated frame: whatever action consumes the branches also
+    materializes (rows, violation-rows, per-rule violation counts) —
+    audit metrics with ZERO extra passes. At 100 TB a separate
+    metrics job would re-scan the input; observe() folds the counters
+    into the same task set (collected driver-side via
+    ``obs.get`` after any action runs).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    metrics = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.size(VIOLATIONS_COL) > 0).cast("long")).alias("violation_rows"),
+    ] + [
+        F.sum(
+            F.array_contains(VIOLATIONS_COL, name).cast("long")
+        ).alias(f"viol_{name}")
+        for name in rules
+    ]
+    annotated = annotate(df, rules).observe(obs, *metrics)
+    good = annotated.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
+    bad = annotated.filter(F.size(VIOLATIONS_COL) > 0)
+    return good, bad, obs

@@ -244,3 +244,63 @@ def test_python_datasource_partition_scaling(spark):
     ids_a = sorted(r.id for r in a.select("id").collect())
     ids_b = sorted(r.id for r in rows(2, 200).select("id").collect())
     assert ids_a == ids_b == list(range(400))
+
+
+def test_observed_split_metrics_for_free(spark):
+    """Observation metrics materialize from the SAME action that
+    consumes the data (no second scan) and agree with explicit
+    counts."""
+    from eco_pulse_lakehouse_spark.operators.quality import observed_split
+
+    ev = load_table(spark, SF, "events")
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "has_type": F.col("event_type").isNotNull(),
+    }
+    good, bad, obs = observed_split(ev, rules)
+    n_good = good.count()
+    n_bad = bad.count()
+    m = obs.get
+    assert m["rows"] == n_good + n_bad == ev.count()
+    assert m["violation_rows"] == n_bad
+    assert m["viol_value_nonneg"] == ev.filter(~(F.col("value") >= 0)).count()
+
+
+def test_zorder_layout_tightens_file_stats(spark):
+    """Z-ordered files cover compact (x, y) rectangles: the summed
+    per-file bounding-box area (the data-skipping proxy parquet
+    min/max pruning acts on) must shrink vs hash layout."""
+    import tempfile, os, uuid
+
+    from eco_pulse_lakehouse_spark.operators.layout import zorder_layout
+
+    ev = load_table(spark, SF, "events").select(
+        F.pmod(F.col("user_id"), F.lit(1024)).alias("x"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(1023).cast("bigint"), F.floor(F.col("value")).cast("bigint")),
+        ).alias("y"),
+    )
+    base = os.path.join(tempfile.gettempdir(), f"zorder_{uuid.uuid4().hex[:8]}")
+    zorder_layout(ev, F.col("x"), F.col("y"), num_files=8).write.parquet(
+        os.path.join(base, "z")
+    )
+    ev.repartition(8).write.parquet(os.path.join(base, "h"))
+
+    def area(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = (
+            df.groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("dx"),
+                (F.max("y") - F.min("y")).alias("dy"),
+            )
+            .collect()
+        )
+        assert len(rows) == 8
+        return sum((r.dx + 1) * (r.dy + 1) for r in rows)
+
+    a_z, a_h = area(os.path.join(base, "z")), area(os.path.join(base, "h"))
+    # hash layout: every file spans ~the full square; z-order files
+    # tile it, so the total is a small fraction
+    assert a_z < a_h / 3, (a_z, a_h)
