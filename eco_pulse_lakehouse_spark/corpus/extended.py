@@ -893,3 +893,58 @@ def _x8_oracle() -> str:
 
 
 ORACLES["x8_zorder_values"] = _x8_oracle()
+
+
+@q(
+    "a15_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a15_cube(spark, sf_dir):
+    """A-extra — CUBE: all 2^k grouping-set combinations in one pass
+    (Expand + single hash agg — k doubles the expand factor, not the
+    number of jobs)."""
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "j5_lateral_topk",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) c
+    """,
+)
+def j5_lateral_topk(spark, sf_dir):
+    """J5 — correlated LATERAL subquery (top-2 customers per nation):
+    Catalyst decorrelates the per-row LIMIT subquery into a ranking
+    window over ONE join — no per-nation query execution. Same SQL
+    runs verbatim on DuckDB."""
+    from eco_pulse_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) c
+        """
+    )
