@@ -948,3 +948,66 @@ def j5_lateral_topk(spark, sf_dir):
         ) c
         """
     )
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Chained-CTE replay of operators/components.py:pagerank on the
+    supplier<->part bipartite graph (one CTE per iteration; identical
+    fixed-point arithmetic)."""
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+               + CAST(0.85 AS DOUBLE)
+                 * (CAST(COALESCE(s.in_fp, 0) AS DOUBLE) / 1e12) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id,
+               CAST(SUM(CAST(FLOOR(r.pr / d.out_deg * 1e12) AS BIGINT)) AS BIGINT)
+                 AS in_fp
+        FROM edges e JOIN r{k - 1} r ON e.src = r.id
+                     JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON n.id = s.id)""")
+    return (
+        """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT s AS src, p AS dst FROM pairs
+      UNION
+      SELECT p AS src, s AS dst FROM pairs
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),"""
+        + ",".join(iters)
+        + f"""
+    SELECT CAST(id AS BIGINT) AS id, pr FROM r{iterations}
+    """
+    )
+
+
+@q("g1_pagerank", _pagerank_oracle())
+def g1_pagerank(spark, sf_dir):
+    """G1 — fixed-iteration PageRank (operators/components.py:
+    pagerank) over the supplier<->part co-occurrence graph from
+    lineitem. Pure joins+aggregations (no GraphX); contributions
+    quantized to a 1e-12 fixed-point grid so the order-sensitive sum
+    is exact BIGINT arithmetic — ranks match the chained-CTE DuckDB
+    oracle bit-for-bit after 3 iterations."""
+    from eco_pulse_lakehouse_spark.operators.components import pagerank
+
+    li = T(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("p"),
+    ).distinct()
+    edges = pairs.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("id").cast("bigint"), F.col("rank").alias("pr")
+    )

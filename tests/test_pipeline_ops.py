@@ -304,3 +304,18 @@ def test_zorder_layout_tightens_file_stats(spark):
     # hash layout: every file spans ~the full square; z-order files
     # tile it, so the total is a small fraction
     assert a_z < a_h / 3, (a_z, a_h)
+
+
+def test_pagerank_star_graph(spark):
+    """On a star (all leaves -> hub), the hub outranks every leaf and
+    leaves are symmetric."""
+    from eco_pulse_lakehouse_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)],
+        ["src", "dst"],
+    )
+    r = {row.id: row.rank for row in pagerank(edges, iterations=5).collect()}
+    leaves = [r[i] for i in range(1, 6)]
+    assert r[0] > max(leaves)
+    assert max(leaves) - min(leaves) < 1e-12
