@@ -1011,3 +1011,98 @@ def g1_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=3).select(
         F.col("id").cast("bigint"), F.col("rank").alias("pr")
     )
+
+
+@q(
+    "s15_compaction",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def s15_compaction(spark, sf_dir):
+    """S15 — small-file compaction (sources/batch_io.py:
+    compact_files): 64 streaming-append-sized files rewritten to 4
+    via staged directory swap; the aggregate over the compacted copy
+    is unchanged. At 100 TB the scan's task count and listing
+    pressure follow the FILE count, so this is the maintenance op
+    that keeps read amplification flat."""
+    import os
+    import tempfile
+    import uuid
+
+    from eco_pulse_lakehouse_spark.sources.batch_io import compact_files
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"s15_compact_{uuid.uuid4().hex[:8]}"
+    )
+    T(spark, sf_dir, "events").repartition(64).write.parquet(path)
+    before, after = compact_files(spark, path, target_files=4)
+    assert before >= 64 and after == 4
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "m2_snapshot_diff",
+    """
+    WITH old_s AS (SELECT o_orderkey, o_totalprice FROM orders),
+    new_s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice FROM orders
+      WHERE o_orderkey % 11 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'update' END AS change_type,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old_s o FULL OUTER JOIN new_s n USING (o_orderkey)
+    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'update' END) IS NOT NULL
+    """,
+)
+def m2_snapshot_diff(spark, sf_dir):
+    """M2 — snapshot-diff CDC (operators/merge.py:snapshot_diff):
+    derive the insert/update/delete feed between two table versions
+    with one key-partitioned full outer join — the CHANGE DATA FEED
+    a Delta table would emit, reconstructed from plain snapshots.
+    The 'new' snapshot deletes every 7th order, doubles the price of
+    every 5th, and inserts shifted copies of every 11th. The doubled
+    price is one IEEE multiply (row-level — exact cross-engine)."""
+    from eco_pulse_lakehouse_spark.operators.merge import snapshot_diff
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(o, new, ["o_orderkey"])

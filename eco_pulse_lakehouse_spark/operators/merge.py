@@ -72,3 +72,58 @@ def scd2_apply(
         .drop("__new_from")
     )
     return closed.unionByName(ch, allowMissingColumns=False)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data capture between two table snapshots: one full
+    outer join on the keys classifying every row as
+    insert / delete / update (unchanged rows are dropped). The CDC
+    feed a Delta CHANGE DATA FEED would give, derived from plain
+    snapshots — one co-partitioned shuffle on the key columns.
+
+    Presence on each side is tracked with marker columns (not value
+    nullability) and values compare null-safely (``eqNullSafe``), so
+    NULL-valued compare columns neither mask changes nor fake
+    deletes. Output: key columns + ``change_type`` + old_/new_
+    prefixed compare columns.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    j = (
+        old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+        .withColumn("__old", F.lit(1))
+        .join(
+            new.select(
+                *keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+            ).withColumn("__new", F.lit(1)),
+            on=list(keys),
+            how="full_outer",
+        )
+    )
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    ct = (
+        F.when(F.col("__old").isNull(), "insert")
+        .when(F.col("__new").isNull(), "delete")
+        .when(changed, "update")
+    )
+    return (
+        j.withColumn("change_type", ct)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[f"old_{c}" for c in compare_cols],
+            *[f"new_{c}" for c in compare_cols],
+        )
+    )

@@ -88,3 +88,37 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_files: int
+) -> tuple[int, int]:
+    """Small-file compaction — the lakehouse maintenance op (Delta
+    OPTIMIZE, expressed at the parquet layer). Streaming appends and
+    fine-grained partitions accumulate kilobyte files; at 100 TB the
+    scan's task count (and the NameNode/listing pressure) is the
+    FILE count, not the byte count, so periodic compaction is what
+    keeps read amplification flat.
+
+    Rewrites ``path`` into ``target_files`` files via a staging
+    directory + two directory renames (same crash posture as
+    plans/gold.py: a failure never leaves the target deleted).
+    Returns (files_before, files_after).
+    """
+    import os
+    import shutil
+
+    files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    df = spark.read.parquet(path)
+    stage = path.rstrip("/") + ".compact_stage"
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df.repartition(target_files).write.parquet(stage)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
+    files_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return files_before, files_after

@@ -67,3 +67,23 @@ def test_scd2_chains_multiple_changes_per_key(spark):
     ]
     open_rows = [r for r in out if r.valid_to is None]
     assert len(open_rows) == 1 and open_rows[0].attr == "v4"
+
+
+def test_snapshot_diff_null_safety(spark):
+    """NULL compare values neither mask changes nor fake inserts:
+    NULL->value and value->NULL are updates; NULL->NULL is unchanged."""
+    from eco_pulse_lakehouse_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, None), (4, 1.0)],
+        "k BIGINT, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, 7.0), (2, None), (3, None), (5, 9.0)],
+        "k BIGINT, v DOUBLE",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "update", 2: "update", 4: "delete", 5: "insert"}
