@@ -814,3 +814,53 @@ def x6_stratified_sample(spark, sf_dir):
         F.col("doc_id").cast("bigint"), "source"
     )
     return stratified_sample(d, "source", "doc_id", 40)
+
+
+@q(
+    "x2_edit_distance",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+    FROM documents a JOIN documents b
+      ON string_split(a.text, ' ')[1] = string_split(b.text, ' ')[1]
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 2
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 25
+    """,
+)
+def x2_edit_distance(spark, sf_dir):
+    """X2 — edit-distance near-dup, production shape: BLOCK first
+    (equi-join on the first token + a length band — candidate
+    generation is a hash join, never all-pairs), THEN the quadratic
+    ``levenshtein`` refine runs only on candidates and only on a
+    40-char prefix (bounded cost per pair). Spark and DuckDB share
+    the unit-cost Levenshtein definition, so the refine is
+    oracle-exact."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"),
+        "text",
+        "n_chars",
+        F.split(F.col("text"), " ").getItem(0).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("ta"),
+        F.col("n_chars").alias("ca"),
+        "blk",
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("tb"),
+        F.col("n_chars").alias("cb"),
+        "blk",
+    )
+    dist = F.levenshtein(F.substring("ta", 1, 40), F.substring("tb", 1, 40))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ca") - F.col("cb")) <= 2)
+        )
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= 25)
+    )
