@@ -117,7 +117,11 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         p50 = statistics.median(runs)
-        p95 = statistics.quantiles(runs, n=100, method="inclusive")[94]
+        p95 = (
+            statistics.quantiles(runs, n=100, method="inclusive")[94]
+            if len(runs) > 1
+            else runs[0]
+        )
         timings[name] = round(p50, 3)
         spread[name] = {
             "p50": round(p50, 3),
@@ -126,6 +130,7 @@ def main() -> None:
         }
 
     latency = stream_latency_probe(spark, sf_dir)
+    state = stream_state_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -141,6 +146,7 @@ def main() -> None:
                 "silver_staging_sec": staging_sec,
                 "catalog_staging_sec": catalog_staging_sec,
                 "stream_batch_ms": latency,
+                "stream_state": state,
             }
         )
     )
@@ -194,6 +200,52 @@ def stream_latency_probe(spark, sf_dir: str) -> dict[str, float]:
             statistics.quantiles(durs, n=100, method="inclusive")[94], 1
         ),
         "batches": len(durs),
+    }
+
+
+def stream_state_probe(spark, sf_dir: str) -> dict[str, float]:
+    """State-store footprint of the watermarked dedup+window pipeline
+    (the regression signal NEXT.md tracks): drain the silver stream
+    with a 30-min watermark and report the state rows/bytes the last
+    micro-batch holds. Growth across rounds at fixed sf means an
+    unbounded-state regression (watermark not pruning)."""
+    import tempfile
+    import uuid
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.streaming import pipeline as sp
+
+    base = os.path.join(tempfile.gettempdir(), f"eco_pulse_state_{uuid.uuid4().hex}")
+    stage = os.path.join(base, "in")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(stage)
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.format("parquet").schema(schema).load(stage)
+    silver = sp.to_silver(stream, "ts", ["event_id"], with_processed_at=False)
+    # silver already carries the watermark — aggregate directly
+    # (re-declaring one above a stateful op is disallowed)
+    agg = silver.groupBy(F.window("ts", "1 hour"), "event_type").count()
+    q = (
+        agg.writeStream.format("noop")
+        .option(
+            "checkpointLocation", os.path.join(base, "ck")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = (q.lastProgress or {}).get("stateOperators") or []
+    if not ops:
+        return {}
+    return {
+        "rows_total": sum(o.get("numRowsTotal", 0) for o in ops),
+        "memory_bytes": sum(o.get("memoryUsedBytes", 0) for o in ops),
+        "operators": len(ops),
     }
 
 
