@@ -256,3 +256,32 @@ def test_bounded_ivf_caps_lists_and_keeps_recall(spark):
     # bounded search keeps most of the unbounded result set
     overlap = len(bounded & unbounded) / len(unbounded)
     assert overlap > 0.5, f"bounded IVF diverged: overlap {overlap}"
+
+
+def test_ivf_recall_monotone_in_n_probe(spark):
+    """The recall-vs-n_probe trade: probing more lists can only add
+    candidates, so recall is non-decreasing in n_probe and reaches
+    1.0 when every list is probed (the sweep NEXT.md asked for —
+    pins both the tuning-curve shape and the exhaustive limit)."""
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_bruteforce(qs, cs, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.q_id, r.c_id)
+            for r in xs.ivf_topk(emb, n_centroids=8, n_probe=n_probe, k=5)
+            .filter(F.col("q_id") < 20)
+            .collect()
+        }
+        return len(truth & got) / len(truth)
+
+    curve = [recall(p) for p in (1, 2, 4, 8)]
+    assert all(b >= a - 1e-9 for a, b in zip(curve, curve[1:])), curve
+    assert curve[-1] == 1.0, curve
