@@ -1106,3 +1106,44 @@ def m2_snapshot_diff(spark, sf_dir):
         )
     )
     return snapshot_diff(o, new, ["o_orderkey"])
+
+
+@q(
+    "q4_profile",
+    """
+    WITH w AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu_k,
+             COUNT(DISTINCT o_orderkey) AS nd_k,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu_s,
+             COUNT(DISTINCT o_orderstatus) AS nd_s,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_s,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_s,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu_p,
+             COUNT(DISTINCT o_totalprice) AS nd_p,
+             CAST(MIN(o_totalprice) AS VARCHAR) AS mn_p,
+             CAST(MAX(o_totalprice) AS VARCHAR) AS mx_p
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column, n_rows, nu_k AS n_nulls, nd_k AS n_distinct,
+           mn_k AS min_str, mx_k AS max_str FROM w
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nu_s, nd_s, mn_s, mx_s FROM w
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nu_p, nd_p, mn_p, mx_p FROM w
+    """,
+)
+def q4_profile(spark, sf_dir):
+    """Data quality — single-pass table profile (operators/quality.py:
+    profile_table): per-column null count, exact distinct count and
+    min/max, all folded into ONE aggregation job (no per-column
+    scans — the one-pass property is the 100 TB feature). Float
+    min/max stringify identically across engines because Spark's
+    double->string uses the shortest-roundtrip form DuckDB also
+    emits for these values."""
+    from eco_pulse_lakehouse_spark.operators.quality import profile_table
+
+    o = T(spark, sf_dir, "orders")
+    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_totalprice"])

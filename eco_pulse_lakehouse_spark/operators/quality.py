@@ -13,6 +13,8 @@ engine's answer.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -97,3 +99,34 @@ def observed_split(
     good = annotated.filter(F.size(VIOLATIONS_COL) == 0).drop(VIOLATIONS_COL)
     bad = annotated.filter(F.size(VIOLATIONS_COL) > 0)
     return good, bad, obs
+
+
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Single-pass column profile: per column row count, null count,
+    exact distinct count, and min/max (as strings, so heterogeneous
+    column types stack into one tall frame).
+
+    Everything folds into ONE aggregation job (count + count-distinct
+    per column in the same Expand-based agg; no per-column scans) —
+    at 100 TB the difference between profiling in one pass and N
+    passes IS the feature. The tall shape comes from a stack() of
+    the wide row, driver-side cost O(columns).
+    """
+    cols = list(cols if cols is not None else df.columns)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__rows AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column, n_nulls, n_distinct, min_str, max_str)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

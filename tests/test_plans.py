@@ -192,3 +192,18 @@ def test_catalog_bucketed_corpus_entry_single_exchange(spark):
     plan = _plan(df)
     assert plan.count("Exchange") == 1, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_profile_table_single_pass(spark):
+    """profile_table folds every column's metrics into one
+    aggregation job: exactly one scan of the input (one Expand for
+    the multi-count-distinct), never a per-column job."""
+    from eco_pulse_lakehouse_spark.operators.quality import profile_table
+
+    df = profile_table(
+        load_table(spark, SF, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Expand") <= 1 + plan.count("Exchange"), plan
