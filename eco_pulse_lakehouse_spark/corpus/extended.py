@@ -1147,3 +1147,143 @@ def q4_profile(spark, sf_dir):
 
     o = T(spark, sf_dir, "orders")
     return profile_table(o, ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+
+# --- graph: triangle counting --------------------------------------------
+
+
+@q(
+    "g2_triangles",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e0 e1
+      JOIN e0 e2 ON e1.v = e2.u
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY id
+    """,
+)
+def g2_triangles(spark, sf_dir):
+    """G2 — per-vertex triangle counts on the part co-purchase graph
+    (parts sharing an order), degree-ordered compact-forward
+    enumeration (operators/components.py:triangle_counts): wedge
+    fan-out bounded by O(√|E|) out-degree, closure probed with a
+    hash equi-join on the canonical (lo, hi) edge. The oracle
+    enumerates x<y<z directly — same triangle set, any orientation."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        triangle_counts,
+    )
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("id_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return triangle_counts(pairs)
+
+
+# --- time series: gap fill + forward fill ---------------------------------
+
+
+@q(
+    "w11_gap_fill",
+    """
+    WITH pd AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 30 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM pd GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT CAST(g.user_id AS BIGINT) AS user_id, g.day,
+           pd.v IS NOT NULL AS observed,
+           last_value(pd.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g
+    LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day
+    """,
+)
+def w11_gap_fill(spark, sf_dir):
+    """W11 — dense per-(user, day) series with forward fill
+    (operators/timeseries.py:gap_fill_daily): grid generated
+    map-side from per-key bounds via sequence+explode, one left
+    equi-join onto pre-aggregated observations, one window per key
+    for the carry-forward. Daily sums use decimal accumulation so
+    the fill values match the oracle bit-for-bit."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    agg = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    return gap_fill_daily(ev, "user_id", "ts", agg)
+
+
+# --- interval overlap join ------------------------------------------------
+
+
+@q(
+    "j6_interval_join",
+    """
+    WITH l AS (
+      SELECT event_id AS signup_id, ts AS ls,
+             ts + INTERVAL 2 MINUTE AS le
+      FROM events WHERE event_type = 'signup'
+    ), r AS (
+      SELECT event_id AS error_id, ts AS rs,
+             ts + INTERVAL 10 MINUTE AS re
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT CAST(signup_id AS BIGINT) AS signup_id,
+           CAST(error_id AS BIGINT) AS error_id
+    FROM l, r WHERE ls < re AND rs < le
+    """,
+)
+def j6_interval_join(spark, sf_dir):
+    """J6 — interval overlap join (signup activity windows ×
+    error incident windows) via time-grid bucketing
+    (operators/joins.py:interval_overlap_join): each interval
+    explodes to the 10-minute cells it touches, the join is a hash
+    equi-join on the cell, and exactly one cell (the one holding the
+    overlap's start) claims each pair. The oracle is the naive theta
+    join — same pairs, nested-loop plan."""
+    ev = T(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("ls"),
+        (F.col("ts") + F.expr("INTERVAL 2 MINUTE")).alias("le"),
+    )
+    r = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("rs"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("re"),
+    )
+    return oj.interval_overlap_join(
+        l, r, "ls", "le", "rs", "re", bucket_seconds=600
+    ).select("signup_id", "error_id")

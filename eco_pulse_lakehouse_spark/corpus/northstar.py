@@ -864,3 +864,135 @@ def x2_edit_distance(spark, sf_dir):
         .select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") <= 25)
     )
+
+
+# =====================================================================
+# X4 retrieval adjacency — term relevance / vocabulary budgeting
+# =====================================================================
+
+
+@q(
+    "x4_tfidf_topk",
+    """
+    WITH post AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(term_rank AS BIGINT) AS term_rank
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / dfreq.df), 6)
+               AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(CAST(tf.tf AS DOUBLE)
+                              * ln(n.n_docs / dfreq.df), 6) DESC,
+                        tf.term ASC) AS term_rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE term_rank <= 3
+    """,
+)
+def x4_tfidf_topk(spark, sf_dir):
+    """X4 retrieval — top-3 characteristic terms per document by
+    tf·idf (operators/retrieval.py:tfidf_topk_terms): inverted-index
+    shape, vocabulary-sized df table broadcast back onto postings.
+    Scores rounded to 6 decimals on both sides: ln() is 1-ulp
+    unstable between JVM Math.log and DuckDB's libm (measured
+    ~1% of values), and rounding irrationals is boundary-safe."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        tfidf_topk_terms,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return tfidf_topk_terms(d, "doc_id", "text", k=3)
+
+
+@q(
+    "x4_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ), vocab AS (
+      SELECT term FROM counts ORDER BY n DESC, term ASC LIMIT 20
+    )
+    SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) - COUNT(v.term) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) - COUNT(v.term) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.term = v.term
+    GROUP BY tok.doc_id
+    """,
+)
+def x4_vocab_coverage(spark, sf_dir):
+    """X4 retrieval — per-document out-of-vocabulary rate against the
+    corpus top-20 vocabulary (operators/retrieval.py:vocab_coverage).
+    Vocab selection is orderBy+limit → TakeOrderedAndProject (never a
+    single-partition global-sort window); the rate is an exact
+    rational, so the oracle matches bit-for-bit."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import vocab_coverage
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return vocab_coverage(d, "doc_id", "text", vocab_size=20)
+
+
+# =====================================================================
+# X6 adjacency — train/eval decontamination
+# =====================================================================
+
+
+@q(
+    "x6_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             {_UNIT_HASH_SQL} AS u
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, u,
+             unnest(list_distinct(
+               CASE WHEN len(t) >= 4 THEN
+                 list_transform(range(1, len(t) - 2),
+                                i -> array_to_string(t[i:i+3], ' '))
+               ELSE [] END)) AS shingle
+      FROM toks
+    ), ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE u >= 0.9
+    ), tr AS (
+      SELECT doc_id, shingle FROM sh WHERE u < 0.9
+    )
+    SELECT CAST(tr.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def x6_decontaminate(spark, sf_dir):
+    """X6 — benchmark decontamination: flag train-split documents
+    sharing any distinct word 4-gram with the held-out split
+    (operators/decontaminate.py). Split assignment reuses the
+    Knuth unit hash (train < 0.9 ≤ eval), candidate generation is an
+    equi-join on the shingle — never a cross product."""
+    from eco_pulse_lakehouse_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    u = unit_hash(F.col("doc_id"))
+    train = d.filter(u < 0.9)
+    eval_set = d.filter(u >= 0.9)
+    return decontaminate(train, eval_set, "doc_id", "text", shingle_n=4)

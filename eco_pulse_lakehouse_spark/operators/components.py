@@ -86,6 +86,69 @@ def resolve_duplicates(
     )
 
 
+def triangle_counts(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected
+    edge list — the compact-forward / degree-ordered shape.
+
+    Naive triangle enumeration joins edges on a shared endpoint and
+    the wedge count explodes as Σ deg² — a hub with 1M neighbors
+    yields 10¹² wedges. Orienting every edge from its lower-degree
+    endpoint to its higher-degree endpoint (ties by id) bounds
+    out-degree by O(√|E|), so the wedge join materializes at most
+    Σ out_deg² = O(|E|^1.5) rows — the classic MapReduce triangle
+    bound (Suri & Vassilvitskii). Each triangle is enumerated exactly
+    once (its two lowest-order edges form the wedge; the closing edge
+    is probed with a semi-join-shaped inner join on the oriented
+    list).
+
+    Pipeline: degrees (1 shuffle) → oriented edges (broadcast-join of
+    the vertex-sized degree table) → wedge self-join on the pivot →
+    closure probe on (lo, hi) → explode the 3 corners → per-vertex
+    count. All equi-joins; no cross product.
+    """
+    und = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient u→v iff (deg(u), u) < (deg(v), v): total order, acyclic
+    du = deg.select(F.col("u").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    w1 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u").alias("pivot"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "pivot").filter(F.col("x") < F.col("y"))
+    # closure probe in canonical (lo, hi) form so it stays a HASH
+    # equi-join (an OR-of-orientations predicate would force a
+    # nested-loop plan); wedges already have x < y
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    ).distinct()
+    tri = wedges.join(closing, ["x", "y"]).select("pivot", "x", "y")
+    corners = (
+        tri.select(F.col("pivot").alias("id"))
+        .unionAll(tri.select(F.col("x").alias("id")))
+        .unionAll(tri.select(F.col("y").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

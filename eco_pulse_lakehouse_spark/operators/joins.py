@@ -246,3 +246,56 @@ def equi_join(
     small dims (SURVEY.md §4.2)."""
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=on, how=how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval overlap join — pairs where [l_start, l_end) and
+    [r_start, r_end) intersect — via time-grid bucketing, so the
+    physical plan is a HASH equi-join on the bucket id, never a
+    nested-loop theta join.
+
+    Every interval emits one row per ``bucket_seconds``-wide grid
+    cell it touches (``sequence(floor(s/u), floor(e/u))`` + explode);
+    overlapping intervals necessarily share at least one cell. A
+    pair touching several shared cells would duplicate, so exactly
+    one cell CLAIMS each pair: the cell containing the overlap's
+    start, ``floor(max(l_start, r_start)/u)``.
+
+    Replication factor is interval_length/bucket_seconds + 1 — pick
+    the bucket near the typical interval length. Cost is linear in
+    rows x replication; AQE splits hot cells (e.g. a maintenance
+    window every interval overlaps). This is the 100 TB shape for
+    "which sessions overlap which incident windows".
+    """
+    u = int(bucket_seconds)
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        lo = F.floor(F.unix_timestamp(F.col(s)) / u)
+        hi = F.floor(F.unix_timestamp(F.col(e)) / u)
+        return df.withColumn("__cell", F.explode(F.sequence(lo, hi)))
+
+    lc = cells(left, l_start, l_end)
+    rc = cells(right, r_start, r_end)
+    claim = F.floor(
+        F.greatest(
+            F.unix_timestamp(F.col(l_start)), F.unix_timestamp(F.col(r_start))
+        )
+        / u
+    )
+    return (
+        lc.join(rc, "__cell")
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__cell") == claim)
+        )
+        .drop("__cell")
+    )

@@ -1,0 +1,233 @@
+"""Unit tests for the session-3 operators: retrieval (tf·idf, vocab
+coverage), decontamination, triangle counting, gap fill, and the
+interval overlap join. Oracle parity runs in test_oracle_parity.py;
+these tests pin SEMANTICS on hand-built fixtures and the plan shapes
+the 100 TB claims rest on.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.operators.components import triangle_counts
+from eco_pulse_lakehouse_spark.operators.decontaminate import decontaminate
+from eco_pulse_lakehouse_spark.operators.joins import interval_overlap_join
+from eco_pulse_lakehouse_spark.operators.retrieval import (
+    tfidf_topk_terms,
+    vocab_coverage,
+)
+from eco_pulse_lakehouse_spark.operators.timeseries import gap_fill_daily
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- retrieval ------------------------------------------------------------
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2 common"),
+            (3, "common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_topk_terms(docs, "doc_id", "text", k=1).collect()
+    }
+    # 'common' has df=3 → idf=0; each rare term appears in one doc
+    assert top1[1] == "rare1"
+    assert top1[2] == "rare2"
+    # doc 3 has only the zero-idf term; it still gets a (zero-score) row
+    assert top1[3] == "common"
+
+
+def test_vocab_coverage_oov_rate(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c c c c")],
+        ["doc_id", "text"],
+    )
+    # vocab_size=1 → vocab = {'c'} (4 occurrences beats 'a' at 2)
+    rows = {
+        r["doc_id"]: r
+        for r in vocab_coverage(docs, "doc_id", "text", vocab_size=1).collect()
+    }
+    assert rows[1]["n_oov"] == 3 and rows[1]["oov_rate"] == 1.0
+    assert rows[2]["n_oov"] == 0 and rows[2]["oov_rate"] == 0.0
+
+
+def test_vocab_selection_avoids_global_sort_window(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = _plan(vocab_coverage(docs, "doc_id", "text", vocab_size=2))
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- decontamination ------------------------------------------------------
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # shares 4-gram with eval
+            (2, "entirely different words here now"),
+            (3, "quick brown fox leaps high"),  # only a 3-gram overlap
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "so the quick brown fox ran")], ["doc_id", "text"]
+    )
+    flagged = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontaminate(train, ev, "doc_id", "text", shingle_n=4).collect()
+    }
+    # eval 4-grams: 'so the quick brown', 'the quick brown fox',
+    # 'quick brown fox ran'; doc 1 shares exactly 'the quick brown fox';
+    # doc 3's overlap is only 3 words long; doc 2 shares nothing
+    assert flagged == {1: 1}
+
+
+def test_decontaminate_overlap_count_is_distinct_shingles(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d a b c d")], ["doc_id", "text"]  # 'a b c d' twice
+    )
+    ev = spark.createDataFrame([(9, "z a b c d z")], ["doc_id", "text"])
+    rows = decontaminate(train, ev, "doc_id", "text", shingle_n=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_overlap"] == 1  # repeated shingle counts once
+
+
+def test_decontaminate_join_is_hash_equi_join(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "b c d e f")], ["doc_id", "text"])
+    plan = _plan(decontaminate(train, ev, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- triangles ------------------------------------------------------------
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_ignores_duplicate_and_reversed_edges(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_closure_probe_is_hash_join(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["id_a", "id_b"])
+    plan = _plan(triangle_counts(pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- gap fill -------------------------------------------------------------
+
+
+def test_gap_fill_carries_last_value_forward(spark):
+    t0 = datetime(2024, 1, 1, 5, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + timedelta(days=3), 7.0),  # days 2-3 silent
+        (2, t0, 1.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    agg = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    out = gap_fill_daily(ev, "user_id", "ts", agg).collect()
+    k1 = sorted(
+        [r for r in out if r["user_id"] == 1], key=lambda r: r["day"]
+    )
+    assert [r["filled_value"] for r in k1] == [10.0, 10.0, 10.0, 7.0]
+    assert [r["observed"] for r in k1] == [True, False, False, True]
+    # key 2 observed once → exactly its own single-day grid
+    assert len([r for r in out if r["user_id"] == 2]) == 1
+
+
+def test_gap_fill_aggregates_within_day_before_filling(spark):
+    t0 = datetime(2024, 1, 1, 5, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 2.0), (1, t0 + timedelta(hours=3), 3.5)],
+        ["user_id", "ts", "value"],
+    )
+    agg = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+    out = gap_fill_daily(ev, "user_id", "ts", agg).collect()
+    assert len(out) == 1 and out[0]["filled_value"] == 5.5
+
+
+# --- interval overlap join ------------------------------------------------
+
+
+def _iv(spark, rows, s, e):
+    return spark.createDataFrame(rows, ["id", s, e])
+
+
+def test_interval_join_matches_naive(spark):
+    t0 = datetime(2024, 1, 1)
+    lrows = [
+        (i, t0 + timedelta(minutes=7 * i), t0 + timedelta(minutes=7 * i + 13))
+        for i in range(40)
+    ]
+    rrows = [
+        (j, t0 + timedelta(minutes=11 * j), t0 + timedelta(minutes=11 * j + 29))
+        for j in range(25)
+    ]
+    left = _iv(spark, lrows, "ls", "le").withColumnRenamed("id", "lid")
+    right = _iv(spark, rrows, "rs", "re").withColumnRenamed("id", "rid")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=600
+        ).select("lid", "rid").collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .select("lid", "rid")
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_interval_join_no_duplicate_pairs_across_cells(spark):
+    t0 = datetime(2024, 1, 1)
+    # long intervals spanning many cells: every pair shares many cells
+    left = _iv(spark, [(1, t0, t0 + timedelta(hours=3))], "ls", "le")
+    right = _iv(
+        spark, [(2, t0 + timedelta(minutes=30), t0 + timedelta(hours=2))],
+        "rs", "re",
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_seconds=300
+    ).collect()
+    assert len(out) == 1
+
+
+def test_interval_join_is_hash_join(spark):
+    t0 = datetime(2024, 1, 1)
+    left = _iv(spark, [(1, t0, t0 + timedelta(minutes=5))], "ls", "le")
+    right = _iv(spark, [(2, t0, t0 + timedelta(minutes=5))], "rs", "re")
+    plan = _plan(
+        interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_seconds=600
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
