@@ -1287,3 +1287,152 @@ def j6_interval_join(spark, sf_dir):
     return oj.interval_overlap_join(
         l, r, "ls", "le", "rs", "re", bucket_seconds=600
     ).select("signup_id", "error_id")
+
+
+# --- product analytics: funnel + retention --------------------------------
+
+
+@q(
+    "w12_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(s1.user_id AS BIGINT) AS user_id, t1, t2, t3,
+           CAST(1 + CAST(t2 IS NOT NULL AS INT)
+                  + CAST(t3 IS NOT NULL AS INT) AS BIGINT)
+             AS steps_completed
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def w12_funnel(spark, sf_dir):
+    """W12 — ordered funnel (signup → later click → later purchase)
+    per user: each stage is MIN(ts) of the step event STRICTLY after
+    the previous stage's timestamp — three aggregations chained by
+    equi-joins on user_id (never a per-user sort of all events; each
+    stage shuffles one short row per qualifying user)."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(step, prev, t_prev, t_name):
+        e = ev.filter(F.col("event_type") == step)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t_name))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage("click", s1, "t1", "t2")
+    s3 = stage("purchase", s2, "t2", "t3")
+    done = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.col("user_id").cast("bigint"),
+            "t1",
+            "t2",
+            "t3",
+            done.cast("bigint").alias("steps_completed"),
+        )
+    )
+
+
+@q(
+    "a16_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a16_retention(spark, sf_dir):
+    """A16 — cohort retention: users grouped by first-seen day, count
+    of distinct users active at each day offset. Two aggregations
+    (first-seen per user; distinct active days per user) joined on
+    user_id — the activity side is pre-distinct'd so the join carries
+    one row per (user, day), not per event."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@q(
+    "q5_expectations",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice < 600000, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        CAST(SUM(CASE WHEN NOT COALESCE(
+                 o_orderdate >= TIMESTAMP '1992-01-01', FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      FROM orders
+    )
+    SELECT r.rule, r.n_violations, agg.n_rows,
+           r.n_violations = 0 AS passed
+    FROM agg, LATERAL (VALUES
+      ('price_positive', v0), ('price_below_cap', v1),
+      ('status_domain', v2), ('custkey_present', v3),
+      ('orderdate_in_range', v4)) AS r(rule, n_violations)
+    """,
+)
+def q5_expectations(spark, sf_dir):
+    """Q5 — table-level expectation report
+    (operators/quality.py:expectation_report): five declared rules
+    over orders checked in ONE conditional-aggregation pass, then the
+    single wide row unpivoted into a per-rule report. The stage gate
+    a pipeline asserts before publishing a table."""
+    from eco_pulse_lakehouse_spark.operators.quality import (
+        expectation_report,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "price_below_cap": F.col("o_totalprice") < 600000,
+        "status_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+        "custkey_present": F.col("o_custkey").isNotNull(),
+        "orderdate_in_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
+    }
+    return expectation_report(o, rules)

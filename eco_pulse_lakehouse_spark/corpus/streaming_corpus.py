@@ -373,3 +373,39 @@ def t12_python_stream_source(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.sum("u").alias("total_u"))
     )
+
+
+@q(
+    "t13_chained_windows",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    fine AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    big AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ws) AS window_start,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM fine GROUP BY 1
+    )
+    SELECT window_start, n FROM big, mx
+    WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    """,
+)
+def t13_chained_windows(spark, sf_dir):
+    """T13 — two chained stateful aggregations in ONE streaming query
+    (streaming/pipeline.py:chained_window_rollup): 10-minute tumbling
+    counts re-windowed into hourly sums, append-mode emission. The
+    multiple-stateful-operators surface: the watermark propagates
+    through the first aggregation, and the second stage's state is
+    one row per 10-minute window, not per event. Append mode only
+    finalizes windows the watermark has passed, so the oracle keeps
+    hour windows whose end <= max(ts) - the 10-minute delay."""
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    rollup = sp.chained_window_rollup(
+        stream, "ts", small="10 minutes", large="1 hour"
+    )
+    name = f"cw_{uuid.uuid4().hex[:8]}"
+    out = sp.run_to_memory(rollup, name, output_mode="append")
+    return out.select(F.col("w_large.start").alias("window_start"), "n")

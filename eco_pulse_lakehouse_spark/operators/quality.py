@@ -130,3 +130,38 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
         f"stack({len(cols)}, {stacked}) AS "
         "(column, n_nulls, n_distinct, min_str, max_str)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def expectation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Per-rule violation counts in ONE aggregation pass — the
+    table-level contract check (dbt-test / Great-Expectations shape)
+    that gates a pipeline stage: assert `passed` over the whole
+    report before publishing.
+
+    One wide conditional aggregate (no per-rule scans), then an
+    unpivot of the single summary row into (rule, n_violations,
+    n_rows, passed) — at 100 TB the scan happens once regardless of
+    how many rules are declared. NULL predicate results count as
+    violations (same convention as :func:`annotate`).
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")] + [
+        F.sum(
+            F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        ).alias(f"__v_{i}")
+        for i, (name, pred) in enumerate(rules.items())
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __v_{i}" for i, name in enumerate(rules)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+        ),
+        F.col("__rows").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

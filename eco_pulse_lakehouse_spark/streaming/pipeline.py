@@ -116,3 +116,33 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def chained_window_rollup(
+    events: DataFrame,
+    ts_col: str,
+    small: str = "10 minutes",
+    large: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Two CHAINED stateful window aggregations in one streaming
+    query: fine-grained tumbling counts, re-aggregated into coarse
+    windows (``window(window_col, large)`` over the first window
+    struct) — the Spark-4 multiple-stateful-operators surface
+    (watermark propagates through the first aggregation).
+
+    The pre-aggregation is the scale lever: the second stage's state
+    holds one row per SMALL window, not per event, so a 100 TB
+    stream rolls up through a few-KB second stage. Append-only
+    emission: a window row is final once the watermark passes its
+    end — the downstream sink never sees retractions.
+    """
+    fine = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), small).alias("w_small"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        fine.groupBy(F.window(F.col("w_small"), large).alias("w_large"))
+        .agg(F.sum("n").alias("n"))
+    )

@@ -1,0 +1,102 @@
+"""Fixture-level semantics for the funnel / retention / expectation
+operators (oracle parity runs separately in test_oracle_parity.py)
+and the chained-streaming-windows state shape.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.operators.quality import expectation_report
+
+
+def test_expectation_report_counts_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], ["id", "price"]
+    )
+    rules = {
+        "price_positive": F.col("price") > 0,
+        "id_present": F.col("id").isNotNull(),
+    }
+    rows = {r["rule"]: r for r in expectation_report(df, rules).collect()}
+    # NULL predicate result counts as a violation
+    assert rows["price_positive"]["n_violations"] == 2
+    assert rows["price_positive"]["passed"] is False
+    assert rows["id_present"]["n_violations"] == 0
+    assert rows["id_present"]["passed"] is True
+    assert all(r["n_rows"] == 3 for r in rows.values())
+
+
+def test_expectation_report_single_scan(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["id", "price"])
+    rules = {
+        "a": F.col("price") > 0,
+        "b": F.col("id") < 10,
+        "c": F.col("price") < 100,
+    }
+    plan = expectation_report(df, rules)._jdf.queryExecution().executedPlan().toString()
+    # one aggregate over the source; no union of per-rule subplans
+    assert plan.count("LocalTableScan") <= 1
+
+
+def test_funnel_requires_strict_order(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", t0),
+        (1, "click", t0 + timedelta(minutes=1)),
+        (1, "purchase", t0 + timedelta(minutes=2)),
+        # user 2: purchase BEFORE click → funnel stops at click
+        (2, "signup", t0),
+        (2, "purchase", t0 + timedelta(minutes=1)),
+        (2, "click", t0 + timedelta(minutes=2)),
+        # user 3: click before signup doesn't count; none after
+        (3, "click", t0 - timedelta(minutes=1)),
+        (3, "signup", t0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = {
+        r["user_id"]: (r["t2"] is not None, r["t3"] is not None)
+        for r in s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .collect()
+    }
+    assert out == {1: (True, True), 2: (True, False), 3: (False, False)}
+
+
+def test_chained_windows_second_stage_state_is_preaggregated(spark):
+    """The t13 plan must contain TWO stateful aggregation exchanges —
+    and the second one's input is the first's output (rows per small
+    window), which is the bounded-state claim."""
+    from eco_pulse_lakehouse_spark.streaming import pipeline as sp
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumnRenamed("timestamp", "ts")
+    )
+    rollup = sp.chained_window_rollup(stream, "ts")
+    # logical plan: two Aggregate nodes over window expressions
+    logical = rollup._jdf.queryExecution().logical().toString()
+    assert logical.count("Aggregate") >= 2
+    assert "EventTimeWatermark" in logical
