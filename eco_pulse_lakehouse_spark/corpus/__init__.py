@@ -50,22 +50,26 @@ _DRIVER_GREEN_R01 = frozenset(
 )
 
 
-def _priority(name: str, has_oracle: bool) -> tuple[int, int]:
+def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
     """Sort key for a windowed CORRECTNESS run: never-driver-checked
-    entries first; within those the engine's most differentiated
-    families (north-star X/flagship, streaming, TPC-H) lead, and
-    oracle-backed entries precede rows-only ones (an oracle row is
-    the stronger external signal) — so a fixed-size window certifies
-    the most load-bearing evidence first."""
+    entries first. Within those, ALL oracle-backed entries precede
+    rows-only ones (an oracle row is the strong external signal; a
+    rows-only row only proves the query ran), and families order
+    x/flagship/q → TPC-H → streaming → rest, so a 50-entry window
+    certifies the round-1 verdict's done-criterion ("X and TPC-H
+    families all green") before anything weaker. Streaming entries
+    follow TPC-H: they are the slowest to check (10-30 s each), and
+    a time-budgeted driver should spend that after the fast exact
+    families are certified."""
     if name in _DRIVER_GREEN_R01:
-        return (9, 0)
+        return (9, 0, 0)
     fam = (
         0 if name.startswith(("x", "flagship", "q")) else
-        1 if name.startswith("t") and not name.startswith("tpch") else
-        2 if name.startswith("tpch") else
+        1 if name.startswith("tpch") else
+        2 if name.startswith("t") else
         3
     )
-    return (fam, 0 if has_oracle else 1)
+    return (0, 0 if has_oracle else 1, fam)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
