@@ -1436,3 +1436,78 @@ def q5_expectations(spark, sf_dir):
         "orderdate_in_range": F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"),
     }
     return expectation_report(o, rules)
+
+
+# --- forward as-of join ---------------------------------------------------
+
+
+@q(
+    "j4_asof_forward",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.value AS next_value, r.ts AS next_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def j4_asof_forward(spark, sf_dir):
+    """J4 — FORWARD as-of join (operators/joins.py:asof_join,
+    direction='forward'): for each error event, the EARLIEST purchase
+    of the same user at or after it — the same union-tag single
+    window sweep as backward, run over descending time order. Oracle
+    is DuckDB's native forward ASOF (l.ts <= r.ts)."""
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ts_r"),
+        F.col("value").alias("next_value"),
+    )
+    joined = oj.asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts_r",
+        right_vals=["next_value", "ts_r"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        "next_value", F.col("ts_r").alias("next_ts"),
+    )
+
+
+# --- weighted sampling ----------------------------------------------------
+
+
+@q(
+    "x6_priority_sample",
+    """
+    SELECT * FROM (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
+             (CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE)
+               / 4294967296.0) / o_totalprice AS priority
+      FROM orders
+    ) ORDER BY priority ASC, o_orderkey ASC LIMIT 100
+    """,
+)
+def x6_priority_sample(spark, sf_dir):
+    """X6 — weight-proportional sampling without replacement
+    (operators/sampling.py:priority_sample): priority-sampling keys
+    u/w (one reproducible IEEE division — deliberately NOT the
+    u^(1/w) exponential-keys scheme, whose pow() is 1-ulp unstable
+    across engines), k smallest win via TakeOrderedAndProject.
+    Heavier orders are proportionally likelier to be kept; the
+    selection is bit-identical under any partitioning."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint"), "o_totalprice"
+    )
+    return priority_sample(o, "o_orderkey", "o_totalprice", k=100)

@@ -180,21 +180,26 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
-    ``right_ts <= left_ts`` on the same key (direction='backward').
+    ``right_ts <= left_ts`` on the same key (direction='backward'),
+    or the EARLIEST right row with ``right_ts >= left_ts``
+    (direction='forward' — the "next reading after the query point"
+    form).
 
     Spark has no native ASOF JOIN (DuckDB/pandas do); the idiomatic
     distributed form is union-tag + one ranking-window sweep:
     interleave both sides sorted by (key, ts), then carry the last
     seen right-side values forward with last_value(ignorenulls).
-    ONE shuffle on the key — no per-row range probe, no cross
-    product; this is the 100 TB shape (a merge_asof per group via
-    applyInPandas would move all data through Python instead).
+    Forward is the same sweep over the REVERSED time order (sort ts
+    descending) — still one shuffle, no second pass. ONE shuffle on
+    the key — no per-row range probe, no cross product; this is the
+    100 TB shape (a merge_asof per group via applyInPandas would
+    move all data through Python instead).
 
-    Ties (right_ts == left_ts) take the right row, matching DuckDB
-    ASOF JOIN's >= semantics.
+    Ties (right_ts == left_ts) take the right row in both
+    directions, matching DuckDB ASOF JOIN's >= / <= semantics.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
     l_tag = left.select(
         F.col(on).alias("__k"),
@@ -213,9 +218,12 @@ def asof_join(
         *[F.col(v).alias(f"__r_{v}") for v in right_vals],
     )
     merged = l_tag.unionByName(r_tag)
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(

@@ -99,3 +99,30 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_class)
         .drop("__rn")
     )
+
+
+def priority_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows WITHOUT replacement —
+    priority sampling (Duffield–Lund–Thorup): each row gets priority
+    ``u / w`` with ``u`` the deterministic unit hash of its id, and
+    the k smallest priorities win (heavier rows draw smaller
+    priorities, so inclusion probability scales with weight; with τ
+    the (k+1)-th smallest priority, the unbiased subset-sum
+    estimator for a sampled row is ŵ = max(w, 1/τ) if callers
+    need it).
+
+    Chosen over Efraimidis–Spiridakis keys (u^(1/w)) deliberately:
+    the priority is ONE IEEE division of reproducible values — no
+    pow/exp, so the sample is bit-identical across engines, reruns,
+    and partitionings. The top-k is orderBy+limit →
+    TakeOrderedAndProject: per-partition heaps then a k-row merge,
+    never a global sort.
+    """
+    pri = unit_hash(F.col(id_col)) / F.col(weight_col)
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -231,3 +231,52 @@ def test_interval_join_is_hash_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- forward as-of join ---------------------------------------------------
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    from eco_pulse_lakehouse_spark.operators.joins import asof_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(20)), (2, ts(5))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, ts(12), "a"), (1, ts(20), "b"), (1, ts(25), "c")],
+        ["k", "rts", "v"],
+    )
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_vals=["v"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, ts(10))] == "a"   # earliest right at-or-after 10:00
+    assert out[(1, ts(20))] == "b"   # tie takes the equal-ts right row
+    assert out[(2, ts(5))] is None   # no right rows for key 2
+
+
+def test_priority_sample_is_weight_proportional_and_deterministic(spark):
+    from eco_pulse_lakehouse_spark.operators.sampling import priority_sample
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id"),
+        # first half weight 1, second half weight 50
+        F.when(F.col("id") < n // 2, 1.0).otherwise(50.0).alias("w"),
+    )
+    picked = priority_sample(df, "id", "w", k=200).collect()
+    heavy = sum(1 for r in picked if r["w"] == 50.0)
+    # heavy rows are 50x likelier; expect the sample utterly dominated
+    # by them (binomial tail makes <150/200 astronomically unlikely)
+    assert heavy > 150
+    # determinism: same selection under a different partitioning
+    again = priority_sample(df.repartition(13), "id", "w", k=200).collect()
+    assert {r["id"] for r in picked} == {r["id"] for r in again}
