@@ -1511,3 +1511,32 @@ def x6_priority_sample(spark, sf_dir):
         F.col("o_orderkey").cast("bigint"), "o_totalprice"
     )
     return priority_sample(o, "o_orderkey", "o_totalprice", k=100)
+
+
+# --- mergeable distinct-count sketches ------------------------------------
+
+
+@q("a17_hll_mergeable")  # sketch estimate: rows-only; merge ≡ direct pinned in pytest
+def a17_hll_mergeable(spark, sf_dir):
+    """A17 — INCREMENTAL COUNT DISTINCT via mergeable HLL sketches
+    (Spark 4 DataSketches surface): build one sketch per day
+    (`hll_sketch_agg`), then merge the daily sketches
+    (`hll_union_agg`) into the monthly distinct-user estimate.
+
+    The maintenance pattern a 100 TB pipeline needs: daily partitions
+    are sketched ONCE at ingest (each sketch is a few KB), and any
+    rollup window is a cheap sketch union — no re-scan of history,
+    unlike exact COUNT DISTINCT whose expand+reshuffle must revisit
+    every row. Merge-then-estimate equals sketch-then-estimate
+    exactly (same deterministic sketch algorithm — pinned in
+    tests), so incremental rollups never drift from a direct
+    computation."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+    )
+    return daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .alias("distinct_users_est"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )

@@ -1076,3 +1076,42 @@ def f_random_generator(spark, sf_dir):
         F.round(F.rand(seed=42) * (60.0 - 5.0) + 5.0, 2).alias("wind_speed"),
         (F.floor(F.rand(seed=7) * 81) + 10).cast("double").alias("humidity"),
     )
+
+
+@q(
+    "f_hof_array",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, w -> len(w) > 5)) AS BIGINT)
+             AS n_long_tokens,
+           CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+             AS total_chars,
+           CAST(list_max(list_transform(toks, w -> len(w))) AS BIGINT)
+             AS max_token_len
+    FROM t
+    """,
+)
+def f_hof_array(spark, sf_dir):
+    """§2.8 — higher-order array functions surface: transform /
+    filter / aggregate over the token array in one projection.
+    HOF lambdas are interpreted (not codegen'd) — fine for a
+    functions-surface entry; hot paths use the explode→aggregate
+    rewrite instead (operators/dedup.py:minhash_signatures)."""
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, F.length)
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda w: F.length(w) > 5))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.array_max(lens).cast("bigint").alias("max_token_len"),
+    )

@@ -409,3 +409,32 @@ def t13_chained_windows(spark, sf_dir):
     name = f"cw_{uuid.uuid4().hex[:8]}"
     out = sp.run_to_memory(rollup, name, output_mode="append")
     return out.select(F.col("w_large.start").alias("window_start"), "n")
+
+
+@q(
+    "t14_sliding_windows",
+    """
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+             - k.k * INTERVAL 30 MINUTE AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def t14_sliding_windows(spark, sf_dir):
+    """T14 — SLIDING event-time windows (1-hour window, 30-minute
+    slide) over a stream: every event lands in exactly two
+    overlapping windows. The oracle replays the assignment rule
+    (window starts = 30-min bucket and the one before it). State and
+    shuffle scale by window/slide — the docstring'd reason a 100 TB
+    stream keeps the slide coarse."""
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    agg = sp.windowed_counts(
+        stream, "ts", "1 hour", ["event_type"], slide="30 minutes"
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    out = sp.run_to_memory(agg, name, output_mode="complete")
+    return out.select(
+        F.col("win.start").alias("window_start"), "event_type", "n"
+    )

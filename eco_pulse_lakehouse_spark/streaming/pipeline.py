@@ -67,12 +67,20 @@ def windowed_counts(
     window: str = "1 hour",
     group_cols: list[str] | None = None,
     watermark: str | None = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """T6 — tumbling event-time window aggregation."""
+    """T6 — tumbling (or, with ``slide``, overlapping sliding)
+    event-time window aggregation. A sliding window assigns each
+    event to window/slide windows — state and shuffle grow by that
+    factor, which is why the slide should not be much finer than the
+    window at scale."""
     src = events.withWatermark(ts_col, watermark) if watermark else events
-    keys = [F.window(F.col(ts_col), window).alias("win")] + [
-        F.col(c) for c in (group_cols or [])
-    ]
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    keys = [win.alias("win")] + [F.col(c) for c in (group_cols or [])]
     return src.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
 
 

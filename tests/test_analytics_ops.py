@@ -100,3 +100,26 @@ def test_chained_windows_second_stage_state_is_preaggregated(spark):
     logical = rollup._jdf.queryExecution().logical().toString()
     assert logical.count("Aggregate") >= 2
     assert "EventTimeWatermark" in logical
+
+
+def test_hll_merge_equals_direct_and_near_exact(spark):
+    """Union of per-day HLL sketches must estimate EXACTLY what a
+    single whole-table sketch estimates (same deterministic
+    algorithm), and land within 5% of the exact distinct count —
+    the property that makes sketch-per-partition + union a safe
+    incremental substitute for COUNT DISTINCT."""
+    df = spark.range(20000).select(
+        (F.col("id") % 37).alias("day"),
+        (F.col("id") % 4999).alias("uid"),
+    )
+    merged = (
+        df.groupBy("day")
+        .agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+    assert abs(merged - 4999) / 4999 < 0.05
