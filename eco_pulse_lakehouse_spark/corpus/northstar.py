@@ -947,6 +947,88 @@ def x4_vocab_coverage(spark, sf_dir):
     return vocab_coverage(d, "doc_id", "text", vocab_size=20)
 
 
+_BM25_QUERIES = [
+    (1, "hash join merge"),
+    (2, "stream window batch"),
+    (3, "vector scan filter"),
+]
+
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, qtext in _BM25_QUERIES
+    for t in qtext.split(" ")
+)
+
+
+@q(
+    "x4_bm25",
+    f"""
+    WITH post AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), qt AS (
+      SELECT DISTINCT * FROM (VALUES {_BM25_QT_VALUES}) AS t(query_id, term)
+    ), contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               round(ln((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                          / (dfreq.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE)), 6)
+               * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+                            / stats.avgdl)))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c_fp
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           score_fp, n_terms_matched, rk
+    FROM (
+      SELECT query_id, doc_id, SUM(c_fp) AS score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY SUM(c_fp) DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM contrib GROUP BY query_id, doc_id
+    ) WHERE rk <= 10
+    """,
+)
+def x4_bm25(spark, sf_dir):
+    """X4 retrieval — BM25 top-10 documents for a 3-query literal
+    batch (operators/retrieval.py:bm25_topk, k1=1.2 b=0.75).
+    Inverted-index shape: the corpus shuffles once into postings;
+    the query-term list, df table, and corpus stats broadcast.
+    idf is rounded to 6dp (ln is libm-unstable), each contribution
+    is floored to a 1e-6 fixed-point BIGINT, and the per-query sum
+    is integer — order-independent, so the oracle matches exactly.
+    Float literals mirror Python arithmetic: 1.2+1.0 == 2.2 and
+    1.0-0.75 == 0.25 bit-exactly (checked)."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import bm25_topk
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return bm25_topk(
+        d, "doc_id", "text", _BM25_QUERIES, k1=1.2, b=0.75, k=10
+    )
+
+
 # =====================================================================
 # X6 adjacency — train/eval decontamination
 # =====================================================================

@@ -95,6 +95,100 @@ def tfidf_topk_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query for a literal
+    query batch (Robertson/Sparck-Jones idf with the Lucene +1 floor).
+
+      score(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+      idf(t)      = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    Same inverted-index scale shape as tf·idf: one postings shuffle
+    of short rows, a vocabulary-sized df table, and a broadcast of
+    the (tiny) query-term list onto postings — the corpus is never
+    re-shuffled per query, so a 1000-query batch costs the same
+    shuffle as one query.
+
+    Cross-engine determinism: idf is rounded to 6 decimals (ln is
+    1-ulp unstable across libms; irrationals are boundary-safe),
+    then each term's contribution — a product/quotient of now
+    bit-identical doubles, IEEE-deterministic — is quantized to a
+    1e-6 fixed-point BIGINT so the per-query SUM is integer and
+    therefore independent of Spark's partial-aggregation order
+    (the g1_pagerank trick; doubles summed in different orders
+    differ in the last ulp)."""
+    postings = term_postings(docs, id_col, text_col)
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    q_terms = (
+        docs.sparkSession.createDataFrame(
+            [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
+            "query_id long, term string",
+        ).distinct()
+    )
+    idf = F.round(
+        F.log(
+            (F.col("__n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
+        )
+    )
+    contrib = (
+        postings.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.floor(idf * sat * F.lit(1e6)).cast("bigint").alias("c_fp"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.sum("c_fp").alias("score_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "score_fp",
+            "n_terms_matched",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     id_col: str,

@@ -15,6 +15,7 @@ from eco_pulse_lakehouse_spark.operators.components import triangle_counts
 from eco_pulse_lakehouse_spark.operators.decontaminate import decontaminate
 from eco_pulse_lakehouse_spark.operators.joins import interval_overlap_join
 from eco_pulse_lakehouse_spark.operators.retrieval import (
+    bm25_topk,
     tfidf_topk_terms,
     vocab_coverage,
 )
@@ -66,6 +67,46 @@ def test_vocab_selection_avoids_global_sort_window(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = _plan(vocab_coverage(docs, "doc_id", "text", vocab_size=2))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_ranks_matching_docs_and_saturates_tf(spark):
+    """A doc matching both query terms outranks single-term docs, and
+    BM25's tf saturation keeps a term-stuffed doc from dominating a
+    balanced one (tf contribution is bounded by k1+1)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma gamma"),
+            (2, "alpha alpha alpha alpha"),  # stuffed single-term
+            (3, "alpha beta delta delta"),
+            (4, "gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, "doc_id", "text", [(1, "alpha beta")], k=4)
+    rows = {r.rk: r for r in out.collect()}
+    # both-term docs (1, 3) lead; the stuffed doc 2 is behind them
+    assert {rows[1].doc_id, rows[2].doc_id} == {1, 3}
+    assert rows[3].doc_id == 2
+    assert rows[1].n_terms_matched == 2
+    assert rows[3].n_terms_matched == 1
+    # doc 4 matches nothing → absent
+    assert len(rows) == 3
+
+
+def test_bm25_shorter_doc_wins_at_equal_tf(spark):
+    """Length normalization: equal tf in a shorter document scores
+    higher (b=0.75 penalizes long documents)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x"),
+            (2, "alpha x y z w v u t s r q p"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, "doc_id", "text", [(7, "alpha")], k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rk)
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].score_fp > rows[1].score_fp
 
 
 # --- decontamination ------------------------------------------------------
