@@ -182,6 +182,52 @@ def x3_cosine_topk_block(spark, sf_dir):
     return xs.cosine_topk_block(qs, cs, k=10)
 
 
+_QNORM = f"sqrt({_dot('embedding', 'embedding')})"
+_QVEC = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) "
+    f"/ {_QNORM} * CAST(127.0 AS DOUBLE)) AS INT))"
+)
+
+
+@q(
+    "x3_quantized_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, qv AS qa FROM e WHERE q_id < 10),
+    c AS (SELECT vec_id AS c_id, qv AS qb FROM e),
+    scored AS (
+      SELECT q_id, c_id,
+             CAST(list_sum(list_transform(range(1, len(qa)+1),
+               i -> CAST(qa[i] AS BIGINT) * qb[i])) AS BIGINT) AS qdot
+      FROM q CROSS JOIN c WHERE q_id != c_id
+    )
+    SELECT q_id, c_id, qdot, rk FROM (
+      SELECT q_id, c_id, qdot, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def x3_quantized_topk(spark, sf_dir):
+    """X3 — int8-quantized top-10 (operators/similarity.py:
+    quantize_embeddings + quantized_dot_topk): L2-normalize, scale to
+    ±127 ints, rank by exact BIGINT dot product. 4× smaller vectors
+    than float32 at every ANN stage; unlike the float-scored paths
+    this one is oracle-EXACT (integer scoring has no summation-order
+    ulp), and its rank overlap vs exact cosine is pinned in pytest."""
+    e = T(spark, sf_dir, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    qs_ = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q_vec").alias("qa")
+    )
+    cs = qz.select(F.col("vec_id").alias("c_id"), F.col("q_vec").alias("qb"))
+    return xs.quantized_dot_topk(
+        qs_, cs, k=10, q_vec="qa", c_vec="qb"
+    )
+
+
 @q("x3_ann_lsh")  # approximate: rows-only; recall vs brute force in pytest
 def x3_ann_lsh(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH buckets + exact refine."""

