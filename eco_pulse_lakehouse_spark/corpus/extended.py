@@ -1109,6 +1109,61 @@ def m2_snapshot_diff(spark, sf_dir):
 
 
 @q(
+    "m3_scd2",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal AS val,
+             TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ), ch AS (
+      SELECT o_custkey AS c_custkey, o_orderdate AS ts,
+             MAX(o_totalprice) AS val
+      FROM orders GROUP BY 1, 2
+    ), ch2 AS (
+      SELECT c_custkey, val, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+               AS valid_to
+      FROM ch
+    ), fc AS (
+      SELECT c_custkey, MIN(ts) AS new_from FROM ch GROUP BY 1
+    )
+    SELECT cur.c_custkey, cur.val, cur.valid_from,
+           CASE WHEN cur.valid_to IS NULL AND fc.new_from IS NOT NULL
+                THEN fc.new_from ELSE cur.valid_to END AS valid_to
+    FROM cur LEFT JOIN fc USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, val, valid_from, valid_to FROM ch2
+    """,
+)
+def m3_scd2(spark, sf_dir):
+    """M3 — SCD type-2 history build (operators/merge.py:scd2_apply)
+    with MULTIPLE changes per key in one batch: every customer's
+    order history becomes chained dimension versions — each version
+    closed by the next change's valid_from (lead window), the
+    pre-existing current row closed at the earliest change, only the
+    latest change left open. This is the multi-change case the
+    round-2 ADVICE flagged; the oracle replays the full chain.
+    Changes are pre-aggregated to one per (key, ts) — SCD2 is
+    undefined under tied timestamps."""
+    from eco_pulse_lakehouse_spark.operators.merge import scd2_apply
+
+    c = T(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("val"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    o = T(spark, sf_dir, "orders")
+    ch = o.groupBy(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+    ).agg(F.max("o_totalprice").alias("val"))
+    return scd2_apply(cur, ch, ["c_custkey"], "ts")
+
+
+@q(
     "q4_profile",
     """
     WITH w AS (

@@ -342,3 +342,34 @@ def test_ivf_recall_monotone_in_n_probe(spark):
     curve = [recall(p) for p in (1, 2, 4, 8)]
     assert all(b >= a - 1e-9 for a, b in zip(curve, curve[1:])), curve
     assert curve[-1] == 1.0, curve
+
+
+def test_lsh_recall_decreases_with_bits(spark):
+    """The LSH tuning curve (NEXT.md #5, completing the IVF sweep):
+    each added sign bit halves the expected bucket population, so
+    candidate sets shrink and recall is non-increasing in bits —
+    while cost (candidate-pair count) shrinks. Pins the
+    recall-vs-selectivity trade the bits knob controls."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 500)
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_bruteforce(qs, cs, k=5).collect()
+    }
+
+    def recall(bits):
+        got = {
+            (r.q_id, r.c_id)
+            for r in xs.cosine_topk_lsh(emb, bits=bits, k=5)
+            .filter(F.col("q_id") < 20)
+            .collect()
+        }
+        return len(truth & got) / len(truth)
+
+    curve = [recall(b) for b in (1, 4, 8)]
+    # 1 bit = 2 half-space buckets: near-exhaustive within a bucket
+    assert curve[0] >= 0.4, curve
+    assert all(b <= a + 1e-9 for a, b in zip(curve, curve[1:])), curve
