@@ -43,6 +43,8 @@ HEADLINE = [
     "o4_distributed_global_rank",  # range-partitioned total order
     "cat_bucketed_join_agg",   # zero-exchange fact join on bucketed catalog
     "t5_stream_dedup",         # streaming watermark+dedup drain
+    "x4_bm25",                 # inverted-index BM25 query batch
+    "x3_quantized_topk",       # int8 ADC scoring vs x3_cosine_topk
 ]
 
 

@@ -1344,6 +1344,34 @@ def j6_interval_join(spark, sf_dir):
     ).select("signup_id", "error_id")
 
 
+@q(
+    "j7_bloom_join",
+    """
+    SELECT o_orderkey, o_totalprice, c_custkey, c_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def j7_bloom_join(spark, sf_dir):
+    """J7 — Bloom-prefiltered equi-join
+    (operators/joins.py:bloom_join): the BUILDING-segment customer
+    dim is hashed into a 16 KB bitmap (3×xxhash64, bit_or-packed
+    words, plan-literal map) that prunes non-matching orders BEFORE
+    the join shuffle — the shuffle-reduction move for a selective dim
+    too large to broadcast as rows. No false negatives, so the result
+    is EXACTLY the plain inner join the oracle runs; false positives
+    only ride the shuffle and die in the join."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_acctbal")
+    return oj.bloom_join(o, c, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_acctbal"
+    )
+
+
 # --- product analytics: funnel + retention --------------------------------
 
 

@@ -438,3 +438,59 @@ def t14_sliding_windows(spark, sf_dir):
     return out.select(
         F.col("win.start").alias("window_start"), "event_type", "n"
     )
+
+
+@q(
+    "t15_stream_reassembly",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           md5(text) AS payload_md5,
+           CAST(length(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def t15_stream_reassembly(spark, sf_dir):
+    """T15 — STREAMING chunked-page reassembly
+    (streaming/stateful.py:reassemble_stream): multimodal payloads
+    arrive as 64-byte pages scattered across micro-batches
+    (maxFilesPerTrigger=2 over 8 shuffled files forces ≥4 batches,
+    so nearly every doc's pages straddle a batch boundary); per-doc
+    state accumulates pages and emits the payload exactly once when
+    complete. Every reassembled payload must hash back to the
+    original document text — the oracle never sees pages at all."""
+    from eco_pulse_lakehouse_spark.operators.multimodal import (
+        chunk_payloads,
+        to_multimodal,
+    )
+    from eco_pulse_lakehouse_spark.streaming.stateful import (
+        reassemble_stream,
+    )
+
+    key = (sf_dir, "t15_chunks")
+    stage = _STAGE_CACHE.get(key)
+    if not (stage and os.path.exists(stage)):
+        docs = T(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("bigint"), "text"
+        )
+        chunks = chunk_payloads(to_multimodal(docs), page_bytes=64)
+        stage = os.path.join(
+            tempfile.gettempdir(), f"eco_pulse_chunks_{uuid.uuid4().hex}"
+        )
+        # shuffle pages across files so a doc's pages land in
+        # different micro-batches (repartition hash-scatters rows)
+        chunks.repartition(8).write.mode("overwrite").parquet(stage)
+        _STAGE_CACHE[key] = stage
+    stream = sp.read_file_stream(
+        spark,
+        stage,
+        "doc_id BIGINT, page_idx INT, page BINARY, n_pages INT",
+        max_files_per_trigger=2,
+    )
+    out = reassemble_stream(stream)
+    name = f"ra_{uuid.uuid4().hex[:8]}"
+    res = sp.run_to_memory(out, name, output_mode="append")
+    return res.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )

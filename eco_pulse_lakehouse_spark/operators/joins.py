@@ -307,3 +307,82 @@ def interval_overlap_join(
         )
         .drop("__cell")
     )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """J7 — Bloom-filter semi-join pruning: drop fact rows whose key
+    cannot exist in ``dim`` BEFORE the join shuffle.
+
+    The scale case broadcast-hash-join doesn't cover: ``dim`` is too
+    large to broadcast as rows, but its Bloom bitmap (n_bits/8 bytes
+    — 16 KB here, 16 MB for a billion-key dim at 1% FP) still fits.
+    Spark's own runtime row-level filtering does this automatically
+    only for shuffle-hash/broadcast plans with statistics; this is
+    the explicit, always-available form.
+
+    Build: k=``n_hashes`` positions per dim key (xxhash64 seeded per
+    hash), packed into (word_idx, 64-bit word) pairs via a bit_or
+    aggregation — the bitmap never exists as one row until the final
+    vocabulary-sized collect into a plan-literal MAP. Probe: k map
+    lookups + bit tests per fact row, whole-stage-codegen JVM
+    expressions, no shuffle, no Python.
+
+    No false negatives (every true match survives — the downstream
+    join stays exact); false positives only waste shuffle, removed by
+    the join itself.
+    """
+    words = None
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.col(dim_key), F.lit(i)), F.lit(n_bits))
+        # F.shiftleft only takes a Python-int numBits — go through the
+        # SQL function, which accepts a column shift amount
+        w = dim.select(pos.alias("__pos")).select(
+            F.expr("CAST(floor(__pos / 64) AS BIGINT)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        words = w if words is None else words.unionByName(w)
+    bitmap = (
+        words.groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .select(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("bm")
+        )
+    )
+    probe = None
+    for i in range(n_hashes):
+        pos_sql = f"pmod(xxhash64(`{fact_key}`, {i}), {n_bits})"
+        hit = F.expr(
+            f"(element_at(bm, CAST(floor({pos_sql} / 64) AS BIGINT)) "
+            f"& shiftleft(CAST(1 AS BIGINT), CAST({pos_sql} % 64 AS INT))) "
+            "!= 0"
+        )
+        probe = hit if probe is None else (probe & hit)
+    return fact.join(F.broadcast(bitmap)).filter(probe).drop("bm")
+
+
+def bloom_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered inner equi-join: prune the fact side with
+    :func:`bloom_prefilter`, then join — identical result to the
+    plain join (the Bloom pass has no false negatives), with the
+    fact-side shuffle shrunk to matching-plus-FP rows. The shape for
+    a selective dim too big to broadcast."""
+    pruned = bloom_prefilter(fact, dim, fact_key, dim_key, n_bits, n_hashes)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

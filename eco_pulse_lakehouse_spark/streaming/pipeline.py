@@ -29,11 +29,21 @@ from pyspark.sql import functions as F
 
 
 def read_file_stream(
-    spark: SparkSession, path: str, schema: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-based streaming source (the hermetic stand-in for Kafka
-    S1 — same unbounded-append semantics, one file ≈ one batch)."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    S1 — same unbounded-append semantics, one file ≈ one batch).
+    ``max_files_per_trigger`` throttles ingestion so an availableNow
+    drain runs MULTIPLE micro-batches — the back-pressure knob, and
+    the hermetic way to exercise cross-batch state."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def parse_json_envelope(raw: DataFrame, value_col: str, schema: str) -> DataFrame:

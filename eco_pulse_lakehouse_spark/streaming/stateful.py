@@ -78,6 +78,75 @@ def running_totals_stream(
     )
 
 
+def reassemble_stream(
+    chunks: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """Streaming chunked-page reassembly (the streaming inverse of
+    operators/multimodal.py:chunk_payloads): pages of a multimodal
+    payload arrive across micro-batches, in any order, possibly
+    duplicated (Kafka redelivery); a doc is emitted exactly once,
+    when its last missing page arrives, and its state is dropped in
+    the same transition.
+
+    Input : doc_id BIGINT, page_idx INT, page BINARY, n_pages INT.
+    Output: doc_id BIGINT, payload BINARY — complete docs only.
+
+    Per-key state is the accumulated page set — O(payload) per
+    IN-FLIGHT doc only: completed docs free their state immediately,
+    so steady-state memory is bounded by the reassembly window, not
+    the stream length. ``ttl_ms`` arms a processing-time timeout that
+    evicts docs whose remaining pages never arrive (producer died
+    mid-payload) — without it a single truncated upload pins its
+    pages forever. Duplicate pages are idempotent (keyed by
+    page_idx)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (doc_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            idxs, pages, n_pages = state.get
+            got = dict(zip(idxs, pages))
+        else:
+            got, n_pages = {}, None
+        for pdf in pdfs:
+            for idx, page, np_ in zip(
+                pdf["page_idx"], pdf["page"], pdf["n_pages"]
+            ):
+                got[int(idx)] = bytes(page)
+                n_pages = int(np_)
+        if n_pages is not None and len(got) == n_pages:
+            payload = b"".join(got[i] for i in range(n_pages))
+            state.remove()
+            yield pd.DataFrame(
+                {"doc_id": [doc_id], "payload": [payload]}
+            )
+            return
+        state.update((list(got.keys()), list(got.values()), n_pages))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return chunks.groupBy("doc_id").applyInPandasWithState(
+        update,
+        outputStructType="doc_id BIGINT, payload BINARY",
+        stateStructType=(
+            "idxs ARRAY<INT>, pages ARRAY<BINARY>, n_pages INT"
+        ),
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def session_windows(
     events: DataFrame, ts_col: str, key_cols: list[str], gap: str = "30 minutes"
 ) -> DataFrame:

@@ -321,3 +321,29 @@ def test_priority_sample_is_weight_proportional_and_deterministic(spark):
     # determinism: same selection under a different partitioning
     again = priority_sample(df.repartition(13), "id", "w", k=200).collect()
     assert {r["id"] for r in picked} == {r["id"] for r in again}
+
+
+def test_bloom_join_equals_plain_join_even_with_tiny_bitmap(spark):
+    """With a deliberately saturated 64-bit bitmap the Bloom pass is
+    nearly all false positives — the joined RESULT must still equal
+    the plain join exactly (no false negatives, join removes FPs)."""
+    from eco_pulse_lakehouse_spark.operators.joins import (
+        bloom_join,
+        bloom_prefilter,
+    )
+
+    fact = spark.range(500).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 500, 25).select(F.col("id").alias("dk"))  # 20 keys
+    plain = {
+        (r.fk, r.dk)
+        for r in fact.join(dim, fact.fk == dim.dk).collect()
+    }
+    for n_bits in (64, 1 << 14):
+        got = {
+            (r.fk, r.dk)
+            for r in bloom_join(fact, dim, "fk", "dk", n_bits=n_bits).collect()
+        }
+        assert got == plain, f"n_bits={n_bits}"
+    # a roomy bitmap prunes hard: way fewer survivors than fact rows
+    survivors = bloom_prefilter(fact, dim, "fk", "dk", n_bits=1 << 14).count()
+    assert 20 <= survivors < 100

@@ -11,6 +11,7 @@ from eco_pulse_lakehouse_spark.catalog import load_table
 from eco_pulse_lakehouse_spark.streaming import pipeline as sp
 from eco_pulse_lakehouse_spark.streaming.stateful import (
     foreach_batch_upsert,
+    reassemble_stream,
     running_totals_stream,
 )
 
@@ -70,6 +71,73 @@ def test_running_totals_state_survives_batches(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+CHUNK_SCHEMA = "doc_id BIGINT, page_idx INT, page BINARY, n_pages INT"
+
+
+def _chunk_rows():
+    """3 docs × pages, deliberately out of order and with a duplicate
+    page (redelivery): doc 1 = b'hello world!' in 3 pages, doc 2 =
+    b'ab' in 1 page, doc 3 = b'xxxxyyyy' in 2 pages."""
+    return [
+        (1, 2, b"rld!", 3),
+        (2, 0, b"ab", 1),
+        (1, 0, b"hell", 3),
+        (3, 1, b"yyyy", 2),
+        (1, 1, b"o wo", 3),
+        (1, 1, b"o wo", 3),  # duplicate redelivery
+        (3, 0, b"xxxx", 2),
+    ]
+
+
+def test_reassemble_stream_cross_batch_exactly_once(spark, tmp_path):
+    """Pages split across micro-batches reassemble to the original
+    payloads, each doc emitted exactly once, duplicates idempotent."""
+    stage = str(tmp_path / "chunks")
+    spark.createDataFrame(_chunk_rows(), CHUNK_SCHEMA).repartition(
+        4
+    ).write.mode("overwrite").parquet(stage)
+    stream = sp.read_file_stream(
+        spark, stage, CHUNK_SCHEMA, max_files_per_trigger=1
+    )
+    out = reassemble_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reasm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.doc_id: bytes(r.payload) for r in spark.table("reasm").collect()}
+    assert rows == {1: b"hello world!", 2: b"ab", 3: b"xxxxyyyy"}
+    assert spark.table("reasm").count() == 3  # exactly once per doc
+
+
+def test_reassemble_stream_incomplete_doc_not_emitted(spark, tmp_path):
+    """A doc missing a page stays in state and is never emitted with
+    a truncated payload. (TTL eviction itself is pinned on the
+    running-totals operator — same timeout machinery; availableNow
+    never terminates under ProcessingTimeTimeout, so this drain runs
+    without TTL.)"""
+    stage = str(tmp_path / "chunks2")
+    rows = [r for r in _chunk_rows() if not (r[0] == 1 and r[1] == 2)]
+    spark.createDataFrame(rows, CHUNK_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = sp.read_file_stream(spark, stage, CHUNK_SCHEMA)
+    out = reassemble_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reasm2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.table("reasm2").collect()}
+    assert got == {2, 3}  # doc 1 incomplete: never emitted
 
 
 def test_foreach_batch_upsert_sink(spark, tmp_path):
