@@ -1442,6 +1442,77 @@ def w12_funnel(spark, sf_dir):
 
 
 @q(
+    "w13_journey_pattern",
+    """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, journey,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           CAST(len(regexp_extract_all(journey, 's[^p]*p')) AS BIGINT)
+             AS n_funnel_runs,
+           CAST(strpos(journey, 'p') AS BIGINT) AS first_purchase_pos,
+           CAST(length(journey) - length(replace(journey, 'p', ''))
+                AS BIGINT) AS n_purchases
+    FROM j
+    """,
+)
+def w13_journey_pattern(spark, sf_dir):
+    """W13 — event-sequence pattern matching (MATCH_RECOGNIZE-lite):
+    compress each user's ordered event stream into a journey string
+    (one char per event — type initials are unique: s/e/c/v/p) and
+    pattern-match with regexes: non-overlapping signup→…→purchase
+    runs via regexp_count, first-conversion position, purchase count.
+
+    The journey build is ONE groupBy shuffle carrying (ts, event_id,
+    char) structs — array_sort on the struct gives the deterministic
+    (ts, event_id) order without a sort-within-partitions pass; the
+    regex scan is per-row JVM. At 100 TB the journey string is
+    bounded by per-user event count — pair with a time window (as
+    w7's sessionize does) for unbounded histories."""
+    ev = T(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s.getField("c"),
+        ),
+        "",
+    )
+    return (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(journey.alias("journey"))
+        .select(
+            "user_id",
+            "journey",
+            F.length("journey").cast("bigint").alias("journey_len"),
+            F.regexp_count(F.col("journey"), F.lit("s[^p]*p"))
+            .cast("bigint")
+            .alias("n_funnel_runs"),
+            F.instr(F.col("journey"), "p").cast("bigint").alias(
+                "first_purchase_pos"
+            ),
+            (
+                F.length("journey")
+                - F.length(F.replace(F.col("journey"), F.lit("p"), F.lit("")))
+            )
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+    )
+
+
+@q(
     "a16_retention",
     """
     WITH first_seen AS (

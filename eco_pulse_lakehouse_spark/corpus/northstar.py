@@ -1124,3 +1124,43 @@ def x6_decontaminate(spark, sf_dir):
     train = d.filter(u < 0.9)
     eval_set = d.filter(u >= 0.9)
     return decontaminate(train, eval_set, "doc_id", "text", shingle_n=4)
+
+
+@q(
+    "x6_domain_mixture",
+    """
+    WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+         w AS (SELECT * FROM (VALUES
+            ('en', CAST(0.1 AS DOUBLE)), ('zh', CAST(0.15 AS DOUBLE)),
+            ('es', CAST(0.15 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+            ('fr', CAST(0.4 AS DOUBLE))) t(lang, wt))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents JOIN n USING (lang) JOIN w USING (lang)
+    WHERE (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+           / 4294967296.0)
+          < least(CAST(1.0 AS DOUBLE),
+                  CAST(200.0 AS DOUBLE) * wt / CAST(n_l AS DOUBLE))
+    """,
+)
+def x6_domain_mixture(spark, sf_dir):
+    """X6 — target-mixture domain rebalancing
+    (operators/sampling.py:domain_mixture_sample): draw ≈200 docs at
+    a 10/15/15/20/40 en/zh/es/de/fr recipe. French's target (80)
+    exceeds its population (64 at sf0.01) — its fraction caps at 1
+    and every fr row survives, pinning the cap branch. Selection is
+    the Knuth-hash threshold: partitioning-independent, RNG-free,
+    oracle-exact."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang"
+    )
+    return domain_mixture_sample(
+        d,
+        "doc_id",
+        "lang",
+        {"en": 0.1, "zh": 0.15, "es": 0.15, "de": 0.2, "fr": 0.4},
+        k=200,
+    ).select("doc_id", "lang")

@@ -126,3 +126,39 @@ def priority_sample(
         .orderBy(F.col("priority").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    k: int,
+) -> DataFrame:
+    """Rebalance a corpus toward a target domain mixture (the
+    Pile-style data-recipe op): draw ≈``k`` rows with expected
+    per-domain share ``weights[d]``, by thresholding the unit hash at
+    ``min(1, k·w_d / n_d)`` per domain. Over-represented domains are
+    downsampled toward their target share; a domain whose target
+    exceeds its population keeps every row (fraction capped at 1 —
+    upsampling/repetition is x7's packing concern, not sampling's).
+
+    One vocabulary-sized count aggregation, broadcast back with the
+    weight table; selection is then a pure row-local predicate —
+    deterministic under any partitioning, layout, or retry, and
+    exactly reproducible by the SQL oracle (Knuth-hash arithmetic,
+    no RNG)."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = df.sparkSession.createDataFrame(
+        list(weights.items()), f"{domain_col} string, __wt double"
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(k)) * F.col("__wt") / F.col("__n").cast("double"),
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .join(F.broadcast(w), domain_col)
+        .filter(unit_hash(F.col(id_col)) < frac)
+        .drop("__n", "__wt")
+    )

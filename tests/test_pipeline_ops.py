@@ -319,3 +319,31 @@ def test_pagerank_star_graph(spark):
     leaves = [r[i] for i in range(1, 6)]
     assert r[0] > max(leaves)
     assert max(leaves) - min(leaves) < 1e-12
+
+
+def test_domain_mixture_caps_and_rebalances(spark):
+    """Target shares steer per-domain take; a domain whose target
+    exceeds its population keeps ALL rows (fraction caps at 1);
+    selection is partitioning-invariant."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    d = spark.createDataFrame(rows, ["doc_id", "dom"])
+    # k=400 at 50/50: big takes ~200 of 900, small wants 200 of 100 → all 100
+    out = domain_mixture_sample(
+        d, "doc_id", "dom", {"big": 0.5, "small": 0.5}, k=400
+    )
+    got = out.groupBy("dom").count().collect()
+    by = {r.dom: r["count"] for r in got}
+    assert by["small"] == 100            # cap branch: keep everything
+    assert 130 <= by["big"] <= 270       # ≈200 expected, hash variance
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in domain_mixture_sample(
+            d.repartition(17), "doc_id", "dom", {"big": 0.5, "small": 0.5}, k=400
+        ).collect()
+    }
+    assert a == b
