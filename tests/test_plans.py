@@ -207,3 +207,32 @@ def test_profile_table_single_pass(spark):
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Expand") <= 1 + plan.count("Exchange"), plan
+
+
+def test_bloom_prefilter_probe_is_scan_side_filter(spark):
+    """The Bloom probe must be a Filter on the fact side (bit tests
+    against the broadcast bitmap literal), and the final join a hash
+    join — never a cartesian against the dim rows."""
+    from eco_pulse_lakehouse_spark.operators.joins import bloom_join
+
+    fact = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    dim = load_table(spark, SF, "customer").select("c_custkey")
+    plan = _plan(bloom_join(fact, dim, "o_custkey", "c_custkey"))
+    assert "element_at" in plan, plan          # bitmap probe present
+    assert "xxhash64" in plan, plan            # hash positions computed
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_bm25_broadcasts_term_tables_not_postings(spark):
+    """BM25's query-term list, df table, and corpus stats must ride
+    broadcasts; the only non-broadcast joins key on the doc id
+    (postings ⨝ doc-length — co-keyed at scale)."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    plan = _plan(bm25_topk(d, "doc_id", "text", [(1, "hash join")], k=5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
