@@ -1442,6 +1442,54 @@ def w12_funnel(spark, sf_dir):
 
 
 @q(
+    "a18_equidepth_hist",
+    """
+    WITH r AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(((rn - 1) * 8) // n + 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def a18_equidepth_hist(spark, sf_dir):
+    """A18 — EQUI-DEPTH histogram (quantile buckets: every bucket
+    holds ≈n/8 rows; a14 is the equi-WIDTH twin). Built by composing
+    the distributed global rank (operators/rank.py:global_row_number
+    — range partition + per-partition offsets, no single-reducer
+    window) with integer bucket assignment ((rn−1)·8 div n) — exact,
+    total-order equi-depth with no SinglePartition stage, unlike the
+    textbook ntile() which serializes the table through one window
+    task. The total count is one O(1)-result action (the same
+    O(partitions) metadata pass the rank itself makes)."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    o = T(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    ranked = global_row_number(
+        o,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        out_col="rn",
+    )
+    return (
+        ranked.withColumn(
+            "bucket", F.expr(f"((rn - 1) * 8) div {n} + 1").cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@q(
     "w13_journey_pattern",
     """
     WITH j AS (
