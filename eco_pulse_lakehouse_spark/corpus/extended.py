@@ -1442,6 +1442,45 @@ def w12_funnel(spark, sf_dir):
 
 
 @q(
+    "q6_seasonal_deviants",
+    """
+    WITH q AS (
+      SELECT event_id, hour(ts) AS hr,
+             CAST(floor(value * 1000) AS BIGINT) AS v_fp, value
+      FROM events
+    ), st AS (
+      SELECT hr, CAST(SUM(v_fp) AS BIGINT) AS s, COUNT(*) AS n
+      FROM q GROUP BY hr
+    )
+    SELECT hr, event_id, value, resid_fp, rk FROM (
+      SELECT q.hr, q.event_id, q.value,
+             CAST(q.v_fp * st.n - st.s AS BIGINT) AS resid_fp,
+             CAST(row_number() OVER (
+               PARTITION BY q.hr
+               ORDER BY abs(q.v_fp * st.n - st.s) DESC, q.event_id ASC
+             ) AS BIGINT) AS rk
+      FROM q JOIN st USING (hr)
+    ) WHERE rk <= 3
+    """,
+)
+def q6_seasonal_deviants(spark, sf_dir):
+    """Q6 — top-3 deviations from the hour-of-day seasonal baseline
+    (operators/anomaly.py:seasonal_topk_deviants): residuals compared
+    as v·n − Σv over 1e-3 fixed-point BIGINTs — no division, no
+    stddev, exact integer ordering (q2's z-score rounds through
+    doubles). 24-row seasonal table broadcasts; one sum shuffle, one
+    per-bucket ranking window."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import (
+        seasonal_topk_deviants,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint"), "ts", "value"
+    )
+    return seasonal_topk_deviants(ev, "ts", "event_id", "value", k=3)
+
+
+@q(
     "a18_equidepth_hist",
     """
     WITH r AS (

@@ -494,3 +494,44 @@ def t15_stream_reassembly(spark, sf_dir):
         F.md5("payload").alias("payload_md5"),
         F.length("payload").cast("bigint").alias("n_bytes"),
     )
+
+
+@q(
+    "t16_stream_fanout",
+    """
+    SELECT event_id, user_id, round(value, 6) AS value FROM events
+    """,
+)
+def t16_stream_fanout(spark, sf_dir):
+    """T16 — foreachBatch multi-sink fan-out
+    (streaming/stateful.py:foreach_batch_fanout): every micro-batch
+    lands in TWO sinks — detail rows and a per-batch metrics row —
+    each under an epoch=<id> overwrite directory, so replays rewrite
+    instead of duplicating (exactly-once by idempotent construction,
+    with no cross-sink transaction available). The driver checks the
+    DETAIL sink against the source table: fan-out must lose or
+    duplicate nothing; metrics-sink consistency (Σn == |events|) is
+    pinned in pytest."""
+    import tempfile
+
+    from eco_pulse_lakehouse_spark.streaming.stateful import (
+        foreach_batch_fanout,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(
+        spark, stage, EVENTS_SCHEMA, max_files_per_trigger=2
+    ).select("event_id", "user_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_fanout_{uuid.uuid4().hex}"
+    )
+    q_ = foreach_batch_fanout(
+        stream,
+        f"{base}/detail",
+        f"{base}/metrics",
+        checkpoint=f"{base}/ckpt",
+    )
+    q_.awaitTermination()
+    return spark.read.parquet(f"{base}/detail").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,4 +75,48 @@ def iqr_outliers(
         .withColumn("fence_lo", F.col("__lo"))
         .withColumn("fence_hi", F.col("__hi"))
         .drop("__q1", "__q3", "__lo", "__hi")
+    )
+
+
+def seasonal_topk_deviants(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top-k deviations from a SEASONAL baseline (hour-of-day): for
+    each season bucket, the k rows whose value sits farthest from the
+    bucket mean — without ever dividing (the residual is compared as
+    ``v·n − Σv``, an exact integer once values are quantized to
+    1/``scale`` fixed-point).
+
+    Integer arithmetic end-to-end means no float summation-order
+    drift, no stddev rounding, and bit-identical results on any
+    partitioning — q2's z-score twin rounds through doubles instead.
+    Scale shape: the seasonal table is 24 rows (broadcast); one
+    groupBy shuffle for the sums, one ranking window per bucket.
+    """
+    v_fp = F.floor(F.col(value_col) * scale).cast("long")
+    hr = F.hour(F.col(ts_col))
+    q = df.select(
+        F.col(id_col), hr.alias("hr"), v_fp.alias("__v_fp"), F.col(value_col)
+    )
+    stats = q.groupBy("hr").agg(
+        F.sum("__v_fp").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    resid = F.col("__v_fp") * F.col("__n") - F.col("__s")
+    w = Window.partitionBy("hr").orderBy(
+        F.abs(resid).desc(), F.col(id_col).asc()
+    )
+    return (
+        q.join(F.broadcast(stats), "hr")
+        .withColumn("resid_fp", resid)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "hr", id_col, value_col,
+            "resid_fp", F.col("rk").cast("bigint").alias("rk"),
+        )
     )

@@ -245,3 +245,56 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_fanout(
+    stream: DataFrame,
+    detail_path: str,
+    metrics_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+):
+    """One stream, TWO sinks per micro-batch (foreachBatch fan-out):
+    append the detail rows AND a per-batch metrics row (count +
+    quantized value sum) — the bronze+observability shape every
+    ingest pipeline ends up needing.
+
+    foreachBatch gives no transactional guarantee across two writes,
+    so exactly-once is recovered by construction: each sink writes
+    its batch under an ``epoch=<id>`` directory with overwrite — a
+    replayed batch (crash between the two writes, speculative rerun)
+    REWRITES the same directories instead of appending duplicates.
+    Idempotence holds per-epoch regardless of which write crashed;
+    the checkpoint dedups source offsets across restarts. The batch
+    is persisted so the two sinks share one source scan, not two.
+
+    The metrics sum is 1e-3 fixed-point BIGINT — integer partial
+    aggregation, reproducible under any partial-agg order (a float
+    sum would drift in the last ulp between replays, making
+    "idempotent replay" quietly false for the metrics sink)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.persist()
+        b.write.mode("overwrite").parquet(f"{detail_path}/epoch={epoch_id}")
+        (
+            b.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col(value_col) * 1000).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("value_sum_fp"),
+            )
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{metrics_path}/epoch={epoch_id}")
+        )
+        b.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

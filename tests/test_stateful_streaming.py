@@ -283,3 +283,43 @@ def test_running_totals_ttl_evicts_idle_keys(spark, tmp_path):
     rows = sink_rows()
     assert (2, 3) not in rows  # continuation would mean no eviction
     assert {n for (u, n) in rows if u == 1} == {3}
+
+
+def test_fanout_two_sinks_consistent_and_replay_idempotent(spark, tmp_path):
+    """Detail and metrics sinks must agree (Σ n_rows == detail count,
+    Σ value_sum_fp == quantized detail sum); a second run with the
+    SAME checkpoint is a no-op (no duplicate epochs)."""
+    from eco_pulse_lakehouse_spark.streaming.stateful import (
+        foreach_batch_fanout,
+    )
+
+    stage = _stage(spark, tmp_path)
+    base = str(tmp_path / "fan")
+    stream = sp.read_file_stream(
+        spark, stage, SCHEMA, max_files_per_trigger=1
+    ).select("event_id", "user_id", "value")
+    foreach_batch_fanout(
+        stream, f"{base}/detail", f"{base}/metrics", f"{base}/ckpt"
+    ).awaitTermination()
+    detail = spark.read.parquet(f"{base}/detail")
+    metrics = spark.read.parquet(f"{base}/metrics")
+    n_detail = detail.count()
+    assert n_detail == 1000
+    m = metrics.agg(
+        F.sum("n_rows").alias("n"), F.sum("value_sum_fp").alias("s")
+    ).first()
+    assert m.n == n_detail
+    s_detail = detail.agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("s")
+    ).first().s
+    assert m.s == s_detail
+    assert metrics.count() >= 2  # maxFilesPerTrigger=1 → multiple epochs
+
+    # replay with the SAME checkpoint: committed offsets → no new data
+    stream2 = sp.read_file_stream(
+        spark, stage, SCHEMA, max_files_per_trigger=1
+    ).select("event_id", "user_id", "value")
+    foreach_batch_fanout(
+        stream2, f"{base}/detail", f"{base}/metrics", f"{base}/ckpt"
+    ).awaitTermination()
+    assert spark.read.parquet(f"{base}/detail").count() == n_detail
