@@ -1442,6 +1442,53 @@ def w12_funnel(spark, sf_dir):
 
 
 @q(
+    "w14_ewma",
+    """
+    WITH a AS (
+      SELECT event_id, user_id,
+             array_agg(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           list_reduce(arr, (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x)
+             AS ewma
+    FROM a
+    """,
+)
+def w14_ewma(spark, sf_dir):
+    """W14 — exponentially-weighted moving value over the last 8
+    readings per user (Horner fold: acc·½ + x along the frame).
+    α = ½ keeps every multiply an EXACT halving (power-of-two
+    scaling), so the only rounding is the adds — and both engines run
+    the identical left-to-right fold over the identically-ordered
+    frame array (seed = first element, matching DuckDB list_reduce),
+    giving bit-exact parity with NO rounding normalization — the only
+    float-recursive window in the corpus that can claim that.
+    One window shuffle; the HOF fold is interpreted (8 elements/row —
+    constant), the frame bounds the state like any ROWS window."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, 0)
+    )
+    arr = F.collect_list(F.col("value").cast("double")).over(w)
+    ewma = F.aggregate(
+        F.slice(arr, F.lit(2), F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.5) + x,
+    )
+    return ev.select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        ewma.alias("ewma"),
+    )
+
+
+@q(
     "q6_seasonal_deviants",
     """
     WITH q AS (

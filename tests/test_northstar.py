@@ -373,3 +373,37 @@ def test_lsh_recall_decreases_with_bits(spark):
     # 1 bit = 2 half-space buckets: near-exhaustive within a bucket
     assert curve[0] >= 0.4, curve
     assert all(b <= a + 1e-9 for a, b in zip(curve, curve[1:])), curve
+
+
+def test_minhash_bands_rows_tuning_curve(spark):
+    """The bands×rows trade at fixed signature length (32 hashes):
+    more bands ⇒ shorter band rows ⇒ easier collisions ⇒ candidate
+    sets grow monotonically (1-(1-j^{32/b})^b rises with b for
+    j<1) — and high-band recall must dominate the one-band
+    configuration, whose single 32-hash row only collides on
+    near-identical docs. Completes the LSH/IVF tuning sweeps with
+    the dedup-side knob (NEXT.md #5)."""
+    docs = load_table(spark, SF, "documents")
+    n_cands = {}
+    cands = {}
+    for bands in (1, 4, 16):
+        c = {
+            (r.id_a, r.id_b)
+            for r in xd.minhash_lsh_pairs(
+                docs, "doc_id", "text", num_hashes=32, bands=bands
+            ).collect()
+        }
+        n_cands[bands] = len(c)
+        cands[bands] = c
+    assert n_cands[1] <= n_cands[4] <= n_cands[16], n_cands
+    truth = {
+        (r.id_a, r.id_b)
+        for r in xd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    if truth:
+        def recall(c):
+            return len(truth & c) / len(truth)
+        assert recall(cands[16]) >= recall(cands[1]), n_cands
+        assert recall(cands[16]) >= 0.9
