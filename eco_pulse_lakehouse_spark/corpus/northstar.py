@@ -235,6 +235,42 @@ def x3_ann_lsh(spark, sf_dir):
     return xs.cosine_topk_lsh(e, bits=8, k=10)
 
 
+_IVF_INDEX_CACHE: dict = {}
+
+
+@q("x3_ivf_persisted")  # approximate: rows-only; ≡ ivf_topk pinned in pytest
+def x3_ivf_persisted(spark, sf_dir):
+    """X3 — PERSISTED IVF index lifecycle (similarity.py:
+    build_ivf_index / query_ivf_index): the index (centroids +
+    cent_id-partitioned inverted lists) is built once and parquet-
+    persisted; queries probe 2 of 16 lists and partition pruning
+    reads only those files. Same centroids ⇒ identical results to
+    the in-memory ivf_topk (test-pinned); the lifecycle split is the
+    100 TB serving shape — build amortizes, queries touch O(probed
+    partitions)."""
+    import os
+    import tempfile
+    import uuid
+
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if not (path and os.path.exists(f"{path}/lists")):
+        path = os.path.join(
+            tempfile.gettempdir(), f"eco_pulse_ivf_{uuid.uuid4().hex}"
+        )
+        build_ivf_index(e, path, n_centroids=16)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return query_ivf_index(spark, path, queries, k=10, n_probe=2)
+
+
 @q("x3_ivf_topk")  # approximate: rows-only; recall vs brute force in pytest
 def x3_ivf_topk(spark, sf_dir):
     """X3 scale path #2 — IVF inverted lists (nearest-centroid

@@ -281,6 +281,103 @@ def kmeans_centroids(
     return cents
 
 
+def _nearest_lists(
+    df: DataFrame, idc: str, vecc: str, cents: DataFrame, n_lists: int
+) -> DataFrame:
+    """n_lists nearest centroids per row via rank over the broadcast
+    cross product (centroid count is tiny)."""
+    sim = cosine_similarity(F.col(vecc), F.col("cent_vec"))
+    scored = df.crossJoin(F.broadcast(cents)).withColumn("__cs", sim)
+    w = Window.partitionBy(idc).orderBy(
+        F.col("__cs").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_lists)
+        .drop("__cs", "__r", "cent_vec")
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Persist an IVF index: ``<path>/centroids`` (tiny) and
+    ``<path>/lists`` — the inverted lists PARTITIONED BY ``cent_id``,
+    so a query that probes 2 of 16 lists physically reads 2/16 of the
+    index files (parquet partition pruning; plan-asserted in
+    tests/test_plans.py).
+
+    This is the serving shape at 100 TB: the index is built ONCE (the
+    expensive scan over every vector), and each query batch afterward
+    touches only its probed partitions — build cost amortizes across
+    every future query instead of being re-paid per call the way the
+    in-memory `ivf_topk` re-assigns lists each run."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(embeddings, id_col, vec_col, n_centroids)
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    lists = _nearest_lists(
+        embeddings.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+        "c_vec",
+        cents,
+        1,
+    )
+    lists.write.mode("overwrite").partitionBy("cent_id").parquet(
+        f"{path}/lists"
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`build_ivf_index`): assign
+    each query its ``n_probe`` nearest centroids (broadcast), collect
+    the DISTINCT probed list ids (≤ queries × n_probe longs — O(probe
+    set) metadata, the same sanctioned driver-side collect as
+    rank.py's offsets), and scan ONLY those ``cent_id=`` partitions.
+    Scoring/ranking matches `ivf_topk` exactly — same centroids ⇒
+    same results (test-pinned)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = _nearest_lists(queries, q_id, q_vec, cents, n_probe)
+    probe_ids = [
+        r.cent_id for r in probes.select("cent_id").distinct().collect()
+    ]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cent_id").isin(probe_ids)
+    )
+    sim = cosine_similarity(F.col(q_vec), F.col("c_vec"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        probes.join(lists, "cent_id")
+        .filter(F.col(q_id) != F.col("c_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, "c_id", "sim", "rk")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -309,34 +406,22 @@ def ivf_topk(
         else seed_centroids(embeddings, id_col, vec_col, n_centroids)
     )
 
-    def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
-        """n_lists nearest centroids per row via rank over the
-        broadcast cross product (centroid count is tiny)."""
-        sim = cosine_similarity(F.col(vecc), F.col("cent_vec"))
-        scored = df.crossJoin(F.broadcast(cents)).withColumn("__cs", sim)
-        w = Window.partitionBy(idc).orderBy(
-            F.col("__cs").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n_lists)
-            .drop("__cs", "__r", "cent_vec")
-        )
-
-    lists = assign(
+    lists = _nearest_lists(
         embeddings.select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
         ),
         "c_id",
         "c_vec",
+        cents,
         1,  # each vector lives in exactly one inverted list
     )
-    probes = assign(
+    probes = _nearest_lists(
         embeddings.select(
             F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
         ),
         "q_id",
         "q_vec",
+        cents,
         n_probe,
     )
     sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))

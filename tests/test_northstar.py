@@ -407,3 +407,32 @@ def test_minhash_bands_rows_tuning_curve(spark):
             return len(truth & c) / len(truth)
         assert recall(cands[16]) >= recall(cands[1]), n_cands
         assert recall(cands[16]) >= 0.9
+
+
+def test_persisted_ivf_matches_inmemory_and_prunes_partitions(
+    spark, tmp_path
+):
+    """build→persist→query must return EXACTLY what the in-memory
+    ivf_topk returns for the same (seeded) centroids, and the probe
+    scan must carry a cent_id partition filter (reads only probed
+    lists' files)."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf")
+    xs.build_ivf_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = xs.query_ivf_index(spark, path, queries, k=5, n_probe=2)
+    got = {(r.q_id, r.c_id, r.sim, r.rk) for r in out.collect()}
+    want = {
+        (r.q_id, r.c_id, r.sim, r.rk)
+        for r in xs.ivf_topk(emb, n_centroids=16, n_probe=2, k=5)
+        .filter(F.col("q_id") < 20)
+        .collect()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan, plan
+    # probed subset: fewer list-partition dirs than total is possible
+    # only through pruning — assert the filter is selective in-plan
+    assert "cent_id IN" in plan or "cent_id#" in plan, plan
