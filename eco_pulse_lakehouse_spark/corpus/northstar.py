@@ -1200,3 +1200,152 @@ def x6_domain_mixture(spark, sf_dir):
         {"en": 0.1, "zh": 0.15, "es": 0.15, "de": 0.2, "fr": 0.4},
         k=200,
     ).select("doc_id", "lang")
+
+
+# =====================================================================
+# X4 adjacency — hashed linear quality classifier
+# =====================================================================
+
+
+@q(
+    "x4_quality_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), feat AS (
+      SELECT doc_id,
+        list_reduce(list_concat([CAST(0 AS BIGINT)],
+          list_transform(range(1, len(w)+1),
+                         i -> CAST(ascii(w[i]) AS BIGINT))),
+          (h, c) -> (h * 131 + c) % 1000003) % 64 AS b
+      FROM toks
+    ), wts AS (
+      SELECT doc_id,
+        CAST((b * 2654435761) % 1001 - 500 AS DOUBLE) / 1000.0 AS w
+      FROM feat
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS score
+      FROM wts GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, score,
+           CAST(0.5 AS DOUBLE)
+             + score / (CAST(2.0 AS DOUBLE)
+                        * (CAST(1.0 AS DOUBLE) + abs(score))) AS prob,
+           (CAST(0.5 AS DOUBLE)
+             + score / (CAST(2.0 AS DOUBLE)
+                        * (CAST(1.0 AS DOUBLE) + abs(score))))
+             >= CAST(0.5 AS DOUBLE) AS keep
+    FROM agg
+    """,
+)
+def x4_quality_classifier(spark, sf_dir):
+    """X4 — hashing-trick linear classifier inference over every
+    document (operators/quality.py:hashed_linear_score): token →
+    polynomial char hash → 64-bucket weight lookup → decimal-exact
+    score sum → RATIONAL sigmoid (½ + s/(2(1+|s|)) — algebraic, so
+    bit-identical across engines where exp() is not). The weight
+    table is a plan constant (a trained model would broadcast the
+    same way); the only shuffle carries (doc_id, partial sums)."""
+    from eco_pulse_lakehouse_spark.operators.quality import (
+        hashed_linear_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return hashed_linear_score(d, "doc_id", "text", n_buckets=64)
+
+
+@q(
+    "x4_bm25_table",
+    """
+    WITH post AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM post GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), qsrc AS (
+      SELECT doc_id AS query_id,
+             array_to_string((string_split(text, ' '))[1:3], ' ') AS qtext
+      FROM documents WHERE doc_id % 97 = 0
+    ), qt AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+      FROM qsrc
+    ), contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(floor(
+               round(ln((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+                          / (dfreq.df + CAST(0.5 AS DOUBLE))
+                        + CAST(1.0 AS DOUBLE)), 6)
+               * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+                            / stats.avgdl)))
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS c_fp
+      FROM tf
+      JOIN qt USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ), scored AS (
+      SELECT query_id, doc_id, SUM(c_fp) AS score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+      FROM contrib GROUP BY query_id, doc_id
+    ), boosted AS (
+      SELECT s.query_id, s.doc_id,
+             s.score_fp
+               + CASE WHEN contains(' ' || d.text || ' ',
+                               ' ' || q.qtext || ' ')
+                 THEN CAST(250000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                 END AS total_fp,
+             s.score_fp, s.n_terms_matched
+      FROM scored s
+      JOIN documents d USING (doc_id)
+      JOIN qsrc q USING (query_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           total_fp, score_fp, n_terms_matched, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY total_fp DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM boosted
+    ) WHERE rk <= 10
+    """,
+)
+def x4_bm25_table(spark, sf_dir):
+    """X4 retrieval — BM25 with a TABLE-driven query batch plus an
+    exact-phrase bonus (operators/retrieval.py:bm25_topk_table).
+    Queries are derived from the corpus itself (every 97th document's
+    first three tokens — a query-log stand-in), so the oracle rebuilds
+    the identical batch in SQL. The phrase check runs only on
+    term-matched candidates and is token-boundary-safe (space-wrapped
+    contains). Bonus joins in the same 1e-6 fixed-point domain as the
+    term contributions — integer sums, order-independent."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_topk_table,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    queries_df = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk_table(
+        d, "doc_id", "text", queries_df, k1=1.2, b=0.75, k=10
+    )

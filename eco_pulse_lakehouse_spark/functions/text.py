@@ -135,6 +135,33 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+TOKEN_HASH_MOD = 1_000_003
+
+
+def token_char_hash(tok: Column) -> Column:
+    """Full-token polynomial character hash (the hashing-trick
+    feature map a linear text classifier uses):
+
+      h_0 = 0;  h_i = (h_{i-1} * 131 + code(c_i)) mod 1_000_003
+
+    Exact BIGINT arithmetic (h < 1e6+3, h*131 + 127 < 2^28), so the
+    hash is bit-identical in any engine — the DuckDB twin is
+    list_reduce over the character codes. One interpreted HOF fold
+    per token, O(token length); the codegen alternative (posexplode
+    characters) multiplies row count by mean token length, which
+    costs more than the interpreter at any scale.
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(F.substring(tok, i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(FINGERPRINT_MULT) + c) % F.lit(TOKEN_HASH_MOD),
+    )
+
+
 # PII scrubbing — ordered (URL before EMAIL: a URL can embed '@';
 # EMAIL before PHONE is arbitrary but fixed). Patterns restricted to
 # syntax shared by Java regex and RE2 so the DuckDB oracle replays

@@ -165,3 +165,67 @@ def expectation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         "n_rows",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Linear text-quality classifier inference with the hashing
+    trick — the fastText/quality-filter shape every pre-training
+    curation pass runs (score every document with a tiny linear
+    model, keep the high-probability tail).
+
+    Feature map: token → polynomial char hash → bucket = hash mod
+    n_buckets. The weight vector is a plan constant derived per
+    bucket (w(b) = ((b·2654435761) mod 1001 − 500)/1000 — standing in
+    for trained weights, which would arrive as a broadcast map the
+    same way). score = Σ w(bucket(token)); prob squashes score with
+    the RATIONAL sigmoid 1/2 + s/(2(1+|s|)) — algebraic, so unlike
+    exp()-sigmoid it is bit-identical across libm implementations.
+
+    Scale shape: explode → per-token projection (hash, bucket,
+    weight) → groupBy(id) with map-side combine. The shuffle carries
+    (id, partial decimal sum) — never text. Weights are multiples of
+    1/1000, so DECIMAL(18,4) accumulation is exact and the score is
+    independent of partitioning/addition order (the same
+    order-independence contract as corpus dec_sum).
+
+    Reference has no content-quality scoring at all (SURVEY.md §1.3);
+    this is the engine's curation-gate primitive next to
+    repetition_stats and scrub_pii.
+    """
+    from eco_pulse_lakehouse_spark.functions.text import (
+        token_char_hash,
+        tokens,
+    )
+
+    bucket = token_char_hash(F.col("__tok")) % F.lit(n_buckets)
+    weight = (
+        (bucket * F.lit(2654435761) % F.lit(1001) - F.lit(500)).cast(
+            "double"
+        )
+        / F.lit(1000.0)
+    )
+    per_token = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).select(F.col(id_col), weight.alias("__w"))
+    scored = per_token.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("__w").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("score"),
+    )
+    prob = F.lit(0.5) + F.col("score") / (
+        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("score")))
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "score",
+        prob.alias("prob"),
+        (prob >= F.lit(0.5)).alias("keep"),
+    )

@@ -124,6 +124,29 @@ def bm25_topk(
     therefore independent of Spark's partial-aggregation order
     (the g1_pagerank trick; doubles summed in different orders
     differ in the last ulp)."""
+    q_terms = (
+        docs.sparkSession.createDataFrame(
+            [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
+            "query_id long, term string",
+        ).distinct()
+    )
+    return _bm25_score(docs, id_col, text_col, q_terms, k1, b, k)
+
+
+def _bm25_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    q_terms: DataFrame,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Shared BM25 scoring core over a (query_id, term) DataFrame.
+    Fixed-point contributions — see :func:`bm25_topk` for the
+    determinism contract. ``k <= 0`` keeps every matched candidate
+    (callers that re-rank, e.g. the phrase-boost variant, cut later
+    — the top-k window must run AFTER any score adjustment)."""
     postings = term_postings(docs, id_col, text_col)
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -134,12 +157,6 @@ def bm25_topk(
     )
     df_t = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
-    )
-    q_terms = (
-        docs.sparkSession.createDataFrame(
-            [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
-            "query_id long, term string",
-        ).distinct()
     )
     idf = F.round(
         F.log(
@@ -173,6 +190,8 @@ def bm25_topk(
         F.sum("c_fp").alias("score_fp"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
     )
+    if k <= 0:
+        return scored
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_fp").desc(), F.col(id_col).asc()
     )
@@ -225,5 +244,80 @@ def vocab_coverage(
         .withColumn(
             "oov_rate",
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def bm25_topk_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries_df: DataFrame,
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    phrase_bonus: float = 0.25,
+) -> DataFrame:
+    """BM25 where the query batch is a TABLE (query_id, query_text) —
+    the production retrieval shape (a query log / eval set joined
+    against the corpus, not a hand-typed list) — plus an exact-phrase
+    bonus: documents containing the query's full token sequence get
+    ``phrase_bonus`` added to the term score.
+
+    Scale shape: the query table is exploded into (query_id, term)
+    and broadcast onto postings exactly like the literal variant; the
+    phrase check joins ONLY the already-matched (query, doc)
+    candidates back to document text (shuffle keyed on the doc id —
+    text moves once for matched pairs, never per query term). Phrase
+    matching is token-boundary-safe: both sides are wrapped in
+    spaces, so 'join scan' never matches inside 'joint scanner'.
+
+    The bonus is applied in the same 1e-6 fixed-point integer domain
+    as the term contributions, keeping the final ranking
+    order-independent and oracle-exact.
+    """
+    q_terms = (
+        queries_df.select(
+            F.col(qid_col).cast("long").alias("query_id"),
+            F.explode(F.split(F.col(qtext_col), " ")).alias("term"),
+        ).distinct()
+    )
+    scored = _bm25_score(docs, id_col, text_col, q_terms, k1, b, k=-1)
+    bonus_fp = int(phrase_bonus * 1e6)
+    phrases = queries_df.select(
+        F.col(qid_col).cast("long").alias("query_id"),
+        F.col(qtext_col).alias("__qtext"),
+    )
+    boosted = (
+        scored
+        .join(docs.select(F.col(id_col), F.col(text_col).alias("__text")), id_col)
+        .join(F.broadcast(phrases), "query_id")
+        .withColumn(
+            "total_fp",
+            F.col("score_fp")
+            + F.when(
+                F.contains(
+                    F.concat(F.lit(" "), F.col("__text"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("__qtext"), F.lit(" ")),
+                ),
+                F.lit(bonus_fp).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("total_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        boosted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "total_fp",
+            "score_fp",
+            "n_terms_matched",
+            F.col("rk").cast("bigint").alias("rk"),
         )
     )
