@@ -1349,3 +1349,43 @@ def x4_bm25_table(spark, sf_dir):
     return bm25_topk_table(
         d, "doc_id", "text", queries_df, k1=1.2, b=0.75, k=10
     )
+
+
+# =====================================================================
+# X4 adjacency — RAG chunking
+# =====================================================================
+
+
+@q(
+    "x4_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 37 = 0
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 32 AS INT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 48], ' ') AS chunk_text,
+           CAST(len(toks[start + 1 : start + 48]) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def x4_chunk_documents(spark, sf_dir):
+    """X4 adjacency — sliding token-window chunking for RAG /
+    context-window prep (operators/retrieval.py:chunk_documents,
+    48-token chunks, 16-token overlap). Shuffle-free: sequence +
+    posexplode + slice are all row-local JVM expressions, so the
+    operator scales linearly and pipelines straight into embedding
+    or indexing jobs. Every token is covered; adjacent chunks share
+    the overlap; the tail chunk may be short."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import chunk_documents
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select(F.col("doc_id"), "text")
+    )
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=48, overlap=16)

@@ -321,3 +321,52 @@ def bm25_topk_table(
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 48,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunking — the RAG / context-window prep
+    step (split every document into ``chunk_tokens``-token chunks
+    whose starts advance by ``chunk_tokens - overlap``, so adjacent
+    chunks share ``overlap`` tokens and every token is covered; the
+    final chunk may be short).
+
+    Entirely row-local JVM work: ``sequence`` builds the start
+    offsets, ``posexplode`` fans them out, ``slice`` cuts the token
+    window — no shuffle at all, so the operator scales linearly with
+    the corpus and pipelines into whatever consumes the chunks (the
+    output explodes ~n_tokens/stride× rows but each carries only its
+    own window of text). The reference has no chunking stage (its
+    text surface is Streamlit display only); this is the missing prep
+    step between `curate_documents` and an embedding/indexing job.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens), chunk_id dense
+    from 0 in document order — deterministic for any partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("__toks")) - 1, F.lit(stride)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+        )
+    )
