@@ -603,15 +603,24 @@ def s8_json_source(spark, sf_dir):
     """S8 — JSON-lines round trip with explicit schema (HTTP-payload
     ingest shape, weather_producer.py:94-114)."""
     path = os.path.join(_TMP, f"s8_json_{os.path.basename(sf_dir.rstrip('/'))}")
-    ev = T(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    # default JSON timestampFormat truncates to milliseconds — keep micros
-    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-    ev.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    # events.ts arrives as TIMESTAMP(NANOS) parquet => Spark reads
+    # TIMESTAMP_NTZ, where the NTZ-specific format option governs (the
+    # plain timestampFormat is silently ignored and the default write
+    # truncates to millis). Pin the type and use timestampNTZFormat on
+    # BOTH sides so micros survive the round trip.
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "value",
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").option("timestampNTZFormat", fmt).json(path)
     return (
         spark.read.schema(
-            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, value DOUBLE"
         )
-        .option("timestampFormat", fmt)
+        .option("timestampNTZFormat", fmt)
         .json(path)
     )
 

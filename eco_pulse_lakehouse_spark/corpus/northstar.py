@@ -228,6 +228,82 @@ def x3_quantized_topk(spark, sf_dir):
     )
 
 
+@q(
+    "x3_pq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS code, qv
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id ASC LIMIT 16)
+    ),
+    segs AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+    cb AS (
+      SELECT m, code, list_slice(qv, m*8+1, m*8+8) AS cent
+      FROM segs CROSS JOIN seeds
+    ),
+    dsub AS (
+      SELECT vec_id, m, list_slice(qv, m*8+1, m*8+8) AS sub
+      FROM e CROSS JOIN segs
+    ),
+    dist AS (
+      SELECT vec_id, d.m AS m, cb.code AS code,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> CAST(sub[i] - cent[i] AS BIGINT) * CAST(sub[i] - cent[i] AS BIGINT)))
+          AS BIGINT) AS dd
+      FROM dsub d JOIN cb ON d.m = cb.m
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, qv FROM e WHERE vec_id < 10),
+    lut AS (
+      SELECT q_id, cb.m AS m, cb.code AS code,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> CAST(list_slice(qv, cb.m*8+1, cb.m*8+8)[i] AS BIGINT) * cent[i]))
+          AS BIGINT) AS pdot
+      FROM qs CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT q_id, vec_id AS c_id, CAST(sum(pdot) AS BIGINT) AS score
+      FROM enc JOIN lut USING (m, code)
+      WHERE q_id != vec_id
+      GROUP BY q_id, vec_id
+    )
+    SELECT q_id, c_id, score, rk FROM (
+      SELECT q_id, c_id, score, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def x3_pq_topk(spark, sf_dir):
+    """X3 — product-quantization ADC top-10 (operators/similarity.py:
+    pq_codebooks + pq_encode + pq_topk): int8-quantize, split into
+    8 segments x 16-entry seed codebooks, encode every vector as 8
+    code bytes (8x smaller again than int8), score via per-query
+    BIGINT lookup tables. Seed codebooks (iterations=0) make the
+    whole pipeline — codebook, encode argmin, ADC scores, ranking —
+    exact-integer and replayable in ANSI SQL, so unlike float ANN
+    this compression path is oracle-EXACT; Lloyd-trained codebooks
+    (iterations>0) are pinned separately in pytest (distortion
+    monotonicity + recall overlap vs the exact int8 ranking)."""
+    e = T(spark, sf_dir, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    cb = xs.pq_codebooks(
+        qz, "vec_id", "q_vec", m_segments=8, k_codes=16, dim=64, iterations=0
+    )
+    enc = xs.pq_encode(
+        qz, cb, "vec_id", "q_vec", m_segments=8, k_codes=16, dim=64
+    )
+    qs_ = enc.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "q_vec"
+    )
+    cs = enc.select(F.col("vec_id").alias("c_id"), "pq_codes")
+    return xs.pq_topk(qs_, cs, cb, k=10, m_segments=8, k_codes=16, dim=64)
+
+
 @q("x3_ann_lsh")  # approximate: rows-only; recall vs brute force in pytest
 def x3_ann_lsh(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH buckets + exact refine."""

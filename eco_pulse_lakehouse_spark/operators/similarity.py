@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.functions.vector import cosine_similarity
@@ -709,4 +709,284 @@ def cosine_neardup_pairs(
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+# =====================================================================
+# Product quantization (PQ) — segment-wise codebooks over int8 vectors
+# =====================================================================
+
+
+def _floor_div(num: Column, den: Column) -> Column:
+    """Exact floor division on integral columns, pure integer math:
+    ``(num - pmod(num, den)) DIV den``. ``pmod`` is non-negative, so
+    the numerator is exactly divisible and ``DIV`` is exact — no
+    double rounding, valid past 2^53 where ``floor(a / b)`` is not."""
+    return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+
+def pq_codebooks(
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    iterations: int = 0,
+) -> DataFrame:
+    """Train per-segment PQ codebooks over int8-quantized vectors
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011). The vector is split into ``m_segments``
+    contiguous sub-vectors; each segment gets its own ``k_codes``-entry
+    codebook, so a d-dim vector compresses to m small code ids
+    (here 8 bytes vs 64 int8 components — a further 8x on top of the
+    4x from scalar quantization).
+
+    ALL-INTEGER Lloyd's: distances are exact BIGINT squared-L2,
+    centroid updates are element-wise floor(sum/count) in pure
+    integer math (_floor_div), seeds are the k lowest-id rows
+    (id-type agnostic, like seed_centroids). Deterministic and
+    order-independent — same codebooks on any partitioning, any
+    retry, any engine; ``iterations=0`` (seed codebooks) is exactly
+    replayable in ANSI SQL, which is what the x3_pq_topk oracle does.
+    Empty clusters keep their previous centroid, so k never shrinks.
+
+    Scale shape: the training set for a codebook is typically a
+    SAMPLE at 100 TB (codebooks converge on ~100k vectors); pass a
+    ``.sample()`` in. Each Lloyd iteration shuffles only
+    (id, segment) argmin rows and (segment, code, pos) partial sums —
+    never full vectors to one place. Returns (seg, code, cent):
+    m_segments * k_codes tiny rows, broadcastable everywhere.
+    """
+    sd = dim // m_segments
+    segs = F.sequence(F.lit(0), F.lit(m_segments - 1))
+    sub_of = lambda v, m: F.slice(v, m * sd + 1, sd)  # noqa: E731
+
+    # seed: k lowest-id rows, segment-sliced -> (seg, code, cent)
+    w = Window.orderBy(F.col(id_col).asc())
+    seeds = (
+        quantized.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k_codes)
+        .withColumn("code", F.row_number().over(w).cast("int") - 1)
+    )
+    cb = (
+        seeds.select("code", F.posexplode(
+            F.transform(segs, lambda m: sub_of(F.col(vec_col), m))
+        ).alias("seg", "cent"))
+        .select(F.col("seg").cast("int"), "code",
+                F.col("cent").cast("array<int>").alias("cent"))
+    )
+
+    if iterations <= 0:
+        return cb
+
+    dsub = quantized.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(
+            F.transform(segs, lambda m: sub_of(F.col(vec_col), m))
+        ).alias("seg", "sub"),
+    ).withColumn("seg", F.col("seg").cast("int"))
+
+    sq_l2 = F.aggregate(
+        F.zip_with(
+            F.col("sub"), F.col("cent"),
+            lambda x, y: (x - y).cast("bigint") * (x - y).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iterations):
+        assigned = (
+            dsub.join(F.broadcast(cb), "seg")
+            .withColumn("__d", sq_l2)
+            .groupBy("__vid", "seg")
+            .agg(F.min(F.struct("__d", "code", "sub")).alias("__best"))
+            .select("seg", F.col("__best.code").alias("code"),
+                    F.col("__best.sub").alias("sub"))
+        )
+        recomputed = (
+            assigned.select("seg", "code", F.posexplode("sub"))
+            .groupBy("seg", "code", "pos")
+            .agg(F.sum(F.col("col").cast("bigint")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .withColumn("m", _floor_div(F.col("s"), F.col("n")).cast("int"))
+            .groupBy("seg", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("seg", "code",
+                    F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cent"))
+        )
+        cb = recomputed.unionByName(
+            cb.join(recomputed.select("seg", "code"), ["seg", "code"], "left_anti")
+        )
+    return cb
+
+
+def _codebook_map(cb: DataFrame, k_codes: int) -> DataFrame:
+    """Fold the (seg, code, cent) codebook into ONE row holding a
+    map<int, array<int>> keyed ``seg * k_codes + code`` — crossJoin +
+    broadcast makes every centroid a plan-local lookup, so encode and
+    LUT construction never shuffle the data side."""
+    return cb.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("seg") * k_codes + F.col("code")).alias("k"),
+                    F.col("cent").alias("v"),
+                )
+            )
+        ).alias("__cb")
+    )
+
+
+def pq_encode(
+    quantized: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as ``m_segments`` code ids — the nearest
+    (exact BIGINT squared-L2, ties to the LOWEST code) centroid per
+    segment.
+
+    ZERO-SHUFFLE over the data: the codebook rides in as a broadcast
+    one-row map and the whole argmin is a nested higher-order
+    expression (transform over segments x transform over codes ->
+    array_position of the array_min), entirely inside whole-stage
+    codegen. A 100 TB encode is a map-only pass that writes m ints
+    per row."""
+    sd = dim // m_segments
+    cbm = _codebook_map(codebooks, k_codes)
+
+    def dist(m, c):
+        cent = F.element_at(F.col("__cb"), (m * k_codes + c).cast("int"))
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), m * sd + 1, sd), cent,
+                lambda x, y: (x - y).cast("bigint") * (x - y).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def code_for(m):
+        scores = F.transform(
+            F.sequence(F.lit(0), F.lit(k_codes - 1)), lambda c: dist(m, c)
+        )
+        return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m_segments - 1)), code_for)
+    return (
+        quantized.crossJoin(F.broadcast(cbm))
+        .withColumn(out_col, codes)
+        .drop("__cb")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    codes_col: str = "pq_codes",
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, precompute the
+    m x k lookup table of exact BIGINT dot products between each
+    query segment and each centroid; a candidate's score is then m
+    map lookups summed — never a d-dim fold per pair. Queries (with
+    their LUTs) broadcast; the candidate side is scanned once,
+    narrow, and only (q_id, c_id, score) rows reach the top-k
+    shuffle. Exact integer scoring => bit-reproducible ranking
+    across engines/retries, like quantized_dot_topk."""
+    sd = dim // m_segments
+    cbm = _codebook_map(codebooks, k_codes)
+
+    def lut_entry(j):
+        m = _floor_div(j.cast("bigint"), F.lit(k_codes).cast("bigint"))
+        cent = F.element_at(F.col("__cb"), j.cast("int"))
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(q_vec), (m * sd + 1).cast("int"), sd), cent,
+                lambda x, y: x.cast("bigint") * y.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m_segments * k_codes - 1)), lut_entry
+    )
+    q_lut = queries.crossJoin(F.broadcast(cbm)).withColumn("__lut", lut).drop("__cb")
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_segments - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("__lut"),
+            (m * k_codes + F.element_at(F.col(codes_col), (m + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(q_lut.select(q_id, "__lut")))
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id).asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def pq_distortion(
+    quantized: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "q_vec",
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> int:
+    """Total squared-L2 quantization error of a codebook over a
+    dataset (the k-means objective, exact BIGINT) — the tuning signal
+    for (m_segments, k_codes, iterations). One narrow map pass +
+    a scalar sum; at 100 TB run it on the same sample used for
+    training."""
+    sd = dim // m_segments
+    cbm = _codebook_map(codebooks, k_codes)
+
+    def seg_min(m):
+        scores = F.transform(
+            F.sequence(F.lit(0), F.lit(k_codes - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), m * sd + 1, sd),
+                    F.element_at(F.col("__cb"), F.lit(m * k_codes) + c.cast("int")),
+                    lambda x, y: (x - y).cast("bigint") * (x - y).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.array_min(scores)
+
+    per_row = sum(
+        [seg_min(m) for m in range(1, m_segments)], seg_min(0)
+    )
+    return (
+        quantized.crossJoin(F.broadcast(cbm))
+        .select(per_row.alias("__d"))
+        .agg(F.sum("__d"))
+        .first()[0]
     )

@@ -436,3 +436,62 @@ def test_persisted_ivf_matches_inmemory_and_prunes_partitions(
     # probed subset: fewer list-partition dirs than total is possible
     # only through pruning — assert the filter is selective in-plan
     assert "cent_id IN" in plan or "cent_id#" in plan, plan
+
+
+def test_pq_codebook_training_monotone(spark):
+    """All-integer Lloyd's must (a) keep the codebook exactly
+    m_segments*k_codes rows at every iteration (empty clusters retain
+    their centroid — k never shrinks), and (b) monotonically reduce
+    total squared-L2 distortion (measured at sf0.001: 6.07M seed →
+    4.83M after 1 iter → 4.65M after 2)."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    dists = []
+    for it in (0, 1, 2):
+        cb = xs.pq_codebooks(
+            qz, "vec_id", "q_vec", m_segments=8, k_codes=16, dim=64,
+            iterations=it,
+        )
+        assert cb.count() == 8 * 16, f"codebook shrank at iteration {it}"
+        dists.append(
+            xs.pq_distortion(qz, cb, "q_vec", m_segments=8, k_codes=16, dim=64)
+        )
+    assert dists[1] < dists[0], f"Lloyd iteration 1 did not improve: {dists}"
+    assert dists[2] <= dists[1], f"Lloyd iteration 2 regressed: {dists}"
+
+
+def test_pq_topk_overlap_beats_chance(spark):
+    """ADC top-10 over 8-byte PQ codes vs the exact int8 ranking.
+    Synthetic embeddings are near-orthogonal (neighbor score gaps are
+    tiny), so PQ loses real precision by design — but overlap must
+    stay far above chance (k/N = 2%; measured 32-37%) and ranks must
+    be well-formed."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    cb = xs.pq_codebooks(
+        qz, "vec_id", "q_vec", m_segments=8, k_codes=16, dim=64, iterations=2
+    )
+    enc = xs.pq_encode(qz, cb, "vec_id", "q_vec", 8, 16, 64)
+    qs = enc.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "q_vec"
+    )
+    cs = enc.select(F.col("vec_id").alias("c_id"), "pq_codes")
+    rows = xs.pq_topk(
+        qs, cs, cb, k=10, m_segments=8, k_codes=16, dim=64
+    ).collect()
+    pq = {(r.q_id, r.c_id) for r in rows}
+    eq = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q_vec").alias("qa")
+    )
+    ec = qz.select(F.col("vec_id").alias("c_id"), F.col("q_vec").alias("qb"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in xs.quantized_dot_topk(eq, ec, k=10, q_vec="qa", c_vec="qb").collect()
+    }
+    overlap = len(pq & exact) / len(exact)
+    assert overlap >= 0.15, f"PQ overlap {overlap} too close to chance"
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
