@@ -63,6 +63,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Newer Spark reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+        # (micro-truncated), ignoring the legacy long path above. NTZ
+        # forbids numeric casts (w7's epoch math) and routes JSON I/O
+        # through different format options — normalize to UTC TIMESTAMP
+        # (the session timezone is pinned UTC, so wall-clock values are
+        # unchanged and still match DuckDB's naive TIMESTAMP).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
