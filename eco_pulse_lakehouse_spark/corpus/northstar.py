@@ -1465,3 +1465,47 @@ def x4_chunk_documents(spark, sf_dir):
         .select(F.col("doc_id"), "text")
     )
     return chunk_documents(d, "doc_id", "text", chunk_tokens=48, overlap=16)
+
+
+@q(
+    "x4_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> array_to_string(toks[i:i+1], ' '))
+             ELSE [] END AS grams
+      FROM t
+    ),
+    gc AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+      GROUP BY doc_id, g
+    ),
+    gs AS (
+      SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS maxc
+      FROM gc GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_tokens, ttr,
+           COALESCE(1.0 - CAST(dist AS DOUBLE) / total, 0.0) AS dup_ngram_frac,
+           COALESCE(CAST(maxc * 2 AS DOUBLE) / n_tokens, 0.0) AS top_ngram_frac
+    FROM base b LEFT JOIN gs USING (doc_id)
+    """,
+)
+def x4_repetition_signals(spark, sf_dir):
+    """X4 — intra-document repetition signals (operators/quality.py:
+    repetition_signals): type-token ratio, duplicate-bigram fraction,
+    top-bigram coverage — the Gopher-style repetition filters that
+    gate machine-generated/boilerplate text before expensive dedup.
+    Counts explode to (doc, gram) rows and partial-aggregate (never
+    a per-doc quadratic scan); every division is one IEEE op on
+    exact integers, so the oracle matches bit-for-bit."""
+    from eco_pulse_lakehouse_spark.operators.quality import repetition_signals
+
+    d = T(spark, sf_dir, "documents")
+    return repetition_signals(d, "doc_id", "text", n=2)

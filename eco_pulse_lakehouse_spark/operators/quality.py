@@ -229,3 +229,73 @@ def hashed_linear_score(
         prob.alias("prob"),
         (prob >= F.lit(0.5)).alias("keep"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText-style
+    repetition filters, Rae et al. 2021 §A1.1): per document,
+
+      n_tokens        — whitespace token count
+      ttr             — type-token ratio (distinct/total tokens; low =
+                        vocabulary-poor boilerplate)
+      dup_ngram_frac  — fraction of word n-grams that are repeats of an
+                        earlier n-gram (1 - distinct/total)
+      top_ngram_frac  — fraction of all TOKENS covered by occurrences
+                        of the single most frequent n-gram
+
+    Machine-generated/boilerplate text scores high on the *_frac
+    signals and low on ttr; curation gates threshold these upstream
+    of expensive dedup stages.
+
+    Scale shape: the per-doc token-array stats (n_tokens, ttr) are
+    pure HOF expressions; the n-gram counts EXPLODE to (doc, gram)
+    rows and partial-aggregate — never an O(distinct²) per-doc HOF
+    scan, so a 100k-token document costs O(L) shuffled short rows,
+    and AQE absorbs doc-length skew. Every division is a single IEEE
+    op on exact integer counts — bit-reproducible across engines
+    (oracle: corpus x4_repetition_signals).
+    """
+    from eco_pulse_lakehouse_spark.functions.text import tokens, word_shingles
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+        word_shingles(F.col(text_col), n).alias("__grams"),
+    )
+    gram_stats = (
+        base.select(id_col, F.explode("__grams").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__total"),
+            F.count(F.lit(1)).alias("__dist"),
+            F.max("__c").alias("__maxc"),
+        )
+    )
+    return (
+        base.drop("__grams")
+        .join(gram_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "ttr",
+            F.coalesce(
+                F.lit(1.0) - F.col("__dist").cast("double") / F.col("__total"),
+                F.lit(0.0),
+            ).alias("dup_ngram_frac"),
+            F.coalesce(
+                (F.col("__maxc") * n).cast("double") / F.col("n_tokens"),
+                F.lit(0.0),
+            ).alias("top_ngram_frac"),
+        )
+    )

@@ -495,3 +495,23 @@ def test_pq_topk_overlap_beats_chance(spark):
         by_q.setdefault(r.q_id, []).append(r.rk)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_repetition_signals_flag_boilerplate(spark):
+    """A machine-repetitive doc ('buy now '*40) must score near-1 on
+    dup/top n-gram fractions and near-0 on type-token ratio; a
+    vocabulary-rich doc scores the opposite. The gate property the
+    curation pipeline relies on."""
+    from eco_pulse_lakehouse_spark.operators.quality import repetition_signals
+
+    rows = [
+        (1, " ".join(["buy", "now"] * 40)),
+        (2, " ".join(f"w{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    rep, rich = out[1], out[2]
+    assert rep.ttr < 0.05 and rich.ttr == 1.0
+    assert rep.dup_ngram_frac > 0.95 and rich.dup_ngram_frac == 0.0
+    assert rep.top_ngram_frac > 0.95 and rich.top_ngram_frac < 0.05
+    assert rep.n_tokens == 80 and rich.n_tokens == 80
