@@ -45,6 +45,7 @@ HEADLINE = [
     "t5_stream_dedup",         # streaming watermark+dedup drain
     "x4_bm25",                 # inverted-index BM25 query batch
     "x3_quantized_topk",       # int8 ADC scoring vs x3_cosine_topk
+    "x3_pq_topk",              # 8-byte PQ codes + LUT ADC scoring
 ]
 
 

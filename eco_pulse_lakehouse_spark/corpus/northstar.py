@@ -1509,3 +1509,109 @@ def x4_repetition_signals(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return repetition_signals(d, "doc_id", "text", n=2)
+
+
+@q(
+    "x3_ivfpq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    cseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS lc,
+             qv AS cent
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id ASC LIMIT 16)
+    ),
+    cass AS (
+      SELECT vec_id, lc AS list_id FROM (
+        SELECT e.vec_id, cs.lc,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qv[i] - cent[i] AS BIGINT) * CAST(qv[i] - cent[i] AS BIGINT)))
+            ASC, cs.lc ASC) AS rn
+        FROM e CROSS JOIN cseeds cs) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.vec_id, list_id,
+             list_transform(range(1, 65), i -> CAST(qv[i] - cent[i] AS INT)) AS r
+      FROM e JOIN cass USING (vec_id) JOIN cseeds ON cass.list_id = cseeds.lc
+    ),
+    rseeds AS (
+      -- skip the 16 coarse-seed rows: their residuals are identically
+      -- zero and would collapse the codebook (see pq_codebooks
+      -- seed_offset)
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS code, r
+      FROM (SELECT vec_id, r FROM resid ORDER BY vec_id ASC LIMIT 16 OFFSET 16)
+    ),
+    segs AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+    rcb AS (
+      SELECT m, code, list_slice(r, m*8+1, m*8+8) AS cent
+      FROM segs CROSS JOIN rseeds
+    ),
+    rsub AS (
+      SELECT vec_id, list_id, m, list_slice(r, m*8+1, m*8+8) AS sub
+      FROM resid CROSS JOIN segs
+    ),
+    rdist AS (
+      SELECT vec_id, list_id, s.m AS m, rcb.code,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> CAST(sub[i] - cent[i] AS BIGINT) * CAST(sub[i] - cent[i] AS BIGINT)))
+          AS BIGINT) AS dd
+      FROM rsub s JOIN rcb ON s.m = rcb.m
+    ),
+    enc AS (
+      SELECT vec_id, list_id, m, code FROM (
+        SELECT vec_id, list_id, m, code, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS rn
+        FROM rdist) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT q_id, qv, lc AS list_id, dotc FROM (
+        SELECT q_id, qv, cs.lc,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(qv[i] AS BIGINT) * cent[i])) AS BIGINT) AS dotc,
+          row_number() OVER (PARTITION BY q_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qv[i] - cent[i] AS BIGINT) * CAST(qv[i] - cent[i] AS BIGINT)))
+            ASC, cs.lc ASC) AS rn
+        FROM qs CROSS JOIN cseeds cs) WHERE rn <= 2
+    ),
+    lut AS (
+      SELECT q_id, list_id, dotc, rcb.m AS m, rcb.code AS code,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> CAST(list_slice(qv, rcb.m*8+1, rcb.m*8+8)[i] AS BIGINT) * cent[i]))
+          AS BIGINT) AS pdot
+      FROM probes CROSS JOIN rcb
+    ),
+    scored AS (
+      SELECT q_id, e2.vec_id AS c_id,
+             CAST(max(dotc) + sum(pdot) AS BIGINT) AS score
+      FROM enc e2 JOIN lut ON e2.list_id = lut.list_id
+                          AND e2.m = lut.m AND e2.code = lut.code
+      WHERE q_id != e2.vec_id
+      GROUP BY q_id, e2.vec_id
+    )
+    SELECT q_id, c_id, score, rk FROM (
+      SELECT q_id, c_id, score, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def x3_ivfpq_topk(spark, sf_dir):
+    """X3 — IVF-PQ top-10 (operators/similarity.py:ivfpq_topk), the
+    FAISS-IVFADC composition: integer coarse k-means partitions
+    vectors into 16 inverted lists; each vector stores list id + PQ
+    codes of its RESIDUAL; queries probe the 2 nearest lists and
+    score candidates as exact dot(q, centroid) + BIGINT ADC over the
+    residual codebook. Candidate generation is an equi-join on the
+    list id — the billion-scale shape. Seed codebooks keep every
+    stage exact-integer, so this composed index is oracle-EXACT;
+    trained variants are recall-pinned in pytest."""
+    e = T(spark, sf_dir, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    qs_ = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "q_vec"
+    )
+    return xs.ivfpq_topk(
+        qz, qs_, "vec_id", "q_vec", "q_id",
+        n_lists=16, m_segments=8, k_codes=16, dim=64, n_probe=2, k=10,
+    )

@@ -237,8 +237,10 @@ def repetition_signals(
     text_col: str = "text",
     n: int = 2,
 ) -> DataFrame:
-    """Intra-document repetition signals (the Gopher/MassiveText-style
-    repetition filters, Rae et al. 2021 §A1.1): per document,
+    """Intra-document n-GRAM repetition signals — the word-sequence
+    tier of the Gopher/MassiveText repetition filters (Rae et al.
+    2021 §A1.1); repetition_stats above is the unigram tier (Gopher
+    applies both, n=1..4). Per document,
 
       n_tokens        — whitespace token count
       ttr             — type-token ratio (distinct/total tokens; low =

@@ -733,6 +733,7 @@ def pq_codebooks(
     k_codes: int = 16,
     dim: int = 64,
     iterations: int = 0,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """Train per-segment PQ codebooks over int8-quantized vectors
     (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -762,13 +763,18 @@ def pq_codebooks(
     segs = F.sequence(F.lit(0), F.lit(m_segments - 1))
     sub_of = lambda v, m: F.slice(v, m * sd + 1, sd)  # noqa: E731
 
-    # seed: k lowest-id rows, segment-sliced -> (seg, code, cent)
+    # seed: k lowest-id rows after skipping seed_offset, segment-sliced
+    # -> (seg, code, cent). seed_offset matters when the caller already
+    # consumed the lowest ids for another codebook (ivfpq_topk's coarse
+    # quantizer: the coarse seeds' RESIDUALS are exactly zero, and
+    # all-zero seeds collapse every code to 0)
     w = Window.orderBy(F.col(id_col).asc())
     seeds = (
         quantized.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
-        .limit(k_codes)
-        .withColumn("code", F.row_number().over(w).cast("int") - 1)
+        .limit(seed_offset + k_codes)
+        .withColumn("code", F.row_number().over(w).cast("int") - 1 - seed_offset)
+        .filter(F.col("code") >= 0)
     )
     cb = (
         seeds.select("code", F.posexplode(
@@ -989,4 +995,154 @@ def pq_distortion(
         .select(per_row.alias("__d"))
         .agg(F.sum("__d"))
         .first()[0]
+    )
+
+
+def ivfpq_topk(
+    quantized: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    q_id: str = "q_id",
+    n_lists: int = 16,
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_probe: int = 2,
+    k: int = 10,
+    coarse_iterations: int = 0,
+    pq_iterations: int = 0,
+) -> DataFrame:
+    """IVF-PQ — the FAISS IVFADC composition (Jégou et al. 2011 §IV):
+    coarse integer k-means partitions vectors into inverted lists;
+    each vector stores only its list id + the PQ codes of its
+    RESIDUAL (vector − list centroid). Queries probe the ``n_probe``
+    nearest lists and score candidates as
+
+        score(q, v) ≈ dot(q, c_list)  [exact, per probed list]
+                    + Σ_m LUT[m, code_m]  [ADC over residual codebook]
+
+    which follows from dot(q, c + r̃) with r̃ the PQ-decoded residual.
+
+    Billion-scale shape: candidate generation is an EQUI-JOIN on the
+    list id (probed lists only — at 100 TB the lists are partition
+    directories and pruning applies, like build_ivf_index); per
+    candidate the score is m map lookups, never a d-dim fold; every
+    stage reuses the PQ primitives (broadcast codebook maps,
+    zero-shuffle encode). All arithmetic is exact BIGINT on int8
+    inputs, so with seed codebooks (iterations=0) the whole index —
+    coarse assignment, residuals, residual codes, probing, scoring,
+    ranking — replays exactly in ANSI SQL (x3_ivfpq_topk oracle);
+    trained codebooks are pinned by recall pytest instead.
+    """
+    # coarse quantizer = full-vector integer k-means (PQ with m=1)
+    coarse = pq_codebooks(
+        quantized, id_col, vec_col,
+        m_segments=1, k_codes=n_lists, dim=dim,
+        iterations=coarse_iterations,
+    )
+    cmap = _codebook_map(coarse, n_lists)
+    assigned = pq_encode(
+        quantized, coarse, id_col, vec_col,
+        m_segments=1, k_codes=n_lists, dim=dim, out_col="__list",
+    ).withColumn("__list", F.element_at("__list", 1))
+    residual = F.zip_with(
+        F.col(vec_col),
+        F.element_at(F.col("__cb"), F.col("__list")),
+        lambda x, y: (x - y).cast("int"),
+    )
+    resid = (
+        assigned.crossJoin(F.broadcast(cmap))
+        .withColumn("__r", residual)
+        .drop("__cb")
+    )
+    rcb = pq_codebooks(
+        resid, id_col, "__r",
+        m_segments=m_segments, k_codes=k_codes, dim=dim,
+        iterations=pq_iterations,
+        # the n_lists lowest ids ARE the coarse seeds — their residuals
+        # are identically zero and would degenerate the codebook
+        seed_offset=n_lists,
+    )
+    enc = pq_encode(
+        resid, rcb, id_col, "__r",
+        m_segments=m_segments, k_codes=k_codes, dim=dim, out_col="__codes",
+    ).select(F.col(id_col).alias("c_id"), "__list", "__codes")
+
+    # probe: n_probe nearest coarse centroids per query (same metric +
+    # tiebreak as assignment), carrying the exact dot(q, centroid) term
+    sq_l2 = F.aggregate(
+        F.zip_with(
+            F.col(q_vec_col := vec_col), F.col("cent"),
+            lambda x, y: (x - y).cast("bigint") * (x - y).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qdot_c = F.aggregate(
+        F.zip_with(
+            F.col(q_vec_col), F.col("cent"),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy(q_id).orderBy(
+        F.col("__d").asc(), F.col("code").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(coarse.select("code", "cent")))
+        .withColumn("__d", sq_l2)
+        .withColumn("__dot_c", qdot_c)
+        .withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= n_probe)
+        .select(q_id, vec_col, F.col("code").alias("__list"), "__dot_c")
+    )
+
+    # per-query ADC LUT over the residual codebook (raw query segments
+    # x residual centroids — dot(q, r~) decomposes segment-wise)
+    sd = dim // m_segments
+    rmap = _codebook_map(rcb, k_codes)
+
+    def lut_entry(j):
+        m = _floor_div(j.cast("bigint"), F.lit(k_codes).cast("bigint"))
+        cent = F.element_at(F.col("__cb"), j.cast("int"))
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), (m * sd + 1).cast("int"), sd), cent,
+                lambda x, y: x.cast("bigint") * y.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m_segments * k_codes - 1)), lut_entry
+    )
+    probes_lut = (
+        probes.crossJoin(F.broadcast(rmap))
+        .withColumn("__lut", lut)
+        .select(q_id, "__list", "__dot_c", "__lut")
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_segments - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("__lut"),
+            (m * k_codes
+             + F.element_at(F.col("__codes"), (m + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(probes_lut), "__list")
+        .filter(F.col(q_id) != F.col("c_id"))
+        .withColumn("score", F.col("__dot_c") + adc)
+    )
+    wk = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(q_id, "c_id", "score", F.col("rk").cast("int").alias("rk"))
     )

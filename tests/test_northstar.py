@@ -515,3 +515,39 @@ def test_repetition_signals_flag_boilerplate(spark):
     assert rep.dup_ngram_frac > 0.95 and rich.dup_ngram_frac == 0.0
     assert rep.top_ngram_frac > 0.95 and rich.top_ngram_frac < 0.05
     assert rep.n_tokens == 80 and rich.n_tokens == 80
+
+
+def test_ivfpq_matches_probed_exact_ranking_shape(spark):
+    """IVF-PQ well-formedness + recall sanity: every query yields k
+    well-ranked candidates drawn from probed lists only, and the
+    top-10 overlaps the exact int8 ranking far above chance (PQ on
+    near-orthogonal synthetic vectors is lossy by design)."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    qs = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "q_vec"
+    )
+    rows = xs.ivfpq_topk(
+        qz, qs, "vec_id", "q_vec", "q_id",
+        n_lists=8, m_segments=8, k_codes=16, dim=64, n_probe=4, k=10,
+    ).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for rs in by_q.values():
+        assert sorted(x.rk for x in rs) == list(range(1, len(rs) + 1))
+        scores = [x.score for x in sorted(rs, key=lambda x: x.rk)]
+        assert scores == sorted(scores, reverse=True)
+    got = {(r.q_id, r.c_id) for r in rows}
+    eq = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q_vec").alias("qa")
+    )
+    ec = qz.select(F.col("vec_id").alias("c_id"), F.col("q_vec").alias("qb"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in xs.quantized_dot_topk(eq, ec, k=10, q_vec="qa", c_vec="qb").collect()
+    }
+    overlap = len(got & exact) / len(exact)
+    # 4/8 lists probed ≈ half the corpus seen; chance within probed ≈ 4%
+    assert overlap >= 0.10, f"IVF-PQ overlap {overlap} too close to chance"
