@@ -1837,3 +1837,58 @@ def a17_hll_mergeable(spark, sf_dir):
         .alias("distinct_users_est"),
         F.count(F.lit(1)).alias("n_daily_sketches"),
     )
+
+
+@q(
+    "a19_countmin",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hh AS (
+      SELECT w, list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(range(1, len(w)+1),
+                              i -> CAST(ascii(w[i]) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000003) AS h
+      FROM (SELECT DISTINCT w FROM tok)
+    ),
+    ds AS (SELECT CAST(d AS INT) AS d FROM range(4) t(d)),
+    sketch AS (
+      SELECT d,
+             CAST((h * (2654435761 + d * 40503)) % 1000003 % 64 AS INT) AS bucket,
+             count(*) AS c
+      FROM (SELECT t.w, h FROM tok t JOIN hh USING (w)) CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT w, count(*) AS exact_count FROM tok GROUP BY w),
+    probes AS (
+      SELECT v.w, exact_count, ds.d,
+             CAST((h * (2654435761 + ds.d * 40503)) % 1000003 % 64 AS INT)
+               AS bucket
+      FROM vocab v JOIN hh USING (w) CROSS JOIN ds
+    )
+    SELECT w, exact_count, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+    FROM probes LEFT JOIN sketch USING (d, bucket)
+    GROUP BY w, exact_count
+    """,
+)
+def a19_countmin(spark, sf_dir):
+    """A19 — Count-Min frequency sketch (operators/sketches.py):
+    build a 4x64 counter table over the document token stream (one
+    narrow pass; the groupBy collapses to <=256 cells map-side),
+    then point-query every vocabulary token against it next to the
+    exact count. est >= exact always (min of depth buckets never
+    undercounts); collisions at width 64 make real overcounts the
+    oracle must reproduce. All-integer char-polynomial + Knuth
+    multiplicative hashing => the entire sketch replays exactly in
+    SQL — a sketch family with a hard oracle, like a17's HLL has
+    only a rows-only check. Mergeability (union+sum == direct) is
+    pinned in pytest."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    sketch = sk.cms_build(tok, "w", depth=4, width=64)
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    return sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)

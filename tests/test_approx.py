@@ -27,3 +27,35 @@ def test_approx_percentile_close_to_exact(spark):
     ).collect()
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact <= 0.02
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    """CMS invariants: (1) est >= exact for every key (min of depth
+    buckets only ever adds collisions); (2) sketches are linear —
+    per-language sketches merged cell-wise equal the sketch built in
+    one pass, so incremental maintenance never drifts."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    d = load_table(spark, SF, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    sketch = sk.cms_build(tok, "w", depth=4, width=64)
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = sk.cms_estimate(sketch, vocab, "w", depth=4, width=64).collect()
+    assert est and all(r.est_count >= r.exact_count for r in est)
+
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    parts = [
+        sk.cms_build(
+            d.filter(F.col("lang") == l).select(
+                F.explode(tokens(F.col("text"))).alias("w")
+            ),
+            "w", depth=4, width=64,
+        )
+        for l in langs
+    ]
+    merged = {
+        (r.d, r.bucket): r.c for r in sk.cms_merge(*parts).collect()
+    }
+    direct = {(r.d, r.bucket): r.c for r in sketch.collect()}
+    assert merged == direct
