@@ -236,3 +236,33 @@ def test_bm25_broadcasts_term_tables_not_postings(spark):
     plan = _plan(bm25_topk(d, "doc_id", "text", [(1, "hash join")], k=5))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encode must be a pure map pass over the data side: the
+    codebook arrives via BroadcastNestedLoopJoin/BroadcastExchange
+    (one-row map), and NO shuffle (Exchange hashpartitioning) of the
+    vector side appears anywhere."""
+    from eco_pulse_lakehouse_spark.operators import similarity as xs
+
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    cb = xs.pq_codebooks(qz, "vec_id", "q_vec", 8, 16, 64, iterations=0)
+    enc = xs.pq_encode(qz, cb, "vec_id", "q_vec", 8, 16, 64)
+    plan = _plan(enc)
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The sketch side of a CMS point-query join must broadcast —
+    candidates never shuffle to meet a <=256-row table."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    d = load_table(spark, SF, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    sketch = sk.cms_build(tok, "w", depth=4, width=64)
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)
+    assert "BroadcastHashJoin" in _plan(est)
