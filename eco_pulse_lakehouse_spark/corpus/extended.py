@@ -1892,3 +1892,59 @@ def a19_countmin(spark, sf_dir):
     sketch = sk.cms_build(tok, "w", depth=4, width=64)
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
     return sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)
+
+
+@q(
+    "w15_sax_words",
+    """
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    ),
+    wins AS (
+      SELECT user_id, CAST(1 + 8 * j AS INT) AS win_start,
+             list_slice(v, 1 + 8 * j, 16 + 8 * j) AS w
+      FROM (
+        SELECT user_id, v,
+               unnest(range(0, GREATEST(CAST(0 AS BIGINT),
+                                        (len(v) - 16) // 8 + 1))) AS j
+        FROM s
+      )
+    ),
+    stats AS (
+      SELECT user_id, win_start, w, list_sum(w) / 16.0 AS mu FROM wins
+    ),
+    stats2 AS (
+      SELECT user_id, win_start, w, mu,
+             sqrt(list_sum(list_transform(w, x -> (x - mu) * (x - mu))) / 16.0)
+               AS sigma
+      FROM stats
+    )
+    SELECT user_id, win_start,
+           array_to_string(list_transform(range(0, 4), g ->
+             CASE WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                       < -0.6745 * sigma THEN 'a'
+                  WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                       < 0.0 * sigma THEN 'b'
+                  WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                       < 0.6745 * sigma THEN 'c'
+                  ELSE 'd' END), '') AS sax_word
+    FROM stats2
+    """,
+)
+def w15_sax_words(spark, sf_dir):
+    """W15 — SAX time-series symbolization (operators/timeseries.py:
+    sax_words): per-user value series → sliding 16-point windows
+    (stride 8) → z-normalized 4-segment PAA → 4-letter words over
+    N(0,1) breakpoints. Same-word windows are similarity candidates
+    (the time-series LSH bucket — motif search becomes an equi-join
+    on the word + exact refine, never all-pairs). Sequential double
+    folds + correctly-rounded sqrt + multiply-side breakpoint
+    comparisons keep the whole symbolization oracle-EXACT."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import sax_words
+
+    ev = T(spark, sf_dir, "events")
+    return sax_words(
+        ev, "user_id", ("ts", "event_id"), "value",
+        window_len=16, stride=8, paa_segments=4,
+    )

@@ -71,3 +71,113 @@ def gap_fill_daily(
         F.col("__v").isNotNull().alias("observed"),
         F.last("__v", ignorenulls=True).over(w).alias(fill_col),
     )
+
+
+# SAX breakpoints for a 4-symbol alphabet: N(0,1) quartile boundaries.
+SAX_BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_words(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window_len: int = 16,
+    stride: int = 8,
+    paa_segments: int = 4,
+) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh et al.,
+    DMKD 2003): each sliding window of a per-key series is
+    z-normalized, averaged into ``paa_segments`` PAA means, and each
+    mean is discretized against fixed N(0,1) breakpoints into a
+    letter. Windows with the same word are similarity CANDIDATES —
+    the time-series analogue of an LSH bucket, so motif discovery /
+    similarity search becomes an equi-join on the word (then exact
+    refine), never an all-pairs scan. Returns
+    (key, win_start, sax_word); win_start is the 1-based offset in
+    the key's (order_cols)-sorted series.
+
+    Exactness: PAA means, window mean/variance are SEQUENTIAL double
+    folds over the sorted window (bit-identical to DuckDB's list
+    kernels — the engine's verified parity rule), sqrt is correctly
+    rounded in IEEE 754 (unlike ln/exp), and symbol assignment
+    compares ``paa_mean - mean`` against ``breakpoint * stddev`` —
+    multiplication instead of division, so a zero-variance window
+    needs no special case (every segment lands the first
+    non-negative branch deterministically in both engines). The
+    corpus entry w15_sax_words is therefore oracle-EXACT end to end.
+
+    Scale: one shuffle groups each key's series into an array; all
+    windowing/fold work is a row-local HOF projection afterwards.
+    Per-key arrays bound memory — for very long series, pre-chunk by
+    (key, coarse time bucket) with window_len-1 overlap rows (the
+    t15 chunked-reassembly pattern) so no task ever holds an
+    unbounded series.
+    """
+    sd = window_len // paa_segments
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, value_col))
+    )
+    series = events.groupBy(key_col).agg(
+        F.transform(ordered, lambda r: r.getField(value_col).cast("double"))
+        .alias("__v")
+    )
+
+    n_win = F.floor(
+        (F.size("__v") - F.lit(window_len)) / F.lit(stride)
+    ).cast("int") + 1
+    starts = F.when(
+        F.size("__v") >= window_len,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: (i * stride + 1).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def fold_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def word_for(win):
+        mu = fold_sum(win) / F.lit(float(window_len))
+        var = F.aggregate(
+            win, F.lit(0.0), lambda acc, x: acc + (x - mu) * (x - mu)
+        ) / F.lit(float(window_len))
+        sigma = F.sqrt(var)
+        letters = F.transform(
+            F.sequence(F.lit(0), F.lit(paa_segments - 1)),
+            lambda g: _sax_letter(
+                fold_sum(F.slice(win, g * sd + 1, sd)) / F.lit(float(sd)) - mu,
+                sigma,
+            ),
+        )
+        return F.array_join(letters, "")
+
+    words = F.transform(
+        starts, lambda s: F.struct(
+            s.alias("win_start"),
+            word_for(F.slice(F.col("__v"), s, window_len)).alias("sax_word"),
+        )
+    )
+    return (
+        series.select(key_col, F.explode(words).alias("w"))
+        .select(
+            key_col,
+            F.col("w.win_start").alias("win_start"),
+            F.col("w.sax_word").alias("sax_word"),
+        )
+    )
+
+
+def _sax_letter(dev: Column, sigma: Column) -> Column:
+    """Letter for a PAA deviation from the window mean: compare
+    ``dev`` against ``breakpoint * sigma`` (no division — exact for
+    sigma = 0 too)."""
+    b1, b2, b3 = SAX_BREAKPOINTS
+    return (
+        F.when(dev < F.lit(b1) * sigma, F.lit("a"))
+        .when(dev < F.lit(b2) * sigma, F.lit("b"))
+        .when(dev < F.lit(b3) * sigma, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )

@@ -347,3 +347,29 @@ def test_bloom_join_equals_plain_join_even_with_tiny_bitmap(spark):
     # a roomy bitmap prunes hard: way fewer survivors than fact rows
     survivors = bloom_prefilter(fact, dim, "fk", "dk", n_bits=1 << 14).count()
     assert 20 <= survivors < 100
+
+
+def test_sax_motif_windows_share_word(spark):
+    """Two occurrences of the same shape must symbolize to the same
+    SAX word even at different offsets/scales (z-normalization), and
+    a structurally different window must get a different word."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import sax_words
+
+    motif = [1, 9, 2, 8, 1, 9, 2, 8, 1, 9, 2, 8, 1, 9, 2, 8]
+    ramp = list(range(16))
+    vals = motif + [v * 3.0 + 100 for v in motif] + ramp
+    rows = [(1, i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts INT, event_id INT, value DOUBLE"
+    )
+    out = {
+        r.win_start: r.sax_word
+        for r in sax_words(
+            df, "user_id", ("ts", "event_id"), "value",
+            window_len=16, stride=16, paa_segments=4,
+        ).collect()
+    }
+    assert set(out) == {1, 17, 33}
+    assert out[1] == out[17], "scaled/shifted motif must share the word"
+    assert out[33] != out[1], "ramp must differ from the oscillation"
+    assert all(len(w) == 4 and set(w) <= set("abcd") for w in out.values())
