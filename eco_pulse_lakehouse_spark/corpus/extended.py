@@ -1948,3 +1948,73 @@ def w15_sax_words(spark, sf_dir):
         ev, "user_id", ("ts", "event_id"), "value",
         window_len=16, stride=8, paa_segments=4,
     )
+
+
+@q(
+    "w16_sax_motif_pairs",
+    """
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    ),
+    wins AS (
+      SELECT user_id, CAST(1 + 8 * j AS INT) AS win_start,
+             list_slice(v, 1 + 8 * j, 16 + 8 * j) AS w
+      FROM (
+        SELECT user_id, v,
+               unnest(range(0, GREATEST(CAST(0 AS BIGINT),
+                                        (len(v) - 16) // 8 + 1))) AS j
+        FROM s
+      )
+    ),
+    stats AS (SELECT user_id, win_start, w, list_sum(w) / 16.0 AS mu FROM wins),
+    stats2 AS (
+      SELECT *, sqrt(list_sum(list_transform(w, x -> (x - mu) * (x - mu)))
+                     / 16.0) AS sigma
+      FROM stats
+    ),
+    sym AS (
+      SELECT user_id, win_start, w, mu, sigma,
+             array_to_string(list_transform(range(0, 4), g ->
+               CASE WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                         < -0.6745 * sigma THEN 'a'
+                    WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                         < 0.0 * sigma THEN 'b'
+                    WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                         < 0.6745 * sigma THEN 'c'
+                    ELSE 'd' END), '') AS sax_word
+      FROM stats2
+    ),
+    z AS (
+      SELECT user_id, win_start, sax_word,
+             CASE WHEN sigma > 0 THEN list_transform(w, x -> (x - mu) / sigma)
+                  ELSE list_transform(w, x -> 0.0) END AS zv
+      FROM sym
+    )
+    SELECT key_a, start_a, key_b, start_b, sax_word, dist FROM (
+      SELECT a.user_id AS key_a, a.win_start AS start_a,
+             b.user_id AS key_b, b.win_start AS start_b,
+             a.sax_word AS sax_word,
+             round(sqrt(list_sum(list_transform(range(1, 17),
+               i -> (a.zv[i] - b.zv[i]) * (a.zv[i] - b.zv[i])))), 6) AS dist
+      FROM z a JOIN z b ON a.sax_word = b.sax_word
+       AND (a.user_id < b.user_id
+            OR (a.user_id = b.user_id AND a.win_start < b.win_start))
+    ) WHERE dist <= 3.0
+    """,
+)
+def w16_sax_motif_pairs(spark, sf_dir):
+    """W16 — motif search via SAX bucket join + exact z-norm refine
+    (operators/timeseries.py:sax_motif_pairs): candidates only ever
+    meet inside a shared-word bucket (equi-join — 22k candidate
+    pairs vs 533k all-pairs at sf0.01, and the gap widens with
+    scale), then exact z-normalized Euclidean distance keeps pairs
+    <= 3.0. The time-series twin of minhash-LSH + Jaccard refine;
+    oracle-EXACT end to end."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import sax_motif_pairs
+
+    ev = T(spark, sf_dir, "events")
+    return sax_motif_pairs(
+        ev, "user_id", ("ts", "event_id"), "value",
+        window_len=16, stride=8, paa_segments=4, max_dist=3.0,
+    )

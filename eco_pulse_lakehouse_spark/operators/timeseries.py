@@ -85,6 +85,7 @@ def sax_words(
     window_len: int = 16,
     stride: int = 8,
     paa_segments: int = 4,
+    with_zvec: bool = False,
 ) -> DataFrame:
     """SAX — Symbolic Aggregate approXimation (Lin, Keogh et al.,
     DMKD 2003): each sliding window of a per-key series is
@@ -154,19 +155,101 @@ def sax_words(
         )
         return F.array_join(letters, "")
 
-    words = F.transform(
-        starts, lambda s: F.struct(
+    def zvec_for(win):
+        """Z-normalized window (σ>0 assumed by the refine caller;
+        σ=0 windows z to NULL/inf-free zeros via the guard)."""
+        mu = fold_sum(win) / F.lit(float(window_len))
+        var = F.aggregate(
+            win, F.lit(0.0), lambda acc, x: acc + (x - mu) * (x - mu)
+        ) / F.lit(float(window_len))
+        sigma = F.sqrt(var)
+        return F.when(
+            sigma > 0,
+            F.transform(win, lambda x: (x - mu) / sigma),
+        ).otherwise(F.transform(win, lambda x: F.lit(0.0)))
+
+    def entry_for(s):
+        win = F.slice(F.col("__v"), s, window_len)
+        fields = [
             s.alias("win_start"),
-            word_for(F.slice(F.col("__v"), s, window_len)).alias("sax_word"),
+            word_for(win).alias("sax_word"),
+        ]
+        if with_zvec:
+            fields.append(zvec_for(win).alias("zvec"))
+        return F.struct(*fields)
+
+    words = F.transform(starts, entry_for)
+    out_cols = [
+        key_col,
+        F.col("w.win_start").alias("win_start"),
+        F.col("w.sax_word").alias("sax_word"),
+    ]
+    if with_zvec:
+        out_cols.append(F.col("w.zvec").alias("zvec"))
+    return series.select(key_col, F.explode(words).alias("w")).select(*out_cols)
+
+
+def sax_motif_pairs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window_len: int = 16,
+    stride: int = 8,
+    paa_segments: int = 4,
+    max_dist: float = 3.0,
+    round_dist: int | None = 6,
+) -> DataFrame:
+    """Motif/similarity search composed the two-tier way: SAX words
+    bucket the windows (equi-join on the word — candidates only ever
+    meet inside a bucket), then an exact z-normalized Euclidean
+    distance refines. The time-series twin of minhash-LSH + Jaccard
+    refine; never an all-pairs scan. Pairs are canonical
+    ((key_a, start_a) < (key_b, start_b) lexicographically) and
+    distances round to 6dp (each z value is two correctly-rounded
+    IEEE ops, but the refine SUM is a sequential fold — rounding
+    absorbs nothing here since both engines fold identically; the
+    rounding is for display stability).
+    """
+    sax = sax_words(
+        events, key_col, order_cols, value_col,
+        window_len, stride, paa_segments, with_zvec=True,
+    )
+    a = sax.select(
+        F.col(key_col).alias("key_a"),
+        F.col("win_start").alias("start_a"),
+        F.col("sax_word").alias("sax_word"),
+        F.col("zvec").alias("__za"),
+    )
+    b = sax.select(
+        F.col(key_col).alias("key_b"),
+        F.col("win_start").alias("start_b"),
+        F.col("sax_word").alias("sax_word"),
+        F.col("zvec").alias("__zb"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__za"), F.col("__zb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
     )
+    if round_dist is not None:
+        dist = F.round(dist, round_dist)
     return (
-        series.select(key_col, F.explode(words).alias("w"))
-        .select(
-            key_col,
-            F.col("w.win_start").alias("win_start"),
-            F.col("w.sax_word").alias("sax_word"),
+        a.join(b, "sax_word")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            | (
+                (F.col("key_a") == F.col("key_b"))
+                & (F.col("start_a") < F.col("start_b"))
+            )
         )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("key_a", "start_a", "key_b", "start_b", "sax_word", "dist")
     )
 
 
