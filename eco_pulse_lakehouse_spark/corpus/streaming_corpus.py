@@ -547,3 +547,91 @@ def t16_stream_fanout(spark, sf_dir):
     return spark.read.parquet(f"{base}/detail").select(
         "event_id", "user_id", F.round("value", 6).alias("value")
     )
+
+
+@q(
+    "t17_stream_countmin",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hh AS (
+      SELECT w, list_reduce(list_concat([CAST(0 AS BIGINT)],
+               list_transform(range(1, len(w)+1),
+                              i -> CAST(ascii(w[i]) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000003) AS h
+      FROM (SELECT DISTINCT w FROM tok)
+    ),
+    ds AS (SELECT CAST(d AS INT) AS d FROM range(4) t(d)),
+    sketch AS (
+      SELECT d,
+             CAST((h * (2654435761 + d * 40503)) % 1000003 % 64 AS INT) AS bucket,
+             count(*) AS c
+      FROM (SELECT t.w, h FROM tok t JOIN hh USING (w)) CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT w, count(*) AS exact_count FROM tok GROUP BY w),
+    probes AS (
+      SELECT v.w, exact_count, ds.d,
+             CAST((h * (2654435761 + ds.d * 40503)) % 1000003 % 64 AS INT)
+               AS bucket
+      FROM vocab v JOIN hh USING (w) CROSS JOIN ds
+    )
+    SELECT w, exact_count, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+    FROM probes LEFT JOIN sketch USING (d, bucket)
+    GROUP BY w, exact_count
+    """,
+)
+def t17_stream_countmin(spark, sf_dir):
+    """T17 — INCREMENTAL sketch maintenance under micro-batches:
+    documents stream through the file source one file per trigger;
+    each batch's Count-Min partial lands as an idempotent per-batch
+    parquet overwrite (replay-safe — the foreachBatch epoch id keys
+    the path), and the serving sketch is the cell-wise SUM of the
+    partials. Sketch linearity (operators/sketches.py:cms_merge)
+    makes streamed == one-pass EXACTLY, so this STREAMING entry
+    carries the same hard oracle as batch a19_countmin — the
+    100 TB ingest shape: per-batch sketches at landing time, any
+    window served by a tiny merge, history never re-scanned."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    docs = T(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t17_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t17_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        tok = batch_df.select(F.explode(tokens(F.col("text"))).alias("w"))
+        sk.cms_build(tok, "w", depth=4, width=64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    sketch = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    tok_all = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = tok_all.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    return sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)
