@@ -1615,3 +1615,44 @@ def x3_ivfpq_topk(spark, sf_dir):
         qz, qs_, "vec_id", "q_vec", "q_id",
         n_lists=16, m_segments=8, k_codes=16, dim=64, n_probe=2, k=10,
     )
+
+
+@q(
+    "x4_collocations",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    nuni AS (SELECT sum(c) AS n FROM uni),
+    grams AS (
+      SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))
+             ELSE [] END) AS g
+      FROM documents
+    ),
+    nbi AS (SELECT count(*) AS n FROM grams),
+    big AS (
+      SELECT g, count(*) AS c12 FROM grams GROUP BY g HAVING count(*) >= 5
+    )
+    SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, c12,
+           round(ln(CAST(c12 * nuni.n * nuni.n AS DOUBLE)
+                    / CAST(nbi.n * u1.c * u2.c AS DOUBLE)), 6) AS pmi
+    FROM big
+    JOIN uni u1 ON split_part(g, ' ', 1) = u1.w
+    JOIN uni u2 ON split_part(g, ' ', 2) = u2.w
+    CROSS JOIN nuni CROSS JOIN nbi
+    """,
+)
+def x4_collocations(spark, sf_dir):
+    """X4 — PMI collocation mining (operators/retrieval.py:
+    collocations_pmi): the statistical phrase detector for
+    vocab/tokenizer construction. Exact BIGINT count products, one
+    division, one ln rounded 6dp (the transcendental-parity rule) —
+    oracle-exact; min_count filters before any join so rare noise
+    never shuffles."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import collocations_pmi
+
+    d = T(spark, sf_dir, "documents")
+    return collocations_pmi(d, "doc_id", "text", min_count=5)

@@ -370,3 +370,64 @@ def chunk_documents(
             F.size(chunk).cast("int").alias("n_tokens"),
         )
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    round_pmi: int = 6,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    statistical phrase detector a tokenizer/vocab-building pass runs
+    before merging multi-word units:
+
+        pmi(w1, w2) = ln( P(w1 w2) / (P(w1) P(w2)) )
+                    = ln( c12 * N_uni^2 / (N_bi * c1 * c2) )
+
+    Shape: two explode+groupBy count passes (bigrams and unigrams,
+    both map-side combinable), scalar totals broadcast, unigram
+    counts broadcast-joined back onto the surviving bigrams (the
+    ``min_count`` filter runs BEFORE the joins, so rare noise never
+    shuffles). The PMI argument is assembled as ONE division of two
+    exact BIGINT products, then a single ln rounded to 6dp — the
+    engine's transcendental-parity rule (ln is 1-ulp unstable across
+    libms; rational inputs yield irrational outputs that sit safely
+    off rounding boundaries, except ln(1) = 0.0 exactly in both).
+    The BIGINT products hold to ~10^18 (c12·N_uni² at ~10 B tokens);
+    past that switch the argument to log-subtraction form —
+    the plan shape is unchanged.
+    """
+    from eco_pulse_lakehouse_spark.functions.text import tokens, word_shingles
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("__n_uni"))
+    grams = docs.select(
+        F.explode(word_shingles(F.col(text_col), 2)).alias("g")
+    )
+    n_bi = grams.agg(F.count(F.lit(1)).alias("__n_bi"))
+    big = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("g"), F.lit(" "), F.lit(2)))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    arg = (
+        (F.col("c12") * F.col("__n_uni") * F.col("__n_uni")).cast("double")
+        / (F.col("__n_bi") * F.col("__c1") * F.col("__c2")).cast("double")
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "c12",
+            F.round(F.log(arg), round_pmi).alias("pmi"),
+        )
+    )

@@ -373,3 +373,28 @@ def test_sax_motif_windows_share_word(spark):
     assert out[1] == out[17], "scaled/shifted motif must share the word"
     assert out[33] != out[1], "ramp must differ from the oscillation"
     assert all(len(w) == 4 and set(w) <= set("abcd") for w in out.values())
+
+
+def test_pmi_ranks_true_collocation_above_independents(spark):
+    """A bigram that only ever occurs as a unit ('new york') must get
+    higher PMI than bigrams formed by independently-shuffled fillers,
+    and PMI must be symmetric-input deterministic (exact counts)."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import collocations_pmi
+
+    filler = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    i = 0
+    for _ in range(3):
+        for a in filler:
+            for b in filler:
+                if a != b:
+                    rows.append((i, f"new york {a} {b}"))
+                    i += 1
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        (r.w1, r.w2): r.pmi
+        for r in collocations_pmi(df, "doc_id", "text", min_count=2).collect()
+    }
+    ny = out[("new", "york")]
+    indep = [v for k, v in out.items() if "new" not in k and "york" not in k]
+    assert indep and all(ny > v for v in indep), (ny, sorted(indep)[-3:])
