@@ -1656,3 +1656,36 @@ def x4_collocations(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return collocations_pmi(d, "doc_id", "text", min_count=5)
+
+
+@q(
+    "x3_embedding_pool",
+    """
+    WITH ex AS (
+      SELECT label, r.pos AS pos, r.x AS x FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> {'pos': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS r
+        FROM embeddings
+      )
+    ),
+    per_dim AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x * 1e12) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) / 1e12 AS m
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, list(m ORDER BY pos) AS pooled
+    FROM per_dim GROUP BY label
+    """,
+)
+def x3_embedding_pool(spark, sf_dir):
+    """X3 — per-group mean-pooled embeddings (operators/similarity.py:
+    pool_embeddings): the chunk→document pooling step. 1e-12
+    fixed-point BIGINT component sums make the float mean
+    order-independent and oracle-exact under any partitioning
+    (double→DECIMAL casts were NOT portable: Spark rounds HALF_UP,
+    DuckDB half-even — measured one 13th-digit mismatch per ~100
+    components)."""
+    e = T(spark, sf_dir, "embeddings")
+    return xs.pool_embeddings(e, "label", "embedding")

@@ -1146,3 +1146,59 @@ def ivfpq_topk(
         .filter(F.col("rk") <= k)
         .select(q_id, "c_id", "score", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def pool_embeddings(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→document aggregation
+    step of a retrieval pipeline (chunk_documents → embed chunks →
+    pool back to one vector per document). posexplode + groupBy
+    (group, dim) shuffles (group, dim, component) triples — never a
+    whole matrix to one task — and partial aggregation combines
+    map-side.
+
+    Order-independence: float summation depends on shuffle arrival
+    order, so components quantize to a 1e-12 fixed-point BIGINT grid
+    (round ties-away matches across engines, unlike double→DECIMAL
+    casts whose rounding mode differs), sum exactly, and divide back
+    once. Identical result on any partitioning, any retry — and
+    oracle-replayable (x3_embedding_pool)."""
+    ex = embeddings.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__pos", "__x"
+        ),
+    )
+    per_dim = (
+        ex.groupBy(group_col, "__pos")
+        .agg(
+            F.sum(
+                F.round(F.col("__x") * F.lit(1e12), 0).cast("bigint")
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "__m",
+            F.col("__s").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(1e12),
+        )
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__m"))
+            ).alias("__pm")
+        )
+        .select(
+            group_col,
+            F.transform(F.col("__pm"), lambda s: s.getField("__m")).alias(
+                out_col
+            ),
+        )
+    )
