@@ -2018,3 +2018,48 @@ def w16_sax_motif_pairs(spark, sf_dir):
         ev, "user_id", ("ts", "event_id"), "value",
         window_len=16, stride=8, paa_segments=4, max_dist=3.0,
     )
+
+
+@q(
+    "w17_trend_slope",
+    """
+    WITH base AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+             CAST(round(value * 1000000) AS BIGINT) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, n,
+      round(CASE WHEN (n * sxx - sx * sx) != 0 THEN
+        (CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE)) / 1000000.0 * 86400.0 END, 6)
+        AS slope_per_day,
+      round(CASE WHEN (n * sxx - sx * sx) != 0 THEN
+        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        - ((CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) / 1000000.0)
+          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS intercept
+    FROM agg
+    """,
+)
+def w17_trend_slope(spark, sf_dir):
+    """W17 — per-key OLS trend (operators/timeseries.py:trend_slopes):
+    regr_slope semantics with a determinism upgrade — the built-in
+    accumulates doubles (partitioning-dependent, never hash-matches
+    an oracle); this form aggregates exact BIGINT sufficient
+    statistics (epoch-based x vs a plan-constant 2024-01-01 base,
+    1e-6 fixed-point y), combines in DECIMAL(38,0)/HUGEINT, and
+    divides once. One partial-aggregated groupBy — the minimum
+    shuffle any per-key regression can have. Oracle-EXACT; DuckDB
+    epoch() must floor (its BIGINT cast rounds, Spark's
+    unix_timestamp floors)."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import trend_slopes
+
+    ev = T(spark, sf_dir, "events")
+    return trend_slopes(ev, "user_id", "ts", "value")

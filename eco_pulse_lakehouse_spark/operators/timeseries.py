@@ -264,3 +264,71 @@ def _sax_letter(dev: Column, sigma: Column) -> Column:
         .when(dev < F.lit(b3) * sigma, F.lit("c"))
         .otherwise(F.lit("d"))
     )
+
+
+TREND_EPOCH_BASE = 1_704_067_200  # 2024-01-01 UTC, plan constant
+
+
+def trend_slopes(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    value_scale: int = 1_000_000,
+    round_out: int = 6,
+) -> DataFrame:
+    """Per-key OLS trend: slope and intercept of value over time,
+    computed from the closed-form sufficient statistics
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    as ONE aggregation pass — the classic "per-key regression"
+    pattern, with a determinism twist: Spark's regr_slope (and
+    DuckDB's) accumulate doubles, so results drift with partitioning
+    and never hash-match across engines. Here x is epoch seconds
+    minus a plan-constant base (keeps x² in BIGINT range), y is
+    1e-6 fixed-point, the four sums are EXACT BIGINT aggregates,
+    and the final combination runs in DECIMAL(38,0) (n·Σxy at 100k
+    rows/key exceeds 2^63; decimal integer products are exact and
+    portable). One double division at the end, rounded 6dp —
+    order-independent, retry-stable, oracle-exact
+    (corpus w17_trend_slope).
+
+    Scale: a single partial-aggregated groupBy — the minimum
+    possible shuffle for any per-key regression. At ~10^9 rows per
+    key move Σxy/Σx² to DECIMAL at accumulation time too; the plan
+    shape is unchanged.
+
+    Keys with fewer than 2 distinct x values yield NULL slope
+    (denominator 0) — surfaced, not dropped."""
+    x = (
+        F.unix_timestamp(F.col(ts_col)) - F.lit(TREND_EPOCH_BASE)
+    ).cast("bigint")
+    y = F.round(F.col(value_col) * value_scale, 0).cast("bigint")
+    agg = events.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("__n") * dec("__sxy") - dec("__sx") * dec("__sy")
+    den = dec("__n") * dec("__sxx") - dec("__sx") * dec("__sx")
+    slope_fp = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    )  # fixed-point y per second
+    slope = slope_fp / F.lit(float(value_scale))
+    slope_day = slope * F.lit(86400.0)  # per-day: 6dp rounding keeps signal
+    mean_x = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    mean_y = (
+        F.col("__sy").cast("double")
+        / F.col("__n").cast("double")
+        / F.lit(float(value_scale))
+    )
+    return agg.select(
+        key_col,
+        F.col("__n").alias("n"),
+        F.round(slope_day, round_out).alias("slope_per_day"),
+        F.round(mean_y - slope * mean_x, round_out).alias("intercept"),
+    )

@@ -398,3 +398,27 @@ def test_pmi_ranks_true_collocation_above_independents(spark):
     ny = out[("new", "york")]
     indep = [v for k, v in out.items() if "new" not in k and "york" not in k]
     assert indep and all(ny > v for v in indep), (ny, sorted(indep)[-3:])
+
+
+def test_trend_slope_recovers_linear_series(spark):
+    """y = 2.5·x + 7 sampled hourly must come back slope≈60/day and
+    intercept≈7; a constant-x key yields NULL slope."""
+    import datetime
+
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        TREND_EPOCH_BASE,
+        trend_slopes,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(hours=i), 2.5 * i + 7.0)
+        for i in range(48)
+    ] + [(2, base, 5.0), (2, base, 9.0)]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {r.user_id: r for r in trend_slopes(df, "user_id", "ts", "value").collect()}
+    assert abs(out[1].slope_per_day - 2.5 * 24) < 1e-5
+    assert abs(out[1].intercept - 7.0) < 1e-6
+    assert out[2].slope_per_day is None and out[2].intercept is None
