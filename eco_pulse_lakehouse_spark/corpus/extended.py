@@ -2063,3 +2063,31 @@ def w17_trend_slope(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return trend_slopes(ev, "user_id", "ts", "value")
+
+
+@q(
+    "q7_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           least(greatest(value, lo), hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q7_winsorize(spark, sf_dir):
+    """Q7 — per-group winsorization (operators/quality.py:winsorize):
+    clip to exact [p5, p95] per event_type. Bounds pass broadcasts
+    back (no wide shuffle of the data side); 6dp-rounded bounds make
+    the clip oracle-exact; approx_percentile is the documented 100 TB
+    swap-in for the bounds pass."""
+    from eco_pulse_lakehouse_spark.operators.quality import winsorize
+
+    ev = T(spark, sf_dir, "events")
+    return winsorize(ev, "event_type", "value").select(
+        "event_id", "event_type", "value", "clipped"
+    )

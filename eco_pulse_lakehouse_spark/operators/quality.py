@@ -301,3 +301,39 @@ def repetition_signals(
             ).alias("top_ngram_frac"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str = "clipped",
+) -> DataFrame:
+    """Per-group winsorization — clip values to the group's
+    [p_lo, p_hi] exact percentiles (the outlier-taming step feature
+    pipelines run before normalization; q2/q3's z-score and Tukey
+    detectors FLAG outliers, this one bounds them).
+
+    Shape: one aggregation computes two percentiles per group (tiny
+    result), broadcast back onto the rows — a second narrow pass, no
+    wide shuffle of the data side. Percentile bounds round to 6dp
+    first (both engines share the (n-1)p interpolation rule —
+    a10_quantiles — and rounding removes the last-ulp risk), so the
+    least/greatest clip compares identical values everywhere:
+    oracle-exact. At 100 TB swap in approx_percentile for the bounds
+    pass (a10_approx_quantiles is the precedent); the clip pass is
+    unchanged."""
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(lo)), 6).alias("__lo"),
+        F.round(F.percentile(value_col, F.lit(hi)), 6).alias("__hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(out_col, clipped)
+        .drop("__lo", "__hi")
+    )
