@@ -58,12 +58,20 @@ def cms_build(
     key_col: str,
     depth: int = 4,
     width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sketch the frequency of string keys: one (d, bucket) increment
-    per row per depth. The key is hashed ONCE per row; the per-depth
-    buckets are a tiny transform over that hash. Returns
-    (d, bucket, c) — at most depth*width rows."""
+    per row per depth (or ``weight_col`` units for weighted
+    frequencies — byte counts, token counts; weights must be
+    integral for the sketch to stay exact). The key is hashed ONCE
+    per row; the per-depth buckets are a tiny transform over that
+    hash. Returns (d, bucket, c) — at most depth*width rows."""
     h = token_char_hash(F.col(key_col))
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
     pairs = F.transform(
         F.sequence(F.lit(0), F.lit(depth - 1)),
         lambda d: F.struct(
@@ -72,10 +80,10 @@ def cms_build(
         ),
     )
     return (
-        df.select(h.alias("__h"))
-        .select(F.explode(pairs).alias("p"))
+        df.select(h.alias("__h"), w.alias("__w"))
+        .select(F.explode(pairs).alias("p"), "__w")
         .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__w").alias("c"))
     )
 
 

@@ -59,3 +59,23 @@ def test_countmin_never_undercounts_and_merges(spark):
     }
     direct = {(r.d, r.bucket): r.c for r in sketch.collect()}
     assert merged == direct
+
+
+def test_countmin_weighted_build_matches_replicated_rows(spark):
+    """cms_build(weight_col) must equal building from weight-replicated
+    rows (weighted increments are exact, not approximated)."""
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    rows = [("alpha", 3), ("beta", 2), ("alpha", 1), ("gamma", 5)]
+    df = spark.createDataFrame(rows, "w STRING, n INT")
+    weighted = {
+        (r.d, r.bucket): r.c
+        for r in sk.cms_build(df, "w", depth=4, width=16, weight_col="n").collect()
+    }
+    flat_rows = [(w,) for w, n in rows for _ in range(n)]
+    flat = spark.createDataFrame(flat_rows, "w STRING")
+    direct = {
+        (r.d, r.bucket): r.c
+        for r in sk.cms_build(flat, "w", depth=4, width=16).collect()
+    }
+    assert weighted == direct
