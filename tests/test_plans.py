@@ -266,3 +266,39 @@ def test_cms_estimate_broadcasts_sketch(spark):
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
     est = sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)
     assert "BroadcastHashJoin" in _plan(est)
+
+
+def test_ivfpq_candidate_join_no_cartesian(spark):
+    """IVF-PQ candidate generation must be an equi-join on the list id
+    (broadcast probe side), never a cross product."""
+    from eco_pulse_lakehouse_spark.operators import similarity as xs
+
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    qs = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "q_vec"
+    )
+    plan = _plan(xs.ivfpq_topk(qz, qs, "vec_id", "q_vec", "q_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sax_motif_bucket_join_is_equi_join(spark):
+    """Motif candidates only ever meet in a shared-word bucket — the
+    join must plan as a hash/merge equi-join, never nested-loop."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import sax_motif_pairs
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(sax_motif_pairs(ev, "user_id", ("ts", "event_id"), "value"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trend_slopes_single_shuffle_partial_agg(spark):
+    """Per-key OLS is one partial-aggregated groupBy: exactly one
+    hash-partitioning exchange in the whole plan."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import trend_slopes
+
+    ev = load_table(spark, SF, "events")
+    plan = _plan(trend_slopes(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
