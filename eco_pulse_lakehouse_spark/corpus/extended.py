@@ -2091,3 +2091,32 @@ def q7_winsorize(spark, sf_dir):
     return winsorize(ev, "event_type", "value").select(
         "event_id", "event_type", "value", "clipped"
     )
+
+
+@q(
+    "q8_quantile_binning",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q0,
+             round(quantile_cont(value, 0.5), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           CAST((value > q0) AS INT) + CAST((value > q1) AS INT)
+             + CAST((value > q2) AS INT) AS bin
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q8_quantile_binning(spark, sf_dir):
+    """Q8 — per-group quartile binning (operators/quality.py:
+    quantile_binning): QuantileDiscretizer semantics as a broadcast-
+    bounds join; bin = number of exceeded cut points. Oracle-exact
+    via 6dp-rounded cut points."""
+    from eco_pulse_lakehouse_spark.operators.quality import quantile_binning
+
+    ev = T(spark, sf_dir, "events")
+    return quantile_binning(ev, "event_type", "value").select(
+        "event_id", "event_type", "value", "bin"
+    )

@@ -337,3 +337,39 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop("__lo", "__hi")
     )
+
+
+def quantile_binning(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    out_col: str = "bin",
+) -> DataFrame:
+    """Per-group quantile discretization (Spark ML's
+    QuantileDiscretizer re-expressed as a pure DataFrame op): cut
+    points are the group's exact percentiles, a row's bin is the
+    count of cut points it exceeds — bin 0..len(probs). Same
+    broadcast-bounds shape as winsorize: one tiny percentile
+    aggregate joined back, no wide shuffle of the data side; 6dp-
+    rounded cut points keep the comparisons identical cross-engine
+    (oracle q8_quantile_binning). approx_percentile is the
+    documented 100 TB cut-point pass. Values on a cut point land in
+    the LOWER bin (strict > comparison) in both engines."""
+    aggs = [
+        F.round(F.percentile(value_col, F.lit(p)), 6).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    bounds = df.groupBy(group_col).agg(*aggs)
+    bin_expr = sum(
+        [
+            (F.col(value_col) > F.col(f"__q{i}")).cast("int")
+            for i in range(len(probs))
+        ],
+        F.lit(0),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(out_col, bin_expr)
+        .drop(*[f"__q{i}" for i in range(len(probs))])
+    )
