@@ -46,6 +46,7 @@ HEADLINE = [
     "x4_bm25",                 # inverted-index BM25 query batch
     "x3_quantized_topk",       # int8 ADC scoring vs x3_cosine_topk
     "x3_pq_topk",              # 8-byte PQ codes + LUT ADC scoring
+    "w16_sax_motif_pairs",     # ts motif: SAX bucket join + z-norm refine
 ]
 
 
