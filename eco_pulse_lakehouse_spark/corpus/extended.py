@@ -2120,3 +2120,57 @@ def q8_quantile_binning(spark, sf_dir):
     return quantile_binning(ev, "event_type", "value").select(
         "event_id", "event_type", "value", "bin"
     )
+
+
+@q(
+    "q9_cusum",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, len(v) AS n, v, list_sum(v) / len(v) AS mu FROM s
+    ),
+    st2 AS (
+      SELECT *, sqrt(list_sum(list_transform(v, x -> (x - mu) * (x - mu)))
+                     / n) AS sigma
+      FROM st
+    ),
+    rec AS (
+      SELECT user_id, 0 AS idx, CAST(0.0 AS DOUBLE) AS cs,
+             CAST(0.0 AS DOUBLE) AS mx, CAST(NULL AS INT) AS cross_idx,
+             n, mu, sigma, v
+      FROM st2
+      UNION ALL
+      SELECT user_id, idx + 1,
+             greatest(CAST(0.0 AS DOUBLE),
+                      cs + (v[idx + 1] - mu - 0.5 * sigma)),
+             greatest(mx, greatest(CAST(0.0 AS DOUBLE),
+                                   cs + (v[idx + 1] - mu - 0.5 * sigma))),
+             coalesce(cross_idx,
+               CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                                  cs + (v[idx + 1] - mu - 0.5 * sigma))
+                         > 5.0 * sigma THEN CAST(idx + 1 AS INT) END),
+             n, mu, sigma, v
+      FROM rec WHERE idx < n
+    )
+    SELECT user_id, CAST(n AS INT) AS n,
+           CASE WHEN sigma > 0 THEN round(mx / sigma, 6)
+                ELSE 0.0 END AS max_cusum_sigma,
+           cross_idx AS first_cross_idx
+    FROM rec WHERE idx = n
+    """,
+)
+def q9_cusum(spark, sf_dir):
+    """Q9 — per-key CUSUM change-point detection (operators/
+    anomaly.py:cusum_changepoints, Page 1954): the drift detector a
+    metric monitor runs per source. Single sequential struct-fold
+    recurrence S_i = max(0, S_{i-1} + x_i - mu - k*sigma); reports
+    max CUSUM in sigma units and the first h-crossing index.
+    Oracle-EXACT (sequential folds + correctly-rounded sqrt, same
+    discipline as SAX)."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import cusum_changepoints
+
+    ev = T(spark, sf_dir, "events")
+    return cusum_changepoints(ev, "user_id", ("ts", "event_id"), "value")

@@ -120,3 +120,86 @@ def seasonal_topk_deviants(
             "resid_fp", F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    threshold_sigma: float = 5.0,
+    slack_sigma: float = 0.5,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per key (Page 1954):
+    the classic drift detector a data-quality monitor runs over
+    per-source metric series. With per-key mean μ and stddev σ,
+
+        S_0 = 0;  S_i = max(0, S_{i-1} + (x_i − μ − kσ))
+
+    where k = slack_sigma; an upward level shift accumulates in S,
+    noise drains back to 0. Reports each key's max CUSUM (in σ
+    units) and the 1-based index of the first crossing of
+    h = threshold_sigma·σ (NULL if never crossed).
+
+    Exactness discipline (same as SAX): μ/σ come from sequential
+    double folds over the (order_cols)-sorted series, sqrt is
+    correctly rounded, the recurrence is a SINGLE sequential fold
+    with a struct accumulator (position, S, max-S, first-cross).
+    The oracle replays the identical recurrence with a RECURSIVE
+    CTE, NOT list_reduce: DuckDB's struct-fold evaluates accumulator
+    field references against the NEW struct (measured: a field
+    reading acc.<other_field> sees the other field's updated value
+    regardless of declaration order), so any cross-field recurrence
+    is unsound there — Spark's F.aggregate has no such issue. With
+    the CTE replay the detector is oracle-exact (q9_cusum). max_cusum reports in σ units rounded
+    6dp; the σ=0 degenerate series reports 0/NULL.
+
+    Scale: one shuffle to group each key's series; the scan is
+    row-local. Long series chunk by (key, time bucket) like SAX."""
+    ordered = F.array_sort(F.collect_list(F.struct(*order_cols, value_col)))
+    series = events.groupBy(key_col).agg(
+        F.transform(ordered, lambda r: r.getField(value_col).cast("double"))
+        .alias("__v")
+    )
+    n = F.size("__v")
+    mu = F.aggregate(F.col("__v"), F.lit(0.0), lambda a, x: a + x) / n
+    var = (
+        F.aggregate(
+            F.col("__v"), F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)
+        )
+        / n
+    )
+    sigma = F.sqrt(var)
+    h = F.lit(threshold_sigma) * sigma
+    k = F.lit(slack_sigma) * sigma
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("i"),
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("mx"),
+        F.lit(None).cast("int").alias("cross"),
+    )
+
+    def step(acc, x):
+        i = acc.getField("i") + 1
+        s = F.greatest(
+            F.lit(0.0), acc.getField("s") + (x - mu - k)
+        )
+        mx = F.greatest(acc.getField("mx"), s)
+        cross = F.coalesce(
+            acc.getField("cross"), F.when(s > h, i)
+        )
+        return F.struct(
+            i.alias("i"), s.alias("s"), mx.alias("mx"), cross.alias("cross")
+        )
+
+    fin = F.aggregate(F.col("__v"), init, step)
+    max_sigma = F.when(
+        sigma > 0, F.round(fin.getField("mx") / sigma, 6)
+    ).otherwise(F.lit(0.0))
+    return series.select(
+        key_col,
+        n.cast("int").alias("n"),
+        max_sigma.alias("max_cusum_sigma"),
+        fin.getField("cross").alias("first_cross_idx"),
+    )

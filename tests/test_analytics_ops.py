@@ -123,3 +123,28 @@ def test_hll_merge_equals_direct_and_near_exact(spark):
     ).collect()[0]["est"]
     assert merged == direct
     assert abs(merged - 4999) / 4999 < 0.05
+
+
+def test_cusum_detects_injected_level_shift(spark):
+    """A series that jumps +8σ-of-noise halfway must cross the CUSUM
+    threshold shortly after the shift; a pure-noise twin must not."""
+    import math
+
+    from eco_pulse_lakehouse_spark.operators.anomaly import cusum_changepoints
+
+    noise = [math.sin(i * 0.7) for i in range(60)]  # bounded, mean~0
+    shifted = noise[:30] + [x + 8.0 for x in noise[30:]]
+    rows = [(1, i, i, float(v)) for i, v in enumerate(shifted)]
+    rows += [(2, i, i, float(v)) for i, v in enumerate(noise)]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts INT, event_id INT, value DOUBLE"
+    )
+    out = {
+        r.user_id: r
+        for r in cusum_changepoints(
+            df, "user_id", ("ts", "event_id"), "value"
+        ).collect()
+    }
+    assert out[1].first_cross_idx is not None and out[1].first_cross_idx > 30
+    assert out[2].first_cross_idx is None
+    assert out[1].max_cusum_sigma > out[2].max_cusum_sigma
