@@ -90,3 +90,54 @@ def test_grid_join_equivalence_property(spark):
         assert naive == grid
 
     check()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**15), max_value=10**15),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_floor_div_matches_python_floor(spark, pairs):
+    """_floor_div (pure-integer floor division via pmod) must equal
+    Python's // for any numerator sign — the primitive PQ centroid
+    updates rely on past 2^53 where floor(a/b) on doubles breaks."""
+    from eco_pulse_lakehouse_spark.operators.similarity import _floor_div
+
+    df = spark.createDataFrame(pairs, "num LONG, den LONG")
+    got = [
+        r.fd
+        for r in df.select(
+            _floor_div(F.col("num"), F.col("den")).alias("fd")
+        ).collect()
+    ]
+    assert got == [n // d for n, d in pairs]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_countmin_never_undercounts_any_input(spark, keys):
+    """CMS point estimates are >= the true count for EVERY key on ANY
+    input (the sketch's one-sided error guarantee)."""
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(k,) for k in keys], "w STRING")
+    sketch = sk.cms_build(df, "w", depth=3, width=8)
+    vocab = df.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = sk.cms_estimate(sketch, vocab, "w", depth=3, width=8).collect()
+    assert est and all(r.est_count >= r.exact_count for r in est)
