@@ -551,3 +551,21 @@ def test_ivfpq_matches_probed_exact_ranking_shape(spark):
     overlap = len(got & exact) / len(exact)
     # 4/8 lists probed ≈ half the corpus seen; chance within probed ≈ 4%
     assert overlap >= 0.10, f"IVF-PQ overlap {overlap} too close to chance"
+
+
+def test_pq_distortion_monotone_in_codebook_size(spark):
+    """Seed codebooks nest (lowest-k ids ⊂ lowest-2k ids), so total
+    distortion must be non-increasing in k_codes — a guaranteed
+    invariant of the argmin over a superset."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    dists = []
+    for k in (8, 16, 32):
+        cb = xs.pq_codebooks(
+            qz, "vec_id", "q_vec", m_segments=8, k_codes=k, dim=64,
+            iterations=0,
+        )
+        dists.append(
+            xs.pq_distortion(qz, cb, "q_vec", m_segments=8, k_codes=k, dim=64)
+        )
+    assert dists[0] >= dists[1] >= dists[2], dists
