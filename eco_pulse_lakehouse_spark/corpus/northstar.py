@@ -1689,3 +1689,37 @@ def x3_embedding_pool(spark, sf_dir):
     components)."""
     e = T(spark, sf_dir, "embeddings")
     return xs.pool_embeddings(e, "label", "embedding")
+
+
+@q(
+    "x4_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    nt AS (SELECT sum(c) AS n FROM lm),
+    fp AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS s
+      FROM tok JOIN lm USING (w) CROSS JOIN nt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0, 6) AS avg_surprisal
+    FROM fp GROUP BY doc_id
+    """,
+)
+def x4_unigram_logprob(spark, sf_dir):
+    """X4 — CCNet-style perplexity filter (operators/retrieval.py:
+    unigram_logprob_score): per-doc average token surprisal under a
+    unigram LM. Fixed-point 1e-6 surprisal terms summed as exact
+    BIGINTs (order-independent — the BM25 rule for ln), one final
+    division. Oracle-exact."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        unigram_logprob_score,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return unigram_logprob_score(d, "doc_id", "text")

@@ -431,3 +431,62 @@ def collocations_pmi(
             F.round(F.log(arg), round_pmi).alias("pmi"),
         )
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document unigram cross-entropy — the CCNet-style
+    "perplexity filter" stage of a pre-training pipeline (Wenzek et
+    al. 2020): score each document by the average surprisal of its
+    tokens under a unigram LM,
+
+        H(doc) = (1/n) Σ_tokens −ln p(w),   p(w) = c(w) / N.
+
+    High H = out-of-distribution/noisy text; curation keeps a band.
+    The LM here is the corpus itself (self-scoring); a production
+    pass swaps in an external LM table — same broadcast join, and at
+    100 TB the vocab truncates to top-V with an OOV floor (the
+    vocab_coverage pattern).
+
+    Shape: one count pass builds the LM (map-side combinable), the
+    tiny LM broadcasts onto the exploded token stream, per-doc sums
+    partial-aggregate. Determinism: each token's −ln p rounds to a
+    1e-6 fixed-point BIGINT (ln is 1-ulp unstable across libms; the
+    BM25 rule), the per-doc sum is exact integer addition in ANY
+    order, and one final division + 6dp round yields the score —
+    oracle-exact (x4_unigram_logprob)."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    )
+    lm = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    n_total = lm.agg(F.sum("__c").alias("__n"))
+    surprisal_fp = F.round(
+        -F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
+        * fp_scale,
+        0,
+    ).cast("bigint")
+    scored = (
+        tok.join(F.broadcast(lm), "__w")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surprisal_fp).alias("__s"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("__s").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.lit(float(fp_scale)),
+            6,
+        ).alias("avg_surprisal"),
+    )

@@ -140,53 +140,75 @@ def sax_words(
             arr, F.lit(0.0), lambda acc, x: acc + x
         )
 
-    def word_for(win):
-        mu = fold_sum(win) / F.lit(float(window_len))
-        var = F.aggregate(
-            win, F.lit(0.0), lambda acc, x: acc + (x - mu) * (x - mu)
-        ) / F.lit(float(window_len))
-        sigma = F.sqrt(var)
-        letters = F.transform(
-            F.sequence(F.lit(0), F.lit(paa_segments - 1)),
-            lambda g: _sax_letter(
-                fold_sum(F.slice(win, g * sd + 1, sd)) / F.lit(float(sd)) - mu,
-                sigma,
+    # Stage the per-window stats as COLUMNS across separate projections
+    # (explode windows first, then mu, then sigma, then word/zvec).
+    # Interpreted HOF lambdas re-evaluate every embedded subtree, so a
+    # single-expression form recomputes the mu fold inside each of the
+    # 16 variance/z elements (~16x the work per window — measured 21 s
+    # vs 4 s at sf0.1 for the motif entry). Staged aliases are referenced
+    # many times by non-cheap expressions, which CollapseProject leaves
+    # alone, so mu/sigma evaluate once per window row. Same FP ops on
+    # the same operands — bit-identical results, and the oracle parity
+    # is unchanged.
+    wins = (
+        series.select(
+            key_col,
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("win_start"),
+                        F.slice(F.col("__v"), s, window_len).alias("win"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(
+            key_col,
+            F.col("w.win_start").alias("win_start"),
+            F.col("w.win").alias("__win"),
+        )
+        .withColumn(
+            "__mu", fold_sum(F.col("__win")) / F.lit(float(window_len))
+        )
+        .withColumn(
+            "__sig",
+            F.sqrt(
+                F.aggregate(
+                    F.col("__win"),
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x - F.col("__mu")) * (x - F.col("__mu")),
+                )
+                / F.lit(float(window_len))
             ),
         )
-        return F.array_join(letters, "")
-
-    def zvec_for(win):
-        """Z-normalized window (σ>0 assumed by the refine caller;
-        σ=0 windows z to NULL/inf-free zeros via the guard)."""
-        mu = fold_sum(win) / F.lit(float(window_len))
-        var = F.aggregate(
-            win, F.lit(0.0), lambda acc, x: acc + (x - mu) * (x - mu)
-        ) / F.lit(float(window_len))
-        sigma = F.sqrt(var)
-        return F.when(
-            sigma > 0,
-            F.transform(win, lambda x: (x - mu) / sigma),
-        ).otherwise(F.transform(win, lambda x: F.lit(0.0)))
-
-    def entry_for(s):
-        win = F.slice(F.col("__v"), s, window_len)
-        fields = [
-            s.alias("win_start"),
-            word_for(win).alias("sax_word"),
-        ]
-        if with_zvec:
-            fields.append(zvec_for(win).alias("zvec"))
-        return F.struct(*fields)
-
-    words = F.transform(starts, entry_for)
-    out_cols = [
-        key_col,
-        F.col("w.win_start").alias("win_start"),
-        F.col("w.sax_word").alias("sax_word"),
-    ]
+    )
+    letters = F.transform(
+        F.sequence(F.lit(0), F.lit(paa_segments - 1)),
+        lambda g: _sax_letter(
+            fold_sum(F.slice(F.col("__win"), g * sd + 1, sd))
+            / F.lit(float(sd))
+            - F.col("__mu"),
+            F.col("__sig"),
+        ),
+    )
+    out = wins.withColumn("sax_word", F.array_join(letters, ""))
     if with_zvec:
-        out_cols.append(F.col("w.zvec").alias("zvec"))
-    return series.select(key_col, F.explode(words).alias("w")).select(*out_cols)
+        zvec = F.when(
+            F.col("__sig") > 0,
+            F.transform(
+                F.col("__win"),
+                lambda x: (x - F.col("__mu")) / F.col("__sig"),
+            ),
+        ).otherwise(
+            F.transform(F.col("__win"), lambda x: F.lit(0.0))
+        )
+        out = out.withColumn("zvec", zvec)
+    keep = [key_col, "win_start", "sax_word"] + (
+        ["zvec"] if with_zvec else []
+    )
+    return out.select(*keep)
 
 
 def sax_motif_pairs(
