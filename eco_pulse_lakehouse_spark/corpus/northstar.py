@@ -1723,3 +1723,67 @@ def x4_unigram_logprob(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return unigram_logprob_score(d, "doc_id", "text")
+
+
+_GROUP_HASH_SQL = (
+    "(CAST((group_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
+)
+
+
+@q(
+    "x6_group_split",
+    f"""
+    WITH RECURSIVE sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    ), prs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM prs
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    grouped AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(coalesce(comp, doc_id) AS BIGINT) AS group_id
+      FROM documents LEFT JOIN comp ON documents.doc_id = comp.id
+    )
+    SELECT doc_id, group_id,
+           CASE WHEN {{h}} < 0.9 THEN 'train'
+                WHEN {{h}} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM grouped
+    """.replace("{{h}}", _GROUP_HASH_SQL).replace("{h}", _GROUP_HASH_SQL),
+)
+def x6_group_split(spark, sf_dir):
+    """X6 — group-aware (leakage-free) train/val/test split
+    (operators/sampling.py:group_aware_split): near-dup clusters from
+    exact 3-gram Jaccard pairs move into a split AS A UNIT (hash of
+    the component id, not the doc id) — plain per-doc hash_split
+    would let near-duplicates straddle train/test and inflate eval.
+    Oracle composes the x2_dedup_clusters transitive closure with the
+    x6_hash_split Knuth hash CASE — exact."""
+    from eco_pulse_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+    from eco_pulse_lakehouse_spark.operators.sampling import group_aware_split
+
+    d = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
+    return group_aware_split(
+        d.select(F.col("doc_id").cast("bigint")), pairs.select("id_a", "id_b")
+    ).select("doc_id", "group_id", "split")

@@ -162,3 +162,44 @@ def domain_mixture_sample(
         .filter(unit_hash(F.col(id_col)) < frac)
         .drop("__n", "__wt")
     )
+
+
+def group_aware_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: split by NEAR-DUP
+    CLUSTER, not by document. Plain hash_split leaks — two near-
+    duplicates can land in train and test, inflating eval (the
+    contamination connected-components dedup exists to prevent).
+    Here every doc inherits its cluster id (min reachable id via
+    connected_components; singletons keep their own id) and the
+    Knuth unit hash thresholds THAT, so a whole cluster moves
+    together by construction.
+
+    Shape: pairs → iterative min-label propagation (bounded rounds,
+    equi-joins only) → one broadcast-or-hash join back onto docs →
+    the same plan-constant hash CASE as hash_split. Adds
+    ``group_id`` and ``split``."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, a_col, b_col)
+    grouped = (
+        docs.join(comp, docs[id_col] == comp["id"], "left")
+        .withColumn(
+            "group_id",
+            F.coalesce(F.col("comp"), F.col(id_col)).cast("bigint"),
+        )
+        .drop("id", "comp")
+    )
+    return hash_split(grouped, "group_id", splits)

@@ -569,3 +569,40 @@ def test_pq_distortion_monotone_in_codebook_size(spark):
             xs.pq_distortion(qz, cb, "q_vec", m_segments=8, k_codes=k, dim=64)
         )
     assert dists[0] >= dists[1] >= dists[2], dists
+
+
+def test_group_aware_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster must land in exactly one split (the
+    leakage-free property), including multi-doc chains; per-doc
+    hash_split on the same fixture demonstrably violates it."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        group_aware_split,
+        hash_split,
+    )
+
+    # 40 singleton docs + 10 duplicate chains of 3 (ids chosen so a
+    # plain per-doc hash split scatters some chain across splits)
+    rows = [(i, f"unique text number {i} alpha beta gamma delta") for i in range(40)]
+    pairs = []
+    for c in range(10):
+        base = 100 + 3 * c
+        for j in range(3):
+            rows.append((base + j, f"duplicated chain {c} shared body"))
+        pairs += [(base, base + 1), (base + 1, base + 2)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    prs = spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+    out = group_aware_split(docs, prs).select("doc_id", "group_id", "split").collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # chains resolved to min id
+    chain_groups = {r.group_id for r in out if r.doc_id >= 100}
+    assert chain_groups == {100 + 3 * c for c in range(10)}
+    # contrast: per-doc split scatters at least one chain
+    naive = hash_split(docs, "doc_id").collect()
+    chain_splits: dict = {}
+    for r in naive:
+        if r.doc_id >= 100:
+            chain_splits.setdefault((r.doc_id - 100) // 3, set()).add(r.split)
+    assert any(len(s) > 1 for s in chain_splits.values())
