@@ -635,3 +635,60 @@ def t17_stream_countmin(spark, sf_dir):
     tok_all = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     vocab = tok_all.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
     return sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)
+
+
+@q("t18_stream_lsh_index")  # sketch-keyed: rows-only; streamed ≡ batch
+# pinned exactly in tests/test_streaming.py (deterministic signatures)
+def t18_stream_lsh_index(spark, sf_dir):
+    """T18 — INCREMENTAL near-dup index maintenance: documents stream
+    in one file per trigger; each micro-batch's minhash band rows
+    (operators/dedup.py:minhash_bands) land as idempotent epoch-keyed
+    parquet partials — the index grows at ingest time, no rebuild.
+    Candidate pairs are then an equi-join over the ACCUMULATED index
+    on (band, bh). Band rows depend only on document content
+    (plan-constant hash coefficients), so the streamed index equals
+    the batch-built one row-for-row and candidate pairs match
+    minhash_lsh_pairs over the full corpus EXACTLY — the dedup-
+    against-a-growing-corpus shape a 100 TB ingest pipeline needs
+    (per-batch cost is O(batch), history never re-hashed)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import minhash_bands
+
+    docs = T(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t18_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t18_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "index"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_bands(batch_df, batch_id: int) -> None:
+        minhash_bands(batch_df, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_bands)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    idx = spark.read.parquet(os.path.join(sink, "batch=*"))
+    a = idx.select(F.col("doc_id").alias("id_a"), "band", "bh")
+    b = idx.select(F.col("doc_id").alias("id_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -122,6 +122,43 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The banded-LSH INDEX rows: (id, band, bh) — one row per band
+    per doc. Deterministic in the content alone (plan-constant hash
+    coefficients), so index rows computed in different jobs, batches,
+    or engines agree exactly — what makes the index incrementally
+    maintainable (t18: per-batch partials appended at ingest, joined
+    later) rather than rebuild-only."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    # bands is a small constant -> build the band array explicitly
+    # (explode of a literal array, one row per band per doc)
+    band_structs = []
+    for b in range(bands):
+        chunk = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at(chunk, j + 1).cast("string")
+                    for j in range(rows_per_band)
+                ])).alias("bh"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -140,25 +177,9 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    # bands is a small constant → build the band array explicitly
-    # (explode of a literal array, one row per band per doc)
-    band_structs = []
-    for b in range(bands):
-        chunk = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at(chunk, j + 1).cast("string")
-                    for j in range(rows_per_band)
-                ])).alias("bh"),
-            )
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    banded = minhash_bands(
+        docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b_ = banded.select(F.col(id_col).alias("id_b"), "band", "bh")

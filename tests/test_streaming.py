@@ -97,3 +97,26 @@ def test_silver_adds_processed_at(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert "processed_at" in out.columns
     assert out.filter(F.col("processed_at").isNull()).count() == 0
+
+
+def test_stream_lsh_index_equals_batch_pairs(spark):
+    """The incrementally-maintained LSH index must yield EXACTLY the
+    candidate pairs of the one-shot batch build — band rows depend
+    only on content, so streamed ≡ batch is an equality, not a
+    recall bound."""
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import (
+        t18_stream_lsh_index,
+    )
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.id_a, r.id_b) for r in t18_stream_lsh_index(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    batch = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert streamed == batch and len(batch) > 0
