@@ -692,3 +692,156 @@ def t18_stream_lsh_index(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+from eco_pulse_lakehouse_spark.corpus.northstar import (  # noqa: E402
+    _QVEC,
+)
+
+
+@q(
+    "t19_stream_ann_ingest",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    cseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS lc,
+             qv AS cent
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id ASC LIMIT 16)
+    ),
+    cass AS (
+      SELECT vec_id, lc AS list_id FROM (
+        SELECT e.vec_id, cs.lc,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qv[i] - cent[i] AS BIGINT) * CAST(qv[i] - cent[i] AS BIGINT)))
+            ASC, cs.lc ASC) AS rn
+        FROM e CROSS JOIN cseeds cs) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT e.vec_id, list_id,
+             list_transform(range(1, 65), i -> CAST(qv[i] - cent[i] AS INT)) AS r
+      FROM e JOIN cass USING (vec_id) JOIN cseeds ON cass.list_id = cseeds.lc
+    ),
+    rseeds AS (
+      -- skip the 16 coarse-seed rows: their residuals are identically
+      -- zero and would collapse the codebook (see pq_codebooks
+      -- seed_offset)
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS code, r
+      FROM (SELECT vec_id, r FROM resid ORDER BY vec_id ASC LIMIT 16 OFFSET 16)
+    ),
+    segs AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+    rcb AS (
+      SELECT m, code, list_slice(r, m*8+1, m*8+8) AS cent
+      FROM segs CROSS JOIN rseeds
+    ),
+    rsub AS (
+      SELECT vec_id, list_id, m, list_slice(r, m*8+1, m*8+8) AS sub
+      FROM resid CROSS JOIN segs
+    ),
+    rdist AS (
+      SELECT vec_id, list_id, s.m AS m, rcb.code,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> CAST(sub[i] - cent[i] AS BIGINT) * CAST(sub[i] - cent[i] AS BIGINT)))
+          AS BIGINT) AS dd
+      FROM rsub s JOIN rcb ON s.m = rcb.m
+    ),
+    enc AS (
+      SELECT vec_id, list_id, m, code FROM (
+        SELECT vec_id, list_id, m, code, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS rn
+        FROM rdist) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT q_id, qv, lc AS list_id, dotc FROM (
+        SELECT q_id, qv, cs.lc,
+          CAST(list_sum(list_transform(range(1, 65),
+            i -> CAST(qv[i] AS BIGINT) * cent[i])) AS BIGINT) AS dotc,
+          row_number() OVER (PARTITION BY q_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qv[i] - cent[i] AS BIGINT) * CAST(qv[i] - cent[i] AS BIGINT)))
+            ASC, cs.lc ASC) AS rn
+        FROM qs CROSS JOIN cseeds cs) WHERE rn <= 2
+    ),
+    lut AS (
+      SELECT q_id, list_id, dotc, rcb.m AS m, rcb.code AS code,
+        CAST(list_sum(list_transform(range(1, 9),
+          i -> CAST(list_slice(qv, rcb.m*8+1, rcb.m*8+8)[i] AS BIGINT) * cent[i]))
+          AS BIGINT) AS pdot
+      FROM probes CROSS JOIN rcb
+    ),
+    scored AS (
+      SELECT q_id, e2.vec_id AS c_id,
+             CAST(max(dotc) + sum(pdot) AS BIGINT) AS score
+      FROM enc e2 JOIN lut ON e2.list_id = lut.list_id
+                          AND e2.m = lut.m AND e2.code = lut.code
+      WHERE q_id != e2.vec_id
+      GROUP BY q_id, e2.vec_id
+    )
+    SELECT q_id, c_id, score, rk FROM (
+      SELECT q_id, c_id, score, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INT) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+)
+def t19_stream_ann_ingest(spark, sf_dir):
+    """T19 — STREAMING ANN ingest over the IVF-PQ lifecycle
+    (similarity.py:ivfpq_codebooks/ivfpq_encode/ivfpq_query): index
+    parameters bootstrap once (tiny tables, driver-persisted); then
+    embeddings stream in one file per trigger and each micro-batch
+    is ENCODED INDEPENDENTLY (map-only: list id + 8 residual-PQ code
+    bytes) into epoch-keyed idempotent parquet. Queries serve from
+    the accumulated store. Encoding is content-deterministic against
+    fixed codebooks, so streamed-ingest == batch-build exactly and
+    this STREAMING entry carries the identical hard oracle as
+    x3_ivfpq_topk — the grows-forever embedding-store shape: ingest
+    cost O(batch), history never re-encoded."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        ivfpq_codebooks,
+        ivfpq_encode,
+        ivfpq_query,
+        quantize_embeddings,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    coarse_df, rcb_df = ivfpq_codebooks(qz, "vec_id", "q_vec")
+    # persist the (tiny) index parameters driver-side so every batch
+    # encodes against identical plan constants
+    coarse = spark.createDataFrame(coarse_df.collect(), coarse_df.schema)
+    rcb = spark.createDataFrame(rcb_df.collect(), rcb_df.schema)
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t19_{uuid.uuid4().hex}"
+    )
+    e.repartition(4).write.mode("overwrite").parquet(stage)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t19_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "enc"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_encoded(batch_df, batch_id: int) -> None:
+        bq = quantize_embeddings(batch_df, "embedding", "q_vec", n_levels=127)
+        ivfpq_encode(bq, coarse, rcb, "vec_id", "q_vec").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_encoded)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    enc = spark.read.parquet(os.path.join(sink, "batch=*"))
+    qs_ = qz.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "q_vec"
+    )
+    return ivfpq_query(qs_, enc, coarse, rcb, "q_id", "q_vec")

@@ -998,49 +998,16 @@ def pq_distortion(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_residuals(
     quantized: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "q_vec",
-    q_id: str = "q_id",
-    n_lists: int = 16,
-    m_segments: int = 8,
-    k_codes: int = 16,
-    dim: int = 64,
-    n_probe: int = 2,
-    k: int = 10,
-    coarse_iterations: int = 0,
-    pq_iterations: int = 0,
+    coarse: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    dim: int,
 ) -> DataFrame:
-    """IVF-PQ — the FAISS IVFADC composition (Jégou et al. 2011 §IV):
-    coarse integer k-means partitions vectors into inverted lists;
-    each vector stores only its list id + the PQ codes of its
-    RESIDUAL (vector − list centroid). Queries probe the ``n_probe``
-    nearest lists and score candidates as
-
-        score(q, v) ≈ dot(q, c_list)  [exact, per probed list]
-                    + Σ_m LUT[m, code_m]  [ADC over residual codebook]
-
-    which follows from dot(q, c + r̃) with r̃ the PQ-decoded residual.
-
-    Billion-scale shape: candidate generation is an EQUI-JOIN on the
-    list id (probed lists only — at 100 TB the lists are partition
-    directories and pruning applies, like build_ivf_index); per
-    candidate the score is m map lookups, never a d-dim fold; every
-    stage reuses the PQ primitives (broadcast codebook maps,
-    zero-shuffle encode). All arithmetic is exact BIGINT on int8
-    inputs, so with seed codebooks (iterations=0) the whole index —
-    coarse assignment, residuals, residual codes, probing, scoring,
-    ranking — replays exactly in ANSI SQL (x3_ivfpq_topk oracle);
-    trained codebooks are pinned by recall pytest instead.
-    """
-    # coarse quantizer = full-vector integer k-means (PQ with m=1)
-    coarse = pq_codebooks(
-        quantized, id_col, vec_col,
-        m_segments=1, k_codes=n_lists, dim=dim,
-        iterations=coarse_iterations,
-    )
+    """Assign each vector its coarse list (PQ-encode with m=1) and
+    compute the integer residual vs that list's centroid."""
     cmap = _codebook_map(coarse, n_lists)
     assigned = pq_encode(
         quantized, coarse, id_col, vec_col,
@@ -1051,11 +1018,37 @@ def ivfpq_topk(
         F.element_at(F.col("__cb"), F.col("__list")),
         lambda x, y: (x - y).cast("int"),
     )
-    resid = (
+    return (
         assigned.crossJoin(F.broadcast(cmap))
         .withColumn("__r", residual)
         .drop("__cb")
     )
+
+
+def ivfpq_codebooks(
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    n_lists: int = 16,
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    coarse_iterations: int = 0,
+    pq_iterations: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF-PQ index parameters ONCE (bootstrap — at 100 TB
+    on a sample): the coarse quantizer (full-vector integer k-means =
+    PQ with m=1) and the residual PQ codebook. Both are tiny
+    broadcastable tables; everything downstream (encode at ingest,
+    query at serve) treats them as plan constants, which is what lets
+    a STREAMING ingest encode each batch independently and still
+    agree exactly with a batch build (t19)."""
+    coarse = pq_codebooks(
+        quantized, id_col, vec_col,
+        m_segments=1, k_codes=n_lists, dim=dim,
+        iterations=coarse_iterations,
+    )
+    resid = _ivfpq_residuals(quantized, coarse, id_col, vec_col, n_lists, dim)
     rcb = pq_codebooks(
         resid, id_col, "__r",
         m_segments=m_segments, k_codes=k_codes, dim=dim,
@@ -1064,16 +1057,51 @@ def ivfpq_topk(
         # are identically zero and would degenerate the codebook
         seed_offset=n_lists,
     )
-    enc = pq_encode(
+    return coarse, rcb
+
+
+def ivfpq_encode(
+    quantized: DataFrame,
+    coarse: DataFrame,
+    rcb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    n_lists: int = 16,
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors against FIXED codebooks: (c_id, __list,
+    __codes). Map-only over the data side (broadcast codebook maps,
+    HOF argmins) — the per-batch ingest step; content-deterministic,
+    so batches encoded at different times agree exactly."""
+    resid = _ivfpq_residuals(quantized, coarse, id_col, vec_col, n_lists, dim)
+    return pq_encode(
         resid, rcb, id_col, "__r",
         m_segments=m_segments, k_codes=k_codes, dim=dim, out_col="__codes",
     ).select(F.col(id_col).alias("c_id"), "__list", "__codes")
 
-    # probe: n_probe nearest coarse centroids per query (same metric +
-    # tiebreak as assignment), carrying the exact dot(q, centroid) term
+
+def ivfpq_query(
+    queries: DataFrame,
+    enc: DataFrame,
+    coarse: DataFrame,
+    rcb: DataFrame,
+    q_id: str = "q_id",
+    vec_col: str = "q_vec",
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Serve top-k from an encoded store: probe the n_probe nearest
+    coarse lists (same metric + tiebreak as assignment), build the
+    per-query BIGINT ADC LUT, equi-join candidates on the list id,
+    score = exact dot(q, centroid) + ADC sum."""
     sq_l2 = F.aggregate(
         F.zip_with(
-            F.col(q_vec_col := vec_col), F.col("cent"),
+            F.col(vec_col), F.col("cent"),
             lambda x, y: (x - y).cast("bigint") * (x - y).cast("bigint"),
         ),
         F.lit(0).cast("bigint"),
@@ -1081,7 +1109,7 @@ def ivfpq_topk(
     )
     qdot_c = F.aggregate(
         F.zip_with(
-            F.col(q_vec_col), F.col("cent"),
+            F.col(vec_col), F.col("cent"),
             lambda x, y: x.cast("bigint") * y.cast("bigint"),
         ),
         F.lit(0).cast("bigint"),
@@ -1145,6 +1173,61 @@ def ivfpq_topk(
         scored.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
         .select(q_id, "c_id", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ivfpq_topk(
+    quantized: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    q_id: str = "q_id",
+    n_lists: int = 16,
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_probe: int = 2,
+    k: int = 10,
+    coarse_iterations: int = 0,
+    pq_iterations: int = 0,
+) -> DataFrame:
+    """IVF-PQ — the FAISS IVFADC composition (Jégou et al. 2011 §IV):
+    coarse integer k-means partitions vectors into inverted lists;
+    each vector stores only its list id + the PQ codes of its
+    RESIDUAL (vector − list centroid). Queries probe the ``n_probe``
+    nearest lists and score candidates as
+
+        score(q, v) ≈ dot(q, c_list)  [exact, per probed list]
+                    + Σ_m LUT[m, code_m]  [ADC over residual codebook]
+
+    which follows from dot(q, c + r̃) with r̃ the PQ-decoded residual.
+
+    Billion-scale shape: candidate generation is an EQUI-JOIN on the
+    list id (probed lists only — at 100 TB the lists are partition
+    directories and pruning applies, like build_ivf_index); per
+    candidate the score is m map lookups, never a d-dim fold; every
+    stage reuses the PQ primitives (broadcast codebook maps,
+    zero-shuffle encode). All arithmetic is exact BIGINT on int8
+    inputs, so with seed codebooks (iterations=0) the whole index —
+    coarse assignment, residuals, residual codes, probing, scoring,
+    ranking — replays exactly in ANSI SQL (x3_ivfpq_topk oracle);
+    trained codebooks are pinned by recall pytest instead.
+
+    Composition of the lifecycle stages (ivfpq_codebooks →
+    ivfpq_encode → ivfpq_query); t19 runs the SAME stages with the
+    encode step under streaming ingest.
+    """
+    coarse, rcb = ivfpq_codebooks(
+        quantized, id_col, vec_col, n_lists, m_segments, k_codes, dim,
+        coarse_iterations, pq_iterations,
+    )
+    enc = ivfpq_encode(
+        quantized, coarse, rcb, id_col, vec_col,
+        n_lists, m_segments, k_codes, dim,
+    )
+    return ivfpq_query(
+        queries, enc, coarse, rcb, q_id, vec_col,
+        m_segments, k_codes, dim, n_probe, k,
     )
 
 
