@@ -1787,3 +1787,56 @@ def x6_group_split(spark, sf_dir):
     return group_aware_split(
         d.select(F.col("doc_id").cast("bigint")), pairs.select("id_a", "id_b")
     ).select("doc_id", "group_id", "split")
+
+
+@q(
+    "x2_sorted_neighborhood",
+    """
+    WITH ordered AS (
+      SELECT doc_id, text,
+             row_number() OVER (ORDER BY text, doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                      greatest(a.doc_id, b.doc_id) AS id_b
+      FROM ordered a JOIN ordered b
+        ON b.rn > a.rn AND b.rn <= a.rn + 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                   6) AS jaccard
+      FROM cand
+      JOIN sh sa ON id_a = sa.doc_id
+      JOIN sh sb ON id_b = sb.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def x2_sorted_neighborhood(spark, sf_dir):
+    """X2 — sorted-neighborhood blocking (operators/dedup.py:
+    sorted_neighborhood_pairs, Hernández/Stolfo 1995): ONE range-
+    partitioned global sort + a lead() window produces O(n·w)
+    candidates, refined by exact 3-gram Jaccard — the classic
+    non-hash blocking family beside minhash-LSH/simhash/edit-
+    distance. Oracle replays the sort-rank join exactly (binary
+    string collation matches)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=4, jaccard_threshold=0.2
+    )

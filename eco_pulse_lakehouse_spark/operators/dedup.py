@@ -374,3 +374,72 @@ def incremental_dedup(
     )
     base_keys = base.select(key.alias("__ck")).distinct()
     return batch_unique.join(base_keys, "__ck", "left_anti").drop("__ck")
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    jaccard_threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup candidates (Hernández &
+    Stolfo 1995): sort the corpus by a blocking key (here the text
+    itself — near-identical prefixes sort adjacent), slide a window
+    of ``window`` rows, refine candidate pairs with exact n-gram
+    Jaccard. The classic alternative blocking family to hash-based
+    LSH: catches prefix-similar pairs that hash bands can miss, costs
+    ONE global sort + a lead() window instead of signature
+    computation — and misses pairs whose difference is in the first
+    characters (the known SNM trade-off; production multi-pass SNM
+    re-sorts under rotated keys).
+
+    Shape at scale: the sort is a range-partitioned total order (no
+    single-partition stage), the window emits (window-1) lead ids per
+    row — candidates are O(n·window), refined by the same exact
+    Jaccard as x2_ngram_jaccard. Returns (id_a, id_b, jaccard)."""
+    from eco_pulse_lakehouse_spark.functions.text import word_shingles
+
+    w = Window.orderBy(F.col(text_col).asc(), F.col(id_col).asc())
+    leads = F.array_compact(
+        F.array(
+            *[
+                F.lead(F.col(id_col), i).over(w)
+                for i in range(1, window)
+            ]
+        )
+    )
+    cand = (
+        docs.select(id_col, text_col)
+        .withColumn("__nbrs", leads)
+        .select(
+            F.col(id_col).alias("__src"),
+            F.explode("__nbrs").alias("__dst"),
+        )
+        .select(
+            F.least("__src", "__dst").alias("id_a"),
+            F.greatest("__src", "__dst").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
+            "__s"
+        ),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union, 6),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -606,3 +606,30 @@ def test_group_aware_split_never_splits_a_cluster(spark):
         if r.doc_id >= 100:
             chain_splits.setdefault((r.doc_id - 100) // 3, set()).add(r.split)
     assert any(len(s) > 1 for s in chain_splits.values())
+
+
+def test_sorted_neighborhood_finds_prefix_dups(spark):
+    """SNM must recover prefix-similar near-dups (they sort adjacent)
+    and well-formed canonical pairs; a doc differing only at the END
+    of a long shared prefix is exactly its strength case."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),
+        (3, "zebra yak xylophone words entirely unlike the others here"),
+        (4, "middle ground text that shares nothing with the base pair"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.8
+    assert all(a < b for a, b in out)
+    assert len(out) == 1
