@@ -633,3 +633,39 @@ def test_sorted_neighborhood_finds_prefix_dups(spark):
     assert (1, 2) in out and out[(1, 2)] > 0.8
     assert all(a < b for a, b in out)
     assert len(out) == 1
+
+
+def test_blocking_families_are_complementary(spark):
+    """Union recall of SNM + minhash-LSH against exact Jaccard>=0.8
+    truth must be at least each family's own recall, and the union
+    must cover all truth at these settings on the fixture (the reason
+    an engine ships multiple blocking families)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    if not truth:
+        return
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 32, 8).collect()
+    }
+    snm = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            docs, "doc_id", "text", window=4, jaccard_threshold=0.0
+        ).collect()
+    }
+    union_recall = len(truth & (lsh | snm)) / len(truth)
+    assert union_recall >= len(truth & lsh) / len(truth)
+    assert union_recall >= len(truth & snm) / len(truth)
+    assert union_recall >= 0.9, f"union recall {union_recall}"
