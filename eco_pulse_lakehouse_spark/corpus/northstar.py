@@ -1840,3 +1840,60 @@ def x2_sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood_pairs(
         d, "doc_id", "text", window=4, jaccard_threshold=0.2
     )
+
+
+@q(
+    "x2_snm_multipass",
+    """
+    WITH fwd AS (
+      SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS rn
+      FROM documents
+    ),
+    rev AS (
+      SELECT doc_id, row_number() OVER (ORDER BY reverse(text), doc_id) AS rn
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                      greatest(a.doc_id, b.doc_id) AS id_b
+      FROM fwd a JOIN fwd b ON b.rn > a.rn AND b.rn <= a.rn + 3
+      UNION
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                      greatest(a.doc_id, b.doc_id) AS id_b
+      FROM rev a JOIN rev b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                   6) AS jaccard
+      FROM cand
+      JOIN sh sa ON id_a = sa.doc_id
+      JOIN sh sb ON id_b = sb.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def x2_snm_multipass(spark, sf_dir):
+    """X2 — multi-pass sorted-neighborhood (the production SNM form):
+    forward-text pass + reversed-text pass (suffix-similar docs sort
+    adjacent), candidates unioned before ONE Jaccard refine — closes
+    the single-pass prefix blind spot. Oracle replays both rank joins
+    exactly."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        sorted_neighborhood_multipass,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return sorted_neighborhood_multipass(
+        d, "doc_id", "text", window=4, jaccard_threshold=0.2
+    )

@@ -443,3 +443,60 @@ def sorted_neighborhood_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def sorted_neighborhood_multipass(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    jaccard_threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Production SNM: a second pass sorted under a ROTATED key (the
+    reversed text — suffix-similar docs sort adjacent) unioned with
+    the prefix pass, covering the single-pass blind spot (pairs whose
+    difference is in the first characters). Each pass is the same
+    sort+window shape; candidates union BEFORE the Jaccard refine so
+    the refine runs once per distinct pair."""
+    from eco_pulse_lakehouse_spark.functions.text import word_shingles
+
+    def pass_candidates(sort_expr):
+        w = Window.orderBy(sort_expr, F.col(id_col).asc())
+        leads = F.array_compact(
+            F.array(
+                *[F.lead(F.col(id_col), i).over(w) for i in range(1, window)]
+            )
+        )
+        return (
+            docs.select(id_col, text_col)
+            .withColumn("__nbrs", leads)
+            .select(
+                F.col(id_col).alias("__src"), F.explode("__nbrs").alias("__dst")
+            )
+            .select(
+                F.least("__src", "__dst").alias("id_a"),
+                F.greatest("__src", "__dst").alias("id_b"),
+            )
+        )
+
+    cand = (
+        pass_candidates(F.col(text_col).asc())
+        .unionByName(pass_candidates(F.reverse(F.col(text_col)).asc()))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
