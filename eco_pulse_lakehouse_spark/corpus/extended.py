@@ -2174,3 +2174,63 @@ def q9_cusum(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return cusum_changepoints(ev, "user_id", ("ts", "event_id"), "value")
+
+
+@q("a20_theta_setops")  # sketch estimates: rows-only; accuracy pytest
+def a20_theta_setops(spark, sf_dir):
+    """A20 — theta-sketch SET OPERATIONS (Spark 4 DataSketches
+    surface): per-event-type user sketches, then |click ∩ purchase|
+    and |click \\ purchase| via sketch intersection/difference — the
+    set algebra HLL cannot do (union-only). The 100 TB audience-
+    overlap shape: sketch each segment once at ingest (KBs), answer
+    any overlap question later without touching raw data. Estimates;
+    exactness bounds pinned in tests/test_approx.py."""
+    ev = T(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    clicks = sk.filter(F.col("event_type") == "click").select(
+        F.col("s").alias("c")
+    )
+    buys = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("s").alias("p")
+    )
+    both = clicks.crossJoin(buys)
+    return both.select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("c"), F.col("p"))
+        ).cast("bigint").alias("click_and_purchase"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("c"), F.col("p"))
+        ).cast("bigint").alias("click_not_purchase"),
+    )
+
+
+@q("a21_kll_quantiles")  # sketch estimates: rows-only; accuracy pytest
+def a21_kll_quantiles(spark, sf_dir):
+    """A21 — MERGEABLE QUANTILES via KLL sketches (Spark 4
+    DataSketches): each half-month sketches its values once; the
+    combined p50/p95 comes from the pairwise sketch MERGE (the
+    binary kll_sketch_merge_double), never a re-scan + global sort
+    of history (exact percentile at 100 TB IS a global sort) — the
+    quantile twin of a17's HLL rollup. Estimate accuracy vs exact
+    percentile pinned in tests/test_approx.py."""
+    ev = T(spark, sf_dir, "events")
+    half = F.dayofmonth(F.col("ts")) <= 15
+    first = ev.filter(half).agg(
+        F.kll_sketch_agg_double("value").alias("a")
+    )
+    second = ev.filter(~half).agg(
+        F.kll_sketch_agg_double("value").alias("b")
+    )
+    merged = first.crossJoin(second).select(
+        F.kll_sketch_merge_double(F.col("a"), F.col("b")).alias("m")
+    )
+    return merged.select(
+        F.round(
+            F.kll_sketch_get_quantile_double(F.col("m"), F.lit(0.5)), 6
+        ).alias("p50_est"),
+        F.round(
+            F.kll_sketch_get_quantile_double(F.col("m"), F.lit(0.95)), 6
+        ).alias("p95_est"),
+    )

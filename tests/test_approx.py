@@ -79,3 +79,38 @@ def test_countmin_weighted_build_matches_replicated_rows(spark):
         for r in sk.cms_build(flat, "w", depth=4, width=16).collect()
     }
     assert weighted == direct
+
+
+def test_theta_setops_match_exact_on_fixture(spark):
+    """Theta intersection/difference estimates must sit within a few
+    percent of the exact set cardinalities (fixture sets are far
+    below sketch capacity, so they are effectively exact)."""
+    from eco_pulse_lakehouse_spark.corpus.extended import a20_theta_setops
+
+    ev = load_table(spark, SF, "events")
+    clicks = {r.user_id for r in ev.filter(F.col("event_type") == "click")
+              .select("user_id").distinct().collect()}
+    buys = {r.user_id for r in ev.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct().collect()}
+    got = a20_theta_setops(spark, SF).collect()[0]
+    assert abs(got.click_and_purchase - len(clicks & buys)) <= max(
+        2, 0.05 * len(clicks & buys)
+    )
+    assert abs(got.click_not_purchase - len(clicks - buys)) <= max(
+        2, 0.05 * len(clicks - buys) if clicks - buys else 2
+    )
+
+
+def test_kll_merged_quantiles_close_to_exact(spark):
+    """The merged KLL p50/p95 must track the exact global percentiles
+    (KLL normalized error ~1.7% at default k)."""
+    from eco_pulse_lakehouse_spark.corpus.extended import a21_kll_quantiles
+
+    ev = load_table(spark, SF, "events")
+    exact = ev.agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    ).collect()[0]
+    got = a21_kll_quantiles(spark, SF).collect()[0]
+    assert abs(got.p50_est - exact.p50) / exact.p50 <= 0.05
+    assert abs(got.p95_est - exact.p95) / exact.p95 <= 0.05
