@@ -2234,3 +2234,76 @@ def a21_kll_quantiles(spark, sf_dir):
             F.kll_sketch_get_quantile_double(F.col("m"), F.lit(0.95)), 6
         ).alias("p95_est"),
     )
+
+
+@q(
+    "a22_bitmap_distinct",
+    """
+    SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+)
+def a22_bitmap_distinct(spark, sf_dir):
+    """A22 — EXACT mergeable distinct-count via bitmap aggregates
+    (Spark 3.5+ bitmap surface): per-day user bitmaps OR-merge into
+    the monthly EXACT distinct count — the missing rung between
+    COUNT(DISTINCT) (exact, but re-shuffles raw ids over any window)
+    and HLL (mergeable but approximate, a17). Bitmaps are mergeable
+    AND exact for integer keys: daily partitions aggregate once,
+    any rollup is a cheap OR — and unlike every sketch entry this
+    one carries a HARD oracle (the merged bitmap count must equal
+    plain COUNT DISTINCT)."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("__month"),
+        F.date_trunc("day", F.col("ts")).alias("__day"),
+        F.bitmap_bucket_number(F.col("user_id")).alias("__bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("__bm")
+    )
+    return (
+        daily.groupBy("__month", "__bucket")
+        .agg(F.bitmap_or_agg("__bm").alias("__merged"))
+        .groupBy("__month")
+        .agg(F.sum(F.bitmap_count("__merged")).alias("distinct_users"))
+        .select(
+            F.date_format("__month", "yyyy-MM").alias("month"),
+            "distinct_users",
+        )
+    )
+
+
+@q(
+    "a23_listagg",
+    """
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), ','
+                      ORDER BY user_id, event_id) AS user_list
+    FROM (SELECT event_type, user_id, event_id FROM events
+          WHERE event_id % 199 = 0)
+    GROUP BY event_type
+    """,
+)
+def a23_listagg(spark, sf_dir):
+    """A23 — ordered string aggregation (Spark 4 listagg ... WITHIN
+    GROUP): deterministic ordered concatenation — the report/export
+    shape collect_list can't give without a sort-in-array detour.
+    Oracle: DuckDB string_agg ORDER BY."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 199 == 0)
+        .select(
+            "event_type",
+            F.col("user_id").cast("string").alias("uid"),
+            "user_id",
+            "event_id",
+        )
+    )
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "listagg(uid, ',') WITHIN GROUP (ORDER BY user_id, event_id)"
+        ).alias("user_list")
+    )
