@@ -2307,3 +2307,42 @@ def a23_listagg(spark, sf_dir):
             "listagg(uid, ',') WITHIN GROUP (ORDER BY user_id, event_id)"
         ).alias("user_list")
     )
+
+
+@q(
+    "f_try_arithmetic",
+    """
+    SELECT event_id,
+           CASE WHEN CAST(event_id % 10 AS BIGINT) != 0
+                THEN CAST(value AS DOUBLE) / CAST(event_id % 10 AS BIGINT)
+           END AS safe_div,
+           TRY_CAST(props AS BIGINT) AS props_num,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE user_id * 1000000 END AS safe_mul
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def f_try_arithmetic(spark, sf_dir):
+    """F-extra — ANSI error-safe arithmetic (try_divide / try_to_number
+    / try_multiply): under ANSI mode a div-by-zero or bad cast FAILS
+    the job; the try_* family yields NULL instead — the error-tolerant
+    ingest posture a lakehouse needs when one poisoned row must not
+    kill a 100 TB batch (quality.annotate quarantines the NULLs
+    downstream). Oracle mirrors with CASE-guarded division and
+    TRY_CAST; the multiply branch NULLs exactly where Spark's
+    try_multiply would (no overflow in fixture range — the guard is
+    the semantic under test)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.col("value").cast("double"),
+            (F.col("event_id") % 10).cast("bigint"),
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.col("props"), F.lit("999999999999")
+        ).cast("bigint").alias("props_num"),
+        F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.try_multiply(F.col("user_id"), F.lit(1000000)))
+        .alias("safe_mul"),
+    )
