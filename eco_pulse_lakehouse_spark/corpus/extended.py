@@ -2346,3 +2346,67 @@ def f_try_arithmetic(spark, sf_dir):
         .otherwise(F.try_multiply(F.col("user_id"), F.lit(1000000)))
         .alias("safe_mul"),
     )
+
+
+@q(
+    "a24_exact_corr",
+    """
+    SELECT l_returnflag,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr
+    FROM (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def a24_exact_corr(spark, sf_dir):
+    """A24 — Pearson correlation / sample covariance via decimal-exact
+    cross-moments (a12's float-determinism policy extended to second
+    CROSS moments): the built-in corr/covar_samp are single-pass
+    float accumulations — order-dependent under AQE repartitioning
+    and never oracle-matchable; the five-moment decimal form is
+    partitioning-independent and exact. One partial-aggregated
+    groupBy (the minimum for any correlation), one combination in
+    doubles, rounded 6dp."""
+    li = T(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,8)"))
+        .cast("double").alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice"))
+            .cast("decimal(28,8)")
+        ).cast("double").alias("syy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice"))
+            .cast("decimal(28,8)")
+        ).cast("double").alias("sxy"),
+    )
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return base.select(
+        "l_returnflag",
+        F.round(covar, 6).alias("covar_samp"),
+        F.round(corr, 6).alias("corr"),
+    )
