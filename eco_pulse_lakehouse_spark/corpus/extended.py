@@ -2410,3 +2410,65 @@ def a24_exact_corr(spark, sf_dir):
         F.round(covar, 6).alias("covar_samp"),
         F.round(corr, 6).alias("corr"),
     )
+
+
+@q(
+    "a25_exact_skew_kurt",
+    """
+    SELECT l_returnflag,
+           round((s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
+                 / pow(s2 / n - mu * mu, 1.5), 6) AS skewness,
+           round((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                  - 3 * mu * mu * mu * mu)
+                 / pow(s2 / n - mu * mu, 2) - 3, 6) AS kurtosis
+    FROM (
+      SELECT l_returnflag, n, s2, s3, s4, s1 / n AS mu FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8)))
+                    AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(28,8))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(28,8))) AS DOUBLE) AS s4
+        FROM lineitem GROUP BY l_returnflag
+      )
+    )
+    """,
+)
+def a25_exact_skew_kurt(spark, sf_dir):
+    """A25 — population skewness g1 and excess kurtosis g2 via
+    decimal-exact raw moments (completing the moment ladder: a12
+    second, a24 cross, here third/fourth). Built-in skewness/kurtosis
+    are single-pass float updates — order-dependent; the raw-moment
+    decimal form is partitioning-independent. pow(x, 1.5/2.0) =
+    sqrt-composable but pow itself is correctly rounded for these
+    exponents in practice — outputs rounded 6dp per the
+    transcendental rule."""
+    li = T(spark, sf_dir, "lineitem")
+    q_ = F.col("l_quantity")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q_.cast("decimal(18,4)")).cast("double").alias("s1"),
+        F.sum((q_ * q_).cast("decimal(18,8)")).cast("double").alias("s2"),
+        F.sum((q_ * q_ * q_).cast("decimal(28,8)")).cast("double").alias("s3"),
+        F.sum((q_ * q_ * q_ * q_).cast("decimal(28,8)"))
+        .cast("double").alias("s4"),
+    ).withColumn("mu", F.col("s1") / F.col("n"))
+    n, mu, s2, s3, s4 = (F.col(c) for c in ("n", "mu", "s2", "s3", "s4"))
+    m2 = s2 / n - mu * mu
+    skew = (s3 / n - F.lit(3) * mu * s2 / n + F.lit(2) * mu * mu * mu) / F.pow(
+        m2, F.lit(1.5)
+    )
+    kurt = (
+        s4 / n
+        - F.lit(4) * mu * s3 / n
+        + F.lit(6) * mu * mu * s2 / n
+        - F.lit(3) * mu * mu * mu * mu
+    ) / F.pow(m2, F.lit(2.0)) - F.lit(3)
+    return base.select(
+        "l_returnflag",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+    )
