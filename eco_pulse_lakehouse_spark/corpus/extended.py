@@ -2472,3 +2472,72 @@ def a25_exact_skew_kurt(spark, sf_dir):
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("kurtosis"),
     )
+
+
+@q(
+    "a26_mode",
+    """
+    SELECT user_id, event_type AS modal_type, c AS n_occurrences FROM (
+      SELECT user_id, event_type, c, row_number() OVER (
+        PARTITION BY user_id ORDER BY c DESC, event_type ASC) AS rn
+      FROM (SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY user_id, event_type)
+    ) WHERE rn = 1
+    """,
+)
+def a26_mode(spark, sf_dir):
+    """A26 — deterministic per-group mode: the built-in mode() breaks
+    frequency ties arbitrarily (partitioning-dependent); count +
+    rank with an explicit (count DESC, value ASC) order is
+    reproducible anywhere and oracle-exact. Two partial-agg shuffles
+    — the scalable mode shape."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("c").alias("n_occurrences"),
+        )
+    )
+
+
+@q(
+    "w18_window_distinct",
+    """
+    SELECT event_id, user_id,
+           len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             AS distinct_types_so_far
+    FROM events WHERE event_id % 53 = 0
+    """,
+)
+def w18_window_distinct(spark, sf_dir):
+    """W18 — running DISTINCT count per key: COUNT(DISTINCT) is not
+    allowed over window frames in either engine; the idiom is
+    size(array_distinct(collect_list)) over the running frame —
+    expressed identically on both sides, so it is oracle-exact. The
+    frame state is bounded by the small type domain; for
+    high-cardinality columns the scalable form is a first-seen flag
+    (row_number per (key, value) == 1) summed over the frame."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 53 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "distinct_types_so_far"
+        ),
+    )
