@@ -2541,3 +2541,29 @@ def w18_window_distinct(spark, sf_dir):
             "distinct_types_so_far"
         ),
     )
+
+
+@q(
+    "s16_versioned_table",
+    """
+    SELECT event_id, user_id, value FROM events WHERE event_id % 37 = 0
+    """,
+)
+def s16_versioned_table(spark, sf_dir):
+    """S16 — manifest-committed versioned table (sources/versioned.py
+    — the native stand-in for the reference's Delta time travel,
+    fire_risk_processor.py:73-86): v0 writes a STALE subset, v1
+    writes the full current projection; the oracle matches the
+    LATEST read while v0 remains readable (time travel) — pinned
+    further in tests/test_versioned.py along with crash-orphan
+    invisibility."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(_TMP, f"s16_ver_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    if not versioned.versions(path):
+        versioned.write_version(ev.filter(F.col("event_id") % 2 == 0), path)
+        versioned.write_version(ev, path)
+    return versioned.read_version(spark, path)
