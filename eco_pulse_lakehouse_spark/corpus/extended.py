@@ -2567,3 +2567,38 @@ def s16_versioned_table(spark, sf_dir):
         versioned.write_version(ev.filter(F.col("event_id") % 2 == 0), path)
         versioned.write_version(ev, path)
     return versioned.read_version(spark, path)
+
+
+@q(
+    "m4_versioned_merge",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def m4_versioned_merge(spark, sf_dir):
+    """M4 — TRANSACTIONAL MERGE through the versioned table layer
+    (sources/versioned.py:merge_into): base snapshot commits as v0,
+    the MERGE commits as v1 via the atomic manifest swap — same
+    result as the in-memory m1_merge_upsert (shared oracle), but
+    crash-safe and rollback-able (v0 stays readable). Idempotent
+    across invocations: an existing table is read, not re-merged."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(_TMP, f"m4_ver_{os.path.basename(sf_dir.rstrip('/'))}")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    if not versioned.versions(path):
+        versioned.write_version(o, path)
+        updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        versioned.merge_into(spark, path, updates, ["o_orderkey"])
+    return versioned.read_version(spark, path)

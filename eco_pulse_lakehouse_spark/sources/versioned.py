@@ -99,3 +99,30 @@ def read_version(
             f"have {sorted(committed)}"
         )
     return spark.read.parquet(os.path.join(table_path, f"v={version}"))
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> int:
+    """TRANSACTIONAL MERGE: read the latest committed snapshot, apply
+    MERGE semantics (operators/merge.py:upsert — updates win on key
+    collision, everything else survives), commit the result as a new
+    version. The old version stays readable until — and after — the
+    atomic manifest swap, so a crash mid-merge loses nothing and a
+    bad merge rolls back by reading version n-1 (the two properties
+    plans/gold.py's staging-rename loop cannot give, closing the
+    round-1 'transactional MERGE for gold' gap natively). Compute is
+    O(target ∪ updates) per merge like any copy-on-write MERGE; at
+    100 TB pass partition_by-shaped targets to write_version and
+    compact cold partitions separately."""
+    from eco_pulse_lakehouse_spark.operators.merge import upsert
+
+    current = read_version(spark, table_path)
+    # materialize the plan before the write job overwrites nothing —
+    # the new version dir is fresh, so a plain lazy plan is safe; the
+    # union is committed only by the manifest swap in write_version
+    merged = upsert(current, updates, keys)
+    return write_version(merged, table_path)

@@ -58,3 +58,30 @@ def test_partitioned_version_write(spark):
     got = versioned.read_version(spark, path)
     assert got.count() == 10
     assert set(got.select("p").distinct().toPandas()["p"]) == {0, 1}
+
+
+def test_merge_into_versioned_is_transactional(spark):
+    """Two merges == one full recompute; every pre-merge version stays
+    readable (rollback = read n-1)."""
+    path = _tmp()
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k INT, tag STRING, v DOUBLE",
+    )
+    versioned.write_version(base, path)
+    u1 = spark.createDataFrame([(2, "b2", 21.0), (4, "d", 40.0)],
+                               "k INT, tag STRING, v DOUBLE")
+    u2 = spark.createDataFrame([(4, "d2", 41.0)],
+                               "k INT, tag STRING, v DOUBLE")
+    assert versioned.merge_into(spark, path, u1, ["k"]) == 1
+    assert versioned.merge_into(spark, path, u2, ["k"]) == 2
+    latest = {
+        r.k: (r.tag, r.v)
+        for r in versioned.read_version(spark, path).collect()
+    }
+    assert latest == {1: ("a", 10.0), 2: ("b2", 21.0),
+                      3: ("c", 30.0), 4: ("d2", 41.0)}
+    # rollback view: version 1 still has d (not d2); version 0 pristine
+    v1 = {r.k: r.tag for r in versioned.read_version(spark, path, 1).collect()}
+    assert v1[4] == "d"
+    assert versioned.read_version(spark, path, 0).count() == 3
