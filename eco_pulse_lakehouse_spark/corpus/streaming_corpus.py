@@ -845,3 +845,87 @@ def t19_stream_ann_ingest(spark, sf_dir):
         F.col("vec_id").alias("q_id"), "q_vec"
     )
     return ivfpq_query(qs_, enc, coarse, rcb, "q_id", "q_vec")
+
+
+@q(
+    "t20_stream_versioned_gold",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_value_fp,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def t20_stream_versioned_gold(spark, sf_dir):
+    """T20 — streaming gold maintained as a VERSIONED table
+    (sources/versioned.py): each micro-batch's per-user partials
+    ACCUMULATE into the running totals and commit as a new version
+    via the atomic manifest swap — crash mid-cycle loses nothing
+    (last committed version intact), every historical gold state
+    stays time-travelable, and replays are idempotent because the
+    committed batch_id rides in the manifest (a re-delivered epoch
+    is skipped, making the accumulate + commit EXACTLY-ONCE).
+    Values accumulate as 1e-6 fixed-point BIGINTs — exact across any
+    batch split — so the final gold equals the one-shot batch GROUP
+    BY and this streaming maintenance loop carries a hard oracle."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    ev = T(spark, sf_dir, "events")
+    stage = _stage_events(spark, sf_dir)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t20_{uuid.uuid4().hex}"
+    )
+    gold, ck = os.path.join(base, "gold"), os.path.join(base, "ck")
+
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+
+    def accumulate(batch_df, batch_id: int) -> None:
+        done = {
+            v.get("meta", {}).get("batch_id")
+            for v in versioned.versions(gold)
+        }
+        if batch_id in done:
+            return
+        agg = batch_df.groupBy("user_id").agg(
+            F.sum(
+                F.round(F.col("value") * 1000000, 0).cast("bigint")
+            ).alias("total_value_fp"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        if versioned.versions(gold):
+            cur = versioned.read_version(spark, gold)
+            combined = (
+                cur.select(
+                    "user_id",
+                    F.col("total_value_fp").alias("__ct"),
+                    F.col("n_events").alias("__cn"),
+                )
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("__ct"), F.lit(0))
+                        + F.coalesce(F.col("total_value_fp"), F.lit(0))
+                    ).alias("total_value_fp"),
+                    (
+                        F.coalesce(F.col("__cn"), F.lit(0))
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                )
+            )
+            # pin the plan before the new version write begins
+            combined = combined.localCheckpoint(eager=True)
+        else:
+            combined = agg
+        versioned.write_version(combined, gold, meta={"batch_id": batch_id})
+
+    q_ = (
+        stream.writeStream.foreachBatch(accumulate)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return versioned.read_version(spark, gold)

@@ -58,11 +58,14 @@ def write_version(
     df: DataFrame,
     table_path: str,
     partition_by: Sequence[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the next version and COMMIT it atomically.
     Returns the new version number. Data is fully written before the
     manifest (the commit point) is swapped in — a crash beforehand
-    leaves an invisible orphan directory."""
+    leaves an invisible orphan directory. ``meta`` rides in the
+    manifest entry (e.g. a streaming epoch id, the replay-idempotence
+    key t20 uses: a committed batch_id is never re-applied)."""
     man = _load_manifest(table_path)
     vs = [v["version"] for v in man["versions"]]
     next_v = (max(vs) + 1) if vs else 0
@@ -71,9 +74,10 @@ def write_version(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(vdir)
-    man["versions"].append(
-        {"version": next_v, "committed_at": time.time()}
-    )
+    entry = {"version": next_v, "committed_at": time.time()}
+    if meta:
+        entry["meta"] = meta
+    man["versions"].append(entry)
     os.makedirs(table_path, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=table_path, suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:
