@@ -130,3 +130,27 @@ def merge_into(
     # union is committed only by the manifest swap in write_version
     merged = upsert(current, updates, keys)
     return write_version(merged, table_path)
+
+
+def optimize(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 4,
+    zorder_by: Sequence[str] | None = None,
+) -> int:
+    """OPTIMIZE for the versioned layer: rewrite the LATEST snapshot
+    as ``target_files`` files — optionally range-sorted on
+    ``zorder_by`` columns (the clustered-layout pass, see
+    operators/layout.py for true Z-interleaving) — and commit the
+    result as a NEW content-identical version. Readers of the old
+    version are untouched (snapshot isolation); a crash mid-optimize
+    loses nothing; rollback is read n-1. Together with write_version
+    (atomic commits), read_version (time travel) and merge_into
+    (transactional MERGE) this closes out the load-bearing Delta
+    surface natively."""
+    cur = read_version(spark, table_path)
+    if zorder_by:
+        compacted = cur.repartitionByRange(target_files, *zorder_by)
+    else:
+        compacted = cur.coalesce(target_files)
+    return write_version(compacted, table_path, meta={"optimize": True})

@@ -85,3 +85,22 @@ def test_merge_into_versioned_is_transactional(spark):
     v1 = {r.k: r.tag for r in versioned.read_version(spark, path, 1).collect()}
     assert v1[4] == "d"
     assert versioned.read_version(spark, path, 0).count() == 3
+
+
+def test_optimize_rewrites_content_identical(spark):
+    """OPTIMIZE must produce a new version with identical content,
+    fewer files, and leave prior versions readable."""
+    import glob
+
+    path = _tmp()
+    df = spark.range(1000).withColumn("k", (F.col("id") % 7).cast("int"))
+    versioned.write_version(df.repartition(16), path)
+    v = versioned.optimize(spark, path, target_files=2, zorder_by=["k"])
+    assert v == 1
+    files0 = glob.glob(os.path.join(path, "v=0", "*.parquet"))
+    files1 = glob.glob(os.path.join(path, "v=1", "*.parquet"))
+    assert len(files1) < len(files0)
+    a = {(r.id, r.k) for r in versioned.read_version(spark, path, 0).collect()}
+    b = {(r.id, r.k) for r in versioned.read_version(spark, path, 1).collect()}
+    assert a == b and len(a) == 1000
+    assert versioned.versions(path)[-1].get("meta") == {"optimize": True}
