@@ -137,6 +137,28 @@ def main() -> None:
     state = stream_state_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "spread": spread,
+        "runs_per_query": n_runs,
+        "silver_staging_sec": staging_sec,
+        "catalog_staging_sec": catalog_staging_sec,
+        "stream_batch_ms": latency,
+        "stream_state": state,
+    }
+    # Detail (per-run spread, staging costs, stream probes) goes to an
+    # earlier stdout line AND a sidecar file; the FINAL line stays
+    # compact so the driver's bounded stdout tail window always parses
+    # it (BENCH_r02 was clipped mid-line by the full spread dict —
+    # round-2 verdict item 3).
+    print(json.dumps({"bench_detail": detail}))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -144,13 +166,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "silver_staging_sec": staging_sec,
-                "catalog_staging_sec": catalog_staging_sec,
-                "stream_batch_ms": latency,
-                "stream_state": state,
             }
         )
     )

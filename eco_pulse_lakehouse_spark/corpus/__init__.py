@@ -22,11 +22,13 @@ from eco_pulse_lakehouse_spark.corpus import (
 
 _MODULES = (relational, extended, tpch, northstar, streaming_corpus)
 
-# Entries the round-1 driver already CORRECTNESS-checked green
-# (CORRECTNESS_r01.json). The driver windows the registry from the
-# front, so never-checked entries must lead; these go last.
-_DRIVER_GREEN_R01 = frozenset(
+# Entries a past driver round already CORRECTNESS-checked green
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
+# the registry from the front, so never-checked entries must lead;
+# these go last.
+_DRIVER_GREEN = frozenset(
     {
+        # --- round 1 ---
         "flagship_gold_risk", "s2_json_decode", "s4_scan_pushdown",
         "s5_write_roundtrip", "s7_csv_roundtrip", "s9_json_roundtrip",
         "s10_synthetic_generator", "p1_project_rename", "p2_derived_column",
@@ -42,6 +44,22 @@ _DRIVER_GREEN_R01 = frozenset(
         "f_case_when_chain", "f_math", "f_string", "f_datetime",
         "f_null_handling", "f_random_generator", "j4_asof_join",
         "m1_merge_upsert",
+        # --- round 2 ---
+        "flagship_text_pipeline", "q2_zscore_outliers", "q3_iqr_outliers",
+        "q5_expectations", "q6_seasonal_deviants", "q7_winsorize",
+        "q8_quantile_binning", "q9_cusum", "x1_exact_dedup",
+        "x1_hash_dedup_key", "x2_dedup_clusters", "x2_edit_distance",
+        "x2_ngram_jaccard", "x3_ann_refined", "x3_cosine_neardup",
+        "x3_cosine_topk", "x3_ivfpq_topk", "x3_pq_topk", "x3_quantized_topk",
+        "x4_chunk_documents", "x4_collocations", "x4_fingerprint",
+        "x4_lang_id", "x4_pii_scrub", "x4_quality_classifier",
+        "x4_quality_score", "x4_repetition_signals", "x4_repetition_stats",
+        "x4_text_stats", "x4_tfidf_topk", "x4_unigram_logprob",
+        "x4_vocab_coverage", "x5_chunked_pages", "x5_multimodal_meta",
+        "x5_resize_plan", "x6_decontaminate", "x6_deterministic_sample",
+        "x6_domain_mixture", "x6_group_split", "x6_hash_split",
+        "x6_priority_sample", "x6_stratified_sample", "x7_pack_documents",
+        "x8_zorder_values",
     }
     # j3_anti_join, set_except and s4_scan_pushdown were green in r1
     # but with predicates that matched zero rows (vacuous parity);
@@ -49,27 +67,41 @@ _DRIVER_GREEN_R01 = frozenset(
     - {"j3_anti_join", "set_except", "s4_scan_pushdown"}
 )
 
+# Red in CORRECTNESS_r02 for harness-shape reasons (oracle HUGEINT
+# dtype / top-level array columns) — fixed this round; they lead the
+# round-3 window so the fixes get re-certified immediately.
+_DRIVER_RED_R02_FIXED = frozenset(
+    {
+        "q1_quality_gate", "q4_profile", "x4_token_estimate",
+        "x4_bm25", "x4_bm25_table", "x3_embedding_pool",
+    }
+)
+
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run: never-driver-checked
-    entries first. Within those, ALL oracle-backed entries precede
-    rows-only ones (an oracle row is the strong external signal; a
-    rows-only row only proves the query ran), and families order
-    x/flagship/q → TPC-H → streaming → rest, so a 50-entry window
-    certifies the round-1 verdict's done-criterion ("X and TPC-H
-    families all green") before anything weaker. Streaming entries
-    follow TPC-H: they are the slowest to check (10-30 s each), and
-    a time-budgeted driver should spend that after the fast exact
-    families are certified."""
-    if name in _DRIVER_GREEN_R01:
+    """Sort key for a windowed CORRECTNESS run (round 3 rotation).
+
+    Order: (1) the six round-2 red entries whose harness-shape fixes
+    need re-certification; (2) never-driver-checked entries — within
+    those, oracle-backed precede rows-only (an oracle row is the
+    strong external signal), and families order streaming + the
+    versioned/Delta-semantics layer (t*, s1x, m4 — the reference's
+    core storage contract with zero driver rows, round-2 verdict
+    item 2) → the §2 stragglers (u*, o2, f_map_lookup, s8) → the
+    extended a/m/g/w families → TPC-H → rest; (3) driver-green
+    entries last."""
+    if name in _DRIVER_RED_R02_FIXED:
+        return (0, 0, 0)
+    if name in _DRIVER_GREEN:
         return (9, 0, 0)
     fam = (
-        0 if name.startswith(("x", "flagship", "q")) else
-        1 if name.startswith("tpch") else
-        2 if name.startswith("t") else
-        3
+        3 if name.startswith("tpch") else
+        0 if name.startswith(("t", "s1", "m4")) else
+        1 if name.startswith(("u", "o2", "f_map", "s8")) else
+        2 if name.startswith(("a", "m", "g", "w", "x", "q", "flagship")) else
+        4
     )
-    return (0, 0 if has_oracle else 1, fam)
+    return (1, 0 if has_oracle else 1, fam)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

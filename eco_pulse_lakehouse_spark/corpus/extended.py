@@ -323,18 +323,25 @@ def a10_approx_quantiles(spark, sf_dir):
     "a13_collect_set",
     """
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS types
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types
     FROM events GROUP BY user_id
     """,
 )
 def a13_collect_set(spark, sf_dir):
     """A13 — set aggregation to an array column. collect_set order is
     nondeterministic; sort_array makes it canonical (the only way an
-    array-valued aggregate can be stable across partitionings)."""
+    array-valued aggregate can be stable across partitionings). The
+    entry surfaces the set comma-joined: top-level array columns
+    break the driver's pandas canonicalizer (round-2 verdict)."""
     return (
         T(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("event_type")), ","
+            ).alias("types")
+        )
     )
 
 
@@ -545,7 +552,7 @@ def skew2_salted_sum(spark, sf_dir):
     "q1_quality_gate",
     """
     SELECT event_id,
-           list_filter([
+           coalesce(array_to_string(list_sort(list_filter([
              CASE WHEN NOT coalesce(value < 150.0, false)
                   THEN 'value_bounded' END,
              CASE WHEN NOT coalesce(event_type != 'error', false)
@@ -554,7 +561,7 @@ def skew2_salted_sum(spark, sf_dir):
                     CAST(json_extract_string(props, '$.k') AS BIGINT) <= 50,
                     false)
                   THEN 'k_small' END
-           ], x -> x IS NOT NULL) AS violations
+           ], x -> x IS NOT NULL)), ','), '') AS violations
     FROM events
     """,
 )
@@ -562,7 +569,9 @@ def q1_quality_gate(spark, sf_dir):
     """Quality gate (operators/quality.py): expectation checks as one
     pass of column expressions, violations annotated per row — the
     dead-letter path the reference lacks (silent all-NULL rows,
-    SURVEY.md §1.3)."""
+    SURVEY.md §1.3). Violations surface as a canonically-sorted
+    comma-joined string (top-level array columns break the driver's
+    pandas canonicalizer — round-2 verdict)."""
     from eco_pulse_lakehouse_spark.operators.quality import annotate
 
     ev = T(spark, sf_dir, "events")
@@ -571,7 +580,10 @@ def q1_quality_gate(spark, sf_dir):
         "not_error": F.col("event_type") != "error",
         "k_small": F.from_json(F.col("props"), "k BIGINT").getField("k") <= 50,
     }
-    return annotate(ev, rules).select("event_id", "violations")
+    return annotate(ev, rules).select(
+        "event_id",
+        F.array_join(F.array_sort("violations"), ",").alias("violations"),
+    )
 
 
 @q(
@@ -1177,15 +1189,18 @@ def m3_scd2(spark, sf_dir):
     """
     WITH w AS (
       SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu_k,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_k,
              COUNT(DISTINCT o_orderkey) AS nd_k,
              CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
              CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
-             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu_s,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_s,
              COUNT(DISTINCT o_orderstatus) AS nd_s,
              CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_s,
              CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_s,
-             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu_p,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_p,
              COUNT(DISTINCT o_totalprice) AS nd_p,
              CAST(MIN(o_totalprice) AS VARCHAR) AS mn_p,
              CAST(MAX(o_totalprice) AS VARCHAR) AS mx_p

@@ -657,9 +657,12 @@ def x5_multimodal_features(spark, sf_dir):
 # splits/sampling and context-length sequence packing
 # =====================================================================
 
+# CAST the list_sum: DuckDB sums BIGINT into HUGEINT, which pandas
+# materializes as float64 and the driver's value-hash then diverges
+# on dtype (round-2 verdict — values were identical).
 _BPE_SQL = (
-    "list_sum(list_transform(string_split(text, ' '), "
-    "t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))"
+    "CAST(list_sum(list_transform(string_split(text, ' '), "
+    "t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT)"
 )
 
 _UNIT_HASH_SQL = (
@@ -1158,7 +1161,8 @@ _BM25_QT_VALUES = ", ".join(
            CAST(doc_id AS BIGINT) AS doc_id,
            score_fp, n_terms_matched, rk
     FROM (
-      SELECT query_id, doc_id, SUM(c_fp) AS score_fp,
+      SELECT query_id, doc_id,
+             CAST(SUM(c_fp) AS BIGINT) AS score_fp,
              CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
              CAST(row_number() OVER (
                PARTITION BY query_id
@@ -1374,7 +1378,8 @@ def x4_quality_classifier(spark, sf_dir):
       JOIN dl USING (doc_id)
       CROSS JOIN stats
     ), scored AS (
-      SELECT query_id, doc_id, SUM(c_fp) AS score_fp,
+      SELECT query_id, doc_id,
+             CAST(SUM(c_fp) AS BIGINT) AS score_fp,
              CAST(COUNT(*) AS BIGINT) AS n_terms_matched
       FROM contrib GROUP BY query_id, doc_id
     ), boosted AS (
@@ -1493,7 +1498,8 @@ def x4_chunk_documents(spark, sf_dir):
     )
     SELECT b.doc_id, n_tokens, ttr,
            COALESCE(1.0 - CAST(dist AS DOUBLE) / total, 0.0) AS dup_ngram_frac,
-           COALESCE(CAST(maxc * 2 AS DOUBLE) / n_tokens, 0.0) AS top_ngram_frac
+           least(1.0, COALESCE(CAST(maxc * 2 AS DOUBLE) / n_tokens, 0.0))
+             AS top_ngram_frac
     FROM base b LEFT JOIN gs USING (doc_id)
     """,
 )
@@ -1675,8 +1681,8 @@ def x4_collocations(spark, sf_dir):
                / CAST(count(*) AS DOUBLE) / 1e12 AS m
       FROM ex GROUP BY label, pos
     )
-    SELECT label, list(m ORDER BY pos) AS pooled
-    FROM per_dim GROUP BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos, m AS component
+    FROM per_dim
     """,
 )
 def x3_embedding_pool(spark, sf_dir):
@@ -1686,9 +1692,15 @@ def x3_embedding_pool(spark, sf_dir):
     order-independent and oracle-exact under any partitioning
     (double→DECIMAL casts were NOT portable: Spark rounds HALF_UP,
     DuckDB half-even — measured one 13th-digit mismatch per ~100
-    components)."""
+    components). Output is posexploded to (label, pos, component)
+    rows — top-level array columns break the driver's pandas
+    canonicalizer (round-2 verdict)."""
     e = T(spark, sf_dir, "embeddings")
-    return xs.pool_embeddings(e, "label", "embedding")
+    pooled = xs.pool_embeddings(e, "label", "embedding")
+    return pooled.select(
+        "label",
+        F.posexplode("pooled").alias("pos", "component"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
 @q(

@@ -376,6 +376,40 @@ def incremental_dedup(
     return batch_unique.join(base_keys, "__ck", "left_anti").drop("__ck")
 
 
+def _neighbor_candidates(
+    docs: DataFrame,
+    id_col: str,
+    order_by: list,
+    window: int,
+) -> DataFrame:
+    """Sliding-window neighbor pairs under a total order, distributed.
+
+    Positions come from operators/rank.py:global_row_number (range
+    shuffle + per-partition local window — no single-reducer stage);
+    the (row, row+i) neighbor relation for i in 1..window-1 is then an
+    integer equi-join on position, which hash-shuffles on a BIGINT and
+    scales with the data. Emits unordered pairs (id_a < id_b)."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    ranked = global_row_number(docs, order_by, out_col="__pos")
+    ids = ranked.select(F.col(id_col), "__pos")
+    offsets = F.array(*[F.lit(i) for i in range(1, window)])
+    left = (
+        ids.select(F.col(id_col).alias("__src"), "__pos")
+        .withColumn("__off", F.explode(offsets))
+        .select(
+            "__src", (F.col("__pos") + F.col("__off")).alias("__pos2")
+        )
+    )
+    right = ids.select(
+        F.col(id_col).alias("__dst"), F.col("__pos").alias("__pos2")
+    )
+    return left.join(right, "__pos2").select(
+        F.least("__src", "__dst").alias("id_a"),
+        F.greatest("__src", "__dst").alias("id_b"),
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     id_col: str,
@@ -395,34 +429,17 @@ def sorted_neighborhood_pairs(
     characters (the known SNM trade-off; production multi-pass SNM
     re-sorts under rotated keys).
 
-    Shape at scale: the sort is a range-partitioned total order (no
-    single-partition stage), the window emits (window-1) lead ids per
-    row — candidates are O(n·window), refined by the same exact
-    Jaccard as x2_ngram_jaccard. Returns (id_a, id_b, jaccard)."""
+    Shape at scale: the sort is the two-pass range-partitioned global
+    row_number from operators/rank.py (an empty-partition-spec window
+    would move EVERY row to one task — round-2 ADVICE), neighbors are
+    recovered by an integer equi-join on position offsets 1..window-1
+    — candidates are O(n·window), refined by the same exact Jaccard
+    as x2_ngram_jaccard. Returns (id_a, id_b, jaccard)."""
     from eco_pulse_lakehouse_spark.functions.text import word_shingles
 
-    w = Window.orderBy(F.col(text_col).asc(), F.col(id_col).asc())
-    leads = F.array_compact(
-        F.array(
-            *[
-                F.lead(F.col(id_col), i).over(w)
-                for i in range(1, window)
-            ]
-        )
-    )
-    cand = (
-        docs.select(id_col, text_col)
-        .withColumn("__nbrs", leads)
-        .select(
-            F.col(id_col).alias("__src"),
-            F.explode("__nbrs").alias("__dst"),
-        )
-        .select(
-            F.least("__src", "__dst").alias("id_a"),
-            F.greatest("__src", "__dst").alias("id_b"),
-        )
-        .distinct()
-    )
+    cand = _neighbor_candidates(
+        docs, id_col, [F.col(text_col).asc(), F.col(id_col).asc()], window
+    ).distinct()
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias(
@@ -458,31 +475,23 @@ def sorted_neighborhood_multipass(
     the prefix pass, covering the single-pass blind spot (pairs whose
     difference is in the first characters). Each pass is the same
     sort+window shape; candidates union BEFORE the Jaccard refine so
-    the refine runs once per distinct pair."""
+    the refine runs once per distinct pair. Each pass uses the same
+    range-partitioned global rank + offset equi-join as the
+    single-pass form (no single-partition window stage)."""
     from eco_pulse_lakehouse_spark.functions.text import word_shingles
 
-    def pass_candidates(sort_expr):
-        w = Window.orderBy(sort_expr, F.col(id_col).asc())
-        leads = F.array_compact(
-            F.array(
-                *[F.lead(F.col(id_col), i).over(w) for i in range(1, window)]
-            )
-        )
-        return (
-            docs.select(id_col, text_col)
-            .withColumn("__nbrs", leads)
-            .select(
-                F.col(id_col).alias("__src"), F.explode("__nbrs").alias("__dst")
-            )
-            .select(
-                F.least("__src", "__dst").alias("id_a"),
-                F.greatest("__src", "__dst").alias("id_b"),
-            )
-        )
-
     cand = (
-        pass_candidates(F.col(text_col).asc())
-        .unionByName(pass_candidates(F.reverse(F.col(text_col)).asc()))
+        _neighbor_candidates(
+            docs, id_col, [F.col(text_col).asc(), F.col(id_col).asc()], window
+        )
+        .unionByName(
+            _neighbor_candidates(
+                docs,
+                id_col,
+                [F.reverse(F.col(text_col)).asc(), F.col(id_col).asc()],
+                window,
+            )
+        )
         .distinct()
     )
     sh = docs.select(

@@ -295,9 +295,18 @@ def repetition_signals(
                 F.lit(1.0) - F.col("__dist").cast("double") / F.col("__total"),
                 F.lit(0.0),
             ).alias("dup_ngram_frac"),
-            F.coalesce(
-                (F.col("__maxc") * n).cast("double") / F.col("n_tokens"),
-                F.lit(0.0),
+            # maxc counts OVERLAPPING occurrences, so maxc*n can
+            # exceed n_tokens ('a a a a', n=2 → 3*2/4) — clamp to
+            # keep the "fraction of tokens covered" contract
+            # (Gopher counts covered tokens without double-counting;
+            # round-2 ADVICE)
+            F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    (F.col("__maxc") * n).cast("double")
+                    / F.col("n_tokens"),
+                    F.lit(0.0),
+                ),
             ).alias("top_ngram_frac"),
         )
     )

@@ -719,10 +719,15 @@ def cosine_neardup_pairs(
 
 def _floor_div(num: Column, den: Column) -> Column:
     """Exact floor division on integral columns, pure integer math:
-    ``(num - pmod(num, den)) DIV den``. ``pmod`` is non-negative, so
-    the numerator is exactly divisible and ``DIV`` is exact — no
-    double rounding, valid past 2^53 where ``floor(a / b)`` is not."""
-    return ((num - F.pmod(num, den)) / den).cast("bigint")
+    ``(num - pmod(num, den)) div den``. ``pmod`` is non-negative, so
+    the numerator is exactly divisible and the SQL ``div`` operator
+    (IntegralDivide — 64-bit integer division, no float detour) is
+    exact for any num in [-2^63 + den, 2^63) — the subtraction
+    ``num - pmod`` needs den of headroom at the negative extreme.
+    The previous form used ``/``,
+    which is DOUBLE division and silently loses precision past 2^53
+    (round-2 ADVICE; property test now crosses 2^53)."""
+    return F.call_function("div", num - F.pmod(num, den), den)
 
 
 def pq_codebooks(

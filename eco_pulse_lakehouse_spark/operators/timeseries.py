@@ -308,18 +308,21 @@ def trend_slopes(
     pattern, with a determinism twist: Spark's regr_slope (and
     DuckDB's) accumulate doubles, so results drift with partitioning
     and never hash-match across engines. Here x is epoch seconds
-    minus a plan-constant base (keeps x² in BIGINT range), y is
-    1e-6 fixed-point, the four sums are EXACT BIGINT aggregates,
-    and the final combination runs in DECIMAL(38,0) (n·Σxy at 100k
-    rows/key exceeds 2^63; decimal integer products are exact and
-    portable). One double division at the end, rounded 6dp —
+    minus a plan-constant base (keeps x in BIGINT range), y is
+    1e-6 fixed-point, and all four sums accumulate in DECIMAL(38,0)
+    — the per-row products x·y and x² are formed from DECIMAL(18,0)
+    operands (exact up to |x|,|y| < 10^18) so neither the product
+    nor the running sum can wrap BIGINT silently (a value~1000 key
+    would otherwise overflow Σxy within ~100 rows — round-2 ADVICE;
+    Spark decimal overflow at least surfaces as NULL/error instead
+    of wrapping). One double division at the end, rounded 6dp —
     order-independent, retry-stable, oracle-exact
-    (corpus w17_trend_slope).
+    (corpus w17_trend_slope; DuckDB sums BIGINT into HUGEINT, so the
+    decimal accumulation matches it everywhere BIGINT would wrap).
 
     Scale: a single partial-aggregated groupBy — the minimum
-    possible shuffle for any per-key regression. At ~10^9 rows per
-    key move Σxy/Σx² to DECIMAL at accumulation time too; the plan
-    shape is unchanged.
+    possible shuffle for any per-key regression; decimal partials
+    are 16 bytes/key instead of 8, nothing else changes.
 
     Keys with fewer than 2 distinct x values yield NULL slope
     (denominator 0) — surfaced, not dropped."""
@@ -327,12 +330,14 @@ def trend_slopes(
         F.unix_timestamp(F.col(ts_col)) - F.lit(TREND_EPOCH_BASE)
     ).cast("bigint")
     y = F.round(F.col(value_col) * value_scale, 0).cast("bigint")
+    xd = x.cast("decimal(18,0)")
+    yd = y.cast("decimal(18,0)")
     agg = events.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum(x).alias("__sx"),
-        F.sum(y).alias("__sy"),
-        F.sum(x * y).alias("__sxy"),
-        F.sum(x * x).alias("__sxx"),
+        F.sum(x.cast("decimal(38,0)")).alias("__sx"),
+        F.sum(y.cast("decimal(38,0)")).alias("__sy"),
+        F.sum(xd * yd).alias("__sxy"),
+        F.sum(xd * xd).alias("__sxx"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = dec("__n") * dec("__sxy") - dec("__sx") * dec("__sy")

@@ -18,23 +18,67 @@ module provides the load-bearing subset natively over plain parquet:
 
 At 100 TB each version directory is itself partitioned (the writer
 accepts ``partition_by``); a version commit is still one manifest
-rename regardless of data size. What this intentionally does NOT
-provide vs Delta: file-level MERGE/OPTIMIZE transactions and
-concurrent WRITER conflict detection (single-writer assumed — the
-gold maintenance loop's shape, gold_batch_job.py:96-104).
+rename regardless of data size. Concurrent writers serialize at the
+commit point through an exclusive lockfile (``_commit.lock``) — two
+simultaneous ``write_version`` calls land as versions N and N+1,
+never a lost commit. What this intentionally does NOT provide vs
+Delta: file-level MERGE/OPTIMIZE transactions and OPTIMISTIC
+conflict detection between read-modify-write cycles — two
+``merge_into`` calls that both read version N commit N+1 and N+2 in
+commit order, the Delta "both succeed, last writer's base is stale"
+caveat; serialize merges per table (the gold maintenance loop's
+single-maintainer shape, gold_batch_job.py:96-104).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
 import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_manifest.json"
+_LOCK = "_commit.lock"
+
+
+@contextlib.contextmanager
+def _commit_lock(table_path: str, timeout_s: float = 60.0):
+    """Exclusive commit lock: O_CREAT|O_EXCL lockfile (atomic on
+    POSIX). Two concurrent writers previously both read the same
+    manifest, computed the same next version, and the second
+    os.replace silently discarded the first commit (round-2 ADVICE);
+    under the lock the read-modify-write critical section is serial.
+    The data write itself happens OUTSIDE the lock (it can be a long
+    Spark job) — only version assignment + rename + manifest swap
+    are serialized. Raises TimeoutError after ``timeout_s`` (a stale
+    lock from a killed process must be removed by an operator; the
+    lockfile records pid and time for that)."""
+    os.makedirs(table_path, exist_ok=True)
+    lock_path = os.path.join(table_path, _LOCK)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"commit lock held too long: {lock_path} "
+                    f"(remove it manually if its owner is dead)"
+                ) from None
+            time.sleep(0.05)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"pid": os.getpid(), "acquired_at": time.time()}, f)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock_path)
 
 
 def _manifest_path(table_path: str) -> str:
@@ -65,24 +109,41 @@ def write_version(
     manifest (the commit point) is swapped in — a crash beforehand
     leaves an invisible orphan directory. ``meta`` rides in the
     manifest entry (e.g. a streaming epoch id, the replay-idempotence
-    key t20 uses: a committed batch_id is never re-applied)."""
-    man = _load_manifest(table_path)
-    vs = [v["version"] for v in man["versions"]]
-    next_v = (max(vs) + 1) if vs else 0
-    vdir = os.path.join(table_path, f"v={next_v}")
+    key t20 uses: a committed batch_id is never re-applied).
+
+    Concurrency: the (possibly long) Spark write lands in a
+    uuid-staging directory with NO lock held; version assignment,
+    the staging→``v=N`` rename, and the manifest swap then run under
+    an exclusive lockfile, so two concurrent writers serialize into
+    versions N and N+1 instead of the second silently discarding the
+    first (round-2 ADVICE)."""
+    os.makedirs(table_path, exist_ok=True)
+    staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(vdir)
-    entry = {"version": next_v, "committed_at": time.time()}
-    if meta:
-        entry["meta"] = meta
-    man["versions"].append(entry)
-    os.makedirs(table_path, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=table_path, suffix=".manifest.tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(man, f)
-    os.replace(tmp, _manifest_path(table_path))  # the atomic commit
+    writer.parquet(staging)
+    try:
+        with _commit_lock(table_path):
+            man = _load_manifest(table_path)
+            vs = [v["version"] for v in man["versions"]]
+            next_v = (max(vs) + 1) if vs else 0
+            os.rename(staging, os.path.join(table_path, f"v={next_v}"))
+            entry = {"version": next_v, "committed_at": time.time()}
+            if meta:
+                entry["meta"] = meta
+            man["versions"].append(entry)
+            fd, tmp = tempfile.mkstemp(
+                dir=table_path, suffix=".manifest.tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, _manifest_path(table_path))  # the commit
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return next_v
 
 

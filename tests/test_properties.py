@@ -96,7 +96,10 @@ def test_grid_join_equivalence_property(spark):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=-(10**15), max_value=10**15),
+            # cross 2^53 (~9.0e15): doubles can't represent every
+            # integer past it, which is exactly where the old
+            # `/`-based form silently broke (round-2 ADVICE)
+            st.integers(min_value=-(2**63) + 2**62, max_value=2**63 - 1),
             st.integers(min_value=1, max_value=10**9),
         ),
         min_size=1,
