@@ -2036,6 +2036,89 @@ def w16_sax_motif_pairs(spark, sf_dir):
 
 
 @q(
+    "w19_sax_motif_capped",
+    """
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    ),
+    wins AS (
+      SELECT user_id, CAST(1 + 8 * j AS INT) AS win_start,
+             list_slice(v, 1 + 8 * j, 16 + 8 * j) AS w
+      FROM (
+        SELECT user_id, v,
+               unnest(range(0, GREATEST(CAST(0 AS BIGINT),
+                                        (len(v) - 16) // 8 + 1))) AS j
+        FROM s
+      )
+    ),
+    stats AS (SELECT user_id, win_start, w, list_sum(w) / 16.0 AS mu FROM wins),
+    stats2 AS (
+      SELECT *, sqrt(list_sum(list_transform(w, x -> (x - mu) * (x - mu)))
+                     / 16.0) AS sigma
+      FROM stats
+    ),
+    sym AS (
+      SELECT user_id, win_start, w, mu, sigma,
+             array_to_string(list_transform(range(0, 4), g ->
+               CASE WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                         < -0.6745 * sigma THEN 'a'
+                    WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                         < 0.0 * sigma THEN 'b'
+                    WHEN (list_sum(list_slice(w, g*4+1, g*4+4)) / 4.0 - mu)
+                         < 0.6745 * sigma THEN 'c'
+                    ELSE 'd' END), '') AS sax_word
+      FROM stats2
+    ),
+    z AS (
+      SELECT user_id, win_start, sax_word,
+             CASE WHEN sigma > 0 THEN list_transform(w, x -> (x - mu) / sigma)
+                  ELSE list_transform(w, x -> 0.0) END AS zv
+      FROM sym
+    ),
+    zc AS (
+      SELECT user_id, win_start, sax_word, zv FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY sax_word ORDER BY user_id, win_start) AS rk
+        FROM z
+      ) WHERE rk <= 40
+    )
+    SELECT key_a, start_a, key_b, start_b, sax_word, dist FROM (
+      SELECT a.user_id AS key_a, a.win_start AS start_a,
+             b.user_id AS key_b, b.win_start AS start_b,
+             a.sax_word AS sax_word,
+             round(sqrt(list_sum(list_transform(range(1, 17),
+               i -> (a.zv[i] - b.zv[i]) * (a.zv[i] - b.zv[i])))), 6) AS dist
+      FROM zc a JOIN zc b ON a.sax_word = b.sax_word
+       AND (a.user_id < b.user_id
+            OR (a.user_id = b.user_id AND a.win_start < b.win_start))
+    ) WHERE dist <= 3.0
+    """,
+)
+def w19_sax_motif_capped(spark, sf_dir):
+    """W19 — the skew-guarded motif search: per-word window budget
+    (operators/timeseries.py:sax_motif_pairs max_bucket_windows=40)
+    keeps only each word's first 40 windows under the deterministic
+    (key, win_start) order, bounding any hot bucket — a flat-series
+    word that would go quadratic at 100× — at cap·(cap-1)/2 pairs.
+    The rank comes from the distributed global row number (no
+    per-word single-task sort); the oracle replays the identical
+    cap with a SQL row_number, so the capped result is itself
+    oracle-EXACT, not merely "fewer rows". Companion
+    sax_bucket_overflow surfaces what the cap dropped (no silent
+    caps — pytest pins it on an adversarial constant-series
+    fixture)."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import sax_motif_pairs
+
+    ev = T(spark, sf_dir, "events")
+    return sax_motif_pairs(
+        ev, "user_id", ("ts", "event_id"), "value",
+        window_len=16, stride=8, paa_segments=4, max_dist=3.0,
+        max_bucket_windows=40,
+    )
+
+
+@q(
     "w17_trend_slope",
     """
     WITH base AS (

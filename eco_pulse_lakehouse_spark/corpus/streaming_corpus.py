@@ -94,7 +94,11 @@ def t5_stream_dedup(spark, sf_dir):
         stream, "ts", ["event_id"], watermark="10 minutes", with_processed_at=False
     )
     sink = os.path.join(tempfile.gettempdir(), f"eco_pulse_sink_{uuid.uuid4().hex}")
-    sp.run_to_parquet(silver, sink)
+    # state partitions sized to the data (~12k dedup keys/partition at
+    # sf0.1), NOT the batch shuffle default: 32 near-empty state
+    # stores spend more per batch committing deltas than deduplicating
+    # (2.5 s → 1.2 s drain, the round-2 t5 regression root cause)
+    sp.run_to_parquet(silver, sink, state_partitions=8)
     return spark.read.parquet(sink).select("event_id", "user_id", "value")
 
 

@@ -20,6 +20,7 @@ windows on watermark advance (append mode) — no unbounded state.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -94,20 +95,51 @@ def windowed_counts(
     return src.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
 
 
+@contextlib.contextmanager
+def _scoped_state_partitions(spark, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` while a streaming query
+    STARTS (the stateful-operator partition count is captured into
+    the checkpoint at first start and kept for the query's life).
+
+    Streaming state partitioning is a first-class sizing decision,
+    separate from the batch shuffle default: every state partition
+    pays fixed per-batch costs (state store open, delta-file commit,
+    snapshot maintenance, one sink file), so a small-state stream
+    under the 32-partition batch default spends more time committing
+    32 near-empty stores than deduplicating (profiled: the t5 drain
+    at sf0.1 drops 2.5 s → 1.2 s at 8 partitions — the round-2
+    bench-regression root cause). Size it like a production job: aim
+    for state partitions that hold ~10⁵-10⁶ state rows each, scaling
+    UP for 100 TB streams, not inheriting whatever batch used."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_memory(
-    df: DataFrame, query_name: str, output_mode: str = "complete"
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming frame synchronously into the memory sink and
     return the result table (hermetic test harness; the guide's
     processAllAvailable pattern)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_state_partitions(df.sparkSession, state_partitions):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(query_name)
 
 
@@ -116,24 +148,27 @@ def run_to_parquet(
     path: str,
     checkpoint: str | None = None,
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """S3 analogue — checkpointed append file sink (Delta in the
     reference, parquet in this image; sources/delta_io.py upgrades
     when delta-spark is importable). Re-running with the same
     checkpoint is a no-op for already-committed source files —
-    exactly-once to the sink (T2)."""
+    exactly-once to the sink (T2). ``state_partitions`` sizes the
+    stateful-operator partitioning (see _scoped_state_partitions)."""
     checkpoint = checkpoint or os.path.join(
         tempfile.gettempdir(), f"eco_pulse_ckpt_{uuid.uuid4().hex}"
     )
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_state_partitions(df.sparkSession, state_partitions):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def chained_window_rollup(

@@ -375,6 +375,68 @@ def test_sax_motif_windows_share_word(spark):
     assert all(len(w) == 4 and set(w) <= set("abcd") for w in out.values())
 
 
+def test_sax_motif_cap_bounds_hot_bucket(spark):
+    """Adversarial skew fixture: many constant (flat) series all
+    symbolize to ONE sax word, the quadratic hot bucket the round-2
+    verdict flagged. The cap must (a) bound that word's pairs at
+    cap·(cap-1)/2, (b) emit a SUBSET of the exact result, (c) leave
+    words under the cap bit-identical, and (d) report the truncation
+    through sax_bucket_overflow — never silently."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        sax_bucket_overflow,
+        sax_motif_pairs,
+    )
+
+    rows = []
+    # 6 flat users × 80 points → 9 windows each = 54 windows, one word
+    for u in range(6):
+        rows += [(u, i, i, 5.0) for i in range(80)]
+    # 2 oscillating users → a different, cold word family
+    motif = [1, 9, 2, 8] * 4
+    for u in (100, 101):
+        rows += [(u, i, i, float(motif[i % 16])) for i in range(32)]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts INT, event_id INT, value DOUBLE"
+    )
+    kw = dict(
+        key_col="user_id", order_cols=("ts", "event_id"),
+        value_col="value", window_len=16, stride=8, paa_segments=4,
+        max_dist=1e9,
+    )
+    exact = {
+        (r.key_a, r.start_a, r.key_b, r.start_b, r.dist)
+        for r in sax_motif_pairs(df, **kw).collect()
+    }
+    cap = 10
+    capped_rows = sax_motif_pairs(
+        df, **kw, max_bucket_windows=cap
+    ).collect()
+    capped = {
+        (r.key_a, r.start_a, r.key_b, r.start_b, r.dist)
+        for r in capped_rows
+    }
+    assert capped <= exact, "cap must never invent pairs"
+    flat_pairs = [r for r in capped_rows if r.key_a < 100]
+    assert len(flat_pairs) == cap * (cap - 1) // 2, (
+        "hot word must be bounded at cap·(cap-1)/2"
+    )
+    # deterministic selection: the kept windows are the first `cap`
+    # under (user_id, win_start) — users 0 and 1 only
+    assert {r.key_a for r in flat_pairs} <= {0, 1}
+    cold_exact = {p for p in exact if p[0] >= 100}
+    cold_capped = {p for p in capped if p[0] >= 100}
+    assert cold_exact == cold_capped, "under-cap words must be exact"
+    over = sax_bucket_overflow(
+        df, max_bucket_windows=cap, **{
+            k: v for k, v in kw.items() if k != "max_dist"
+        }
+    ).collect()
+    assert len(over) == 1
+    assert over[0].n_windows == 54
+    assert over[0].n_dropped_windows == 44
+    assert over[0].uncapped_pairs == 54 * 53 // 2
+
+
 def test_pmi_ranks_true_collocation_above_independents(spark):
     """A bigram that only ever occurs as a unit ('new york') must get
     higher PMI than bigrams formed by independently-shuffled fillers,
