@@ -304,6 +304,78 @@ def x3_pq_topk(spark, sf_dir):
     return xs.pq_topk(qs_, cs, cb, k=10, m_segments=8, k_codes=16, dim=64)
 
 
+def _pq_dist_block(m: int) -> str:
+    """One UNION ALL arm of the PQ distortion sweep oracle: total
+    squared-L2 error of the m-segment seed codebook (16 codes,
+    dim 64). Mirrors the x3_pq_topk seed/codebook replay."""
+    sd = 64 // m
+    return f"""
+    SELECT CAST({m} AS INT) AS m_segments, CAST(16 AS INT) AS k_codes,
+           CAST(SUM(mind) AS BIGINT) AS distortion
+    FROM (
+      SELECT vec_id, m, MIN(dd) AS mind FROM (
+        SELECT d.vec_id, d.m, s.code,
+          CAST(list_sum(list_transform(range(1, {sd + 1}),
+            i -> CAST(d.sub[i] - s.cent[i] AS BIGINT)
+                 * CAST(d.sub[i] - s.cent[i] AS BIGINT))) AS BIGINT) AS dd
+        FROM (
+          SELECT vec_id, CAST(t.m AS INT) AS m,
+                 list_slice(qv, CAST(t.m AS INT) * {sd} + 1,
+                            CAST(t.m AS INT) * {sd} + {sd}) AS sub
+          FROM e CROSS JOIN range({m}) t(m)
+        ) d
+        JOIN (
+          SELECT CAST(t.m AS INT) AS m, code,
+                 list_slice(sq, CAST(t.m AS INT) * {sd} + 1,
+                            CAST(t.m AS INT) * {sd} + {sd}) AS cent
+          FROM seeds CROSS JOIN range({m}) t(m)
+        ) s ON d.m = s.m
+      ) GROUP BY vec_id, m
+    )"""
+
+
+@q(
+    "x3_pq_distortion_sweep",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1
+               AS code, qv AS sq
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id ASC LIMIT 16)
+    )
+    {_pq_dist_block(2)}
+    UNION ALL
+    {_pq_dist_block(4)}
+    UNION ALL
+    {_pq_dist_block(8)}
+    """,
+)
+def x3_pq_distortion_sweep(spark, sf_dir):
+    """X3 — PQ tuning sweep (operators/similarity.py:
+    pq_distortion_table): total exact-BIGINT squared-L2 quantization
+    error of the seed codebook at m_segments ∈ (2, 4, 8), the
+    k-means objective that picks (m, k) before committing a 100 TB
+    encode. The sweep is ONE lazy plan (a union of narrow map
+    passes — no per-config driver round trip), mirrors the IVF
+    recall sweep's shape, and is oracle-EXACT because seed codebooks
+    keep every stage integer (the x3_pq_topk replay rule). Finer
+    segmentation must monotonically reduce distortion — pinned in
+    pytest."""
+    e = T(spark, sf_dir, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    out = None
+    for m in (2, 4, 8):
+        cb = xs.pq_codebooks(
+            qz, "vec_id", "q_vec",
+            m_segments=m, k_codes=16, dim=64, iterations=0,
+        )
+        part = xs.pq_distortion_table(
+            qz, cb, "q_vec", m_segments=m, k_codes=16, dim=64
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @q("x3_ann_lsh")  # approximate: rows-only; recall vs brute force in pytest
 def x3_ann_lsh(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH buckets + exact refine."""

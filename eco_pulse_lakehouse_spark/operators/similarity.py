@@ -1003,6 +1003,54 @@ def pq_distortion(
     )
 
 
+def pq_distortion_table(
+    quantized: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "q_vec",
+    m_segments: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """``pq_distortion`` as a 1-row DataFrame (m_segments, k_codes,
+    distortion) instead of a driver-side scalar — composable into a
+    tuning SWEEP (union one row per config) that stays a single lazy
+    plan: no ``.first()`` per config, so a sweep over C configs is C
+    narrow map passes Spark schedules together, the shape a 100 TB
+    tuning job wants. Exact BIGINT squared-L2, same math as
+    pq_distortion (corpus x3_pq_distortion_sweep replays it in SQL)."""
+    sd = dim // m_segments
+    cbm = _codebook_map(codebooks, k_codes)
+
+    def seg_min(m):
+        scores = F.transform(
+            F.sequence(F.lit(0), F.lit(k_codes - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), m * sd + 1, sd),
+                    F.element_at(
+                        F.col("__cb"), F.lit(m * k_codes) + c.cast("int")
+                    ),
+                    lambda x, y: (x - y).cast("bigint")
+                    * (x - y).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return F.array_min(scores)
+
+    per_row = sum([seg_min(m) for m in range(1, m_segments)], seg_min(0))
+    return (
+        quantized.crossJoin(F.broadcast(cbm))
+        .select(per_row.alias("__d"))
+        .groupBy(
+            F.lit(m_segments).cast("int").alias("m_segments"),
+            F.lit(k_codes).cast("int").alias("k_codes"),
+        )
+        .agg(F.sum("__d").cast("bigint").alias("distortion"))
+    )
+
+
 def _ivfpq_residuals(
     quantized: DataFrame,
     coarse: DataFrame,

@@ -571,6 +571,31 @@ def test_pq_distortion_monotone_in_codebook_size(spark):
     assert dists[0] >= dists[1] >= dists[2], dists
 
 
+def test_pq_distortion_sweep_monotone_in_segments(spark):
+    """pq_distortion_table sweep: finer segmentation (more, shorter
+    segments — each argmin'd independently) must be non-increasing
+    in total distortion, and the table form must agree exactly with
+    the scalar pq_distortion at every config."""
+    emb = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(emb, "embedding", "q_vec", n_levels=127)
+    rows = {}
+    for m in (2, 4, 8):
+        cb = xs.pq_codebooks(
+            qz, "vec_id", "q_vec", m_segments=m, k_codes=16, dim=64,
+            iterations=0,
+        )
+        got = xs.pq_distortion_table(
+            qz, cb, "q_vec", m_segments=m, k_codes=16, dim=64
+        ).collect()
+        assert len(got) == 1 and got[0].m_segments == m
+        rows[m] = got[0].distortion
+        scalar = xs.pq_distortion(
+            qz, cb, "q_vec", m_segments=m, k_codes=16, dim=64
+        )
+        assert rows[m] == scalar
+    assert rows[2] >= rows[4] >= rows[8], rows
+
+
 def test_group_aware_split_never_splits_a_cluster(spark):
     """Every near-dup cluster must land in exactly one split (the
     leakage-free property), including multi-doc chains; per-doc
