@@ -2700,3 +2700,100 @@ def m4_versioned_merge(spark, sf_dir):
         )
         versioned.merge_into(spark, path, updates, ["o_orderkey"])
     return versioned.read_version(spark, path)
+
+
+@q(
+    "s17_versioned_changes",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, value FROM events WHERE event_id % 37 = 0
+    ),
+    v0 AS (SELECT * FROM base),
+    v1 AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 2 = 1 THEN value * 2 ELSE value END AS value
+      FROM base WHERE event_id % 5 != 0
+    )
+    SELECT *, 'insert' AS _change_type FROM (
+      SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+    UNION ALL
+    SELECT *, 'delete' AS _change_type FROM (
+      SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+    """,
+)
+def s17_versioned_changes(spark, sf_dir):
+    """S17 — CHANGE DATA FEED over the versioned layer
+    (sources/versioned.py:table_changes — Delta's ``table_changes``
+    surface): v0 is a deterministic events projection; v1 deletes
+    every 5th row and doubles odd-id values. The feed must show the
+    dropped rows as deletes and each update as its delete+insert
+    pair — the oracle replays both snapshots and diffs them with
+    EXCEPT ALL (the same multiset semantics)."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(_TMP, f"s17_cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    base = T(spark, sf_dir, "events").filter(
+        F.col("event_id") % 37 == 0
+    ).select("event_id", "user_id", "value")
+    if not versioned.versions(path):
+        versioned.write_version(base, path)
+        v1 = base.filter(F.col("event_id") % 5 != 0).select(
+            "event_id",
+            "user_id",
+            F.when(F.col("event_id") % 2 == 1, F.col("value") * 2)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        versioned.write_version(v1, path)
+    return versioned.table_changes(spark, path, from_version=0)
+
+
+@q(
+    "s18_versioned_vacuum",
+    """
+    SELECT event_id, user_id, value FROM events WHERE event_id % 41 = 0
+    """,
+)
+def s18_versioned_vacuum(spark, sf_dir):
+    """S18 — VACUUM (sources/versioned.py:vacuum): v0 commits a
+    stale half, v1 the full projection; vacuum(keep_last=1) retires
+    v0 (manifest first — atomic, under the commit lock — then the
+    directory). The surviving head must still read exactly the full
+    projection; retirement/orphan-cleanup mechanics are pinned in
+    tests/test_versioned.py."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(_TMP, f"s18_vac_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_id") % 41 == 0
+    ).select("event_id", "user_id", "value")
+    if not versioned.versions(path):
+        versioned.write_version(ev.filter(F.col("event_id") % 2 == 0), path)
+        versioned.write_version(ev, path)
+        versioned.vacuum(path, keep_last=1)
+    return versioned.read_version(spark, path)
+
+
+@q(
+    "s19_versioned_restore",
+    """
+    SELECT event_id, user_id, value FROM events WHERE event_id % 43 = 0
+    """,
+)
+def s19_versioned_restore(spark, sf_dir):
+    """S19 — RESTORE (sources/versioned.py:restore): v0 commits the
+    good projection, v1 a corrupted subset; restore(0) commits v0's
+    content forward as v2 (Delta RESTORE — rollback is a forward
+    commit, the bad head stays inspectable). The latest read must
+    equal the original projection exactly."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(_TMP, f"s19_res_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_id") % 43 == 0
+    ).select("event_id", "user_id", "value")
+    if not versioned.versions(path):
+        versioned.write_version(ev, path)
+        versioned.write_version(ev.filter(F.col("event_id") % 2 == 0), path)
+        versioned.restore(spark, path, 0)
+    return versioned.read_version(spark, path)

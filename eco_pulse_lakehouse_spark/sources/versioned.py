@@ -193,6 +193,92 @@ def merge_into(
     return write_version(merged, table_path)
 
 
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed snapshots (Delta's
+    ``table_changes`` surface, reference requirements.txt:2): every
+    row added since ``from_version`` tagged ``insert``, every row
+    removed tagged ``delete``; an update shows up as its
+    delete+insert pair (snapshot commits carry no row identity —
+    exactly Delta's CDF behavior when the writer didn't record
+    update rows). Multiset semantics via exceptAll: a row present
+    twice in v_new and once in v_old yields ONE insert.
+
+    Shape: two snapshot scans + a hash-aggregate difference on full
+    rows — the honest cost when commits are whole snapshots (Delta
+    derives CDF from its file-level log instead; the versioned
+    layer's manifest names whole directories). At 100 TB run it
+    between ADJACENT versions (the common CDC consumer loop), where
+    the diff is bounded by one commit's churn after partition
+    pruning on ``partition_by`` tables."""
+    new = read_version(spark, table_path, to_version)
+    old = read_version(spark, table_path, from_version)
+    from pyspark.sql import functions as F
+
+    return (
+        new.exceptAll(old)
+        .withColumn(change_col, F.lit("insert"))
+        .unionByName(
+            old.exceptAll(new).withColumn(change_col, F.lit("delete"))
+        )
+    )
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> list[int]:
+    """VACUUM: retire all but the newest ``keep_last`` versions.
+    The manifest commits the shrunken history FIRST (atomic swap
+    under the commit lock — readers never see a manifest naming a
+    deleted directory), then the retired version directories and any
+    crash-orphaned ``_staging-*`` directories are physically
+    deleted. Returns the removed version numbers. Like Delta VACUUM,
+    an already-open reader of a retired version can lose its files
+    mid-read — retention policy (how small ``keep_last`` may go) is
+    the operator's contract with readers."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the table must keep a head)")
+    with _commit_lock(table_path):
+        man = _load_manifest(table_path)
+        keep = man["versions"][-keep_last:]
+        removed = man["versions"][: -keep_last or None]
+        if removed:
+            man["versions"] = keep
+            fd, tmp = tempfile.mkstemp(
+                dir=table_path, suffix=".manifest.tmp"
+            )
+            with os.fdopen(fd, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, _manifest_path(table_path))
+    for v in removed:
+        shutil.rmtree(
+            os.path.join(table_path, f"v={v['version']}"),
+            ignore_errors=True,
+        )
+    for name in os.listdir(table_path):
+        if name.startswith("_staging-"):
+            shutil.rmtree(
+                os.path.join(table_path, name), ignore_errors=True
+            )
+    return [v["version"] for v in removed]
+
+
+def restore(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """RESTORE: commit snapshot ``version``'s content as a NEW head
+    version (Delta RESTORE semantics — rollback is a forward commit,
+    history is preserved, so the bad head stays inspectable and the
+    restore itself is crash-safe like any other commit)."""
+    snap = read_version(spark, table_path, version)
+    return write_version(snap, table_path, meta={"restore_of": version})
+
+
 def optimize(
     spark: SparkSession,
     table_path: str,

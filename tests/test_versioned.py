@@ -104,3 +104,83 @@ def test_optimize_rewrites_content_identical(spark):
     b = {(r.id, r.k) for r in versioned.read_version(spark, path, 1).collect()}
     assert a == b and len(a) == 1000
     assert versioned.versions(path)[-1].get("meta") == {"optimize": True}
+
+
+def test_table_changes_insert_delete_and_update_pair(spark):
+    """CDF between snapshots: removed rows surface as deletes, added
+    rows as inserts, an updated row as its delete+insert pair, and
+    multiset semantics hold (a duplicated new row yields one insert
+    per extra copy)."""
+    path = _tmp()
+    rows0 = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    rows1 = [(1, 10.0), (2, 25.0), (4, 40.0), (4, 40.0)]
+    versioned.write_version(
+        spark.createDataFrame(rows0, "id LONG, v DOUBLE"), path
+    )
+    versioned.write_version(
+        spark.createDataFrame(rows1, "id LONG, v DOUBLE"), path
+    )
+    got = {
+        (r.id, r.v, r._change_type): 1
+        for r in versioned.table_changes(spark, path, 0).collect()
+    }
+    feed = sorted(
+        (r.id, r.v, r._change_type)
+        for r in versioned.table_changes(spark, path, 0).collect()
+    )
+    assert feed == sorted(
+        [
+            (2, 20.0, "delete"),   # update: old image
+            (2, 25.0, "insert"),   # update: new image
+            (3, 30.0, "delete"),   # plain delete
+            (4, 40.0, "insert"),   # plain insert ×2 (multiset)
+            (4, 40.0, "insert"),
+        ]
+    ), feed
+    assert got  # collected fine
+
+
+def test_vacuum_retires_history_and_orphans_keeps_head(spark):
+    """VACUUM must drop retired manifest entries before deleting
+    their directories, clean crash-orphaned staging dirs, refuse
+    keep_last < 1, and leave the head snapshot bit-identical."""
+    import pytest
+
+    path = _tmp()
+    df0 = spark.range(4).withColumn("tag", F.lit("v0"))
+    df1 = spark.range(6).withColumn("tag", F.lit("v1"))
+    df2 = spark.range(9).withColumn("tag", F.lit("v2"))
+    for d in (df0, df1, df2):
+        versioned.write_version(d, path)
+    orphan = os.path.join(path, "_staging-deadbeef")
+    os.makedirs(orphan)
+    with pytest.raises(ValueError):
+        versioned.vacuum(path, keep_last=0)
+    assert versioned.vacuum(path, keep_last=1) == [0, 1]
+    assert [v["version"] for v in versioned.versions(path)] == [2]
+    assert not os.path.exists(os.path.join(path, "v=0"))
+    assert not os.path.exists(os.path.join(path, "v=1"))
+    assert not os.path.exists(orphan)
+    assert versioned.read_version(spark, path).count() == 9
+    with pytest.raises(ValueError):
+        versioned.read_version(spark, path, 0)
+    # idempotent: nothing left to retire
+    assert versioned.vacuum(path, keep_last=1) == []
+
+
+def test_restore_commits_old_content_forward(spark):
+    """RESTORE is a forward commit of an old snapshot: history grows
+    (the bad head stays inspectable), the new head equals the
+    restored version's content exactly, and the manifest records
+    what was restored."""
+    path = _tmp()
+    good = spark.range(7).withColumn("tag", F.lit("good"))
+    bad = spark.range(2).withColumn("tag", F.lit("bad"))
+    versioned.write_version(good, path)
+    versioned.write_version(bad, path)
+    assert versioned.restore(spark, path, 0) == 2
+    head = versioned.read_version(spark, path)
+    assert head.count() == 7
+    assert head.select("tag").distinct().first()[0] == "good"
+    assert versioned.read_version(spark, path, 1).count() == 2
+    assert versioned.versions(path)[-1]["meta"] == {"restore_of": 0}
