@@ -763,6 +763,43 @@ def q3_iqr_outliers(spark, sf_dir):
 
 
 @q(
+    "q10_mad_outliers",
+    """
+    WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM events GROUP BY event_type),
+    d AS (SELECT event_id, event_type, value, med
+          FROM events JOIN m USING (event_type)),
+    s AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+          FROM d GROUP BY event_type)
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6) AS mod_z,
+           round(med, 6) AS group_median
+    FROM d JOIN s USING (event_type)
+    WHERE abs(round(CAST(0.6745 AS DOUBLE) * (value - med) / mad, 6)) > 3.5
+    """,
+)
+def q10_mad_outliers(spark, sf_dir):
+    """Data quality — modified-z outliers via the median absolute
+    deviation (operators/anomaly.py:mad_outliers, Iglewicz-Hoaglin
+    |0.6745·(x−med)/MAD| > 3.5): the robust detector that completes
+    the q2 (z-score) / q3 (Tukey fence) family — 50% breakdown
+    point, so even heavy contamination can't hide itself. Two
+    percentile passes over the same key (an inherent two-pass
+    statistic), interpolated medians under the shared (n-1)p rule,
+    6dp rounding before the threshold compare."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import mad_outliers
+
+    ev = T(spark, sf_dir, "events")
+    return mad_outliers(ev, ["event_type"], "value", threshold=3.5).select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "mod_z",
+        "group_median",
+    )
+
+
+@q(
     "a14_histogram",
     """
     SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,

@@ -1805,8 +1805,61 @@ def x4_unigram_logprob(spark, sf_dir):
         unigram_logprob_score,
     )
 
-    d = T(spark, sf_dir, "documents")
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
     return unigram_logprob_score(d, "doc_id", "text")
+
+
+@q(
+    "x4_bigram_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, list_extract(toks, i) AS prev,
+             list_extract(toks, i + 1) AS cur
+      FROM (
+        SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    cbg AS (SELECT prev, cur, count(*) AS cb FROM bg GROUP BY prev, cur),
+    cctx AS (SELECT prev, count(*) AS cn FROM bg GROUP BY prev),
+    fp AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(cb AS DOUBLE) / CAST(cn AS DOUBLE))
+                        * 1000000) AS BIGINT) AS s
+      FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS nb, sum(s) AS ss FROM fp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN nb > 0 THEN
+             round(CAST(ss AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000.0, 6)
+           END AS avg_surprisal
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def x4_bigram_logprob(spark, sf_dir):
+    """X4 — conditional bigram cross-entropy (operators/retrieval.py:
+    bigram_logprob_score), the order-sensitive stage above the
+    unigram filter: −ln p(w_i | w_{i−1}) with p = c(v w)/c(v ·),
+    bigrams built row-locally from the token array (no self-join).
+    Same 1e-6 fixed-point BIGINT determinism contract as
+    x4_unigram_logprob; short docs surface with n_bigrams = 0
+    instead of vanishing. Oracle-exact."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bigram_logprob_score,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return bigram_logprob_score(d, "doc_id", "text")
 
 
 _GROUP_HASH_SQL = (

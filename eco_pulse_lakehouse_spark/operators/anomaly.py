@@ -78,6 +78,53 @@ def iqr_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Modified z-score outliers via the Median Absolute Deviation
+    (Iglewicz & Hoaglin 1993): flag rows where
+    ``|0.6745·(x − median) / MAD| > threshold``. The most robust of
+    the three detectors (q2 z-score breaks when outliers inflate the
+    stddev; q3's quartile fences move a little; the MAD has a 50%
+    breakdown point) — the default for contaminated sensor feeds.
+
+    Shape: two aggregation passes over the SAME grouping key — the
+    median, then the median of absolute deviations (which needs the
+    first result joined back; an inherent two-pass statistic) — and
+    both aggregate to one row per group, so the joins broadcast at
+    any scale where the key cardinality is dim-like. Interpolated
+    medians follow the shared (n-1)p rule and the modified z rounds
+    to 6dp before the threshold compare (the q2/q3 engine-parity
+    rule). Zero-MAD groups (>50% identical values) yield NULL mod_z
+    and are not flagged — surfaced by the companion profile, not
+    silently divided."""
+    med = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    with_med = df.join(med, on=list(keys))
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(
+            F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)
+        ).alias("__mad")
+    )
+    mod_z = F.round(
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad"),
+        6,
+    )
+    return (
+        with_med.join(mad, on=list(keys))
+        .withColumn("mod_z", mod_z)
+        .filter(F.abs(F.col("mod_z")) > threshold)
+        .withColumn("group_median", F.round(F.col("__med"), 6))
+        .drop("__med", "__mad")
+    )
+
+
 def seasonal_topk_deviants(
     df: DataFrame,
     ts_col: str,

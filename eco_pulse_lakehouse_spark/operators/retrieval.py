@@ -490,3 +490,89 @@ def unigram_logprob_score(
             6,
         ).alias("avg_surprisal"),
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document CONDITIONAL bigram cross-entropy — the
+    order-sensitive upgrade of unigram_logprob_score:
+
+        H(doc) = (1/(n−1)) Σ_i −ln p(w_i | w_{i−1}),
+        p(w|v)  = c(v w) / c(v ·)
+
+    A unigram LM can't see scrambled or repetitive word order; the
+    bigram conditional does (boilerplate and template text score
+    LOW surprisal, shuffled word salad scores HIGH) — the usual
+    second stage of a CCNet-style quality ladder.
+
+    Shape: bigrams are built row-locally from the token array (no
+    self-join), one count pass each for c(v w) and the context
+    marginal c(v ·), joined back onto the bigram stream by equi-join
+    (broadcast while the LM is small; at 100 TB the bigram table is
+    a real table and the join shuffles on the bigram — still one
+    wide join, and the vocab truncates to top-V with an OOV floor
+    like the unigram path). Same determinism contract: each −ln
+    rounds to a 1e-6 fixed-point BIGINT, per-doc sums are exact
+    integer math, one final division + 6dp round — oracle-exact
+    (x4_bigram_logprob). Documents with fewer than 2 tokens surface
+    with n_bigrams = 0 and NULL score, not dropped."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__t"), i).alias("prev"),
+            F.element_at(F.col("__t"), (i + 1).cast("int")).alias("cur"),
+        ),
+    )
+    bg = (
+        toked.filter(F.size("__t") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("__b"))
+        .select(
+            id_col,
+            F.col("__b.prev").alias("__prev"),
+            F.col("__b.cur").alias("__cur"),
+        )
+    )
+    cbg = bg.groupBy("__prev", "__cur").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    cctx = bg.groupBy("__prev").agg(F.count(F.lit(1)).alias("__cn"))
+    surprisal_fp = F.round(
+        -F.log(F.col("__cb").cast("double") / F.col("__cn").cast("double"))
+        * fp_scale,
+        0,
+    ).cast("bigint")
+    agg = (
+        bg.join(F.broadcast(cbg), ["__prev", "__cur"])
+        .join(F.broadcast(cctx), "__prev")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nb"),
+            F.sum(surprisal_fp).alias("__s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            F.when(
+                F.col("__nb") > 0,
+                F.round(
+                    F.col("__s").cast("double")
+                    / F.col("__nb").cast("double")
+                    / F.lit(float(fp_scale)),
+                    6,
+                ),
+            ).alias("avg_surprisal"),
+        )
+    )
