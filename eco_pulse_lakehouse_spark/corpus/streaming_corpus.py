@@ -933,3 +933,92 @@ def t20_stream_versioned_gold(spark, sf_dir):
     )
     q_.awaitTermination()
     return versioned.read_version(spark, gold)
+
+
+@q(
+    "t21_cdf_incremental_agg",
+    """
+    WITH head AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+      FROM events WHERE event_id % 3 != 0
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM head GROUP BY event_type
+    """,
+)
+def t21_cdf_incremental_agg(spark, sf_dir):
+    """T21 — CDC consumer loop over the versioned layer's change
+    feed (sources/versioned.py:table_changes +
+    incremental_agg_via_changes): three committed versions mutate a
+    deterministic events projection (inserts, deletes, then doubled
+    values on every 7th id), and the consumer maintains per-type
+    count + decimal-exact sum by folding each version's DIFF —
+    O(churn) per commit, never a history rescan. Decimal addition is
+    associative/commutative and deletes subtract exactly what
+    inserts added, so after all folds the maintained state is
+    bit-identical to aggregating the head snapshot directly — which
+    is exactly what the oracle computes. Fully-deleted keys drop out
+    via the maintained count, matching the direct aggregate."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"eco_pulse_t21_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    if not versioned.versions(path):
+        versioned.write_version(
+            base.filter(F.col("event_id") % 2 == 0), path
+        )
+        versioned.write_version(
+            base.filter(F.col("event_id") % 3 != 0), path
+        )
+        v2 = base.filter(F.col("event_id") % 3 != 0).select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % 7 == 0, F.col("value") * 2
+            ).otherwise(F.col("value")).alias("value"),
+        )
+        versioned.write_version(v2, path)
+    return versioned.incremental_agg_via_changes(
+        spark, path, ["event_type"], "value"
+    )
+
+
+@q(
+    "s20_versioned_history",
+    """
+    SELECT event_id, value, CAST(NULL AS BIGINT) AS user_id,
+           CAST(0 AS INT) AS _version
+    FROM events WHERE event_id % 53 = 0
+    UNION ALL
+    SELECT event_id, value, user_id, CAST(1 AS INT) AS _version
+    FROM events WHERE event_id % 53 = 0
+    """,
+)
+def s20_versioned_history(spark, sf_dir):
+    """S20 — table HISTORY scan with additive schema evolution
+    (sources/versioned.py:read_history): v0 commits (event_id,
+    value), v1 adds a user_id column; the history read unions every
+    snapshot tagged with its version, backfilling NULL where a
+    column didn't exist yet (unionByName allowMissingColumns — the
+    only evolution a snapshot layer expresses without rewrites).
+    The oracle rebuilds the same union with an explicit NULL cast."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"eco_pulse_s20_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 53 == 0)
+    if not versioned.versions(path):
+        versioned.write_version(ev.select("event_id", "value"), path)
+        versioned.write_version(
+            ev.select("event_id", "value", "user_id"), path
+        )
+    return versioned.read_history(spark, path)

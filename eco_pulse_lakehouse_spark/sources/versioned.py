@@ -268,6 +268,36 @@ def vacuum(table_path: str, keep_last: int = 1) -> list[int]:
     return [v["version"] for v in removed]
 
 
+def read_history(
+    spark: SparkSession, table_path: str, version_col: str = "_version"
+) -> DataFrame:
+    """Full table HISTORY scan: every committed snapshot unioned,
+    tagged with its version number — the audit/debug read Delta
+    exposes as per-version time travel plus DESCRIBE HISTORY.
+    Schemas may EVOLVE across versions (each version directory
+    carries its own parquet schema): later columns backfill NULL in
+    earlier versions via unionByName(allowMissingColumns) — additive
+    evolution, the only kind a snapshot layer can express without a
+    rewrite. The plan is a union of plain parquet scans (one per
+    version), so pruning/pushdown still reach each scan."""
+    from pyspark.sql import functions as F
+
+    vs = versions(table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    out = None
+    for v in vs:
+        df = read_version(spark, table_path, v["version"]).withColumn(
+            version_col, F.lit(v["version"]).cast("int")
+        )
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
+    return out
+
+
 def restore(
     spark: SparkSession, table_path: str, version: int
 ) -> int:
@@ -277,6 +307,73 @@ def restore(
     restore itself is crash-safe like any other commit)."""
     snap = read_version(spark, table_path, version)
     return write_version(snap, table_path, meta={"restore_of": version})
+
+
+def incremental_agg_via_changes(
+    spark: SparkSession,
+    table_path: str,
+    keys: Sequence[str],
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """CDC CONSUMER over the change feed: maintain per-key COUNT and
+    SUM(value) by folding each committed version's ``table_changes``
+    diff into a running aggregate — the downstream-materialized-view
+    loop a change feed exists for. Version v's contribution is one
+    diff-sized aggregation (+value per insert, −value per delete);
+    history is never rescanned, so the per-commit cost is O(churn),
+    not O(table) — the same incremental-maintenance contract as the
+    t7/t20 gold loops.
+
+    Exactness: values accumulate as DECIMAL(18,scale) — decimal
+    addition is associative and commutative, and deletes subtract
+    the exact amount inserts added, so after N folds the state is
+    BIT-IDENTICAL to aggregating the head snapshot directly (the
+    corpus oracle t21 checks precisely that). Keys whose rows are
+    all deleted drop out via the maintained count (a zero-sum key is
+    kept only while rows remain — matching the direct aggregate)."""
+    from pyspark.sql import functions as F
+
+    dec = f"decimal(18,{scale})"
+    vs = [v["version"] for v in versions(table_path)]
+    head = read_version(spark, table_path, vs[0])
+    agg = head.groupBy(*list(keys)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast(dec)).alias("__total"),
+    )
+    for prev, cur in zip(vs, vs[1:]):
+        ch = table_changes(spark, table_path, prev, cur)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = ch.groupBy(*list(keys)).agg(
+            F.sum(sign).alias("__dn"),
+            F.sum(
+                (F.col(value_col).cast(dec) * sign).cast(dec)
+            ).alias("__dt"),
+        )
+        agg = (
+            agg.join(delta, list(keys), "full_outer")
+            .select(
+                *list(keys),
+                (
+                    F.coalesce(F.col("__n"), F.lit(0))
+                    + F.coalesce(F.col("__dn"), F.lit(0))
+                ).alias("__n"),
+                (
+                    F.coalesce(F.col("__total"), F.lit(0).cast(dec))
+                    + F.coalesce(F.col("__dt"), F.lit(0).cast(dec))
+                )
+                .cast(dec)
+                .alias("__total"),
+            )
+            .filter(F.col("__n") > 0)
+        )
+    return agg.select(
+        *list(keys),
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.col("__total").cast("double").alias("total"),
+    )
 
 
 def optimize(

@@ -184,3 +184,52 @@ def test_restore_commits_old_content_forward(spark):
     assert head.select("tag").distinct().first()[0] == "good"
     assert versioned.read_version(spark, path, 1).count() == 2
     assert versioned.versions(path)[-1]["meta"] == {"restore_of": 0}
+
+
+def test_read_history_tags_versions_and_evolves_schema(spark):
+    """History scan: every snapshot present tagged with its version;
+    a column added in a later version backfills NULL in earlier
+    ones (additive schema evolution)."""
+    path = _tmp()
+    versioned.write_version(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id LONG, v DOUBLE"),
+        path,
+    )
+    versioned.write_version(
+        spark.createDataFrame(
+            [(1, 10.0, "a"), (3, 30.0, "b")], "id LONG, v DOUBLE, tag STRING"
+        ),
+        path,
+    )
+    hist = versioned.read_history(spark, path)
+    rows = sorted(
+        (r._version, r.id, r.v, r.tag) for r in hist.collect()
+    )
+    assert rows == [
+        (0, 1, 10.0, None),
+        (0, 2, 20.0, None),
+        (1, 1, 10.0, "a"),
+        (1, 3, 30.0, "b"),
+    ]
+
+
+def test_incremental_agg_via_changes_equals_direct(spark):
+    """Folding the change feed version by version must reproduce the
+    direct aggregate of the head snapshot exactly — including a key
+    whose rows are all deleted (it must DROP, not linger at zero),
+    and decimal-exact sums under updates (delete+insert pairs)."""
+    path = _tmp()
+    v0 = [(1, "a", 1.5), (2, "a", 2.25), (3, "b", 4.0), (4, "c", 8.0)]
+    v1 = [(1, "a", 1.5), (2, "a", 2.25), (3, "b", 4.0)]      # c deleted
+    v2 = [(1, "a", 3.0), (2, "a", 2.25), (3, "b", 4.0)]      # a updated
+    schema = "id LONG, k STRING, v DOUBLE"
+    for rows in (v0, v1, v2):
+        versioned.write_version(spark.createDataFrame(rows, schema), path)
+    got = {
+        r.k: (r.n_rows, r.total)
+        for r in versioned.incremental_agg_via_changes(
+            spark, path, ["k"], "v"
+        ).collect()
+    }
+    assert got == {"a": (2, 5.25), "b": (1, 4.0)}, got
+    assert "c" not in got
