@@ -2834,3 +2834,111 @@ def s19_versioned_restore(spark, sf_dir):
         versioned.write_version(ev.filter(F.col("event_id") % 2 == 0), path)
         versioned.restore(spark, path, 0)
     return versioned.read_version(spark, path)
+
+
+@q(
+    "w20_capped_sessions",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id,
+             list(struct_pack(e := CAST(floor(epoch(ts)) AS BIGINT),
+                              id := event_id)
+                  ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    ),
+    rec AS (
+      SELECT user_id, 0 AS idx, 0 AS sid,
+             CAST(-1000000000000000 AS BIGINT) AS sess_start,
+             CAST(-1000000000000000 AS BIGINT) AS prev_e,
+             CAST(NULL AS BIGINT) AS event_id, len(v) AS n, v
+      FROM s
+      UNION ALL
+      SELECT user_id, idx + 1,
+             CASE WHEN v[idx + 1].e - prev_e > 1800
+                    OR v[idx + 1].e - sess_start > 7200
+                  THEN sid + 1 ELSE sid END,
+             CASE WHEN v[idx + 1].e - prev_e > 1800
+                    OR v[idx + 1].e - sess_start > 7200
+                  THEN v[idx + 1].e ELSE sess_start END,
+             v[idx + 1].e,
+             v[idx + 1].id,
+             n, v
+      FROM rec WHERE idx < n
+    )
+    SELECT user_id, event_id, CAST(sid AS INT) AS session_id
+    FROM rec WHERE idx >= 1
+    """,
+)
+def w20_capped_sessions(spark, sf_dir):
+    """W20 — sessionization with an inactivity gap AND a max-duration
+    cap (operators/windows.py:capped_sessionize, 30 min gap / 2 h
+    cap): the runaway-session guard. The cap makes assignment a true
+    sequential recurrence (each session start depends on all earlier
+    splits), inexpressible by w7's lag + running sum — replayed as a
+    per-key struct fold on the Spark side and a recursive CTE in the
+    oracle (DuckDB list_reduce struct accumulators are unsound for
+    cross-field recurrences). Integer-exact end to end."""
+    from eco_pulse_lakehouse_spark.operators.windows import capped_sessionize
+
+    ev = T(spark, sf_dir, "events")
+    return capped_sessionize(
+        ev, "user_id", "ts", "event_id", gap_s=1800, cap_s=7200
+    )
+
+
+@q(
+    "a27_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(CAST(date_trunc('week', min(ts)) AS DATE) AS VARCHAR)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def a27_cohort_retention(spark, sf_dir):
+    """A27 — cohort retention (the product-analytics staple beside
+    w12's funnel): users grouped by first-activity week, counted in
+    each later week they return. One min-aggregation builds the
+    cohort map (dim-sized — broadcasts back), one DISTINCT over
+    (user, week) bounds re-activity, integer week offsets from
+    date-truncated Mondays (exact multiples of 7 days — no
+    timezone/rounding hazard). Cohort weeks surface as ISO-8601
+    STRINGS (Spark dates reach pandas as datetime.date, DuckDB's as
+    Timestamp — strings hash identically)."""
+    ev = T(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts")))
+        .cast("string")
+        .alias("cohort_week")
+    )
+    act = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

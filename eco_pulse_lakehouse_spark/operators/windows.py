@@ -88,3 +88,81 @@ def rolling(
     for name, expr in aggs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+def capped_sessionize(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_s: int = 1800,
+    cap_s: int = 7200,
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a maximum
+    session duration: an event opens a new session when the gap from
+    the previous event exceeds ``gap_s`` OR the elapsed time since
+    the CURRENT session's start exceeds ``cap_s`` (the
+    runaway-session guard analytics stacks add on top of plain
+    gap-splitting — w7 covers the gap-only form).
+
+    The duration cap makes assignment a true sequential RECURRENCE
+    (each session's start depends on every earlier split decision),
+    so the lag+running-sum trick behind w7 cannot express it. Per
+    key: one shuffle groups the sorted (epoch, id) array, then a
+    single struct-fold replays the recurrence row-locally — the
+    q9_cusum discipline, integer-exact end to end, so the corpus
+    oracle (w20_capped_sessions) replays it with a recursive CTE
+    (DuckDB's list_reduce struct accumulator is unsound for
+    cross-field recurrences — memory rule).
+
+    Scale: per-key arrays bound memory like sax_words — for very
+    long keys pre-chunk by (key, coarse bucket) with one overlap row
+    carrying (sid, start, prev) forward. Returns
+    (key, tiebreak, session_id) with session_id 1-based per key."""
+    e = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(e.alias("e"), F.col(tiebreak_col).alias("id"))
+        )
+    )
+    grouped = events.groupBy(key_col).agg(arr.alias("__v"))
+    sentinel = -(10**15)
+    acc0 = F.struct(
+        F.lit(0).alias("sid"),
+        F.lit(sentinel).cast("long").alias("start"),
+        F.lit(sentinel).cast("long").alias("prev"),
+        F.array().cast("array<struct<id:bigint,sid:int>>").alias("out"),
+    )
+
+    def step(acc, x):
+        is_new = (x["e"] - acc["prev"] > gap_s) | (
+            x["e"] - acc["start"] > cap_s
+        )
+        sid = F.when(is_new, acc["sid"] + 1).otherwise(acc["sid"])
+        start = F.when(is_new, x["e"]).otherwise(acc["start"])
+        return F.struct(
+            sid.alias("sid"),
+            start.alias("start"),
+            x["e"].alias("prev"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["id"].cast("bigint").alias("id"),
+                        sid.cast("int").alias("sid"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = grouped.select(
+        key_col,
+        F.aggregate(F.col("__v"), acc0, step).getField("out").alias("__out"),
+    )
+    return folded.select(
+        key_col, F.explode("__out").alias("__r")
+    ).select(
+        key_col,
+        F.col("__r.id").alias(tiebreak_col),
+        F.col("__r.sid").alias("session_id"),
+    )

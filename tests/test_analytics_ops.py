@@ -148,3 +148,37 @@ def test_cusum_detects_injected_level_shift(spark):
     assert out[1].first_cross_idx is not None and out[1].first_cross_idx > 30
     assert out[2].first_cross_idx is None
     assert out[1].max_cusum_sigma > out[2].max_cusum_sigma
+
+
+def test_capped_sessionize_splits_on_duration_not_just_gap(spark):
+    """A steady 20-min cadence never trips the 30-min gap, so plain
+    gap sessionization (w7) keeps ONE session; the 2 h duration cap
+    must still split it — deterministically at the first event past
+    cap from each session's start — and a real gap must also split."""
+    from eco_pulse_lakehouse_spark.operators.windows import capped_sessionize
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=1200 * i), 1)
+        for i in range(16)  # t = 0..18000 s, step 1200
+    ]
+    # separate user: two events split by a 2-hour GAP
+    rows += [(100, t0, 2), (101, t0 + datetime.timedelta(seconds=7300), 2)]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id INT"
+    )
+    got = {
+        r.event_id: r.session_id
+        for r in capped_sessionize(
+            df, "user_id", "ts", "event_id", gap_s=1800, cap_s=7200
+        ).collect()
+    }
+    # user 1: sessions [0..7200], [8400..15600], [16800..18000] —
+    # an event exactly AT cap distance from its session start stays
+    expect = {i: 1 for i in range(7)}
+    expect.update({i: 2 for i in range(7, 14)})
+    expect.update({i: 3 for i in range(14, 16)})
+    assert {k: v for k, v in got.items() if k < 100} == expect
+    assert got[100] == 1 and got[101] == 2  # gap split still works
