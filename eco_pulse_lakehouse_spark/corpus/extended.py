@@ -1947,6 +1947,50 @@ def a19_countmin(spark, sf_dir):
 
 
 @q(
+    "a29_heavy_hitters",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM d, unnest(range(1, len(t))) AS u(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= 40
+    """,
+)
+def a29_heavy_hitters(spark, sf_dir):
+    """A29 — EXACT heavy hitters over the document BIGRAM stream via
+    the Count-Min candidate prefilter
+    (operators/sketches.py:frequent_items): pass 1 sketches the
+    bigram frequencies into a 4x4096 counter table (constant-size
+    shuffle); pass 2 estimates each row's own bigram map-side
+    against the broadcast sketch (codegen element_at lookups — the
+    space-saving/top-k scale shape) and only candidate bigrams enter
+    the groupBy exchange, where the exact recount + HAVING removes
+    collision false-positives. CMS never undercounts, so no true
+    heavy hitter is lost — the output is IDENTICAL to the direct
+    GROUP BY/HAVING, which is exactly what the oracle runs (a sketch
+    whose output needs no sketch replay in SQL). The case that
+    matters at 100 TB: n-gram vocabularies explode combinatorially
+    while heavy hitters stay few, so shuffling |candidates| instead
+    of |vocabulary| is the difference between a constant-ish
+    exchange and one that scales with the n-gram blowup."""
+    from eco_pulse_lakehouse_spark.operators.sketches import frequent_items
+
+    d = T(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1,"
+                " size(split(text, ' ')) - 1),"
+                " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return frequent_items(bg, "bigram", min_count=40, depth=4, width=1 << 12)
+
+
+@q(
     "w15_sax_words",
     """
     WITH s AS (
@@ -2641,6 +2685,49 @@ def a26_mode(spark, sf_dir):
             F.col("event_type").alias("modal_type"),
             F.col("c").alias("n_occurrences"),
         )
+    )
+
+
+@q(
+    "a28_arg_minmax",
+    """
+    WITH r AS (
+      SELECT event_type, value, event_id, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id DESC) AS rx,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn
+      FROM events)
+    SELECT event_type,
+           max(CASE WHEN rx = 1 THEN value END) AS max_value,
+           max(CASE WHEN rx = 1 THEN event_id END) AS max_event,
+           max(CASE WHEN rx = 1 THEN user_id END) AS max_user,
+           max(CASE WHEN rn = 1 THEN value END) AS min_value,
+           max(CASE WHEN rn = 1 THEN event_id END) AS min_event,
+           max(CASE WHEN rn = 1 THEN user_id END) AS min_user
+    FROM r GROUP BY event_type
+    """,
+)
+def a28_arg_minmax(spark, sf_dir):
+    """A28 — deterministic arg_max / arg_min: which event carried the
+    extreme value per type, ties broken by event_id. The built-in
+    max_by/min_by tie arbitrarily (partitioning-dependent at scale);
+    MAX over a STRUCT(ordering..., payload...) is lexicographic —
+    deterministic given a unique tie-break column — AND map-side
+    combinable, so this is ONE partial-aggregating shuffle versus
+    the window row_number form that exchanges every row unreduced.
+    The oracle replays the semantics via two row_number orders
+    folded into one row per group with conditional aggregates."""
+    ev = T(spark, sf_dir, "events")
+    mx = F.max(F.struct("value", "event_id", "user_id"))
+    mn = F.min(F.struct("value", "event_id", "user_id"))
+    return ev.groupBy("event_type").agg(
+        mx.getField("value").alias("max_value"),
+        mx.getField("event_id").alias("max_event"),
+        mx.getField("user_id").alias("max_user"),
+        mn.getField("value").alias("min_value"),
+        mn.getField("event_id").alias("min_event"),
+        mn.getField("user_id").alias("min_user"),
     )
 
 

@@ -93,6 +93,95 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return unioned.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
 
 
+def cms_literal_map(sketch: DataFrame) -> DataFrame:
+    """Collapse a (d, bucket, c) sketch into a ONE-ROW DataFrame whose
+    single column ``__cms`` is a ``map<bigint,bigint>`` keyed by
+    ``d * 2^32 + bucket``. Broadcast-joined onto a probe side, every
+    lookup is a codegen ``element_at`` — the same plan-literal-map
+    shape as the Bloom bitmap in operators/joins.py:bloom_prefilter,
+    and like it the map never exists as driver-side Python state."""
+    return sketch.select(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("d").cast("bigint") * F.lit(1 << 32)
+                        + F.col("bucket")
+                    ).alias("key"),
+                    F.col("c").alias("value"),
+                )
+            )
+        ).alias("__cms")
+    )
+
+
+def cms_rowwise_estimate(
+    key: Column, depth: int, width: int, map_col: str = "__cms"
+) -> Column:
+    """Per-ROW CMS point estimate against a broadcast ``__cms``
+    literal map: min over the depth bucket lookups, entirely inside
+    whole-stage codegen — no shuffle, no per-key aggregation. The
+    zero-frequency case (bucket no row ever hit) reads as 0."""
+    h = token_char_hash(key)
+    ests = [
+        F.coalesce(
+            F.element_at(
+                F.col(map_col),
+                F.lit(d).cast("bigint") * F.lit(1 << 32)
+                + cms_bucket(h, F.lit(d), width).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        for d in range(depth)
+    ]
+    return F.least(*ests) if depth > 1 else ests[0]
+
+
+def frequent_items(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1 << 12,
+    out_count: str = "n",
+) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency >= ``min_count``) via
+    a Count-Min candidate pass — the space-saving/top-k family's
+    scale shape with a hard-oracle-able output.
+
+    Why two passes: a direct ``GROUP BY key HAVING count >= T`` must
+    shuffle the ENTIRE vocabulary — for n-gram mining the vocabulary
+    is orders of magnitude larger than the row count's distinct-key
+    working set that actually matters. Pass 1 builds a CMS (shuffle
+    is O(depth x width) cells, constant); pass 2 re-scans, estimates
+    each row's OWN key map-side against the broadcast sketch, and
+    drops rows whose estimate is below ``min_count`` BEFORE the
+    groupBy shuffle — so only candidate keys (true heavy hitters
+    plus bounded collision false-positives) ever enter the exchange,
+    and partial aggregation sees |candidates| distinct keys instead
+    of |vocabulary|.
+
+    Exactness: CMS never undercounts, so every true heavy hitter
+    survives the prefilter (no false negatives); the final exact
+    count + HAVING removes collision false-positives. Output is
+    therefore IDENTICAL to the direct query — the corpus oracle
+    (a29_heavy_hitters) is plain GROUP BY/HAVING SQL, no sketch
+    replay needed. Widen ``width`` to cut wasted shuffle (false
+    positives ~ vocab/width per cell), never for correctness."""
+    sketch = cms_build(df, key_col, depth=depth, width=width)
+    est = cms_rowwise_estimate(F.col(key_col), depth, width)
+    candidates = (
+        df.join(F.broadcast(cms_literal_map(sketch)))
+        .filter(est >= F.lit(min_count))
+        .drop("__cms")
+    )
+    return (
+        candidates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(out_count))
+        .filter(F.col(out_count) >= F.lit(min_count))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,

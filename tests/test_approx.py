@@ -114,3 +114,62 @@ def test_kll_merged_quantiles_close_to_exact(spark):
     got = a21_kll_quantiles(spark, SF).collect()[0]
     assert abs(got.p50_est - exact.p50) / exact.p50 <= 0.05
     assert abs(got.p95_est - exact.p95) / exact.p95 <= 0.05
+
+
+def test_frequent_items_exact_even_under_heavy_collisions(spark):
+    """frequent_items must equal the direct GROUP BY/HAVING for ANY
+    sketch width — the CMS candidate pass can only ADD collision
+    false-positives (removed by the exact recount), never drop a
+    true heavy hitter. width=4 forces nearly every key to collide,
+    the adversarial case for the no-false-negative guarantee."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.sketches import frequent_items
+
+    d = load_table(spark, SF, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    direct = {
+        (r.w, r.n)
+        for r in tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 500)
+        .collect()
+    }
+    assert direct  # the fixture must exercise a non-empty answer
+    for width in (4, 64, 1 << 12):
+        got = {
+            (r.w, r.n)
+            for r in frequent_items(
+                tok, "w", min_count=500, depth=4, width=width
+            ).collect()
+        }
+        assert got == direct, f"width={width}"
+
+
+def test_frequent_items_prefilter_prunes_vocabulary(spark):
+    """At a sane width the candidate set entering the exact recount
+    must be far smaller than the vocabulary (the point of the CMS
+    pass): count candidate DISTINCT keys surviving the row-wise
+    prefilter directly."""
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    n, hot = 5000, 8
+    df = spark.range(n).select(
+        F.when(
+            F.col("id") % 100 < hot, F.concat(F.lit("hot"), F.col("id") % hot)
+        )
+        .otherwise(F.concat(F.lit("cold"), F.col("id")))
+        .alias("w")
+    )
+    sketch = sk.cms_build(df, "w", depth=4, width=1 << 12)
+    est = sk.cms_rowwise_estimate(F.col("w"), 4, 1 << 12)
+    candidates = (
+        df.join(F.broadcast(sk.cms_literal_map(sketch)))
+        .filter(est >= 50)
+        .select("w")
+        .distinct()
+        .count()
+    )
+    vocab = df.select("w").distinct().count()
+    assert candidates < vocab * 0.05  # ~8 hot keys vs ~4600 cold
+    got = sk.frequent_items(df, "w", min_count=50, depth=4, width=1 << 12)
+    assert got.count() == hot
