@@ -1022,3 +1022,102 @@ def s20_versioned_history(spark, sf_dir):
             ev.select("event_id", "value", "user_id"), path
         )
     return versioned.read_history(spark, path)
+
+
+@q(
+    "t22_stream_cdf",
+    """
+    WITH base AS (SELECT event_id, event_type, value FROM events),
+    v0 AS (SELECT * FROM base WHERE event_id % 2 = 0),
+    v1 AS (SELECT * FROM base WHERE event_id % 3 != 0),
+    v2 AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 7 = 0 THEN value * 2
+                       ELSE value END AS value
+           FROM base WHERE event_id % 3 != 0),
+    feed AS (
+      SELECT CAST(0 AS INT) AS _commit_version,
+             'insert' AS _change_type, * FROM v0
+      UNION ALL
+      SELECT CAST(1 AS INT), 'insert', *
+      FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+      UNION ALL
+      SELECT CAST(1 AS INT), 'delete', *
+      FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT CAST(2 AS INT), 'insert', *
+      FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT CAST(2 AS INT), 'delete', *
+      FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    )
+    SELECT _commit_version, _change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_fp
+    FROM feed GROUP BY _commit_version, _change_type, event_type
+    """,
+)
+def t22_stream_cdf(spark, sf_dir):
+    """T22 — STREAMING consumer of the versioned layer's change feed
+    (sources/versioned.py:materialize_changes + read_changes_stream):
+    three commits mutate a deterministic events projection (the same
+    insert/delete/update churn as t21); the feed materializes each
+    commit's diff as a durable cv-N batch (idempotent, staging-swap
+    crash-safe), and a checkpointed file stream tails it — cv-0 as
+    the initial full-insert load, each later commit as its own
+    micro-batch (maxFilesPerTrigger=1 forces the per-commit batch
+    boundary). The drained stream is aggregated per (commit, change
+    type, event type) with 1e-6 fixed-point value sums, and the
+    oracle rebuilds the exact same feed from EXCEPT ALL multiset
+    diffs — the streamed CDC surface carries the same hard oracle as
+    the batch table_changes (s17) it is derived from."""
+    from eco_pulse_lakehouse_spark.sources import versioned
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"eco_pulse_t22_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    if not versioned.versions(path):
+        versioned.write_version(
+            base.filter(F.col("event_id") % 2 == 0), path
+        )
+        versioned.write_version(
+            base.filter(F.col("event_id") % 3 != 0), path
+        )
+        v2 = base.filter(F.col("event_id") % 3 != 0).select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % 7 == 0, F.col("value") * 2
+            ).otherwise(F.col("value")).alias("value"),
+        )
+        versioned.write_version(v2, path)
+    versioned.materialize_changes(spark, path)
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t22_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(out, "sink"), os.path.join(out, "ck")
+    stream = versioned.read_changes_stream(
+        spark, path, maxFilesPerTrigger=1
+    )
+    q_ = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    drained = spark.read.parquet(sink)
+    return drained.groupBy(
+        "_commit_version", "_change_type", "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.round(F.col("value") * 1000000, 0).cast("bigint")
+        ).alias("total_fp"),
+    )

@@ -229,6 +229,96 @@ def table_changes(
     )
 
 
+CHANGES_DIR = "_changes"
+
+
+def materialize_changes(
+    spark: SparkSession,
+    table_path: str,
+    change_col: str = "_change_type",
+    version_col: str = "_commit_version",
+) -> list[int]:
+    """Materialize the CHANGE FEED as per-version parquet batches
+    under ``_changes/cv-N`` — the durable form a streaming consumer
+    can tail (Delta writes ``_change_data`` files at commit time;
+    the versioned layer derives changes from snapshots, so they are
+    materialized here, once per version, on demand).
+
+    * cv-0 is the full v0 snapshot tagged ``insert`` (the stream's
+      initial load, like Delta's startingVersion=0 semantics).
+    * cv-N (N>0) is ``table_changes(N-1, N)`` — one commit's churn,
+      inserts + deletes with updates as delete/insert pairs.
+    * Every change row carries ``version_col`` so consumers can fold
+      commits in order.
+
+    IDEMPOTENT: versions with an existing ``cv-N`` directory are
+    skipped, so calling this after each commit is an O(churn)
+    incremental append to the feed. CRASH-SAFE: each batch lands in
+    a staging directory first and becomes visible via one atomic
+    os.rename — a torn write is an invisible ``_staging-*`` orphan,
+    swept on the next call. Returns the newly materialized version
+    numbers."""
+    import shutil
+
+    vs = [v["version"] for v in versions(table_path)]
+    out_base = os.path.join(table_path, CHANGES_DIR)
+    os.makedirs(out_base, exist_ok=True)
+    for name in os.listdir(out_base):
+        if name.startswith("_staging-"):
+            shutil.rmtree(os.path.join(out_base, name), ignore_errors=True)
+    done = {
+        int(name.split("-", 1)[1])
+        for name in os.listdir(out_base)
+        if name.startswith("cv-")
+    }
+    from pyspark.sql import functions as F
+
+    new: list[int] = []
+    for prev, cur in zip([None, *vs], vs):
+        if cur in done:
+            continue
+        if prev is None:
+            ch = read_version(spark, table_path, cur).withColumn(
+                change_col, F.lit("insert")
+            )
+        else:
+            ch = table_changes(spark, table_path, prev, cur, change_col)
+        ch = ch.withColumn(version_col, F.lit(cur).cast("int"))
+        staging = os.path.join(out_base, f"_staging-{uuid.uuid4().hex}")
+        ch.write.mode("overwrite").parquet(staging)
+        os.rename(staging, os.path.join(out_base, f"cv-{cur}"))
+        new.append(cur)
+    return new
+
+
+def changes_glob(table_path: str) -> str:
+    """Path glob covering every materialized change batch."""
+    return os.path.join(table_path, CHANGES_DIR, "cv-*")
+
+
+def read_changes_stream(
+    spark: SparkSession, table_path: str, schema=None, **options
+) -> DataFrame:
+    """STREAMING consumer of the materialized change feed: a file
+    stream over ``_changes/cv-*`` — each newly materialized commit
+    batch arrives as a micro-batch, checkpointing gives the consumer
+    exactly-once delivery across restarts, and the glob root is
+    explicit so the ``_``-prefixed feed directory itself is never
+    subject to hidden-path filtering (its children ``cv-N`` are
+    plain names). This is the versioned layer's ``readStream``
+    CDC surface: downstream materialized views fold each batch by
+    ``_commit_version`` order (see incremental_agg_via_changes for
+    the batch twin of that fold). Pass ``schema`` in production —
+    inferring it here costs a batch listing of the feed."""
+    if schema is None:
+        schema = spark.read.parquet(changes_glob(table_path)).schema
+    return (
+        spark.readStream.schema(schema)
+        .options(**options)
+        .parquet(changes_glob(table_path))
+    )
+
+
 def vacuum(table_path: str, keep_last: int = 1) -> list[int]:
     """VACUUM: retire all but the newest ``keep_last`` versions.
     The manifest commits the shrunken history FIRST (atomic swap

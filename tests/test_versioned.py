@@ -233,3 +233,84 @@ def test_incremental_agg_via_changes_equals_direct(spark):
     }
     assert got == {"a": (2, 5.25), "b": (1, 4.0)}, got
     assert "c" not in got
+
+
+def test_materialize_changes_idempotent_and_crash_safe(spark):
+    """Each committed version materializes exactly one cv-N batch;
+    re-materializing is a no-op; a torn staging dir from a crashed
+    materialization is swept, never served."""
+    path = _tmp()
+    versioned.write_version(
+        spark.range(4).withColumn("v", F.col("id") * 10), path
+    )
+    versioned.write_version(
+        spark.range(2, 6).withColumn("v", F.col("id") * 10), path
+    )
+    assert versioned.materialize_changes(spark, path) == [0, 1]
+    assert versioned.materialize_changes(spark, path) == []  # idempotent
+    # simulated crash mid-materialization: staging dir, never renamed
+    orphan = os.path.join(
+        path, versioned.CHANGES_DIR, "_staging-deadbeef"
+    )
+    os.makedirs(orphan)
+    versioned.write_version(
+        spark.range(5).withColumn("v", F.col("id") * 10), path
+    )
+    assert versioned.materialize_changes(spark, path) == [2]
+    assert not os.path.exists(orphan)
+    feed = spark.read.parquet(versioned.changes_glob(path))
+    assert set(feed.columns) == {"id", "v", "_change_type", "_commit_version"}
+
+
+def test_changes_feed_matches_batch_table_changes(spark):
+    """Per version N>0, the materialized cv-N batch must equal
+    table_changes(N-1, N) as a multiset; cv-0 is the full v0
+    snapshot tagged insert."""
+    path = _tmp()
+    versioned.write_version(spark.range(6).withColumn("x", F.lit("a")), path)
+    versioned.write_version(
+        spark.range(3, 9).withColumn("x", F.lit("a")), path
+    )
+    versioned.materialize_changes(spark, path)
+    feed = spark.read.parquet(versioned.changes_glob(path))
+    cv1 = feed.filter(F.col("_commit_version") == 1).drop("_commit_version")
+    batch = versioned.table_changes(spark, path, 0, 1)
+    assert cv1.exceptAll(batch).count() == 0
+    assert batch.exceptAll(cv1).count() == 0
+    cv0 = feed.filter(F.col("_commit_version") == 0)
+    assert cv0.count() == 6
+    assert cv0.select("_change_type").distinct().first()[0] == "insert"
+
+
+def test_read_changes_stream_restart_is_exactly_once(spark):
+    """A checkpointed consumer drains each commit batch exactly once
+    across restarts: drain, commit more, drain AGAIN over the SAME
+    checkpoint — the second drain must deliver only the new commit's
+    rows, and the union of both drains equals the whole feed."""
+    path, out = _tmp(), _tmp()
+    sink, ck = os.path.join(out, "sink"), os.path.join(out, "ck")
+    versioned.write_version(spark.range(4), path)
+    versioned.materialize_changes(spark, path)
+    schema = spark.read.parquet(versioned.changes_glob(path)).schema
+
+    def drain():
+        q = (
+            versioned.read_changes_stream(spark, path, schema=schema)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 4
+    versioned.write_version(spark.range(2, 7), path)  # +3 ins, -2 del
+    versioned.materialize_changes(spark, path)
+    drain()
+    drained = spark.read.parquet(sink)
+    assert drained.count() == 4 + 5  # second drain adds ONLY cv-1
+    feed = spark.read.parquet(versioned.changes_glob(path))
+    assert drained.exceptAll(feed).count() == 0
+    assert feed.exceptAll(drained).count() == 0
