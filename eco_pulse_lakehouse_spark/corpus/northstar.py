@@ -2034,3 +2034,63 @@ def x2_snm_multipass(spark, sf_dir):
     return sorted_neighborhood_multipass(
         d, "doc_id", "text", window=4, jaccard_threshold=0.2
     )
+
+
+@q(
+    "x3_semdedup",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    cseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS lc,
+             qv AS cent
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id ASC LIMIT 16)
+    ),
+    cass AS (
+      SELECT vec_id, qv, lc AS cluster_id FROM (
+        SELECT e.vec_id, e.qv, cs.lc,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qv[i] - cent[i] AS BIGINT)
+                   * CAST(qv[i] - cent[i] AS BIGINT)))
+            ASC, cs.lc ASC) AS rn
+        FROM e CROSS JOIN cseeds cs) WHERE rn = 1
+    ),
+    cd AS (
+      SELECT vec_id, qv, cluster_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS BIGINT) * cent[i])) AS BIGINT) AS cdot
+      FROM cass JOIN cseeds ON cass.cluster_id = cseeds.lc
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN a.cdot > b.cdot THEN a.vec_id
+                           WHEN b.cdot > a.cdot THEN b.vec_id
+                           ELSE GREATEST(a.vec_id, b.vec_id) END AS vec_id
+      FROM cd a JOIN cd b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, 65),
+              i -> CAST(a.qv[i] AS BIGINT) * CAST(b.qv[i] AS BIGINT)))
+            AS BIGINT) >= 6400
+    )
+    SELECT vec_id, cluster_id FROM cass
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def x3_semdedup(spark, sf_dir):
+    """X3 — SemDeDup semantic near-dup pruning
+    (operators/similarity.py:semantic_dedup; Abbas et al. 2023):
+    integer k-means clusters the int8-quantized embeddings into 16
+    lists, pairwise BIGINT dot products run ONLY within a cluster
+    (equi-join on cluster_id — Σ|cluster|², never n²), and of each
+    pair above the threshold the member closest to its centroid is
+    dropped (the paper's keep-the-outlier rule; ties to the larger
+    id). min_dot=6400 ≈ cosine 0.40 on the 127-scale — the synthetic
+    embeddings are near-orthogonal (max pairwise ≈ 0.51), so this is
+    the same regime as x3_cosine_neardup's 0.3. Every stage is exact
+    integer math over seed centroids, so the WHOLE pipeline —
+    quantize, cluster, assign, score, drop — replays in ANSI SQL;
+    trained-centroid clustering is recall-pinned in pytest."""
+    e = T(spark, sf_dir, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    return xs.semantic_dedup(
+        qz, "vec_id", "q_vec", n_clusters=16, dim=64, min_dot=6400
+    )

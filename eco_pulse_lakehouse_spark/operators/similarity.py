@@ -1338,3 +1338,107 @@ def pool_embeddings(
             ),
         )
     )
+
+
+def semantic_dedup(
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    n_clusters: int = 16,
+    dim: int = 64,
+    min_dot: int = 15300,
+    cluster_iterations: int = 0,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate PRUNING over an embedding column, the
+    embedding-space member of the dedup ladder (X2 minhash/simhash
+    prune lexical duplicates; this prunes paraphrases and
+    re-renderings that share no n-grams).
+
+    The paper's shape, Spark-first: (1) k-means partitions the
+    corpus into clusters, (2) pairwise cosine similarity is computed
+    ONLY within a cluster, (3) of each pair above the threshold, the
+    member MOST similar to its cluster centroid is dropped — keeping
+    the outlier preserves diversity (the paper's keeper rule).
+    Clustering is what makes the quadratic step tractable: the pair
+    join is an equi-join on cluster_id, so cost is Σ|cluster|², not
+    n² — at 100 TB, n_clusters scales with the corpus so cluster
+    sizes stay bounded (the paper uses ~100k clusters for web-scale
+    text), and training the coarse quantizer on a sample keeps the
+    bootstrap cheap.
+
+    Exact-integer composition over int8-quantized vectors
+    (quantize_embeddings): cluster assignment = pq_encode with m=1
+    (BIGINT squared-L2 argmin, ties to the lowest cluster),
+    centroid-redundancy score and pair similarity = BIGINT dot
+    products, drop rule ties broken by the larger id. With seed
+    centroids (``cluster_iterations=0``) every stage replays in ANSI
+    SQL — the corpus oracle (x3_semdedup) re-runs the whole pipeline
+    exactly; trained-centroid variants are pinned by pytest instead.
+    ``min_dot`` is on the integer-dot scale: cos(θ) ≈ dot/127² for
+    unit-norm inputs, so 15300 ≈ cosine 0.95. Returns survivors as
+    (id, cluster_id)."""
+    coarse = pq_codebooks(
+        quantized, id_col, vec_col,
+        m_segments=1, k_codes=n_clusters, dim=dim,
+        iterations=cluster_iterations,
+    )
+    assigned = (
+        pq_encode(
+            quantized, coarse, id_col, vec_col,
+            m_segments=1, k_codes=n_clusters, dim=dim, out_col="__list",
+        )
+        .withColumn("cluster_id", F.element_at("__list", 1))
+        .drop("__list")
+    )
+    cmap = _codebook_map(coarse, n_clusters)
+    centdot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(F.col("__cb"), F.col("cluster_id")),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(cmap))
+        .withColumn("__cdot", centdot)
+        .drop("__cb")
+    )
+    a = scored.select(
+        "cluster_id",
+        F.col(id_col).alias("__a_id"),
+        F.col(vec_col).alias("__a_v"),
+        F.col("__cdot").alias("__a_cd"),
+    )
+    b = scored.select(
+        "cluster_id",
+        F.col(id_col).alias("__b_id"),
+        F.col(vec_col).alias("__b_v"),
+        F.col("__cdot").alias("__b_cd"),
+    )
+    pdot = F.aggregate(
+        F.zip_with(
+            F.col("__a_v"), F.col("__b_v"),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    drops = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .withColumn("__pd", pdot)
+        .filter(F.col("__pd") >= F.lit(min_dot))
+        .select(
+            F.when(F.col("__a_cd") > F.col("__b_cd"), F.col("__a_id"))
+            .when(F.col("__b_cd") > F.col("__a_cd"), F.col("__b_id"))
+            .otherwise(F.greatest(F.col("__a_id"), F.col("__b_id")))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return assigned.join(drops, id_col, "left_anti").select(
+        id_col, "cluster_id"
+    )

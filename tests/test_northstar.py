@@ -694,3 +694,64 @@ def test_blocking_families_are_complementary(spark):
     assert union_recall >= len(truth & lsh) / len(truth)
     assert union_recall >= len(truth & snm) / len(truth)
     assert union_recall >= 0.9, f"union recall {union_recall}"
+
+
+def _semdedup_pair_dots(asg, min_dot):
+    """Within-cluster integer pair dots among the given (vec_id,
+    cluster_id, q_vec) rows, at or above min_dot."""
+    a = asg.select(
+        "cluster_id", F.col("vec_id").alias("ai"), F.col("q_vec").alias("av")
+    )
+    b = asg.select(
+        "cluster_id", F.col("vec_id").alias("bi"), F.col("q_vec").alias("bv")
+    )
+    pdot = F.aggregate(
+        F.zip_with(
+            F.col("av"), F.col("bv"),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("ai") < F.col("bi"))
+        .withColumn("pd", pdot)
+        .filter(F.col("pd") >= min_dot)
+    )
+
+
+def test_semdedup_survivors_have_no_near_dup_pair(spark):
+    """Of every within-cluster pair above the threshold exactly one
+    member is dropped — so the SURVIVOR set must contain no such
+    pair at all, for seed and trained centroids alike, and survivors
+    must be a strict subset whenever any pair existed."""
+    e = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    n = qz.count()
+    for iters in (0, 2):
+        surv = xs.semantic_dedup(
+            qz, "vec_id", "q_vec", n_clusters=16, dim=64,
+            min_dot=6400, cluster_iterations=iters,
+        )
+        kept = surv.join(qz.select("vec_id", "q_vec"), "vec_id")
+        assert _semdedup_pair_dots(kept, 6400).count() == 0, iters
+        assert 0 < surv.count() <= n
+
+
+def test_semdedup_drops_planted_duplicate(spark):
+    """An exact copy of an existing vector under a new id lands in
+    the same cluster with dot = ||v||² (max possible) — exactly one
+    of the two must survive, and the copy (larger id, identical
+    centroid similarity) is the one dropped."""
+    e = load_table(spark, SF, "embeddings").limit(100)
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    src = qz.filter(F.col("vec_id") == 7)
+    clone = src.withColumn("vec_id", F.lit(100000).cast("long"))
+    with_clone = qz.unionByName(clone)
+    surv = xs.semantic_dedup(
+        with_clone, "vec_id", "q_vec", n_clusters=8, dim=64, min_dot=15800
+    )
+    ids = {r.vec_id for r in surv.collect()}
+    assert 7 in ids
+    assert 100000 not in ids
