@@ -2094,3 +2094,133 @@ def x3_semdedup(spark, sf_dir):
     return xs.semantic_dedup(
         qz, "vec_id", "q_vec", n_clusters=16, dim=64, min_dot=6400
     )
+
+
+@q(
+    "x2_dup_ngram_frac",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, array_to_string(w[i:i+3], ' ') AS s
+      FROM t, unnest(range(1, len(w) - 2)) AS u(i)
+      WHERE len(w) >= 4
+    ),
+    dp AS (
+      SELECT s, count(*) AS nd
+      FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+    FROM sh JOIN dp USING (s)
+    GROUP BY doc_id
+    """,
+)
+def x2_dup_ngram_frac(spark, sf_dir):
+    """X2 — cross-document duplicate 4-gram fraction
+    (operators/dedup.py:dup_shingle_fraction; Lee et al. 2021 /
+    RefinedWeb duplicated-span signal): per doc, the share of
+    shingle positions whose 4-gram exists in >= 2 distinct
+    documents. Distinct-doc counts come from distinct (doc, shingle)
+    pairs + count (no count-distinct expand) joined back onto the
+    position stream — inverted-index cost. The final fraction is ONE
+    double division of exact BIGINTs, identical IEEE result in both
+    engines."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        dup_shingle_fraction,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return dup_shingle_fraction(d, "doc_id", "text", n=4)
+
+
+@q(
+    "x6_temperature_mixture",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS sc
+      FROM c
+    ),
+    tot AS (SELECT CAST(sum(sc) AS BIGINT) AS S FROM s)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN s USING (lang) CROSS JOIN tot
+    WHERE {_UNIT_HASH_SQL}
+          < LEAST(1.0, CAST(250 * sc AS DOUBLE) / CAST(S * n AS DOUBLE))
+    """,
+)
+def x6_temperature_mixture(spark, sf_dir):
+    """X6 — temperature-weighted language rebalancing
+    (operators/sampling.py:temperature_mixture_sample): keep-fraction
+    per language ∝ n^0.5 / n, the alpha=0.5 sampling recipe mBERT /
+    XLM-R / T5 use so high-resource languages stop drowning the tail
+    (en is 44% of this corpus; after sampling its share drops toward
+    the flattened target while fr/de/es/zh keep most rows). sqrt is
+    correctly-rounded IEEE and the scores are 1e-6 fixed-point
+    BIGINTs, so the whole selection — including the final double
+    division — replays bit-for-bit in the oracle."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang"
+    )
+    return temperature_mixture_sample(d, "doc_id", "lang", k=250, alpha=0.5)
+
+
+@q(
+    "x6_semantic_decontaminate",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_QVEC} AS qv,
+             (CAST((vec_id * 2654435761) % 4294967296 AS DOUBLE)
+              / 4294967296.0) AS u
+      FROM embeddings
+    ),
+    tr AS (SELECT vec_id, qv FROM e WHERE u < 0.9),
+    ev AS (SELECT vec_id AS e_id, qv AS eqv FROM e WHERE u >= 0.9),
+    hits AS (
+      SELECT tr.vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(tr.qv[i] AS BIGINT) * CAST(eqv[i] AS BIGINT)))
+               AS BIGINT) AS d
+      FROM tr CROSS JOIN ev
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+           CAST(max(d) AS BIGINT) AS max_dot
+    FROM hits WHERE d >= 4800 GROUP BY vec_id
+    """,
+)
+def x6_semantic_decontaminate(spark, sf_dir):
+    """X6 — embedding-space decontamination
+    (operators/decontaminate.py:semantic_decontaminate): the
+    semantic twin of x6_decontaminate's 4-gram pass — train split
+    (Knuth unit hash < 0.9 on vec_id) scanned against the BROADCAST
+    eval split, exact BIGINT int8 dot scoring, flag at dot >= 4800
+    (cos ≈ 0.30, the x3_cosine_neardup regime for these
+    near-orthogonal synthetic embeddings). Map-only over the train
+    side; the oracle replays quantization, split, and scoring
+    bit-for-bit."""
+    from eco_pulse_lakehouse_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    e = T(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("bigint"), "embedding"
+    )
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    u = unit_hash(F.col("vec_id"))
+    return semantic_decontaminate(
+        qz.filter(u < 0.9), qz.filter(u >= 0.9),
+        "vec_id", "q_vec", min_dot=4800,
+    )

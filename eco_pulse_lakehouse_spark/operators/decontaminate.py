@@ -68,3 +68,51 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    min_dot: int = 4800,
+) -> DataFrame:
+    """EMBEDDING-space decontamination — flag training examples whose
+    embedding is close to ANY evaluation example. The lexical pass
+    above misses paraphrased leakage (a benchmark question reworded
+    shares no 4-gram); this is its semantic twin, the pairing every
+    serious eval-hygiene pipeline runs (n-gram AND embedding
+    overlap).
+
+    Shape: eval sets are benchmark-sized (thousands–millions of
+    rows), so the eval side BROADCASTS and the scan over training
+    embeddings is map-only — a broadcast nested-loop the optimizer
+    can't beat here because similarity is not an equi-predicate; at
+    larger eval sizes compose with semantic_dedup's clustering to
+    bucket both sides first. Scoring is the exact BIGINT dot product
+    over int8-quantized vectors (operators/similarity.py:
+    quantize_embeddings), so flags are bit-reproducible across
+    engines/partitionings and the corpus oracle replays them
+    exactly. Returns flagged train ids with hit count and max dot
+    (cos ≈ dot/127²)."""
+    ev = evalset.select(
+        F.col(id_col).alias("__e_id"), F.col(vec_col).alias("__e_v")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("__e_v"),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        train.crossJoin(F.broadcast(ev))
+        .withColumn("__d", dot)
+        .filter(F.col("__d") >= F.lit(min_dot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("__d").alias("max_dot"),
+        )
+    )

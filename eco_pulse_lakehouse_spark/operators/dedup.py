@@ -509,3 +509,52 @@ def sorted_neighborhood_multipass(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dup_shingle_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Cross-document duplicate n-gram PROFILE — per document, the
+    fraction of its word-``n``-gram positions whose shingle also
+    occurs in at least one OTHER document. The corpus-level signal
+    behind exact-substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") and RefinedWeb's
+    duplicated-span filters: a high fraction means the document is
+    largely assembled from text the corpus already contains
+    (boilerplate, mirrors, templates) even when no single whole-doc
+    near-dup exists — exactly the redundancy a training pipeline
+    wants to down-weight before tokenization.
+
+    Shape: posexplode the shingles (one row per position), compute
+    each shingle's DISTINCT-document count as distinct (doc, shingle)
+    pairs + count — two partial-agg shuffles, never the
+    count-distinct expand — and hash-join it back onto the position
+    stream. Inverted-index cost, never all-pairs. At 100 TB swap the
+    shingle strings for shingle_hashes (integer rolling hashes, same
+    module) so the join key is 8 bytes; the plan is unchanged."""
+    from eco_pulse_lakehouse_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "s"),
+    )
+    docs_per = (
+        sh.select(id_col, "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return (
+        sh.join(docs_per, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_shingles"))
+    )

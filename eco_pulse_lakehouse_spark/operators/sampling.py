@@ -203,3 +203,56 @@ def group_aware_split(
         .drop("id", "comp")
     )
     return hash_split(grouped, "group_id", splits)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    k: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted domain REBALANCING — the multilingual /
+    data-recipe sampler (mBERT, XLM-R, T5 all sample language d with
+    p_d ∝ n_d^alpha, alpha<1): keep each row of domain d with
+    fraction ``min(1, k · n_d^alpha / (S · n_d))`` where
+    ``S = Σ_d n_d^alpha`` — flattening the head domains toward the
+    tail so low-resource domains aren't drowned, without the manual
+    weight table domain_mixture_sample needs.
+
+    Determinism/parity: domain scores are sqrt(n_d) rounded to 1e-6
+    fixed-point BIGINTs (sqrt is correctly-rounded IEEE — identical
+    in any engine; the default alpha=0.5 is also the common recipe
+    value), S is an exact BIGINT sum, and the keep threshold is ONE
+    double division of exact integer products — so selection
+    replays bit-for-bit in SQL (alpha != 0.5 goes through pow(),
+    which is not correctly-rounded; those variants are pinned by
+    pytest instead of an oracle). Selection itself is the Knuth unit
+    hash — partitioning/retry/layout invariant, no RNG. Cost: one
+    domain-sized count aggregation broadcast back; the filter is a
+    row-local predicate."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    nd = F.col("__n").cast("double")
+    raw = (
+        F.sqrt(nd)
+        if alpha == 0.5
+        else F.pow(nd, F.lit(float(alpha)))
+    )
+    from pyspark.sql import Window
+
+    # S rides along via an empty-partition window — the score table
+    # is domain-sized (a handful of rows), so the single-partition
+    # stage is free and avoids a self-join on the aggregate's lineage
+    scores = counts.withColumn(
+        "__s", F.round(raw * F.lit(1_000_000.0), 0).cast("bigint")
+    ).withColumn("__tot", F.sum("__s").over(Window.partitionBy()))
+    keep = F.least(
+        F.lit(1.0),
+        (F.lit(int(k)).cast("bigint") * F.col("__s")).cast("double")
+        / (F.col("__tot") * F.col("__n")).cast("double"),
+    )
+    return (
+        df.join(F.broadcast(scores), domain_col)
+        .filter(unit_hash(F.col(id_col)) < keep)
+        .drop("__n", "__s", "__tot")
+    )

@@ -347,3 +347,36 @@ def test_domain_mixture_caps_and_rebalances(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_temperature_mixture_flattens_and_is_layout_invariant(spark):
+    """alpha=0.5 must shrink the dominant domain's share toward the
+    flattened target while tail domains keep (nearly) all rows; the
+    surviving id set must not depend on partitioning."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang"
+    )
+    n = d.count()
+    before = {r.lang: r.c for r in d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    dominant = max(before, key=before.get)
+    out = temperature_mixture_sample(d, "doc_id", "lang", k=n // 2, alpha=0.5)
+    after = {r.lang: r.c for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    total_after = sum(after.values())
+    assert after[dominant] / total_after < before[dominant] / n
+    # tail domains are sampled at a HIGHER rate than the head
+    tail = min(before, key=before.get)
+    assert after[tail] / before[tail] > after[dominant] / before[dominant]
+    ids = {r.doc_id for r in out.collect()}
+    ids_repart = {
+        r.doc_id
+        for r in temperature_mixture_sample(
+            d.repartition(13), "doc_id", "lang", k=n // 2, alpha=0.5
+        ).collect()
+    }
+    assert ids == ids_repart
