@@ -47,6 +47,9 @@ HEADLINE = [
     "x3_quantized_topk",       # int8 ADC scoring vs x3_cosine_topk
     "x3_pq_topk",              # 8-byte PQ codes + LUT ADC scoring
     "w16_sax_motif_pairs",     # ts motif: SAX bucket join + z-norm refine
+    "a29_heavy_hitters",       # CMS candidate prefilter + exact recount
+    "x3_semdedup",             # cluster-bucketed semantic near-dup prune
+    "x2_dup_ngram_frac",       # cross-doc duplicate 4-gram profile
 ]
 
 

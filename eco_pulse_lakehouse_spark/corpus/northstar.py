@@ -2224,3 +2224,40 @@ def x6_semantic_decontaminate(spark, sf_dir):
         qz.filter(u < 0.9), qz.filter(u >= 0.9),
         "vec_id", "q_vec", min_dot=4800,
     )
+
+
+@q(
+    "x5_audio_segments",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) // 2 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 0 THEN 0
+                  WHEN n > 64 THEN CAST(floor((n - 64 + 31) / 32.0) AS INT) + 1
+                  ELSE 1 END AS n_seg
+      FROM m
+    )
+    SELECT doc_id, CAST(i AS INT) AS seg_idx,
+           CAST(i * 32 AS BIGINT) AS start_sample,
+           CAST(LEAST(i * 32 + 64, n) AS BIGINT) AS end_sample,
+           CAST(LEAST(i * 32 + 64, n) - i * 32 AS BIGINT) AS n_samples,
+           CAST(LEAST(i * 32 + 64, n) - i * 32 AS DOUBLE) / 16000.0
+             AS duration_s
+    FROM s, unnest(range(0, n_seg)) AS u(i)
+    """,
+)
+def x5_audio_segments(spark, sf_dir):
+    """X5 — fixed-window audio segmentation plan
+    (operators/multimodal.py:segment_payload_windows): payload bytes
+    as 16-bit PCM samples, 64-sample windows at 32-sample hop with a
+    ragged clipped tail — the pre-transcription windowing pass,
+    derived ENTIRELY from the meta struct (no payload bytes read;
+    column pruning keeps the binary column on disk). Integer
+    arithmetic + one double division, replayed exactly in SQL."""
+    d = T(spark, sf_dir, "documents")
+    return xm.segment_payload_windows(
+        xm.to_multimodal(d), bytes_per_sample=2, win=64, hop=32,
+        sample_rate=16000,
+    )

@@ -200,3 +200,69 @@ def extract_features(mm: DataFrame) -> DataFrame:
     return mm.mapInPandas(
         op, schema="doc_id BIGINT, n_bytes BIGINT, features ARRAY<DOUBLE>"
     )
+
+
+def segment_payload_windows(
+    mm: DataFrame,
+    bytes_per_sample: int = 2,
+    win: int = 64,
+    hop: int = 32,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Fixed-window AUDIO segmentation plan — metadata-only, like
+    :func:`resize_meta` for images: treat the payload as PCM samples
+    (``n_samples = n_bytes // bytes_per_sample``) and emit one row
+    per sliding window of ``win`` samples at ``hop`` sample stride,
+    the pre-transcription windowing every speech pipeline runs
+    (Whisper's fixed 30 s windows, VAD chunkers); the final window
+    is ragged (clipped at the payload end) so every sample is
+    covered. Returns (doc_id, seg_idx, start_sample, end_sample,
+    n_samples, duration_s).
+
+    The plan never touches payload bytes — it is derived entirely
+    from the meta struct, so at 100 TB the scheduler-side segment
+    manifest scans a few metadata columns (parquet column pruning)
+    and the GB-scale payload column stays on disk until the stubbed
+    decode stage (decode_image's integration point) consumes chosen
+    segments, via the page-slice machinery in chunk_payloads. All
+    arithmetic is integer + one final double division (duration), so
+    the plan replays exactly in SQL (x5_audio_segments)."""
+    nn = F.floor(
+        F.col("meta.n_bytes") / F.lit(float(bytes_per_sample))
+    ).cast("bigint")
+    extra = F.when(
+        nn > win,
+        F.floor(
+            (nn - F.lit(win) + F.lit(hop - 1)) / F.lit(float(hop))
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    n_seg = F.when(nn <= 0, F.lit(0)).otherwise(extra + F.lit(1))
+    seg_end = lambda i: F.least(  # noqa: E731
+        i.cast("bigint") * hop + win, F.col("__n")
+    )
+    segs = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("seg_idx"),
+                (i.cast("bigint") * hop).alias("start_sample"),
+                seg_end(i).alias("end_sample"),
+                (seg_end(i) - i.cast("bigint") * hop).alias("n_samples"),
+                (
+                    (seg_end(i) - i.cast("bigint") * hop).cast("double")
+                    / F.lit(float(sample_rate))
+                ).alias("duration_s"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<seg_idx:int,start_sample:bigint,"
+            "end_sample:bigint,n_samples:bigint,duration_s:double>>"
+        )
+    )
+    return (
+        mm.withColumn("__n", nn)
+        .select("doc_id", F.explode(segs).alias("seg"))
+        .select("doc_id", "seg.*")
+    )

@@ -266,15 +266,17 @@ def sax_motif_pairs(
         F.col("sax_word").alias("sax_word"),
         F.col("zvec").alias("__zb"),
     )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("__za"), F.col("__zb"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # Unrolled codegen sum instead of aggregate(zip_with(...)):
+    # window_len is a plan constant, and interpreted HOF lambdas keep
+    # the refine out of whole-stage codegen on exactly the hot path
+    # (one evaluation per CANDIDATE PAIR). The unrolled chain performs
+    # the identical left-to-right IEEE additions the fold would
+    # ((0.0 + t1) + t2) + ... — bit-identical distances, same oracle.
+    s = F.lit(0.0)
+    for i in range(1, window_len + 1):
+        d = F.element_at(F.col("__za"), i) - F.element_at(F.col("__zb"), i)
+        s = s + d * d
+    dist = F.sqrt(s)
     if round_dist is not None:
         dist = F.round(dist, round_dist)
     return (

@@ -755,3 +755,33 @@ def test_semdedup_drops_planted_duplicate(spark):
     ids = {r.vec_id for r in surv.collect()}
     assert 7 in ids
     assert 100000 not in ids
+
+
+def test_audio_segments_cover_payload_exactly(spark):
+    """Every sample index must be covered, the last window must end
+    exactly at n_samples, every window holds 1..win samples, and
+    consecutive windows overlap by win-hop except the clipped tail."""
+    docs = load_table(spark, SF, "documents").limit(50)
+    segs = xm.segment_payload_windows(
+        xm.to_multimodal(docs), bytes_per_sample=2, win=64, hop=32
+    )
+    rows = segs.orderBy("doc_id", "seg_idx").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_bytes = {
+        r.doc_id: r.n
+        for r in xm.to_multimodal(docs)
+        .select("doc_id", (F.floor(F.col("meta.n_bytes") / 2)).alias("n"))
+        .collect()
+    }
+    for doc, ss in by_doc.items():
+        n = n_bytes[doc]
+        assert ss[-1].end_sample == n
+        covered = set()
+        for s in ss:
+            assert 1 <= s.n_samples <= 64
+            assert s.n_samples == s.end_sample - s.start_sample
+            covered.update(range(s.start_sample, s.end_sample))
+        assert covered == set(range(n))
