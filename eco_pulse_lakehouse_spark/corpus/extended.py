@@ -3029,3 +3029,80 @@ def a27_cohort_retention(spark, sf_dir):
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@q(
+    "q11_ks_drift",
+    """
+    WITH v AS (
+      SELECT value AS vv,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    c AS (
+      SELECT SUM(k1) OVER (ORDER BY vv) AS c1,
+             SUM(k2) OVER (ORDER BY vv) AS c2
+      FROM v
+    ),
+    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                 CAST(SUM(k2) AS BIGINT) AS n2 FROM v)
+    SELECT n1, n2,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE) AS ks_stat
+    FROM c CROSS JOIN t GROUP BY n1, n2
+    """,
+)
+def q11_ks_drift(spark, sf_dir):
+    """Q11 — exact two-sample Kolmogorov–Smirnov drift statistic
+    (operators/anomaly.py:ks_statistic): D = max |F1 − F2| between
+    the even- and odd-user value distributions, as exact integer
+    cross-products |c1·n2 − c2·n1| — no float accumulation, the
+    final stat is one double division. Cumulative counts run through
+    the range-partitioned running-sum composition
+    (rank.py:global_running_sum), never a single-partition window —
+    the drift monitor a 100 TB feature store runs between daily
+    snapshots."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import ks_statistic
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ks_statistic(ev, "value", F.col("user_id") % 2 == 0)
+
+
+@q(
+    "q12_psi_drift",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                 CAST(SUM(k2) AS BIGINT) AS n2 FROM b),
+    terms AS (
+      SELECT n1, n2,
+             CAST(round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        * round(ln(CAST(k1 * n2 AS DOUBLE)
+                                   / CAST(k2 * n1 AS DOUBLE)), 6)
+                        * 1000000000.0) AS BIGINT) AS term_fp
+      FROM b CROSS JOIN t WHERE k1 > 0 AND k2 > 0
+    )
+    SELECT n1, n2, CAST(SUM(term_fp) AS BIGINT) AS psi_fp,
+           CAST(SUM(term_fp) AS DOUBLE) / 1000000000.0 AS psi
+    FROM terms GROUP BY n1, n2
+    """,
+)
+def q12_psi_drift(spark, sf_dir):
+    """Q12 — Population Stability Index between the even/odd-user
+    value distributions (operators/anomaly.py:psi_drift): exact
+    integer bin counts, ln on one exact BIGINT cross-product ratio
+    rounded 6dp before the multiply, 1e-9 fixed-point terms summed
+    as BIGINTs — the order-independent, oracle-exact form of the
+    drift metric every feature-monitoring dashboard reports."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import psi_drift
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return psi_drift(ev, "value", F.col("user_id") % 2 == 0)

@@ -250,3 +250,111 @@ def cusum_changepoints(
         max_sigma.alias("max_cusum_sigma"),
         fin.getField("cross").alias("first_cross_idx"),
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    in_first: "F.Column",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, EXACT — the
+    distribution-drift detector (training-serving skew, snapshot
+    drift monitoring): ``D = max_v |F1(v) − F2(v)|`` over empirical
+    CDFs of the two samples, computed as exact integer
+    cross-products ``|c1·n2 − c2·n1|`` so there is no float
+    accumulation anywhere and the result is bit-identical on any
+    engine/partitioning (a rational with denominator n1·n2; the
+    final ``ks_stat`` is ONE double division). Rows with
+    ``in_first`` true form sample 1, the rest sample 2.
+
+    Scale shape: collapse to the distinct-value count table first
+    (one partial-agg shuffle), then cumulative counts via the
+    range-partitioned running-sum composition
+    (operators/rank.py:global_running_sum) — NO single-partition
+    window stage, the trap a bare Window.orderBy would plan. The
+    cross-products run in DECIMAL(38,0); the reported ``ks_num``
+    fits BIGINT while n1·n2 < 2^63 (≈3·10⁹ rows per side) —
+    beyond that read ``ks_stat``. Returns ONE row
+    (n1, n2, ks_num, ks_stat)."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
+    v = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
+        F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),
+    )
+    cum = global_running_sum(v, [F.col("__v").asc()], ["__k1", "__k2"])
+    dec = "decimal(38,0)"
+    tot = v.agg(
+        F.sum("__k1").cast("long").alias("__n1"),
+        F.sum("__k2").cast("long").alias("__n2"),
+    )
+    diff = F.abs(
+        F.col("run___k1").cast(dec) * F.col("__n2")
+        - F.col("run___k2").cast(dec) * F.col("__n1")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n1").alias("n1"),
+            F.max("__n2").alias("n2"),
+            F.max(diff).cast("long").alias("ks_num"),
+            (
+                F.max(diff).cast("double")
+                / (F.max("__n1") * F.max("__n2")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    in_first: "F.Column",
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Population Stability Index between two samples over equi-width
+    bins — the KS statistic's production sibling (feature-drift
+    dashboards report PSI; >0.2 is the conventional alarm):
+    ``PSI = Σ_bins (p1 − p2) · ln(p1/p2)``. Bins where either side
+    is empty are excluded (the standard unsmoothed convention —
+    smoothing constants are a caller policy, not an engine one).
+
+    Determinism: bin counts are exact integers from ONE
+    map-side-combinable aggregation (bounded bins ⇒ tiny shuffle at
+    any scale); ln runs on a single exact ratio of BIGINT
+    cross-products and is rounded to 6dp BEFORE the multiply (the
+    transcendental-parity rule — ln is the only non-correctly-
+    rounded op here), and each term is 1e-9 fixed-point BIGINT so
+    the final sum is order-independent. Returns ONE row
+    (n1, n2, psi_fp, psi)."""
+    bucket = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast(
+        "bigint"
+    )
+    b = df.groupBy(bucket.alias("__bucket")).agg(
+        F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
+        F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),
+    )
+    tot = b.agg(
+        F.sum("__k1").cast("long").alias("__n1"),
+        F.sum("__k2").cast("long").alias("__n2"),
+    )
+    p1 = F.col("__k1").cast("double") / F.col("__n1").cast("double")
+    p2 = F.col("__k2").cast("double") / F.col("__n2").cast("double")
+    lnr = F.round(
+        F.log(
+            (F.col("__k1") * F.col("__n2")).cast("double")
+            / (F.col("__k2") * F.col("__n1")).cast("double")
+        ),
+        6,
+    )
+    term_fp = F.round((p1 - p2) * lnr * F.lit(1e9), 0).cast("bigint")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .filter((F.col("__k1") > 0) & (F.col("__k2") > 0))
+        .agg(
+            F.max("__n1").alias("n1"),
+            F.max("__n2").alias("n2"),
+            F.sum(term_fp).cast("long").alias("psi_fp"),
+            (F.sum(term_fp).cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )

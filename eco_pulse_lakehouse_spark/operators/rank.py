@@ -71,3 +71,55 @@ def global_row_number(
         .withColumn(out_col, (F.col("__offset") + F.col(_LOCAL)).cast("long"))
         .drop(_PID, _LOCAL, "__offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    sum_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running TOTALS over a global order without a single-partition
+    window — the cumulative-sum twin of :func:`global_row_number`:
+    range partition on the (total) order, per-partition running sums
+    via a partition-local window, plus broadcast per-partition prefix
+    offsets (one row of partial sums per partition to the driver —
+    O(partitions), not O(rows)). Adds ``run_<col>`` for each of
+    ``sum_cols``; the order must include a unique tiebreak for the
+    result to be deterministic (same contract as global_row_number).
+    Sums accumulate in BIGINT — callers needing wider accumulators
+    cast before calling."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = df.repartitionByRange(int(n), *order_by).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = (
+        ranged.groupBy(_PID)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in sum_cols])
+        .collect()
+    )
+    acc = dict.fromkeys(sum_cols, 0)
+    offsets = []
+    for r in sorted(totals, key=lambda r: r[_PID]):
+        offsets.append((r[_PID], *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += r[c] or 0
+    off_schema = ", ".join([f"{_PID} INT"] + [f"__off_{c} LONG" for c in sum_cols])
+    off_df = df.sparkSession.createDataFrame(offsets, off_schema)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for c in sum_cols:
+        out = out.withColumn(f"run_{c}", F.sum(c).over(w).cast("long"))
+    out = out.join(F.broadcast(off_df), _PID)
+    for c in sum_cols:
+        out = out.withColumn(
+            f"run_{c}", F.col(f"run_{c}") + F.col(f"__off_{c}")
+        ).drop(f"__off_{c}")
+    return out.drop(_PID)

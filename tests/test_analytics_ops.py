@@ -182,3 +182,46 @@ def test_capped_sessionize_splits_on_duration_not_just_gap(spark):
     expect.update({i: 3 for i in range(14, 16)})
     assert {k: v for k, v in got.items() if k < 100} == expect
     assert got[100] == 1 and got[101] == 2  # gap split still works
+
+
+def test_ks_and_psi_drift_bounds(spark):
+    """KS: 0 for identical samples, 1 for disjoint supports, and an
+    injected location shift must move both detectors off zero.
+    PSI is non-negative by construction ((p1-p2) and ln(p1/p2)
+    always share sign)."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import (
+        ks_statistic,
+        psi_drift,
+    )
+
+    base = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    # identical distributions: pair i contributes value i%97 to BOTH
+    # sides, so the two multisets are equal by construction
+    ident = base.select(
+        (F.floor(F.col("id") / 2) % 97).cast("double").alias("v"),
+        (F.col("id") % 2 == 0).alias("side"),
+    )
+    r = ks_statistic(ident, "v", F.col("side")).collect()[0]
+    assert r.ks_num == 0 and r.ks_stat == 0.0
+    # disjoint supports: KS must saturate at exactly 1
+    disj = base.select(
+        F.when(F.col("id") % 2 == 0, F.col("v")).otherwise(
+            F.col("v") + 1000.0
+        ).alias("v"),
+        (F.col("id") % 2 == 0).alias("side"),
+    )
+    r = ks_statistic(disj, "v", F.col("side")).collect()[0]
+    assert r.ks_stat == 1.0
+    # location shift: both detectors fire, PSI stays non-negative
+    shift = base.select(
+        F.when(F.col("id") % 2 == 0, F.col("v")).otherwise(
+            F.col("v") + 30.0
+        ).alias("v"),
+        (F.col("id") % 2 == 0).alias("side"),
+    )
+    ks = ks_statistic(shift, "v", F.col("side")).collect()[0]
+    psi = psi_drift(shift, "v", F.col("side"), bin_width=10.0).collect()[0]
+    assert ks.ks_stat > 0.2
+    assert psi.psi > 0.0
