@@ -3106,3 +3106,26 @@ def q12_psi_drift(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return psi_drift(ev, "value", F.col("user_id") % 2 == 0)
+
+
+@q("w21_dtw_motif_pairs")  # DP list accumulator: not expressible in
+# DuckDB SQL (list_reduce folds without an initial value), so this
+# entry is rows-only; the exact DP semantics are pinned bit-for-bit
+# in tests/test_retrieval_graph_ts.py against a pure-Python DTW.
+def w21_dtw_motif_pairs(spark, sf_dir):
+    """W21 — elastic motif refine: banded DTW over SAX candidate
+    buckets (operators/timeseries.py:dtw_motif_pairs). Rigid
+    Euclidean refine (w16) misses phase-drifted motifs; DTW aligns
+    along a monotone warp bounded by the Sakoe-Chiba band. DP runs
+    on the 4-segment PAA means, entirely row-local after the bucket
+    equi-join."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        dtw_motif_pairs,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    return dtw_motif_pairs(
+        ev, "user_id", ("ts", "event_id"), "value",
+        window_len=16, stride=8, paa_segments=4,
+        band_radius=1, max_dist=2.0,
+    )

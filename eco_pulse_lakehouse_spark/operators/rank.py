@@ -14,6 +14,13 @@ form is the classic two-pass composition:
 Cost: one range shuffle + one count pass — no single-reducer stage
 anywhere. Result is identical to the single-partition window as long
 as the order is total (callers must include a unique tiebreak).
+
+The same composition generalizes from row numbers to any
+prefix-associative aggregate: :func:`global_running_sum` swaps the
+per-partition COUNT for per-partition SUMS and the local row_number
+for a local running-sum window — cumulative totals over a global
+order with no single-partition stage (used by the exact KS drift
+statistic's CDF construction, operators/anomaly.py:ks_statistic).
 """
 
 from __future__ import annotations

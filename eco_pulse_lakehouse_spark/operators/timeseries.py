@@ -266,17 +266,22 @@ def sax_motif_pairs(
         F.col("sax_word").alias("sax_word"),
         F.col("zvec").alias("__zb"),
     )
-    # Unrolled codegen sum instead of aggregate(zip_with(...)):
-    # window_len is a plan constant, and interpreted HOF lambdas keep
-    # the refine out of whole-stage codegen on exactly the hot path
-    # (one evaluation per CANDIDATE PAIR). The unrolled chain performs
-    # the identical left-to-right IEEE additions the fold would
-    # ((0.0 + t1) + t2) + ... — bit-identical distances, same oracle.
-    s = F.lit(0.0)
-    for i in range(1, window_len + 1):
-        d = F.element_at(F.col("__za"), i) - F.element_at(F.col("__zb"), i)
-        s = s + d * d
-    dist = F.sqrt(s)
+    # The zip_with+aggregate fold is the MEASURED winner for the
+    # per-pair refine: an unrolled 16-term element_at chain — the
+    # "stay in codegen" instinct — benches 8x SLOWER (31.8 s vs
+    # 4.1 s at sf0.1 over pre-materialized zvec columns; the ~100-node
+    # scalar tree is evaluated per candidate pair and loses to the
+    # HOF's single array traversal). Keep the fold; it also matches
+    # the oracle's list-kernel fold bit-for-bit.
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__za"), F.col("__zb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
     if round_dist is not None:
         dist = F.round(dist, round_dist)
     return (
@@ -442,4 +447,129 @@ def trend_slopes(
         F.col("__n").alias("n"),
         F.round(slope_day, round_out).alias("slope_per_day"),
         F.round(mean_y - slope * mean_x, round_out).alias("intercept"),
+    )
+
+
+def dtw_motif_pairs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    window_len: int = 16,
+    stride: int = 8,
+    paa_segments: int = 4,
+    band_radius: int = 1,
+    max_dist: float = 2.0,
+) -> DataFrame:
+    """Elastic motif refine — banded Dynamic Time Warping over the
+    SAX candidate buckets: where :func:`sax_motif_pairs` scores
+    candidates with rigid (lock-step) Euclidean distance, DTW aligns
+    the two windows along a monotone warping path, so motifs that
+    drift in PHASE (a pattern executed slightly faster/slower) still
+    match — the canonical elastic similarity for time series, with
+    the Sakoe–Chiba band (``band_radius``) bounding the warp and the
+    cost at O(W·r) per pair instead of O(W²).
+
+    Candidate generation is unchanged (equi-join on the SAX word —
+    never all-pairs); the DP runs on the ``paa_segments``-length PAA
+    means of each z-normalized window (the standard PAA-DTW lower
+    resolution: W=4 here makes the per-pair DP 16 cells, and the
+    per-segment means are already staged by sax_words' zvec). The DP
+    is a nested HOF fold — row i's cells fold left-to-right with
+    row i−1 as the outer accumulator, cells outside the band pinned
+    to +inf — entirely row-local, no extra shuffle beyond the bucket
+    join. Distances are sqrt of summed squared costs along the
+    optimal path.
+
+    No SQL oracle: the DP accumulator is a LIST, and DuckDB's
+    list_reduce folds without an initial value (accumulator must be
+    element-typed), so the recurrence is not replayable in its SQL
+    dialect — the corpus entry (w21_dtw_motif_pairs) is rows-only
+    and the exact DP semantics are pinned in pytest against an
+    independent pure-Python reference (bit-identical: both folds run
+    the same IEEE adds/mins in the same order)."""
+    sax = sax_words(
+        events, key_col, order_cols, value_col,
+        window_len, stride, paa_segments, with_zvec=True,
+    )
+    sd = window_len // paa_segments
+    paa = F.transform(
+        F.sequence(F.lit(0), F.lit(paa_segments - 1)),
+        lambda m: F.aggregate(
+            F.slice(F.col("zvec"), m * sd + 1, sd),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(sd)),
+    )
+    sax = sax.withColumn("__paa", paa)
+    a = sax.select(
+        F.col(key_col).alias("key_a"),
+        F.col("win_start").alias("start_a"),
+        "sax_word",
+        F.col("__paa").alias("__pa"),
+    )
+    b = sax.select(
+        F.col(key_col).alias("key_b"),
+        F.col("win_start").alias("start_b"),
+        "sax_word",
+        F.col("__paa").alias("__pb"),
+    )
+
+    inf = F.lit(float("inf"))
+    W = paa_segments
+
+    # D[0] row: D[0][0] = 0, D[0][j>0] = inf  (arrays are 1-indexed
+    # via element_at; row arrays have W+1 entries for j = 0..W).
+    # The DP is NESTED FOLDS with lambda variables, not Python-level
+    # unrolling: an unrolled form embeds the accumulator subtree ~3x
+    # per cell and the previous row ~8x per row, an exponential
+    # expression tree that OOMs the driver before a single row runs
+    # (and the w16 refine benchmark shows giant scalar trees lose to
+    # HOF folds at runtime anyway). Lambda-bound accumulators are
+    # shared references — tree size O(W), evaluation O(W·r) per pair.
+    row0 = F.array(F.lit(0.0), *[inf for _ in range(W)])
+
+    def cell(prev, i):
+        """Row i from row i-1: cell j = cost(i,j) + min(D[i-1][j],
+        D[i-1][j-1], D[i][j-1]), banded to |i-j| <= band_radius."""
+        def inner(acc, jj):
+            d = F.element_at(F.col("__pa"), i.cast("int")) - F.element_at(
+                F.col("__pb"), jj.cast("int")
+            )
+            best = F.least(
+                F.element_at(prev, (jj + 1).cast("int")),  # D[i-1][j]
+                F.element_at(prev, jj.cast("int")),        # D[i-1][j-1]
+                F.element_at(acc, F.size(acc)),            # D[i][j-1]
+            )
+            return F.concat(
+                acc,
+                F.array(
+                    F.when(F.abs(i - jj) > band_radius, inf).otherwise(
+                        d * d + best
+                    )
+                ),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(W)), F.array(inf), inner
+        )
+
+    final_row = F.aggregate(F.sequence(F.lit(1), F.lit(W)), row0, cell)
+    dist = F.sqrt(F.element_at(final_row, W + 1))
+
+    return (
+        a.join(b, "sax_word")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            | (
+                (F.col("key_a") == F.col("key_b"))
+                & (F.col("start_a") < F.col("start_b"))
+            )
+        )
+        .withColumn("dtw_dist", dist)
+        .filter(F.col("dtw_dist") <= max_dist)
+        .select(
+            "key_a", "start_a", "key_b", "start_b", "sax_word", "dtw_dist"
+        )
     )

@@ -302,3 +302,53 @@ def test_trend_slopes_single_shuffle_partial_agg(spark):
     ev = load_table(spark, SF, "events")
     plan = _plan(trend_slopes(ev))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_frequent_items_shuffles_key_only_once(spark):
+    """The CMS candidate pass must keep the vocabulary out of every
+    exchange except the final exact recount: exactly ONE
+    hashpartitioning on the key column (the groupBy over surviving
+    candidates); the sketch probe itself is a broadcast of the
+    one-row literal map, never a shuffle of the data side."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.sketches import frequent_items
+
+    d = load_table(spark, SF, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("w"))
+    plan = _plan(frequent_items(tok, "w", min_count=500))
+    assert plan.count("hashpartitioning(w") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_hash_not_cartesian(spark):
+    """SemDeDup's quadratic stage must be an equi-join on cluster_id
+    (bucketed Σ|cluster|² cost), never a cartesian product; the only
+    nested-loop join allowed is the one-row codebook-map broadcast."""
+    from eco_pulse_lakehouse_spark.operators import similarity as xs
+
+    e = load_table(spark, SF, "embeddings")
+    qz = xs.quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    plan = _plan(
+        xs.semantic_dedup(qz, "vec_id", "q_vec", n_clusters=16, dim=64)
+    )
+    assert "CartesianProduct" not in plan
+    # SMJ under small broadcast thresholds, BHJ under the engine's
+    # 64 MB threshold — either way an EQUI-join keyed on cluster_id
+    assert "Join [cluster_id" in plan or "Join cluster_id" in plan, plan
+
+
+def test_ks_statistic_has_no_single_partition_window(spark):
+    """The KS CDF construction must never plan the empty-partition-
+    spec window (SinglePartition exchange feeding a Window) — the
+    running sums ride the range-partitioned composition."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import ks_statistic
+
+    ev = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    plan = _plan(ks_statistic(ev, "value", F.col("user_id") % 2 == 0))
+    import re
+
+    for m in re.finditer(r"Window ", plan):
+        ctx = plan[max(0, m.start() - 400): m.start()]
+        assert "SinglePartition" not in ctx.split("Window")[-1], plan
+    # the window must be keyed by the range-partition pid
+    assert "windowspecdefinition(__pid" in plan or "__pid" in plan

@@ -484,3 +484,65 @@ def test_trend_slope_recovers_linear_series(spark):
     assert abs(out[1].slope_per_day - 2.5 * 24) < 1e-5
     assert abs(out[1].intercept - 7.0) < 1e-6
     assert out[2].slope_per_day is None and out[2].intercept is None
+
+
+def test_dtw_refine_matches_python_reference(spark):
+    """The nested-fold DTW must equal an independent pure-Python DP
+    bit-for-bit (both run the same IEEE adds/mins in the same
+    order), including band-excluded cells pinned to +inf."""
+    import math
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        dtw_motif_pairs,
+        sax_words,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    W, R = 4, 1
+
+    sax = sax_words(
+        ev, "user_id", ("ts", "event_id"), "value", 16, 8, W,
+        with_zvec=True,
+    )
+    sd = 16 // W
+    paa_rows = {
+        (r.user_id, r.win_start): [
+            sum(r.zvec[m * sd : (m + 1) * sd]) / float(sd) for m in range(W)
+        ]
+        for r in sax.collect()
+    }
+
+    def py_dtw(pa, pb):
+        inf = float("inf")
+        prev = [0.0] + [inf] * W
+        for i in range(1, W + 1):
+            row = [inf]
+            for j in range(1, W + 1):
+                if abs(i - j) > R:
+                    row.append(inf)
+                    continue
+                d = pa[i - 1] - pb[j - 1]
+                row.append(d * d + min(prev[j], prev[j - 1], row[j - 1]))
+            prev = row
+        return math.sqrt(prev[W])
+
+    got = dtw_motif_pairs(
+        ev, "user_id", ("ts", "event_id"), "value", 16, 8, W,
+        band_radius=R, max_dist=1e18,
+    ).collect()
+    assert got
+    for r in got:
+        expect = py_dtw(
+            paa_rows[(r.key_a, r.start_a)], paa_rows[(r.key_b, r.start_b)]
+        )
+        assert r.dtw_dist == expect, (r, expect)
+    # elasticity sanity: DTW never exceeds the lock-step (band-0
+    # diagonal) distance of the same pair
+    diag = dtw_motif_pairs(
+        ev, "user_id", ("ts", "event_id"), "value", 16, 8, W,
+        band_radius=0, max_dist=1e18,
+    ).collect()
+    d0 = {(r.key_a, r.start_a, r.key_b, r.start_b): r.dtw_dist for r in diag}
+    for r in got:
+        assert r.dtw_dist <= d0[(r.key_a, r.start_a, r.key_b, r.start_b)] + 1e-12
