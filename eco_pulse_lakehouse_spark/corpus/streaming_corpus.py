@@ -1121,3 +1121,93 @@ def t22_stream_cdf(spark, sf_dir):
             F.round(F.col("value") * 1000000, 0).cast("bigint")
         ).alias("total_fp"),
     )
+
+
+@q(
+    "t23_stream_psi",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                 CAST(SUM(k2) AS BIGINT) AS n2 FROM b),
+    terms AS (
+      SELECT n1, n2,
+             CAST(round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                        * round(ln(CAST(k1 * n2 AS DOUBLE)
+                                   / CAST(k2 * n1 AS DOUBLE)), 6)
+                        * 1000000000.0) AS BIGINT) AS term_fp
+      FROM b CROSS JOIN t WHERE k1 > 0 AND k2 > 0
+    )
+    SELECT n1, n2, CAST(SUM(term_fp) AS BIGINT) AS psi_fp,
+           CAST(SUM(term_fp) AS DOUBLE) / 1000000000.0 AS psi
+    FROM terms GROUP BY n1, n2
+    """,
+)
+def t23_stream_psi(spark, sf_dir):
+    """T23 — STREAMING drift monitor: each micro-batch's per-bucket
+    (side, count) partial lands as an idempotent epoch-keyed parquet
+    overwrite; the serving PSI is computed from the cell-wise SUM of
+    the partials (operators/anomaly.py:psi_from_bins). Bin counts
+    are LINEAR — union + sum merges them exactly like the t17 CMS
+    partials — so the streamed monitor reports the IDENTICAL PSI to
+    the one-shot batch computation and this streaming entry carries
+    q12's hard oracle verbatim. The production shape: drift partials
+    accumulate at ingest, any monitoring window is a tiny merge,
+    history is never re-scanned."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import psi_from_bins
+
+    stage = _stage_events(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t23_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        bins = (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy(
+                F.floor(F.col("value") / F.lit(10.0))
+                .cast("bigint")
+                .alias("__bucket")
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                ).alias("__k1"),
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+                ).alias("__k2"),
+            )
+        )
+        bins.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("__bucket")
+        .agg(
+            F.sum("__k1").alias("__k1"),
+            F.sum("__k2").alias("__k2"),
+        )
+    )
+    return psi_from_bins(merged)

@@ -334,6 +334,15 @@ def psi_drift(
         F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
         F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),
     )
+    return psi_from_bins(b)
+
+
+def psi_from_bins(b: DataFrame) -> DataFrame:
+    """PSI from a (``__bucket``, ``__k1``, ``__k2``) bin-count table —
+    the tail of :func:`psi_drift`, exposed separately because bin
+    counts are LINEAR (mergeable by union + sum), which is what lets
+    a streaming monitor accumulate per-micro-batch partials and
+    still report the exact batch PSI (t23_stream_psi)."""
     tot = b.agg(
         F.sum("__k1").cast("long").alias("__n1"),
         F.sum("__k2").cast("long").alias("__n2"),
