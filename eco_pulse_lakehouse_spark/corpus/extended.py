@@ -3129,3 +3129,171 @@ def w21_dtw_motif_pairs(spark, sf_dir):
         window_len=16, stride=8, paa_segments=4,
         band_radius=1, max_dist=2.0,
     )
+
+
+@q(
+    "f_regexp_suite",
+    """
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
+             AS n_digit_runs,
+           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS first_num,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked
+    FROM events WHERE event_id % 11 = 0
+    """,
+)
+def f_regexp_suite(spark, sf_dir):
+    """F — the regexp scalar surface in one projection:
+    regexp_extract_all (count of digit runs — the array itself is
+    reshaped to its size, top-level arrays break the driver
+    canonicalizer), first-match extract with a numeric cast, and
+    global regexp_replace (Spark replaces all matches by default;
+    DuckDB needs the 'g' flag — same Java-regex ∩ RE2 dialect rule
+    as the PII scrubber). All codegen JVM expressions."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0))
+        .cast("int")
+        .alias("n_digit_runs"),
+        F.regexp_extract("props", "[0-9]+", 0)
+        .cast("bigint")
+        .alias("first_num"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+    )
+
+
+@q(
+    "q13_benford",
+    """
+    WITH fp AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM fp WHERE v > 0
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS observed,
+           CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE) AS observed_frac,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p
+    FROM d CROSS JOIN t GROUP BY digit, n
+    """,
+)
+def q13_benford(spark, sf_dir):
+    """Q13 — Benford first-significant-digit profile, the classic
+    fabricated-data screen: first digits come from the INTEGER
+    rendering of 1e-2 fixed-point values (double→string rendering
+    differs between engines; bigint→string is identical — and no
+    log10-of-value trick, whose floor straddles ulp boundaries at
+    powers of ten). Expected Benford mass ln(1+1/d)/ln(10) is a
+    ratio of two ln calls rounded 6dp (transcendental-parity rule);
+    observed fractions are ONE double division of exact counts."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    v = F.round(F.col("value") * 100, 0).cast("bigint")
+    d = ev.select(v.alias("v")).filter(F.col("v") > 0).select(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("digit", "__n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+        .select(
+            "digit",
+            "observed",
+            (F.col("observed").cast("double") / F.col("__n").cast("double"))
+            .alias("observed_frac"),
+            F.round(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("benford_p"),
+        )
+    )
+
+
+@q(
+    "j9_asof_tolerance",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           CASE WHEN epoch(l.ts) - epoch(r.ts) <= 86400.0
+                THEN r.value END AS station_value,
+           CASE WHEN epoch(l.ts) - epoch(r.ts) <= 86400.0
+                THEN r.ts END AS station_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    ASOF LEFT JOIN
+         (SELECT * FROM events WHERE event_type IN ('view','click')) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j9_asof_tolerance(spark, sf_dir):
+    """J9 — as-of join with match TOLERANCE (pandas merge_asof's
+    ``tolerance=``; operators/joins.py:asof_join_tolerance): the
+    latest prior reading per key, but never one more than a day
+    stale (~40% of matches here exceed the bound and NULL out) — stale matches NULL out like unmatched rows. Same single
+    union-tag sweep as j4 plus a row-local codegen CASE; the oracle
+    is DuckDB ASOF with the identical epoch-gap CASE."""
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("ts_r"),
+        F.col("value").alias("station_value"),
+    )
+    joined = oj.asof_join_tolerance(
+        left, right,
+        on="user_id", left_ts="ts", right_ts="ts_r",
+        right_vals=["station_value"], tolerance_seconds=86400.0,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "value",
+        "station_value", F.col("ts_r").alias("station_ts"),
+    )
+
+
+@q(
+    "x7_curriculum",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS qrank,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_chars,
+             CAST(FLOOR((qrank - 1) * 10 / CAST(n AS DOUBLE)) AS INT)
+               AS bucket
+      FROM r
+    )
+    SELECT doc_id, n_chars, bucket,
+           row_number() OVER (ORDER BY bucket ASC,
+             (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+              / 4294967296.0) ASC,
+             doc_id ASC) AS train_pos
+    FROM b
+    """,
+)
+def x7_curriculum(spark, sf_dir):
+    """X7 — curriculum training order
+    (operators/sampling.py:curriculum_order): equi-depth quality
+    deciles (n_chars as the score, highest first) with a
+    deterministic Knuth-hash shuffle WITHIN each decile and a global
+    train_pos — the easy-to-hard data schedule as a reproducible
+    table. Both global orders run the range-partitioned rank
+    composition (no single-partition window); the oracle replays
+    them as two window row_numbers."""
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "n_chars"
+    )
+    return curriculum_order(d, "doc_id", "n_chars", n_buckets=10)

@@ -274,7 +274,10 @@ def ks_statistic(
     window stage, the trap a bare Window.orderBy would plan. The
     cross-products run in DECIMAL(38,0); the reported ``ks_num``
     fits BIGINT while n1·n2 < 2^63 (≈3·10⁹ rows per side) —
-    beyond that read ``ks_stat``. Returns ONE row
+    beyond that read ``ks_stat``. NULL values form their own
+    distinct-value group and sort per the engine's null ordering —
+    filter them out first (the corpus entry does) unless both
+    engines' conventions are acceptable. Returns ONE row
     (n1, n2, ks_num, ks_stat)."""
     from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
 

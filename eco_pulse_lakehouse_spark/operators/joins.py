@@ -386,3 +386,46 @@ def bloom_join(
     a selective dim too big to broadcast."""
     pruned = bloom_prefilter(fact, dim, fact_key, dim_key, n_bits, n_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    tolerance_seconds: float,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join with a MATCH TOLERANCE (pandas ``merge_asof``'s
+    ``tolerance=``): the nearest-in-direction match is kept only if
+    it lies within ``tolerance_seconds`` of the left timestamp;
+    stale matches become NULLs, exactly like an unmatched left row.
+    The sensor/feature-store contract — "the latest reading, but
+    never one older than N minutes" — that a plain as-of join can't
+    express.
+
+    Composition, not reimplementation: run :func:`asof_join` (which
+    already carries the matched right timestamp when asked), then
+    NULL the payload where the gap exceeds the tolerance — a
+    row-local codegen CASE, no extra shuffle. ``right_ts`` must not
+    collide with a left column name (same contract as asof_join's
+    right_vals). Timestamp/numeric agnostic: both cast to double
+    seconds."""
+    matched = asof_join(
+        left, right, on, left_ts, right_ts,
+        [*right_vals, right_ts], direction,
+    )
+    gap = F.col(left_ts).cast("double") - F.col(right_ts).cast("double")
+    if direction == "forward":
+        gap = -gap
+    within = gap <= F.lit(float(tolerance_seconds))
+    keep = [c for c in matched.columns if c not in (*right_vals, right_ts)]
+    return matched.select(
+        *keep,
+        *[
+            F.when(within, F.col(v)).otherwise(F.lit(None)).alias(v)
+            for v in (*right_vals, right_ts)
+        ],
+    )

@@ -256,3 +256,50 @@ def temperature_mixture_sample(
         .filter(unit_hash(F.col(id_col)) < keep)
         .drop("__n", "__s", "__tot")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """CURRICULUM training order: rank the corpus into quality
+    buckets (highest score first), deterministically shuffle WITHIN
+    each bucket, and assign every document its global training
+    position — the easy-to-hard data schedule curriculum-learning
+    recipes feed a trainer, as a reproducible table rather than a
+    runtime sampler. Within-bucket order is the Knuth unit hash of
+    the id (layout/retry-invariant pseudo-shuffle — adjacent
+    documents are unrelated, which is what the trainer wants), never
+    an RNG.
+
+    Both global orders run through the range-partitioned rank
+    composition (operators/rank.py:global_row_number) — no
+    single-partition window at any scale. Bucket assignment is
+    exact equi-depth: bucket = floor((rank-1)·n_buckets / N).
+    Returns (id, score, bucket, train_pos)."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    ranked = global_row_number(
+        docs.select(id_col, score_col),
+        [F.col(score_col).desc(), F.col(id_col).asc()],
+        out_col="__qrank",
+    )
+    n = ranked.count()
+    bucketed = ranked.withColumn(
+        "bucket",
+        F.floor(
+            (F.col("__qrank") - 1) * F.lit(int(n_buckets)) / F.lit(float(n))
+        ).cast("int"),
+    )
+    ordered = global_row_number(
+        bucketed,
+        [
+            F.col("bucket").asc(),
+            unit_hash(F.col(id_col)).asc(),
+            F.col(id_col).asc(),
+        ],
+        out_col="train_pos",
+    )
+    return ordered.select(id_col, score_col, "bucket", "train_pos")

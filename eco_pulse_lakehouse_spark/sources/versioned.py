@@ -257,7 +257,14 @@ def materialize_changes(
     a staging directory first and becomes visible via one atomic
     os.rename — a torn write is an invisible ``_staging-*`` orphan,
     swept on the next call. Returns the newly materialized version
-    numbers."""
+    numbers.
+
+    ORDERING vs VACUUM: a version's diff needs its PREDECESSOR
+    snapshot, so materialize BEFORE vacuuming history — deriving
+    cv-N after v(N-1) was retired raises read_version's clear
+    missing-version error (Delta has the same constraint: CDF over
+    vacuumed history is gone). Already-materialized cv-N batches
+    survive vacuum untouched (the feed has its own retention)."""
     import shutil
 
     vs = [v["version"] for v in versions(table_path)]
