@@ -3297,3 +3297,130 @@ def x7_curriculum(spark, sf_dir):
         F.col("doc_id").cast("bigint"), "n_chars"
     )
     return curriculum_order(d, "doc_id", "n_chars", n_buckets=10)
+
+
+@q(
+    "a31_weighted_median",
+    """
+    WITH v AS (
+      SELECT l_extendedprice AS val,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (SELECT val, SUM(wt) OVER (ORDER BY val) AS cw FROM v),
+    t AS (SELECT CAST(SUM(wt) AS BIGINT) AS W FROM v)
+    SELECT CAST(min(val) AS DOUBLE) AS weighted_median,
+           CAST(max(W) AS BIGINT) AS total_weight
+    FROM c CROSS JOIN t WHERE 2 * cw >= W
+    """,
+)
+def a31_weighted_median(spark, sf_dir):
+    """A31 — EXACT weighted median (lower median: smallest value
+    whose running weight reaches half the total — the integer
+    comparison 2·cum ≥ W, no float quantile math): quantity-weighted
+    median price over lineitem. Collapse to the distinct-value
+    weight table first (one partial-agg shuffle), then cumulative
+    weights via the range-partitioned running-sum composition
+    (rank.py:global_running_sum) — the exact-selection shape that at
+    100 TB replaces a global sort, and the second consumer of the
+    KS statistic's CDF machinery."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
+    li = T(spark, sf_dir, "lineitem")
+    v = li.groupBy(F.col("l_extendedprice").alias("val")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wt")
+    )
+    cum = global_running_sum(v, [F.col("val").asc()], ["wt"])
+    tot = v.agg(F.sum("wt").cast("long").alias("__W"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("run_wt") >= F.col("__W"))
+        .agg(
+            F.min("val").cast("double").alias("weighted_median"),
+            F.max("__W").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@q(
+    "w22_bollinger",
+    """
+    WITH a AS (
+      SELECT event_id, user_id,
+             array_agg(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id,
+             list_reduce(arr, (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x)
+               AS m,
+             list_reduce(list_transform(arr, x -> x * x),
+                         (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x) AS s,
+             list_reduce(list_transform(arr, x -> CAST(1.0 AS DOUBLE)),
+                         (acc, x) -> acc * CAST(0.5 AS DOUBLE) + x)
+               AS wsum
+      FROM a
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           m / wsum AS ew_mean,
+           m / wsum + 2 * sqrt(GREATEST(CAST(0 AS DOUBLE),
+             s / wsum - (m / wsum) * (m / wsum))) AS upper_band,
+           m / wsum - 2 * sqrt(GREATEST(CAST(0 AS DOUBLE),
+             s / wsum - (m / wsum) * (m / wsum))) AS lower_band
+    FROM f
+    """,
+)
+def w22_bollinger(spark, sf_dir):
+    """W22 — exponentially-weighted Bollinger bands over the last 8
+    readings per user: normalized EW mean ± 2 EW standard deviations,
+    from THREE α=½ Horner folds over the identical frame array
+    (value, value², and the weight-normalizer — halving is exact
+    scaling, so like w14 every fold is bit-exact cross-engine; the
+    division/sqrt/subtraction that follow are each single
+    correctly-rounded IEEE ops on identical operands, so the bands
+    carry NO rounding normalization either). Variance is clamped at
+    0 before sqrt — catastrophic cancellation near-zero variance is
+    deterministic but can dip below zero by one ulp. One window
+    shuffle; folds are 8-element constants per row."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, 0)
+    )
+    arr = F.collect_list(F.col("value").cast("double")).over(w)
+
+    def horner(a):
+        return F.aggregate(
+            F.slice(a, F.lit(2), F.size(a) - 1),
+            F.element_at(a, 1),
+            lambda acc, x: acc * F.lit(0.5) + x,
+        )
+
+    base = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        arr.alias("__arr"),
+    ).select(
+        "event_id",
+        "user_id",
+        horner(F.col("__arr")).alias("__m"),
+        horner(F.transform(F.col("__arr"), lambda x: x * x)).alias("__s"),
+        horner(
+            F.transform(F.col("__arr"), lambda x: F.lit(1.0))
+        ).alias("__wsum"),
+    )
+    mean = F.col("__m") / F.col("__wsum")
+    var = F.greatest(
+        F.lit(0.0), F.col("__s") / F.col("__wsum") - mean * mean
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        mean.alias("ew_mean"),
+        (mean + F.lit(2) * F.sqrt(var)).alias("upper_band"),
+        (mean - F.lit(2) * F.sqrt(var)).alias("lower_band"),
+    )

@@ -225,3 +225,73 @@ def test_ks_and_psi_drift_bounds(spark):
     psi = psi_drift(shift, "v", F.col("side"), bin_width=10.0).collect()[0]
     assert ks.ks_stat > 0.2
     assert psi.psi > 0.0
+
+
+def test_weighted_median_equals_replicated_median(spark):
+    """The weighted (lower) median with integral weights must equal
+    the plain lower median of the weight-replicated multiset."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
+    rows = [(10.0, 1), (20.0, 3), (30.0, 2), (40.0, 6)]
+    df = spark.createDataFrame(rows, "val DOUBLE, wt LONG")
+    cum = global_running_sum(df, [F.col("val").asc()], ["wt"])
+    tot = df.agg(F.sum("wt").cast("long").alias("__W"))
+    got = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("run_wt") >= F.col("__W"))
+        .agg(F.min("val").alias("m"))
+        .collect()[0]
+        .m
+    )
+    import statistics
+
+    flat = sorted(v for v, w in rows for _ in range(w))
+    assert got == flat[(len(flat) - 1) // 2]  # lower median = 30.0
+
+
+def test_bollinger_bands_bracket_mean_and_collapse_on_constants(spark):
+    """upper >= mean >= lower everywhere; a constant series has zero
+    EW variance so both bands equal the value exactly."""
+    from eco_pulse_lakehouse_spark.corpus.extended import w22_bollinger
+
+    out = w22_bollinger(spark, "/root/testdata/sf0.001").limit(500).collect()
+    assert out
+    for r in out:
+        assert r.lower_band <= r.ew_mean <= r.upper_band
+    import datetime
+
+    const = spark.createDataFrame(
+        [
+            (i, 1, datetime.datetime(2024, 1, 1, 0, i), 7.5)
+            for i in range(10)
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    from pyspark.sql import Window as W_
+
+    w = (
+        W_.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-7, 0)
+    )
+    arr = F.collect_list(F.col("value").cast("double")).over(w)
+
+    def horner(a):
+        return F.aggregate(
+            F.slice(a, F.lit(2), F.size(a) - 1),
+            F.element_at(a, 1),
+            lambda acc, x: acc * F.lit(0.5) + x,
+        )
+
+    rows = (
+        const.select("event_id", arr.alias("a"))
+        .select(
+            "event_id",
+            (horner(F.col("a")) / horner(
+                F.transform(F.col("a"), lambda x: F.lit(1.0))
+            )).alias("mean"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.mean == 7.5
