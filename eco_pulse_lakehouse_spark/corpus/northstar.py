@@ -2261,3 +2261,38 @@ def x5_audio_segments(spark, sf_dir):
         xm.to_multimodal(d), bytes_per_sample=2, win=64, hop=32,
         sample_rate=16000,
     )
+
+
+@q(
+    "x2_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, containment FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / LEAST(len(a.s), len(b.s)) AS containment
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0
+    ) WHERE containment >= 0.5
+    """,
+)
+def x2_containment(spark, sf_dir):
+    """X2 — exact 3-gram containment pairs ≥ 0.5
+    (operators/dedup.py:ngram_containment_pairs): |∩|/min(|A|,|B|),
+    the asymmetric measure that catches doc-in-doc duplication
+    (quotes, excerpts, aggregation pages) Jaccard's |∩|/|∪| dilutes
+    away. Same inverted-index join as x2_ngram_jaccard; the oracle
+    is the naive all-pairs form."""
+    d = T(spark, sf_dir, "documents")
+    return xd.ngram_containment_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5
+    )

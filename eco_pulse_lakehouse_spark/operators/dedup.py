@@ -558,3 +558,57 @@ def dup_shingle_fraction(
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_shingles"))
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 — exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) —
+    the asymmetric near-dup measure. Jaccard misses doc-in-doc
+    duplication (a short document quoted whole inside a long one has
+    tiny |∩|/|∪| but containment 1.0) — exactly the quote/excerpt/
+    aggregation-page redundancy a training corpus accumulates.
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shared
+    shingles via the shingle equi-join, never all-pairs; zero-shared
+    pairs can't pass any threshold > 0), only the denominator
+    changes. Returns (id_a < id_b, containment)."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            word_shingles(F.col(text_col), shingle_n)
+        ).alias("sh"),
+    )
+    sizes = sh.select("__id", F.size("sh").alias("__sz"))
+    inv = sh.select("__id", F.explode("sh").alias("__s"))
+    a = inv.select(F.col("__id").alias("id_a"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), "__s")
+    shared = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    with_sizes = shared.join(
+        sizes.withColumnRenamed("__id", "id_a").withColumnRenamed(
+            "__sz", "__sa"
+        ),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("__id", "id_b").withColumnRenamed(
+            "__sz", "__sb"
+        ),
+        "id_b",
+    )
+    return (
+        with_sizes.withColumn(
+            "containment",
+            F.col("__inter").cast("double")
+            / F.least(F.col("__sa"), F.col("__sb")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -785,3 +785,25 @@ def test_audio_segments_cover_payload_exactly(spark):
             assert s.n_samples == s.end_sample - s.start_sample
             covered.update(range(s.start_sample, s.end_sample))
         assert covered == set(range(n))
+
+
+def test_containment_catches_doc_in_doc_where_jaccard_misses(spark):
+    """A short document quoted whole inside a long one must score
+    containment 1.0 while its Jaccard stays below the usual dedup
+    threshold — the asymmetric-redundancy case the measure exists
+    for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    longd = " ".join(
+        ["filler%d word%d token%d" % (i, i, i) for i in range(30)]
+    ) + " " + short
+    df = spark.createDataFrame(
+        [(1, short), (2, longd)], "doc_id LONG, text STRING"
+    )
+    cont = xd.ngram_containment_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    jac = xd.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.2
+    ).collect()
+    assert jac == []  # jaccard dilutes the quote below threshold
