@@ -3077,7 +3077,7 @@ def q11_ks_drift(spark, sf_dir):
       SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
              SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
              SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
                  CAST(SUM(k2) AS BIGINT) AS n2 FROM b),
@@ -3137,7 +3137,7 @@ def w21_dtw_motif_pairs(spark, sf_dir):
     SELECT event_id,
            CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT)
              AS n_digit_runs,
-           CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS first_num,
+           TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS first_num,
            regexp_replace(props, '[0-9]+', '#', 'g') AS masked
     FROM events WHERE event_id % 11 = 0
     """,

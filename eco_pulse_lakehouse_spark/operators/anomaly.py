@@ -306,6 +306,9 @@ def ks_statistic(
                 / (F.max("__n1") * F.max("__n2")).cast("double")
             ).alias("ks_stat"),
         )
+        # empty input (no values at all) -> ZERO rows, not one
+        # all-NULL row — matching the oracle's GROUP BY over nothing
+        .filter(F.col("n1").isNotNull())
     )
 
 
@@ -369,4 +372,7 @@ def psi_from_bins(b: DataFrame) -> DataFrame:
             F.sum(term_fp).cast("long").alias("psi_fp"),
             (F.sum(term_fp).cast("double") / F.lit(1e9)).alias("psi"),
         )
+        # every bin one-sided -> no PSI terms -> ZERO rows, matching
+        # the oracle's GROUP BY over an empty terms set
+        .filter(F.col("n1").isNotNull())
     )

@@ -298,6 +298,43 @@ def simhash_neardup_pairs(
 # --- exact n-gram Jaccard -------------------------------------------------
 
 
+def _shingle_pair_counts(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Shared inverted-index pair machinery for the exact set-overlap
+    measures (Jaccard / containment): distinct shingle sets, per-doc
+    set sizes, shingle equi-join, per-pair intersection counts joined
+    back with both sizes. Returns (id_a < id_b, __inter, __sa, __sb);
+    pairs sharing zero shingles never materialize."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = sh.select("__id", F.size("sh").alias("__sz"))
+    inv = sh.select("__id", F.explode("sh").alias("__s"))
+    a = inv.select(F.col("__id").alias("id_a"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), "__s")
+    shared = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed(
+                "__sz", "__sa"
+            ),
+            "id_a",
+        ).join(
+            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed(
+                "__sz", "__sb"
+            ),
+            "id_b",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
@@ -317,24 +354,7 @@ def ngram_jaccard_pairs(
     Locally 285s → ~5s at sf0.1; at scale the shuffle is on the
     shingle key (skew from boilerplate shingles handled by AQE).
     """
-    sh = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
-    sizes = sh.select("__id", F.size("sh").alias("__sz"))
-    inv = sh.select("__id", F.explode("sh").alias("__s"))
-    a = inv.select(F.col("__id").alias("id_a"), "__s")
-    b = inv.select(F.col("__id").alias("id_b"), "__s")
-    shared = (
-        a.join(b, "__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    with_sizes = (
-        shared.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sa"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sb"), "id_b")
-    )
+    with_sizes = _shingle_pair_counts(docs, id_col, text_col, shingle_n)
     union = F.col("__sa") + F.col("__sb") - F.col("__inter")
     return (
         with_sizes.withColumn(
@@ -572,37 +592,10 @@ def ngram_containment_pairs(
     duplication (a short document quoted whole inside a long one has
     tiny |∩|/|∪| but containment 1.0) — exactly the quote/excerpt/
     aggregation-page redundancy a training corpus accumulates.
-    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shared
-    shingles via the shingle equi-join, never all-pairs; zero-shared
-    pairs can't pass any threshold > 0), only the denominator
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` — both
+    share :func:`_shingle_pair_counts`, only the denominator
     changes. Returns (id_a < id_b, containment)."""
-    sh = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(
-            word_shingles(F.col(text_col), shingle_n)
-        ).alias("sh"),
-    )
-    sizes = sh.select("__id", F.size("sh").alias("__sz"))
-    inv = sh.select("__id", F.explode("sh").alias("__s"))
-    a = inv.select(F.col("__id").alias("id_a"), "__s")
-    b = inv.select(F.col("__id").alias("id_b"), "__s")
-    shared = (
-        a.join(b, "__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
-    with_sizes = shared.join(
-        sizes.withColumnRenamed("__id", "id_a").withColumnRenamed(
-            "__sz", "__sa"
-        ),
-        "id_a",
-    ).join(
-        sizes.withColumnRenamed("__id", "id_b").withColumnRenamed(
-            "__sz", "__sb"
-        ),
-        "id_b",
-    )
+    with_sizes = _shingle_pair_counts(docs, id_col, text_col, shingle_n)
     return (
         with_sizes.withColumn(
             "containment",

@@ -197,16 +197,27 @@ def asof_join(
 
     Ties (right_ts == left_ts) take the right row in both
     directions, matching DuckDB ASOF JOIN's >= / <= semantics.
+
+    The right-side payload is carried as ONE struct, not per-column
+    last(ignorenulls) sweeps: per-column carries could stitch values
+    from DIFFERENT right rows whenever a matched row holds NULL in
+    one of ``right_vals`` (the nearest row's NULL field would be
+    back-filled from an older row) — DuckDB/pandas ASOF match a ROW,
+    so a matched row's NULL fields must stay NULL. The struct itself
+    is non-null for every right row, so last(ignorenulls) selects
+    whole rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
+    r_struct = F.struct(*[F.col(v) for v in right_vals])
+    r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # right rows sort first on ts ties
         F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}") for v in right_vals],
+        F.lit(None).cast(r_type).alias("__r"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
@@ -215,7 +226,7 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["__l"].dataType
         ).alias("__l"),
-        *[F.col(v).alias(f"__r_{v}") for v in right_vals],
+        r_struct.alias("__r"),
     )
     merged = l_tag.unionByName(r_tag)
     ts_order = (
@@ -230,14 +241,11 @@ def asof_join(
         "__k",
         "__side",
         "__l",
-        *[
-            F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"__rv_{v}")
-            for v in right_vals
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__rv"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         F.col("__l.*"),
-        *[F.col(f"__rv_{v}").alias(v) for v in right_vals],
+        *[F.col(f"__rv.{v}").alias(v) for v in right_vals],
     )
     return out
 

@@ -167,7 +167,11 @@ def frequent_items(
     therefore IDENTICAL to the direct query — the corpus oracle
     (a29_heavy_hitters) is plain GROUP BY/HAVING SQL, no sketch
     replay needed. Widen ``width`` to cut wasted shuffle (false
-    positives ~ vocab/width per cell), never for correctness."""
+    positives ~ vocab/width per cell), never for correctness.
+    NULL keys are EXCLUDED (the char hash of NULL is NULL, so NULL
+    rows never survive the prefilter) — unlike a direct GROUP BY,
+    which reports the NULL group; filter or fill NULLs upstream if
+    that group matters."""
     sketch = cms_build(df, key_col, depth=depth, width=width)
     est = cms_rowwise_estimate(F.col(key_col), depth, width)
     candidates = (

@@ -284,6 +284,17 @@ def materialize_changes(
     for prev, cur in zip([None, *vs], vs):
         if cur in done:
             continue
+        if prev is None and cur != 0:
+            # vacuum retired this version's predecessor before its
+            # diff was materialized — the change is underivable, and
+            # emitting the surviving snapshot as a full "insert"
+            # batch would double-apply every row at any checkpointed
+            # consumer (the docstring's ORDERING contract)
+            raise ValueError(
+                f"cannot materialize changes for version {cur}: its "
+                f"predecessor snapshot was vacuumed before "
+                f"materialization (materialize BEFORE vacuum)"
+            )
         if prev is None:
             ch = read_version(spark, table_path, cur).withColumn(
                 change_col, F.lit("insert")

@@ -87,3 +87,36 @@ def test_snapshot_diff_null_safety(spark):
         for r in snapshot_diff(old, new, ["k"]).collect()
     }
     assert got == {1: "update", 2: "update", 4: "delete", 5: "insert"}
+
+
+def test_asof_join_carries_whole_rows_not_stitched_columns(spark):
+    """A matched right row's NULL field must stay NULL — per-column
+    ignorenulls carries would back-fill it from an OLDER row, which
+    DuckDB/pandas ASOF (row-wise match) never do."""
+    from eco_pulse_lakehouse_spark.operators.joins import (
+        asof_join,
+        asof_join_tolerance,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1000.0)], "k INT, lts DOUBLE"
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, 5.0), (1, 900.0, None)],
+        "k INT, rts DOUBLE, val DOUBLE",
+    )
+    got = asof_join(
+        left, right, "k", "lts", "rts", ["val", "rts"]
+    ).collect()[0]
+    assert got.rts == 900.0 and got.val is None  # the MATCHED row's NULL
+    # tolerance judges the same row the values came from: gap=100 ok,
+    # so rts survives (and val stays the matched row's NULL)
+    tol = asof_join_tolerance(
+        left, right, "k", "lts", "rts", ["val"], tolerance_seconds=200.0
+    ).collect()[0]
+    assert tol.rts == 900.0 and tol.val is None
+    # a tolerance tighter than the match gap NULLs everything
+    tight = asof_join_tolerance(
+        left, right, "k", "lts", "rts", ["val"], tolerance_seconds=50.0
+    ).collect()[0]
+    assert tight.rts is None and tight.val is None

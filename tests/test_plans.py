@@ -351,4 +351,4 @@ def test_ks_statistic_has_no_single_partition_window(spark):
         ctx = plan[max(0, m.start() - 400): m.start()]
         assert "SinglePartition" not in ctx.split("Window")[-1], plan
     # the window must be keyed by the range-partition pid
-    assert "windowspecdefinition(__pid" in plan or "__pid" in plan
+    assert "windowspecdefinition(__pid" in plan, plan

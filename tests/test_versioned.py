@@ -314,3 +314,19 @@ def test_read_changes_stream_restart_is_exactly_once(spark):
     feed = spark.read.parquet(versioned.changes_glob(path))
     assert drained.exceptAll(feed).count() == 0
     assert feed.exceptAll(drained).count() == 0
+
+
+def test_materialize_changes_refuses_vacuumed_predecessor(spark):
+    """After vacuum retires a version's predecessor, materializing
+    its diff must raise — never silently emit the surviving snapshot
+    as a full-insert batch (which would double-apply at any
+    checkpointed consumer)."""
+    import pytest
+
+    path = _tmp()
+    versioned.write_version(spark.range(4), path)
+    versioned.write_version(spark.range(2, 7), path)
+    versioned.write_version(spark.range(3, 8), path)
+    versioned.vacuum(path, keep_last=1)  # only v2 survives
+    with pytest.raises(ValueError, match="vacuumed"):
+        versioned.materialize_changes(spark, path)
