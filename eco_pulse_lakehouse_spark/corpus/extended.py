@@ -3424,3 +3424,63 @@ def w22_bollinger(spark, sf_dir):
         (mean + F.lit(2) * F.sqrt(var)).alias("upper_band"),
         (mean - F.lit(2) * F.sqrt(var)).alias("lower_band"),
     )
+
+
+@q(
+    "s21_text_source",
+    """
+    SELECT md5(text) AS line_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM documents GROUP BY text
+    """,
+)
+def s21_text_source(spark, sf_dir):
+    """S21 — line-oriented TEXT source roundtrip (spark.read.text —
+    the raw-corpus landing format every text pipeline starts from):
+    documents write out one per line, read back as untyped lines,
+    and aggregate per distinct line (the corpus has exact duplicate
+    texts by design, so the multiset survives the roundtrip). Lines
+    are identified by md5 — text files carry no row identity."""
+    import os
+    import tempfile
+
+    d = T(spark, sf_dir, "documents").select("text")
+    path = os.path.join(
+        _TMP, f"s21_text_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    d.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    ).select(
+        F.md5(F.col("value")).alias("line_md5"),
+        "n_lines",
+        F.size(F.split(F.col("value"), " ")).cast("int").alias("n_tokens"),
+    )
+
+
+@q(
+    "f_agg_predicates",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_high,
+           bool_and(value IS NOT NULL) AS all_present,
+           bool_or(value > 160) AS any_extreme,
+           CAST(min(user_id) AS BIGINT) AS rep_user
+    FROM events GROUP BY event_type
+    """,
+)
+def f_agg_predicates(spark, sf_dir):
+    """F — the predicate-aggregate surface in one groupBy: count_if,
+    bool_and/bool_or (every/any), and a DETERMINISTIC representative
+    row via min (any_value ties arbitrarily — the same
+    reproducibility rule as a26_mode/a28_arg_minmax). All map-side
+    combinable partial aggregates."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).cast("bigint").alias("n_high"),
+        F.bool_and(F.col("value").isNotNull()).alias("all_present"),
+        F.bool_or(F.col("value") > 160).alias("any_extreme"),
+        F.min("user_id").cast("bigint").alias("rep_user"),
+    )
