@@ -1211,3 +1211,90 @@ def t23_stream_psi(spark, sf_dir):
         )
     )
     return psi_from_bins(merged)
+
+
+@q(
+    "t24_stream_ks",
+    """
+    WITH v AS (
+      SELECT value AS vv,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    c AS (
+      SELECT SUM(k1) OVER (ORDER BY vv) AS c1,
+             SUM(k2) OVER (ORDER BY vv) AS c2
+      FROM v
+    ),
+    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                 CAST(SUM(k2) AS BIGINT) AS n2 FROM v)
+    SELECT n1, n2,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE) AS ks_stat
+    FROM c CROSS JOIN t GROUP BY n1, n2
+    """,
+)
+def t24_stream_ks(spark, sf_dir):
+    """T24 — STREAMING KS drift monitor: each micro-batch's
+    distinct-value (side, count) partial lands as an idempotent
+    epoch-keyed parquet overwrite; the serving statistic comes from
+    the cell-wise SUM of the partials
+    (operators/anomaly.py:ks_from_value_counts). Value-count tables
+    are LINEAR like t23's bins and t17's CMS cells, so the streamed
+    monitor reports the IDENTICAL exact KS to the one-shot batch
+    computation — q11's hard oracle verbatim. Together t23/t24 give
+    the drift pair (binned PSI + full-CDF KS) the accumulate-at-
+    ingest shape: any monitoring window is a tiny merge, history is
+    never re-scanned."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import (
+        ks_from_value_counts,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t24_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        v = (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy(F.col("value").alias("__v"))
+            .agg(
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                ).alias("__k1"),
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+                ).alias("__k2"),
+            )
+        )
+        v.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("__v")
+        .agg(
+            F.sum("__k1").alias("__k1"),
+            F.sum("__k2").alias("__k2"),
+        )
+    )
+    return ks_from_value_counts(merged)

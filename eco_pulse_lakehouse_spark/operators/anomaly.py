@@ -279,12 +279,22 @@ def ks_statistic(
     filter them out first (the corpus entry does) unless both
     engines' conventions are acceptable. Returns ONE row
     (n1, n2, ks_num, ks_stat)."""
-    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
-
     v = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
         F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),
     )
+    return ks_from_value_counts(v)
+
+
+def ks_from_value_counts(v: DataFrame) -> DataFrame:
+    """KS from a (``__v``, ``__k1``, ``__k2``) distinct-value count
+    table — the tail of :func:`ks_statistic`, exposed separately
+    because value counts are LINEAR (union + sum merges them
+    exactly), which lets a streaming monitor accumulate per-batch
+    partials and still report the exact batch statistic
+    (t24_stream_ks, the KS twin of t23's PSI pattern)."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
     cum = global_running_sum(v, [F.col("__v").asc()], ["__k1", "__k2"])
     dec = "decimal(38,0)"
     tot = v.agg(
