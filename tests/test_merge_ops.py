@@ -120,3 +120,84 @@ def test_asof_join_carries_whole_rows_not_stitched_columns(spark):
         left, right, "k", "lts", "rts", ["val"], tolerance_seconds=50.0
     ).collect()[0]
     assert tight.rts is None and tight.val is None
+
+
+def test_asof_family_matches_pandas_merge_asof(spark):
+    """asof_join (both directions) and asof_join_tolerance must agree
+    row-for-row with pandas.merge_asof — the canonical reference —
+    on randomized keyed frames with NULL payload fields and
+    duplicate timestamps across keys (seeded, deterministic)."""
+    import random
+
+    import pandas as pd
+
+    from eco_pulse_lakehouse_spark.operators.joins import (
+        asof_join,
+        asof_join_tolerance,
+    )
+
+    rng = random.Random(421)
+    left_rows = [
+        (k, float(rng.randrange(0, 500)), i)
+        for i, k in enumerate(rng.choices([1, 2, 3, 4], k=60))
+    ]
+    right_rows = [
+        (
+            k,
+            float(rng.randrange(0, 500)),
+            None if rng.random() < 0.3 else float(rng.randrange(100)),
+        )
+        for k in rng.choices([1, 2, 3, 4, 5], k=80)
+    ]
+    # pandas merge_asof requires unique, sorted 'on' values per merge;
+    # de-dup (k, ts) on the right to keep the reference well-defined
+    seen = set()
+    right_rows = [
+        r for r in right_rows if (r[0], r[1]) not in seen
+        and not seen.add((r[0], r[1]))
+    ]
+    left = spark.createDataFrame(left_rows, "k INT, lts DOUBLE, lid INT")
+    right = spark.createDataFrame(right_rows, "k INT, rts DOUBLE, val DOUBLE")
+    lpdf = pd.DataFrame(left_rows, columns=["k", "lts", "lid"])
+    rpdf = pd.DataFrame(right_rows, columns=["k", "rts", "val"])
+
+    for direction in ("backward", "forward"):
+        ref = pd.merge_asof(
+            lpdf.sort_values("lts", kind="mergesort"),
+            rpdf.sort_values("rts", kind="mergesort"),
+            left_on="lts", right_on="rts", by="k",
+            direction=direction,
+        )
+        got = asof_join(
+            left, right, "k", "lts", "rts", ["val", "rts"],
+            direction=direction,
+        ).collect()
+        ref_map = {
+            int(r.lid): (
+                None if pd.isna(r.rts) else r.rts,
+                None if pd.isna(r.val) else r.val,
+            )
+            for r in ref.itertuples()
+        }
+        for r in got:
+            assert (r.rts, r.val) == ref_map[r.lid], (direction, r)
+
+    tol = 50.0
+    ref = pd.merge_asof(
+        lpdf.sort_values("lts", kind="mergesort"),
+        rpdf.sort_values("rts", kind="mergesort"),
+        left_on="lts", right_on="rts", by="k",
+        direction="backward", tolerance=tol,
+    )
+    got = asof_join_tolerance(
+        left, right, "k", "lts", "rts", ["val"], tolerance_seconds=tol
+    ).collect()
+    ref_map = {
+        int(r.lid): (
+            None if pd.isna(r.rts) else r.rts,
+            None if pd.isna(r.val) else r.val,
+        )
+        for r in ref.itertuples()
+    }
+    for r in got:
+        assert (r.rts, r.val) == ref_map[r.lid], r
