@@ -3429,27 +3429,34 @@ def w22_bollinger(spark, sf_dir):
 @q(
     "s21_text_source",
     """
+    WITH lines AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 7 = 0
+    )
     SELECT md5(text) AS line_md5,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-    FROM documents GROUP BY text
+    FROM lines GROUP BY text
     """,
 )
 def s21_text_source(spark, sf_dir):
     """S21 — line-oriented TEXT source roundtrip (spark.read.text —
     the raw-corpus landing format every text pipeline starts from):
-    documents write out one per line, read back as untyped lines,
-    and aggregate per distinct line (the corpus has exact duplicate
-    texts by design, so the multiset survives the roundtrip). Lines
-    are identified by md5 — text files carry no row identity."""
-    import os
-    import tempfile
-
-    d = T(spark, sf_dir, "documents").select("text")
+    documents — plus a deterministic duplicate subset (every 7th
+    doc written twice), so the entry actually PINS that duplicate
+    lines survive the roundtrip as a multiset (n_lines=2) rather
+    than collapsing — write out one per line, read back as untyped
+    lines, and aggregate per distinct line. Lines are identified by
+    md5 — text files carry no row identity."""
+    d = T(spark, sf_dir, "documents")
+    lines_out = d.select("text").unionAll(
+        d.filter(F.col("doc_id") % 7 == 0).select("text")
+    )
     path = os.path.join(
         _TMP, f"s21_text_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    d.write.mode("overwrite").text(path)
+    lines_out.write.mode("overwrite").text(path)
     lines = spark.read.text(path)
     return lines.groupBy("value").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines")

@@ -277,8 +277,10 @@ def ks_statistic(
     beyond that read ``ks_stat``. NULL values form their own
     distinct-value group and sort per the engine's null ordering —
     filter them out first (the corpus entry does) unless both
-    engines' conventions are acceptable. Returns ONE row
-    (n1, n2, ks_num, ks_stat)."""
+    engines' conventions are acceptable. Returns one row
+    (n1, n2, ks_num, ks_stat) — or ZERO rows when the input is
+    empty (matching SQL's GROUP BY over nothing; guard .collect()
+    accordingly)."""
     v = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
         F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),
@@ -341,8 +343,10 @@ def psi_drift(
     cross-products and is rounded to 6dp BEFORE the multiply (the
     transcendental-parity rule — ln is the only non-correctly-
     rounded op here), and each term is 1e-9 fixed-point BIGINT so
-    the final sum is order-independent. Returns ONE row
-    (n1, n2, psi_fp, psi)."""
+    the final sum is order-independent. Returns one row
+    (n1, n2, psi_fp, psi) — or ZERO rows when no bin has both sides
+    populated (matching the oracle's empty GROUP BY; guard
+    .collect() accordingly)."""
     bucket = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast(
         "bigint"
     )

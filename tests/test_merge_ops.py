@@ -201,3 +201,24 @@ def test_asof_family_matches_pandas_merge_asof(spark):
     }
     for r in got:
         assert (r.rts, r.val) == ref_map[r.lid], r
+
+    # forward tolerance exercises the gap sign-flip branch
+    ref_f = pd.merge_asof(
+        lpdf.sort_values("lts", kind="mergesort"),
+        rpdf.sort_values("rts", kind="mergesort"),
+        left_on="lts", right_on="rts", by="k",
+        direction="forward", tolerance=tol,
+    )
+    got_f = asof_join_tolerance(
+        left, right, "k", "lts", "rts", ["val"],
+        tolerance_seconds=tol, direction="forward",
+    ).collect()
+    ref_map_f = {
+        int(r.lid): (
+            None if pd.isna(r.rts) else r.rts,
+            None if pd.isna(r.val) else r.val,
+        )
+        for r in ref_f.itertuples()
+    }
+    for r in got_f:
+        assert (r.rts, r.val) == ref_map_f[r.lid], r
