@@ -1298,3 +1298,130 @@ def t24_stream_ks(spark, sf_dir):
         )
     )
     return ks_from_value_counts(merged)
+
+
+@q(
+    "t25_stream_semdedup",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) * CAST(127.0 AS DOUBLE)) AS INT)) AS qv FROM embeddings),
+    cseeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INT) - 1 AS lc,
+             qv AS cent
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id ASC LIMIT 16)
+    ),
+    cass AS (
+      SELECT vec_id, qv, lc AS cluster_id FROM (
+        SELECT e.vec_id, e.qv, cs.lc,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(qv[i] - cent[i] AS BIGINT)
+                   * CAST(qv[i] - cent[i] AS BIGINT)))
+            ASC, cs.lc ASC) AS rn
+        FROM e CROSS JOIN cseeds cs) WHERE rn = 1
+    ),
+    cd AS (
+      SELECT vec_id, qv, cluster_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS BIGINT) * cent[i])) AS BIGINT) AS cdot
+      FROM cass JOIN cseeds ON cass.cluster_id = cseeds.lc
+    ),
+    drops AS (
+      SELECT DISTINCT CASE WHEN a.cdot > b.cdot THEN a.vec_id
+                           WHEN b.cdot > a.cdot THEN b.vec_id
+                           ELSE GREATEST(a.vec_id, b.vec_id) END AS vec_id
+      FROM cd a JOIN cd b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, 65),
+              i -> CAST(a.qv[i] AS BIGINT) * CAST(b.qv[i] AS BIGINT)))
+            AS BIGINT) >= 6400
+    )
+    SELECT vec_id, cluster_id FROM cass
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+)
+def t25_stream_semdedup(spark, sf_dir):
+    """T25 — STREAMING SemDeDup at ingest
+    (similarity.py:semdedup_assign/semdedup_drops): coarse centroids
+    bootstrap once (seed codebooks, driver-persisted); embeddings
+    then stream in one file per trigger, each micro-batch is scored
+    map-only (cluster + centroid dot), its drop decisions run
+    against the batch PLUS the accumulated store, and both the
+    scored rows and the drops land as epoch-keyed idempotent
+    parquet. Pair verdicts are LOCAL and each unordered pair forms
+    when its later member arrives, so the accumulated drop set —
+    and therefore the survivor set — is IDENTICAL to the one-shot
+    batch run: this streaming entry carries x3_semdedup's hard
+    oracle verbatim. The grows-forever curation shape: new data is
+    semantically deduped against all history at O(batch·cluster)
+    per batch, history never re-paired."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        pq_codebooks,
+        quantize_embeddings,
+        semdedup_assign,
+        semdedup_drops,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(e, "embedding", "q_vec", n_levels=127)
+    coarse_df = pq_codebooks(
+        qz, "vec_id", "q_vec", m_segments=1, k_codes=16, dim=64
+    )
+    coarse = spark.createDataFrame(coarse_df.collect(), coarse_df.schema)
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t25_{uuid.uuid4().hex}"
+    )
+    e.repartition(4).write.mode("overwrite").parquet(stage)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t25_out_{uuid.uuid4().hex}"
+    )
+    store = os.path.join(base, "scored")
+    dsink = os.path.join(base, "drops")
+    ck = os.path.join(base, "ck")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        bq = quantize_embeddings(batch_df, "embedding", "q_vec", 127)
+        scored_b = semdedup_assign(
+            bq, coarse, "vec_id", "q_vec", 16, 64
+        ).select("vec_id", "q_vec", "cluster_id", "__cdot")
+        scored_b = scored_b.localCheckpoint(eager=True)
+        prior = [
+            os.path.join(store, d)
+            for d in (os.listdir(store) if os.path.isdir(store) else [])
+            if d.startswith("batch=")
+        ]
+        all_scored = scored_b
+        if prior:
+            all_scored = all_scored.unionByName(
+                spark.read.parquet(*prior)
+            )
+        drops_b = semdedup_drops(
+            scored_b, all_scored, "vec_id", "q_vec", min_dot=6400
+        )
+        drops_b.write.mode("overwrite").parquet(
+            os.path.join(dsink, f"batch={batch_id}")
+        )
+        scored_b.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    all_scored = spark.read.parquet(os.path.join(store, "batch=*"))
+    all_drops = spark.read.parquet(
+        os.path.join(dsink, "batch=*")
+    ).distinct()
+    return all_scored.join(all_drops, "vec_id", "left_anti").select(
+        "vec_id", "cluster_id"
+    )

@@ -1383,6 +1383,30 @@ def semantic_dedup(
         m_segments=1, k_codes=n_clusters, dim=dim,
         iterations=cluster_iterations,
     )
+    scored = semdedup_assign(
+        quantized, coarse, id_col, vec_col, n_clusters, dim
+    )
+    drops = semdedup_drops(scored, scored, id_col, vec_col, min_dot)
+    return scored.join(drops, id_col, "left_anti").select(
+        id_col, "cluster_id"
+    )
+
+
+def semdedup_assign(
+    quantized: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    n_clusters: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup's per-row stage against FIXED coarse centroids:
+    cluster assignment (pq_encode m=1 argmin) plus the BIGINT
+    centroid-redundancy dot — map-only over the data side (broadcast
+    codebook map), so a streaming ingest can score each micro-batch
+    independently and agree exactly with a batch run (t25, the t19
+    bootstrap-once/encode-per-batch lifecycle). Returns the input
+    plus (cluster_id, __cdot)."""
     assigned = (
         pq_encode(
             quantized, coarse, id_col, vec_col,
@@ -1401,18 +1425,37 @@ def semantic_dedup(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    return (
         assigned.crossJoin(F.broadcast(cmap))
         .withColumn("__cdot", centdot)
         .drop("__cb")
     )
-    a = scored.select(
+
+
+def semdedup_drops(
+    scored_left: DataFrame,
+    scored_right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    min_dot: int = 15300,
+) -> DataFrame:
+    """The drop decision over every within-cluster pair between two
+    scored sides (semdedup_assign outputs): of each pair above the
+    threshold, drop the member closest to its centroid (ties to the
+    larger id). Pair decisions are LOCAL — a pair's verdict doesn't
+    depend on which run formed it — so accumulating drops batch by
+    batch (each unordered pair forms exactly once, when its later
+    member arrives, or twice with identical verdicts when both sit
+    in the same batch against the accumulated store) yields the
+    IDENTICAL drop set to one all-at-once run; t25 rests on exactly
+    that. Returns distinct dropped ids."""
+    a = scored_left.select(
         "cluster_id",
         F.col(id_col).alias("__a_id"),
         F.col(vec_col).alias("__a_v"),
         F.col("__cdot").alias("__a_cd"),
     )
-    b = scored.select(
+    b = scored_right.select(
         "cluster_id",
         F.col(id_col).alias("__b_id"),
         F.col(vec_col).alias("__b_v"),
@@ -1426,9 +1469,9 @@ def semantic_dedup(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    drops = (
+    return (
         a.join(b, "cluster_id")
-        .filter(F.col("__a_id") < F.col("__b_id"))
+        .filter(F.col("__a_id") != F.col("__b_id"))
         .withColumn("__pd", pdot)
         .filter(F.col("__pd") >= F.lit(min_dot))
         .select(
@@ -1438,7 +1481,4 @@ def semantic_dedup(
             .alias(id_col)
         )
         .distinct()
-    )
-    return assigned.join(drops, id_col, "left_anti").select(
-        id_col, "cluster_id"
     )
