@@ -3491,3 +3491,74 @@ def f_agg_predicates(spark, sf_dir):
         F.bool_or(F.col("value") > 160).alias("any_extreme"),
         F.min("user_id").cast("bigint").alias("rep_user"),
     )
+
+
+@q(
+    "q14_profile_diff",
+    """
+    WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+    wa AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_k,
+             COUNT(DISTINCT o_orderkey) AS nd_k,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_s,
+             COUNT(DISTINCT o_orderstatus) AS nd_s,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_s,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_s
+      FROM a
+    ),
+    wb AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_k,
+             COUNT(DISTINCT o_orderkey) AS nd_k,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nu_s,
+             COUNT(DISTINCT o_orderstatus) AS nd_s,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_s,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_s
+      FROM orders
+    ),
+    ta AS (
+      SELECT 'o_orderkey' AS "column", n_rows AS n_rows_a, nu_k AS n_nulls_a,
+             nd_k AS n_distinct_a, mn_k AS mn_a, mx_k AS mx_a FROM wa
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nu_s, nd_s, mn_s, mx_s FROM wa
+    ),
+    tb AS (
+      SELECT 'o_orderkey' AS "column", n_rows AS n_rows_b, nu_k AS n_nulls_b,
+             nd_k AS n_distinct_b, mn_k AS mn_b, mx_k AS mx_b FROM wb
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nu_s, nd_s, mn_s, mx_s FROM wb
+    )
+    SELECT "column", n_rows_a, n_rows_b, n_nulls_a, n_nulls_b,
+           n_distinct_a, n_distinct_b,
+           CAST(n_distinct_b - n_distinct_a AS BIGINT) AS distinct_delta,
+           CAST(n_rows_b AS DOUBLE) / CAST(n_rows_a AS DOUBLE) AS row_ratio,
+           mn_a IS DISTINCT FROM mn_b AS min_changed,
+           mx_a IS DISTINCT FROM mx_b AS max_changed
+    FROM ta JOIN tb USING ("column")
+    """,
+)
+def q14_profile_diff(spark, sf_dir):
+    """Q14 — snapshot-vs-snapshot PROFILE drift report
+    (operators/quality.py:profile_diff): the even-keys half of
+    orders vs the full table, per-column row/null/distinct counts
+    side by side with distinct deltas, the row ratio, and min/max
+    movement flags — the per-column data-contract check beside the
+    value-level KS/PSI detectors. One single-pass profile per side
+    (q4's one-aggregation-job property, twice)."""
+    from eco_pulse_lakehouse_spark.operators.quality import profile_diff
+
+    o = T(spark, sf_dir, "orders")
+    return profile_diff(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o,
+        ["o_orderkey", "o_orderstatus"],
+    )

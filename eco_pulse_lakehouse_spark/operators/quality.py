@@ -382,3 +382,47 @@ def quantile_binning(
         .withColumn(out_col, bin_expr)
         .drop(*[f"__q{i}" for i in range(len(probs))])
     )
+
+
+def profile_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """SCHEMA/DISTRIBUTION drift report between two table snapshots —
+    the per-column companion to the value-level KS/PSI detectors
+    (operators/anomaly.py): profile both sides in ONE aggregation
+    pass each (:func:`profile_table`), join on the column name, and
+    report row/null/distinct counts side by side plus the derived
+    drift signals (distinct-count delta, row-count ratio, min/max
+    movement flags). The nightly snapshot-vs-snapshot check a data
+    contract runs before anything trains on the new partition."""
+    pa = profile_table(df_a, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_str").alias("__mn_a"),
+        F.col("max_str").alias("__mx_a"),
+    )
+    pb = profile_table(df_b, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_str").alias("__mn_b"),
+        F.col("max_str").alias("__mx_b"),
+    )
+    return pa.join(pb, "column").select(
+        "column",
+        "n_rows_a", "n_rows_b", "n_nulls_a", "n_nulls_b",
+        "n_distinct_a", "n_distinct_b",
+        (F.col("n_distinct_b") - F.col("n_distinct_a"))
+        .cast("bigint").alias("distinct_delta"),
+        (
+            F.col("n_rows_b").cast("double")
+            / F.col("n_rows_a").cast("double")
+        ).alias("row_ratio"),
+        (~F.col("__mn_a").eqNullSafe(F.col("__mn_b"))).alias("min_changed"),
+        (~F.col("__mx_a").eqNullSafe(F.col("__mx_b"))).alias("max_changed"),
+    )
