@@ -2296,3 +2296,81 @@ def x2_containment(spark, sf_dir):
     return xd.ngram_containment_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.5
     )
+
+
+@q(
+    "flagship_training_export",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    u AS (SELECT *, {_UNIT_HASH_SQL} AS uh FROM dd),
+    ev AS (SELECT * FROM u WHERE uh >= 0.9),
+    tr AS (SELECT * FROM u WHERE uh < 0.9),
+    evsh AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest(list_distinct(
+          CASE WHEN len(string_split(text, ' ')) >= 4 THEN
+            list_transform(range(1, len(string_split(text, ' ')) - 2),
+              i -> array_to_string((string_split(text, ' '))[i:i+3], ' '))
+          ELSE [] END)) AS shingle
+        FROM ev)
+    ),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(string_split(text, ' ')) >= 4 THEN
+            list_transform(range(1, len(string_split(text, ' ')) - 2),
+              i -> array_to_string((string_split(text, ' '))[i:i+3], ' '))
+          ELSE [] END)) AS shingle
+        FROM tr) ts JOIN evsh USING (shingle)
+    ),
+    clean AS (
+      SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM clean GROUP BY lang),
+    s AS (SELECT lang, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS sc
+          FROM c),
+    tot AS (SELECT CAST(sum(sc) AS BIGINT) AS S FROM s),
+    mixed AS (
+      SELECT clean.doc_id, clean.lang, clean.text
+      FROM clean JOIN s USING (lang) CROSS JOIN tot
+      WHERE (CAST(((doc_id + 7919) * 2654435761) % 4294967296 AS DOUBLE)
+             / 4294967296.0)
+            < LEAST(1.0, CAST(150 * sc AS DOUBLE) / CAST(S * n AS DOUBLE))
+    )
+    SELECT doc_id, lang,
+           CASE WHEN (CAST(((doc_id + 104729) * 2654435761) % 4294967296
+                           AS DOUBLE) / 4294967296.0) < 0.05
+                THEN 'val' ELSE 'train' END AS split,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           {_BPE_SQL} AS n_tokens_bpe
+    FROM mixed
+    """,
+)
+def flagship_training_export(spark, sf_dir):
+    """Flagship #3 — the COMPOSED training-data EXPORT recipe
+    (plans/training_export.py:export_manifest): exact dedup →
+    hold-out split → 4-gram decontamination → n^0.5 temperature
+    language rebalance → train/val hash split → whitespace + BPE-ish
+    token budgets, end-to-end in one call and end-to-end
+    oracle-checked. Stage hashes are salted with distinct public
+    primes so the chained selections stay independent (reusing one
+    hash would make the mixture sample from an interval the hold-out
+    already truncated). The manifest is the artifact a tokenizer /
+    packer consumes (x7_pack_documents picks up from here)."""
+    from eco_pulse_lakehouse_spark.plans.training_export import (
+        export_manifest,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return export_manifest(
+        d, "doc_id", "text", "lang",
+        k_budget=150, alpha=0.5, shingle_n=4,
+        eval_frac=0.1, val_frac=0.05,
+    )

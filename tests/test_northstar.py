@@ -807,3 +807,33 @@ def test_containment_catches_doc_in_doc_where_jaccard_misses(spark):
         df, "doc_id", "text", shingle_n=3, threshold=0.2
     ).collect()
     assert jac == []  # jaccard dilutes the quote below threshold
+
+
+def test_training_export_manifest_invariants(spark):
+    """End-to-end manifest sanity: survivors are a subset of the
+    deduped train split, no survivor shares a 4-gram with the
+    hold-out, no duplicate texts survive, splits are train/val only,
+    and token budgets are positive."""
+    from eco_pulse_lakehouse_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+    from eco_pulse_lakehouse_spark.plans.training_export import (
+        export_manifest,
+    )
+
+    d = load_table(spark, SF, "documents")
+    m = export_manifest(d, "doc_id", "text", "lang")
+    rows = m.collect()
+    assert rows
+    assert {r.split for r in rows} <= {"train", "val"}
+    assert all(r.n_tokens_ws > 0 and r.n_tokens_bpe > 0 for r in rows)
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    # join back: survivors' texts are unique and decontaminated
+    surv = d.join(m.select("doc_id"), "doc_id")
+    texts = [r.text for r in surv.select("text").collect()]
+    assert len(texts) == len(set(texts))
+    hold_out = d.filter(unit_hash(F.col("doc_id")) >= 0.9)
+    leaks = decontaminate(surv, hold_out, "doc_id", "text", shingle_n=4)
+    assert leaks.count() == 0
