@@ -1386,7 +1386,9 @@ def semantic_dedup(
     scored = semdedup_assign(
         quantized, coarse, id_col, vec_col, n_clusters, dim
     )
-    drops = semdedup_drops(scored, scored, id_col, vec_col, min_dot)
+    drops = semdedup_drops(
+        scored, scored, id_col, vec_col, min_dot, ordered_pairs=True
+    )
     return scored.join(drops, id_col, "left_anti").select(
         id_col, "cluster_id"
     )
@@ -1438,6 +1440,7 @@ def semdedup_drops(
     id_col: str = "vec_id",
     vec_col: str = "q_vec",
     min_dot: int = 15300,
+    ordered_pairs: bool = False,
 ) -> DataFrame:
     """The drop decision over every within-cluster pair between two
     scored sides (semdedup_assign outputs): of each pair above the
@@ -1448,7 +1451,11 @@ def semdedup_drops(
     member arrives, or twice with identical verdicts when both sit
     in the same batch against the accumulated store) yields the
     IDENTICAL drop set to one all-at-once run; t25 rests on exactly
-    that. Returns distinct dropped ids."""
+    that. When BOTH sides are the same full set (the batch
+    self-join), pass ``ordered_pairs=True`` so each pair is scored
+    once (canonical id_a < id_b) instead of in both orientations —
+    half the refine work, same distinct drop set. Returns distinct
+    dropped ids."""
     a = scored_left.select(
         "cluster_id",
         F.col(id_col).alias("__a_id"),
@@ -1469,9 +1476,14 @@ def semdedup_drops(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    pair_pred = (
+        (F.col("__a_id") < F.col("__b_id"))
+        if ordered_pairs
+        else (F.col("__a_id") != F.col("__b_id"))
+    )
     return (
         a.join(b, "cluster_id")
-        .filter(F.col("__a_id") != F.col("__b_id"))
+        .filter(pair_pred)
         .withColumn("__pd", pdot)
         .filter(F.col("__pd") >= F.lit(min_dot))
         .select(
