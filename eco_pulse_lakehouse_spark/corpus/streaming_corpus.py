@@ -1425,3 +1425,89 @@ def t25_stream_semdedup(spark, sf_dir):
     return all_scored.join(all_drops, "vec_id", "left_anti").select(
         "vec_id", "cluster_id"
     )
+
+
+@q(
+    "t26_stream_heavy_hitters",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM d, unnest(range(1, len(t))) AS u(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= 40
+    """,
+)
+def t26_stream_heavy_hitters(spark, sf_dir):
+    """T26 — STREAMING heavy hitters: each micro-batch's Count-Min
+    partial lands as an idempotent epoch-keyed parquet (O(depth x
+    width) cells per batch — the vocabulary never shuffles at
+    ingest); at serve time the partials MERGE cell-wise (sketch
+    linearity, t17) into a sketch over ALL history, the candidate
+    prefilter + exact recount run once over the landed bronze
+    (operators/sketches.py:cms_literal_map/cms_rowwise_estimate),
+    and the answer is IDENTICAL to the one-shot batch — a29's hard
+    oracle verbatim. The n-gram-mining ingest shape: per-batch cost
+    is a constant-size sketch write; the expensive exact pass runs
+    only when a serve actually asks, and only over |candidates|
+    distinct keys."""
+    from eco_pulse_lakehouse_spark.operators import sketches as sk
+
+    docs = T(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t26_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t26_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    bigrams = lambda df: df.select(  # noqa: E731
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1,"
+                " size(split(text, ' ')) - 1),"
+                " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        sk.cms_build(
+            bigrams(batch_df), "bigram", depth=4, width=1 << 12
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    bg_all = bigrams(spark.read.parquet(stage))
+    est = sk.cms_rowwise_estimate(F.col("bigram"), 4, 1 << 12)
+    candidates = (
+        bg_all.join(F.broadcast(sk.cms_literal_map(merged)))
+        .filter(est >= F.lit(40))
+        .drop("__cms")
+    )
+    return (
+        candidates.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 40)
+    )
