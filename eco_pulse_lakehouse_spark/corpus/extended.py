@@ -3562,3 +3562,46 @@ def q14_profile_diff(spark, sf_dir):
         o,
         ["o_orderkey", "o_orderstatus"],
     )
+
+
+@q(
+    "w23_twap",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             epoch_ms(ts) AS ts_ms,
+             epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS day_end_ms
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, day,
+             COALESCE(lead(ts_ms) OVER (
+               PARTITION BY user_id, day ORDER BY ts, event_id),
+               day_end_ms) - ts_ms AS dur,
+             CAST(round(value * 10000) AS BIGINT) AS v_fp
+      FROM e
+    )
+    SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_ms,
+           CAST(SUM(v_fp * dur) AS DOUBLE)
+             / (CAST(SUM(dur) AS DOUBLE) * 10000.0) AS twap
+    FROM d GROUP BY user_id, day
+    """,
+)
+def w23_twap(spark, sf_dir):
+    """W23 — TIME-WEIGHTED average per (user, day)
+    (operators/timeseries.py:time_weighted_avg): each reading
+    weighted by its hold duration (lead µs diff; last reading holds
+    to midnight) — the duty-cycle-correct mean for irregular sensor
+    cadences, where plain AVG over-weights bursts. Durations are
+    exact BIGINT ms, values 1e-4 fixed point — every product under
+    2^53, all-BIGINT (decimal widening silently goes DOUBLE in
+    DuckDB past precision 38), one double division at the end —
+    oracle-exact."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "event_id", "value")

@@ -573,3 +573,60 @@ def dtw_motif_pairs(
             "key_a", "start_a", "key_b", "start_b", "sax_word", "dtw_dist"
         )
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    value_scale: int = 10_000,
+) -> DataFrame:
+    """TIME-WEIGHTED average per (key, day) — the duty-cycle-correct
+    mean for irregularly sampled sensors (a reading that held for an
+    hour must weigh 60x one that held a minute; the reference's
+    plain AVG treats them equally): each reading is weighted by its
+    HOLD duration — until the next reading of the same key that day,
+    the last reading holding until midnight.
+
+    Exactness: durations are exact BIGINT MILLISECONDS (lead over
+    the per-key day partition; day boundary in ms), values are
+    1e-4 fixed-point BIGINTs, so every product v_fp·dur_ms stays
+    under 2^53 for |value| ≤ ~1e4 — all-BIGINT arithmetic with no
+    decimal widening anywhere (a DECIMAL(38,0)·BIGINT product
+    silently widens to DOUBLE in DuckDB once precision would exceed
+    38, which cost a measured 1-ulp oracle drift). The TWAP itself
+    is ONE double division of exact integers — bit-identical
+    cross-engine. One window shuffle on (key, day); day surfaces as
+    an ISO string (engine DATE dtypes diverge in pandas — the a27
+    lesson)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    day_end_ms = F.unix_millis(day + F.expr("INTERVAL 1 DAY"))
+    ts_ms = F.unix_millis(F.col(ts_col))
+    w = Window.partitionBy(key_col, day.alias("__d")).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    dur = F.coalesce(F.lead(ts_ms).over(w), day_end_ms) - ts_ms
+    v_fp = F.round(F.col(value_col) * value_scale, 0).cast("bigint")
+    return (
+        events.select(
+            F.col(key_col),
+            F.date_format(day, "yyyy-MM-dd").alias("day"),
+            dur.alias("__dur"),
+            v_fp.alias("__v_fp"),
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__dur").cast("bigint").alias("total_dur_ms"),
+            (
+                F.sum(F.col("__v_fp") * F.col("__dur"))
+                .cast("double")
+                / (
+                    F.sum("__dur").cast("double")
+                    * F.lit(float(value_scale))
+                )
+            ).alias("twap"),
+        )
+    )
