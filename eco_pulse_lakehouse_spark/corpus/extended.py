@@ -135,8 +135,9 @@ def u2_pandas_normalize(spark, sf_dir):
     "w7_sessionize",
     """
     SELECT event_id, user_id, ts,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
     FROM (
       SELECT event_id, user_id, ts,
              CASE WHEN ts - lag(ts) OVER (

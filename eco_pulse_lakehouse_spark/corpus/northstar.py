@@ -2154,7 +2154,8 @@ def x2_dup_ngram_frac(spark, sf_dir):
     SELECT d.doc_id, d.lang
     FROM documents d JOIN s USING (lang) CROSS JOIN tot
     WHERE {_UNIT_HASH_SQL}
-          < LEAST(1.0, CAST(250 * sc AS DOUBLE) / CAST(S * n AS DOUBLE))
+          < LEAST(1.0, CAST(250 * sc AS DOUBLE)
+                       / (CAST(S AS DOUBLE) * CAST(n AS DOUBLE)))
     """,
 )
 def x6_temperature_mixture(spark, sf_dir):
@@ -2340,12 +2341,13 @@ def x2_containment(spark, sf_dir):
     mixed AS (
       SELECT clean.doc_id, clean.lang, clean.text
       FROM clean JOIN s USING (lang) CROSS JOIN tot
-      WHERE (CAST(((doc_id + 7919) * 2654435761) % 4294967296 AS DOUBLE)
+      WHERE (CAST((doc_id * 2246822519) % 4294967296 AS DOUBLE)
              / 4294967296.0)
-            < LEAST(1.0, CAST(150 * sc AS DOUBLE) / CAST(S * n AS DOUBLE))
+            < LEAST(1.0, CAST(150 * sc AS DOUBLE)
+                         / (CAST(S AS DOUBLE) * CAST(n AS DOUBLE)))
     )
     SELECT doc_id, lang,
-           CASE WHEN (CAST(((doc_id + 104729) * 2654435761) % 4294967296
+           CASE WHEN (CAST((doc_id * 3266489917) % 4294967296
                            AS DOUBLE) / 4294967296.0) < 0.05
                 THEN 'val' ELSE 'train' END AS split,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
@@ -2359,10 +2361,12 @@ def flagship_training_export(spark, sf_dir):
     hold-out split → 4-gram decontamination → n^0.5 temperature
     language rebalance → train/val hash split → whitespace + BPE-ish
     token budgets, end-to-end in one call and end-to-end
-    oracle-checked. Stage hashes are salted with distinct public
-    primes so the chained selections stay independent (reusing one
-    hash would make the mixture sample from an interval the hold-out
-    already truncated). The manifest is the artifact a tokenizer /
+    oracle-checked. Each stage hashes with a DIFFERENT odd
+    multiplier (xxhash32 primes) so the chained selections stay
+    independent — additive salting of one multiplicative hash is a
+    pure rotation of the same draw and would correlate the stages
+    (round-3 advisor finding; see plans/training_export.py for the
+    derivation). The manifest is the artifact a tokenizer /
     packer consumes (x7_pack_documents picks up from here)."""
     from eco_pulse_lakehouse_spark.plans.training_export import (
         export_manifest,

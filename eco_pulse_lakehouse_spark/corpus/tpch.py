@@ -149,8 +149,10 @@ def tpch_q10(spark, sf_dir):
 
 _Q12 = """
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_count,
-           SUM(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END) AS kept_count
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS returned_count,
+           CAST(SUM(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS kept_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -23,13 +23,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hash
+# Alternate odd multipliers (xxhash32's public primes) for pipelines
+# that need SEVERAL independent-looking draws per id. Additive
+# "salting" of ONE multiplicative hash does NOT work:
+# unit_hash(id + c) = frac(unit_hash(id) + c·K/2³²) is a pure rotation
+# of the same draw, so chained selections stay perfectly correlated
+# (the round-3 advisor bug in plans/training_export.py). A different
+# odd multiplier per stage gives a genuinely different permutation.
+MULT_B = 2246822519  # xxhash32 PRIME2
+MULT_C = 3266489917  # xxhash32 PRIME3
 M32 = 1 << 32
 
 
-def unit_hash(id_col: Column) -> Column:
-    """Deterministic uniform-ish value in [0, 1) from an integer id."""
+def unit_hash(id_col: Column, mult: int = KNUTH) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from an integer id.
+
+    ``mult`` must be odd (bijective mod 2³²); pass a distinct
+    multiplier (``MULT_B``/``MULT_C``) per stage when one pipeline
+    thresholds the hash more than once — see note above.
+    """
     return (
-        F.pmod(id_col.cast("bigint") * F.lit(KNUTH), F.lit(M32)) / F.lit(M32)
+        F.pmod(id_col.cast("bigint") * F.lit(int(mult)), F.lit(M32))
+        / F.lit(M32)
     )
 
 
@@ -211,6 +226,7 @@ def temperature_mixture_sample(
     domain_col: str,
     k: int,
     alpha: float = 0.5,
+    mult: int = KNUTH,
 ) -> DataFrame:
     """Temperature-weighted domain REBALANCING — the multilingual /
     data-recipe sampler (mBERT, XLM-R, T5 all sample language d with
@@ -246,14 +262,19 @@ def temperature_mixture_sample(
     scores = counts.withColumn(
         "__s", F.round(raw * F.lit(1_000_000.0), 0).cast("bigint")
     ).withColumn("__tot", F.sum("__s").over(Window.partitionBy()))
+    # Denominator multiplies AFTER the double casts: __tot·__n in
+    # BIGINT overflows at advertised scale (10 domains × 1e8 rows →
+    # tot·n ≈ 1e19 > 2⁶³, silently wrapping negative in non-ANSI mode
+    # so the whole domain would be dropped). k·__s stays in BIGINT
+    # range (k·√n·1e6 ≪ 2⁶³ for any real n).
     keep = F.least(
         F.lit(1.0),
         (F.lit(int(k)).cast("bigint") * F.col("__s")).cast("double")
-        / (F.col("__tot") * F.col("__n")).cast("double"),
+        / (F.col("__tot").cast("double") * F.col("__n").cast("double")),
     )
     return (
         df.join(F.broadcast(scores), domain_col)
-        .filter(unit_hash(F.col(id_col)) < keep)
+        .filter(unit_hash(F.col(id_col), mult=mult) < keep)
         .drop("__n", "__s", "__tot")
     )
 

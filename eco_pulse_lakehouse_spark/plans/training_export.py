@@ -16,13 +16,19 @@ carries its own end-to-end oracle, flagship_training_export):
   6. TOKEN BUDGETS     — whitespace + BPE-ish counts per doc
                          (functions/text.py)
 
-Hash INDEPENDENCE across stages: every selection uses the Knuth
-unit hash, so reusing the raw id would CORRELATE the stages (the
-mixture would sample from an interval the hold-out split already
-truncated, shrinking its effective rate). Each stage therefore
-salts the id with a distinct public prime before hashing —
-independent-looking uniform draws, still layout/retry-invariant and
-exactly replayable in SQL.
+Hash INDEPENDENCE across stages: every selection thresholds a
+multiplicative unit hash of the id, so reusing the SAME hash would
+CORRELATE the stages (the mixture would sample from an interval the
+hold-out split already truncated). Additive salting does NOT fix
+this — unit_hash(id + c) = frac(unit_hash(id) + c·K/2³²) is a pure
+rotation of the same draw (round-3 advisor finding: with the old
+prime salts the val arc [0.9186, 0.9686) sat entirely inside the
+eval hold-out u ≥ 0.9, so 'val' could never be emitted, and the
+mixture keep-arc capped every domain at ~0.12). Each stage instead
+uses a genuinely DIFFERENT odd multiplier (xxhash32's public
+primes), giving a different bijection of Z/2³² — independent-looking
+uniform draws, still layout/retry-invariant and exactly replayable
+in SQL.
 
 Everything is row-local predicates + the operators' own bounded
 shuffles; at 100 TB the manifest (doc_id, lang, split, token
@@ -35,8 +41,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MIX_SALT = 7_919      # 1000th prime — temperature-mixture stage
-SPLIT_SALT = 104_729  # 10000th prime — train/val-split stage
+from eco_pulse_lakehouse_spark.operators.sampling import MULT_B, MULT_C
+
+MIX_MULT = MULT_B    # temperature-mixture stage multiplier
+SPLIT_MULT = MULT_C  # train/val-split stage multiplier
 
 
 def export_manifest(
@@ -77,14 +85,15 @@ def export_manifest(
     ).select(id_col)
     clean = train0.join(flagged, id_col, "left_anti")
     mixed = temperature_mixture_sample(
-        clean.withColumn("__mix_id", F.col(id_col) + F.lit(MIX_SALT)),
-        "__mix_id",
+        clean,
+        id_col,
         domain_col,
         k=k_budget,
         alpha=alpha,
-    ).drop("__mix_id")
+        mult=MIX_MULT,
+    )
     split = F.when(
-        unit_hash(F.col(id_col) + F.lit(SPLIT_SALT)) < F.lit(val_frac),
+        unit_hash(F.col(id_col), mult=SPLIT_MULT) < F.lit(val_frac),
         F.lit("val"),
     ).otherwise(F.lit("train"))
     return mixed.select(

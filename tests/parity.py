@@ -46,6 +46,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _num_family(s: pd.Series) -> str:
+    """Classify a pandas column for the driver-mirroring dtype gate."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "nonnum"
+
+
 @dataclass
 class ParityResult:
     name: str
@@ -70,6 +81,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Par
     o.columns = s.columns
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Dtype-family gate (VERDICT r03 item 3): the driver's value-hash
+        # is dtype-sensitive, so an oracle that returns HUGEINT/DECIMAL
+        # (-> pandas float64) against a Spark BIGINT fails there even when
+        # every value matches. Mirror that sensitivity locally: a numeric
+        # column must be int-family on BOTH sides or float-family on BOTH.
+        sf_, of_ = _num_family(sv), _num_family(ov)
+        if sf_ != of_ and "nonnum" not in (sf_, of_):
+            return ParityResult(
+                name,
+                False,
+                f"col {c}: dtype family mismatch spark={sv.dtype}({sf_}) "
+                f"!= oracle={ov.dtype}({of_}) — cast the oracle (or query) "
+                "so both sides agree (uncast SUM -> HUGEINT trap)",
+            )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             sv = sv.astype(float)
             ov = ov.astype(float)

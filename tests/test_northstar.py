@@ -826,7 +826,11 @@ def test_training_export_manifest_invariants(spark):
     m = export_manifest(d, "doc_id", "text", "lang")
     rows = m.collect()
     assert rows
-    assert {r.split for r in rows} <= {"train", "val"}
+    # BOTH splits must actually occur — the round-3 advisor found the
+    # old additive-salt hash made 'val' structurally unreachable (its
+    # arc sat inside the eval hold-out region); subset-only checks
+    # could not catch that.
+    assert {r.split for r in rows} == {"train", "val"}
     assert all(r.n_tokens_ws > 0 and r.n_tokens_bpe > 0 for r in rows)
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))

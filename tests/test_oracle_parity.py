@@ -35,6 +35,21 @@ def test_parity(name, spark, con):
     assert res.ok, res.detail
 
 
+def test_dtype_gate_catches_uncast_hugeint():
+    """The driver's value-hash is dtype-sensitive; compare() must
+    fail locally when an oracle SUM comes back float64 (DuckDB
+    HUGEINT) against a Spark BIGINT even if every value matches —
+    the bug class behind w7_sessionize/tpch_q12 (VERDICT r03)."""
+    import pandas as pd
+
+    s = pd.DataFrame({"k": ["a", "b"], "v": pd.array([5, 6], dtype="int64")})
+    o = pd.DataFrame({"k": ["a", "b"], "v": [5.0, 6.0]})
+    res = compare("trap", s, o)
+    assert not res.ok and "dtype family" in res.detail
+    # identical families still pass
+    assert compare("ok", s, s.copy()).ok
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
