@@ -3569,21 +3569,35 @@ def q14_profile_diff(spark, sf_dir):
     "w23_twap",
     """
     WITH e AS (
-      SELECT user_id, ts, event_id, value,
-             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-             epoch_ms(ts) AS ts_ms,
-             epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) AS day_end_ms
+      SELECT user_id, ts, event_id,
+             date_trunc('day', ts) AS day_ts,
+             CAST(round(value * 10000) AS BIGINT) AS v_fp
       FROM events
     ),
-    d AS (
-      SELECT user_id, day,
-             COALESCE(lead(ts_ms) OVER (
-               PARTITION BY user_id, day ORDER BY ts, event_id),
-               day_end_ms) - ts_ms AS dur,
-             CAST(round(value * 10000) AS BIGINT) AS v_fp
+    p AS (
+      SELECT *,
+             lag(v_fp) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_v,
+             lag(day_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_day
       FROM e
+    ),
+    u AS (
+      SELECT user_id, ts, 1 AS syn, event_id, day_ts, v_fp FROM p
+      UNION ALL
+      SELECT user_id, day_ts AS ts, 0 AS syn, event_id, day_ts,
+             prev_v AS v_fp
+      FROM p WHERE prev_day IS NOT NULL AND prev_day < day_ts
+    ),
+    d AS (
+      SELECT user_id, strftime(day_ts, '%Y-%m-%d') AS day, syn,
+             COALESCE(lead(epoch_ms(ts)) OVER (
+               PARTITION BY user_id, day_ts ORDER BY ts, syn, event_id),
+               epoch_ms(day_ts + INTERVAL 1 DAY)) - epoch_ms(ts) AS dur,
+             v_fp
+      FROM u
     )
-    SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+    SELECT user_id, day, CAST(SUM(syn) AS BIGINT) AS n_events,
            CAST(SUM(dur) AS BIGINT) AS total_dur_ms,
            CAST(SUM(v_fp * dur) AS DOUBLE)
              / (CAST(SUM(dur) AS DOUBLE) * 10000.0) AS twap
@@ -3593,13 +3607,15 @@ def q14_profile_diff(spark, sf_dir):
 def w23_twap(spark, sf_dir):
     """W23 — TIME-WEIGHTED average per (user, day)
     (operators/timeseries.py:time_weighted_avg): each reading
-    weighted by its hold duration (lead µs diff; last reading holds
-    to midnight) — the duty-cycle-correct mean for irregular sensor
-    cadences, where plain AVG over-weights bursts. Durations are
-    exact BIGINT ms, values 1e-4 fixed point — every product under
-    2^53, all-BIGINT (decimal widening silently goes DOUBLE in
-    DuckDB past precision 38), one double division at the end —
-    oracle-exact."""
+    weighted by its hold duration (lead ms diff; last reading holds
+    to midnight; the PRIOR day's last reading carries in as a
+    synthetic midnight reading so late-first-event days aren't
+    biased — round-3 advisor fix) — the duty-cycle-correct mean for
+    irregular sensor cadences, where plain AVG over-weights bursts.
+    Durations are exact BIGINT ms, values 1e-4 fixed point — every
+    product under 2^53, all-BIGINT (decimal widening silently goes
+    DOUBLE in DuckDB past precision 38), one double division at the
+    end — oracle-exact. n_events counts real readings only."""
     from eco_pulse_lakehouse_spark.operators.timeseries import (
         time_weighted_avg,
     )

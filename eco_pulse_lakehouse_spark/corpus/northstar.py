@@ -2108,15 +2108,22 @@ def x3_semdedup(spark, sf_dir):
     dp AS (
       SELECT s, count(*) AS nd
       FROM (SELECT DISTINCT doc_id, s FROM sh) GROUP BY s
+    ),
+    prof AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_frac
+      FROM sh JOIN dp USING (s)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dup,
-           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*) AS dup_frac
-    FROM sh JOIN dp USING (s)
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+           dup_frac
+    FROM documents d LEFT JOIN prof USING (doc_id)
     """,
 )
 def x2_dup_ngram_frac(spark, sf_dir):

@@ -346,10 +346,17 @@ def psi_drift(
     the final sum is order-independent. Returns one row
     (n1, n2, psi_fp, psi) — or ZERO rows when no bin has both sides
     populated (matching the oracle's empty GROUP BY; guard
-    .collect() accordingly)."""
+    .collect() accordingly).
+
+    NULL handling: NULL ``value_col`` rows are dropped BEFORE
+    bucketing (round-3 advisor: floor(NULL)=NULL would otherwise
+    form a NULL bucket that still counts toward n1/n2 and adds a
+    PSI term whenever both sides contain NULLs) — same convention
+    as :func:`ks_statistic`."""
     bucket = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast(
         "bigint"
     )
+    df = df.filter(F.col(value_col).isNotNull())
     b = df.groupBy(bucket.alias("__bucket")).agg(
         F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
         F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),

@@ -554,7 +554,14 @@ def dup_shingle_fraction(
     count-distinct expand — and hash-join it back onto the position
     stream. Inverted-index cost, never all-pairs. At 100 TB swap the
     shingle strings for shingle_hashes (integer rolling hashes, same
-    module) so the join key is 8 bytes; the plan is unchanged."""
+    module) so the join key is 8 bytes; the plan is unchanged.
+
+    Documents shorter than ``n`` words have no shingles but are NOT
+    dropped (round-3 advisor: posexplode of their empty array emits
+    no rows, so they'd silently vanish from the profile and a
+    consumer joining it back would lose rows): they appear with
+    n_shingles = 0, n_dup = 0, dup_frac NULL via a left join back
+    from the id spine."""
     from eco_pulse_lakehouse_spark.functions.text import word_shingles
 
     sh = docs.select(
@@ -567,7 +574,7 @@ def dup_shingle_fraction(
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("__nd"))
     )
-    return (
+    prof = (
         sh.join(docs_per, "s")
         .groupBy(id_col)
         .agg(
@@ -577,6 +584,14 @@ def dup_shingle_fraction(
             ).alias("n_dup"),
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(prof, id_col, "left")
+        .withColumn(
+            "n_shingles", F.coalesce("n_shingles", F.lit(0).cast("bigint"))
+        )
+        .withColumn("n_dup", F.coalesce("n_dup", F.lit(0).cast("bigint")))
     )
 
 

@@ -590,6 +590,16 @@ def time_weighted_avg(
     HOLD duration — until the next reading of the same key that day,
     the last reading holding until midnight.
 
+    CARRY-IN (round-3 advisor): the previous day's LAST reading is
+    carried across the boundary as a synthetic midnight reading, so
+    a key-day whose first event arrives late is no longer biased
+    toward its late readings — coverage runs midnight-to-midnight
+    whenever a prior reading exists (one extra lag over the per-key
+    partition). Remaining stated limit: a key-day with ZERO events
+    while a reading is still holding stays absent from the output —
+    materializing gap days needs an interval-by-day explode and is a
+    caller policy, not done here.
+
     Exactness: durations are exact BIGINT MILLISECONDS (lead over
     the per-key day partition; day boundary in ms), values are
     1e-4 fixed-point BIGINTs, so every product v_fp·dur_ms stays
@@ -598,35 +608,78 @@ def time_weighted_avg(
     silently widens to DOUBLE in DuckDB once precision would exceed
     38, which cost a measured 1-ulp oracle drift). The TWAP itself
     is ONE double division of exact integers — bit-identical
-    cross-engine. One window shuffle on (key, day); day surfaces as
-    an ISO string (engine DATE dtypes diverge in pandas — the a27
-    lesson)."""
+    cross-engine. ONE exchange total: a single per-key window
+    supplies lead-ts (clamped to midnight — identical to a per-day
+    lead), prev-value, and prev-day; the carry-in is then a
+    CONDITIONAL TERM inside the aggregation (no synthetic-row union,
+    which would break partitioning propagation and force a second
+    shuffle), and the groupBy on (key, __day) reuses the window's
+    per-key hash partitioning via subset clustering. n_events counts
+    REAL readings only (the carry-in weighs but doesn't count). Day
+    surfaces as an ISO string (engine DATE dtypes diverge in pandas
+    — the a27 lesson)."""
     day = F.date_trunc("day", F.col(ts_col))
-    day_end_ms = F.unix_millis(day + F.expr("INTERVAL 1 DAY"))
-    ts_ms = F.unix_millis(F.col(ts_col))
-    w = Window.partitionBy(key_col, day.alias("__d")).orderBy(
+    v_fp = F.round(F.col(value_col) * value_scale, 0).cast("bigint")
+    base = events.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        day.alias("__day"),
+        v_fp.alias("__v_fp"),
+    )
+    w_key = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
-    dur = F.coalesce(F.lead(ts_ms).over(w), day_end_ms) - ts_ms
-    v_fp = F.round(F.col(value_col) * value_scale, 0).cast("bigint")
+    ts_ms = F.unix_millis(F.col(ts_col))
+    day_start_ms = F.unix_millis(F.col("__day"))
+    day_end_ms = F.unix_millis(F.col("__day") + F.expr("INTERVAL 1 DAY"))
+    # lead over the KEY window clamped to midnight == lead over the
+    # (key, day) window with a midnight default, without a 2nd window
+    dur = (
+        F.least(F.coalesce(F.lead(ts_ms).over(w_key), day_end_ms),
+                day_end_ms)
+        - ts_ms
+    )
+    prev_v = F.lag("__v_fp").over(w_key)
+    prev_day = F.lag("__day").over(w_key)
+    # the first event of a (key, day) whose previous reading is from
+    # an earlier day inherits it from midnight to its own timestamp
+    carry = prev_day.isNotNull() & (prev_day < F.col("__day"))
+    zero = F.lit(0).cast("bigint")
+    carry_dur = F.when(carry & prev_v.isNotNull(), ts_ms - day_start_ms
+                       ).otherwise(zero)
+    carry_wv = F.when(carry & prev_v.isNotNull(),
+                      prev_v * (ts_ms - day_start_ms)).otherwise(zero)
     return (
-        events.select(
+        base.select(
             F.col(key_col),
-            F.date_format(day, "yyyy-MM-dd").alias("day"),
+            F.col("__day"),
             dur.alias("__dur"),
-            v_fp.alias("__v_fp"),
+            F.col("__v_fp"),
+            carry_dur.alias("__cdur"),
+            carry_wv.alias("__cwv"),
         )
-        .groupBy(key_col, "day")
+        .groupBy(key_col, "__day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("__dur").cast("bigint").alias("total_dur_ms"),
+            (F.sum("__dur") + F.sum("__cdur"))
+            .cast("bigint")
+            .alias("total_dur_ms"),
             (
-                F.sum(F.col("__v_fp") * F.col("__dur"))
+                (F.sum(F.col("__v_fp") * F.col("__dur"))
+                 + F.sum("__cwv"))
                 .cast("double")
                 / (
-                    F.sum("__dur").cast("double")
+                    (F.sum("__dur") + F.sum("__cdur")).cast("double")
                     * F.lit(float(value_scale))
                 )
             ).alias("twap"),
+        )
+        .select(
+            F.col(key_col),
+            F.date_format(F.col("__day"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_dur_ms",
+            "twap",
         )
     )

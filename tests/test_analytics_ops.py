@@ -295,3 +295,57 @@ def test_bollinger_bands_bracket_mean_and_collapse_on_constants(spark):
     )
     for r in rows:
         assert r.mean == 7.5
+
+
+def test_time_weighted_avg_carries_prior_day_reading_across_midnight(spark):
+    """Round-3 advisor: a day whose first event arrives late must
+    inherit the previous day's last reading from midnight, so the
+    TWAP covers the full day instead of only first-event-to-midnight."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    d1 = datetime(2024, 1, 1, 12, 0, 0)   # day 1: value 10 from noon
+    d2 = datetime(2024, 1, 2, 18, 0, 0)   # day 2: value 40 from 18:00
+    df = spark.createDataFrame(
+        [(1, 7, d1, 10.0), (2, 7, d2, 40.0)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    rows = {
+        r.day: r
+        for r in time_weighted_avg(
+            df, "user_id", "ts", "event_id", "value"
+        ).collect()
+    }
+    # day 1: no prior reading -> noon-to-midnight only, twap = 10
+    assert rows["2024-01-01"].total_dur_ms == 12 * 3600 * 1000
+    assert rows["2024-01-01"].twap == 10.0
+    assert rows["2024-01-01"].n_events == 1
+    # day 2: value 10 carried midnight->18:00 (18h), 40 for 6h
+    assert rows["2024-01-02"].total_dur_ms == 24 * 3600 * 1000
+    assert rows["2024-01-02"].twap == (10.0 * 18 + 40.0 * 6) / 24
+    assert rows["2024-01-02"].n_events == 1  # synthetic row not counted
+
+
+def test_dup_shingle_fraction_keeps_sub_n_word_docs(spark):
+    """Round-3 advisor: documents shorter than n words must appear in
+    the profile (n_shingles 0, dup_frac NULL), not silently vanish."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        dup_shingle_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "too short"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in dup_shingle_fraction(df, n=4).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].n_shingles == 0 and rows[3].n_dup == 0
+    assert rows[3].dup_frac is None
+    # docs 1/2 share the 4-gram 'alpha beta gamma delta' (position 0)
+    assert rows[1].n_shingles == 2 and rows[1].n_dup == 1
+    assert rows[1].dup_frac == 0.5
