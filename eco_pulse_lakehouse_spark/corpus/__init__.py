@@ -65,40 +65,69 @@ _DRIVER_GREEN = frozenset(
     # but with predicates that matched zero rows (vacuous parity);
     # their round-2 non-empty rewrites count as never-checked.
     - {"j3_anti_join", "set_except", "s4_scan_pushdown"}
-)
-
-# Red in CORRECTNESS_r02 for harness-shape reasons (oracle HUGEINT
-# dtype / top-level array columns) — fixed this round; they lead the
-# round-3 window so the fixes get re-certified immediately.
-_DRIVER_RED_R02_FIXED = frozenset(
-    {
+    # --- round 2 red, fixed + driver-certified green in round 3 ---
+    | {
         "q1_quality_gate", "q4_profile", "x4_token_estimate",
         "x4_bm25", "x4_bm25_table", "x3_embedding_pool",
+    }
+    # --- round 3 greens (CORRECTNESS_r03.json, all hash_match) ---
+    | {
+        "a10_quantiles", "a11_grouping_sets", "a13_collect_set",
+        "a9_pivot", "f_map_lookup", "m4_versioned_merge",
+        "o2_global_rank", "s11_partitioned_scan", "s12_orc_roundtrip",
+        "s13_schema_evolution", "s14_python_datasource",
+        "s15_compaction", "s16_versioned_table", "s17_versioned_changes",
+        "s18_versioned_vacuum", "s19_versioned_restore", "s8_json_source",
+        "t10_stream_stream_join", "t11_stream_stream_left_join",
+        "t12_python_stream_source", "t13_chained_windows",
+        "t14_sliding_windows", "t15_stream_reassembly", "t16_stream_fanout",
+        "t17_stream_countmin", "t19_stream_ann_ingest",
+        "t20_stream_versioned_gold", "t21_cdf_incremental_agg",
+        "t22_stream_cdf", "t23_stream_psi", "t24_stream_ks",
+        "t25_stream_semdedup", "t26_stream_heavy_hitters",
+        "t3_stream_append_silver", "t5_stream_dedup",
+        "t6_stream_windowed_counts", "t8_stream_static_join",
+        "t9_session_window", "u1_pandas_running_max", "u2_pandas_normalize",
+        "w10_null_ordering", "w8_range_frame", "w9_rank_family",
+    }
+)
+
+# Round-4 re-certification tier: the one r03 red (w7_sessionize,
+# oracle SUM dtype) + entries whose oracle or semantics changed this
+# round (HUGEINT casts, stage-hash independence, TWAP carry-in,
+# short-doc profile rows, mixture overflow fix) — they lead the
+# window so the driver certifies the fixes immediately.
+_RECERTIFY_R04 = frozenset(
+    {
+        "w7_sessionize", "tpch_q12", "flagship_training_export",
+        "x6_temperature_mixture", "w23_twap", "x2_dup_ngram_frac",
+        "q12_psi_drift",
     }
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 3 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 4 rotation).
 
-    Order: (1) the six round-2 red entries whose harness-shape fixes
-    need re-certification; (2) never-driver-checked entries — within
-    those, oracle-backed precede rows-only (an oracle row is the
-    strong external signal), and families order streaming + the
-    versioned/Delta-semantics layer (t*, s1x, m4 — the reference's
-    core storage contract with zero driver rows, round-2 verdict
-    item 2) → the §2 stragglers (u*, o2, f_map_lookup, s8) → the
-    extended a/m/g/w families → TPC-H → rest; (3) driver-green
-    entries last."""
-    if name in _DRIVER_RED_R02_FIXED:
+    Order: (1) the seven entries fixed/changed this round
+    (_RECERTIFY_R04 — including the one r03 red); (2) never-driver-
+    checked entries, oracle-backed first, families per VERDICT r03
+    item 3: TPC-H (22 entries, zero driver rows) → the as-of/
+    interval/bloom join ladder (j4–j9) + merge (m2/m3) + graph
+    (g1/g2) + the round-2 rewrites (j3_anti_join, set_except,
+    s4_scan_pushdown) and the s20/s21 sources → the skew-guard
+    entries (skew1–3) → quality/drift (q*) + composition (x6/x7)
+    → the rest (a*, w*, f*, x*); (3) driver-green entries last."""
+    if name in _RECERTIFY_R04:
         return (0, 0, 0)
     if name in _DRIVER_GREEN:
         return (9, 0, 0)
     fam = (
-        3 if name.startswith("tpch") else
-        0 if name.startswith(("t", "s1", "m4")) else
-        1 if name.startswith(("u", "o2", "f_map", "s8")) else
-        2 if name.startswith(("a", "m", "g", "w", "x", "q", "flagship")) else
+        0 if name.startswith("tpch") else
+        1 if name.startswith(("j", "m2", "m3", "g", "set_except",
+                              "s4", "s20", "s21", "cat")) else
+        2 if name.startswith("skew") else
+        3 if name.startswith(("q", "x6", "x7", "flagship")) else
         4
     )
     return (1, 0 if has_oracle else 1, fam)
