@@ -50,6 +50,13 @@ HEADLINE = [
     "a29_heavy_hitters",       # CMS candidate prefilter + exact recount
     "x3_semdedup",             # cluster-bucketed semantic near-dup prune
     "x2_dup_ngram_frac",       # cross-doc duplicate 4-gram profile
+    # skew-guard pairs: each adversarial row (90% of keys collapsed
+    # onto ONE hot key) must stay within ~2x of its uniform twin —
+    # the BENCH-level proof the salting guards hold (VERDICT r03 #5)
+    "skew1_salted_count",      # uniform twin
+    "skew4_hot_key_count",     # adversarial: one hot agg key
+    "skew3_salted_join",       # uniform twin
+    "skew5_hot_key_join",      # adversarial: one hot join key
 ]
 
 

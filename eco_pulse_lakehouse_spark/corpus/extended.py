@@ -605,6 +605,66 @@ def skew3_salted_join(spark, sf_dir):
     ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
 
 
+@q(
+    "skew4_hot_key_count",
+    """
+    SELECT hot_key, COUNT(*) AS n
+    FROM (SELECT CASE WHEN event_id % 10 != 0 THEN -1 ELSE user_id END
+            AS hot_key FROM events)
+    GROUP BY hot_key
+    """,
+)
+def skew4_hot_key_count(spark, sf_dir):
+    """ADVERSARIAL skew (VERDICT r03 item 5): 90% of rows are
+    remapped onto ONE hot key, then counted through the two-phase
+    salted aggregate — same operator, salt factor, and row count as
+    the uniform twin skew1_salted_count, so the bench pair shows the
+    guard holding under a melted-reducer distribution (a plain
+    groupBy would push 90% of the table through one reducer; the
+    salt spreads it over 16). Oracle is the plain remap + count."""
+    ev = T(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 != 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "event_id",
+    )
+    return osk.salted_count(
+        ev, ["hot_key"], salt_buckets=16, tiebreak="event_id"
+    )
+
+
+@q(
+    "skew5_hot_key_join",
+    """
+    SELECT o_orderkey, o_totalprice, hot_custkey, c_name
+    FROM (SELECT o_orderkey, o_totalprice,
+                 CASE WHEN o_orderkey % 10 != 0 THEN 1
+                      ELSE o_custkey END AS hot_custkey
+          FROM orders) o
+    JOIN customer ON hot_custkey = c_custkey
+    """,
+)
+def skew5_hot_key_join(spark, sf_dir):
+    """ADVERSARIAL skew join (VERDICT r03 item 5): 90% of the fact
+    keys collapse onto customer 1, joined through salted_join — same
+    operator/salt/rows as the uniform twin skew3_salted_join. The
+    hot key spreads over 8 (key, salt) shards instead of melting one
+    reducer; the bench pair pins the within-2×-of-uniform contract.
+    Oracle is the plain join on the remapped key."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 != 0, F.lit(1).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("hot_custkey"),
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return osk.salted_join(
+        o, c, "hot_custkey", "c_custkey", salt_buckets=8,
+        tiebreak="o_orderkey",
+    ).select("o_orderkey", "o_totalprice", "hot_custkey", "c_name")
+
+
 # --- sources --------------------------------------------------------------
 
 
