@@ -2052,6 +2052,56 @@ def a29_heavy_hitters(spark, sf_dir):
 
 
 @q(
+    "a30_spacesaving",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM d, unnest(range(1, len(t))) AS u(i)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 20
+    """,
+)
+def a30_spacesaving(spark, sf_dir):
+    """A30 — EXACT top-20 bigrams via mergeable SPACE-SAVING
+    summaries (operators/sketches.py:spacesaving_topk; Metwally et
+    al. 2005 / Agarwal et al. 2012 mergeable-summaries): the stream
+    shards into 8 deterministic units (doc_id mod 8), each unit
+    summarizes to its top-600 with a truncation threshold, the
+    summaries merge ORDER-INSENSITIVELY into per-key (lower, upper)
+    count bounds (pure commutative sums — pinned by a permuted-merge
+    pytest), candidates below the k-th lower bound are pruned, and
+    an exact recount of the survivors yields the top-k — IDENTICAL
+    to the direct GROUP BY/ORDER BY/LIMIT the oracle runs. strict
+    mode ASSERTS the exactness certificate L_k > T_total in-plan
+    (per_unit_k=600 satisfies it at every test sf while truncation
+    genuinely occurs, T_total 16–287). The 100 TB shape: the final
+    exchange sees O(k · #units) candidate keys, not the n-gram
+    vocabulary — the same candidates-only-shuffle contract as
+    a29_heavy_hitters, answering top-k instead of threshold."""
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    bg = d.select(
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("unit"),
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1,"
+                " size(split(text, ' ')) - 1),"
+                " (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    return spacesaving_topk(
+        bg, "bigram", "unit", k=20, per_unit_k=600
+    )
+
+
+@q(
     "w15_sax_words",
     """
     WITH s AS (

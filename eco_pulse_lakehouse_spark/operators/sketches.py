@@ -210,3 +210,190 @@ def cms_estimate(
         .groupBy(*others)
         .agg(F.min("c").alias(out_col))
     )
+
+
+# --- Space-Saving top-k (mergeable summaries) -----------------------------
+
+
+def spacesaving_summary(
+    df: DataFrame,
+    key_col: str,
+    unit_col: str,
+    k: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-UNIT Space-Saving summary (Metwally et al. 2005, in the
+    mergeable-summaries formulation of Agarwal et al. 2012): for each
+    unit (a day, a file batch, a deterministic shard), the top-``k``
+    keys by exact in-unit count plus the unit's TRUNCATION THRESHOLD
+    — the largest dropped count (0 when nothing was dropped). A key
+    absent from a unit's summary is guaranteed to have in-unit count
+    ≤ thr, which is exactly the invariant the merge needs.
+
+    Returns (unit, key, cnt, thr) — ≤ k rows per unit, thr constant
+    within a unit. Counts are EXACT per key (groupBy map-side
+    combine), so tracked keys carry zero error — the classic
+    streaming SS trades that exactness for strict O(k) scan state;
+    the CMS+recount pipeline (t17/t26) covers that regime. Here the
+    bounded thing is the MERGE INPUT: O(k · #units) rows instead of
+    Σ|vocab_unit|. Determinism: ties rank by (cnt desc, key asc) —
+    no dependence on row order anywhere. At 100 TB, if a single
+    unit's vocabulary is itself too hot for one rank partition,
+    sub-shard the unit by key hash first — keys are disjoint across
+    sub-shards, so the union of sub-shard top-k contains the unit
+    top-k."""
+    from pyspark.sql import Window
+
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    counts = df.groupBy(unit_col, key_col).agg(F.sum(w).alias("cnt"))
+    rank_w = Window.partitionBy(unit_col).orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(rank_w))
+    kept = ranked.filter(F.col("__rn") <= k).drop("__rn")
+    thr = (
+        ranked.filter(F.col("__rn") > k)
+        .groupBy(unit_col)
+        .agg(F.max("cnt").alias("thr"))
+    )
+    return (
+        kept.join(thr, unit_col, "left")
+        .withColumn("thr", F.coalesce("thr", F.lit(0).cast("bigint")))
+        .select(unit_col, key_col, "cnt", "thr")
+    )
+
+
+def spacesaving_merge(
+    summaries: DataFrame, key_col: str, unit_col: str = "unit"
+) -> DataFrame:
+    """ORDER-INSENSITIVE merge of per-unit summaries into global
+    count BOUNDS per key: ``lower = Σ_units tracked cnt`` (exact
+    mass seen in tracking units) and ``upper = lower + Σ_{units NOT
+    tracking the key} thr_unit`` (each non-tracking unit can hide at
+    most its threshold). Both are plain commutative-associative sums
+    over the summary rows — merging day summaries in ANY order, or
+    unioning partial merges, yields the SAME bounds (pinned in
+    pytest by merging a permuted union). The summary table is
+    O(k · #units) rows, so the merge shuffles almost nothing.
+
+    Implementation note: ``upper`` is computed as
+    ``lower + (T_total − Σ_{tracking units} thr)`` with T_total the
+    sum of ALL unit thresholds — one tiny distinct-aggregate
+    broadcast — so no per-key anti-join against the unit list is
+    needed."""
+    totals = (
+        summaries.select(unit_col, "thr")
+        .distinct()
+        .agg(F.sum("thr").cast("bigint").alias("__t_total"))
+    )
+    return (
+        summaries.groupBy(key_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("lower"),
+            F.sum("thr").cast("bigint").alias("__covered"),
+        )
+        .join(F.broadcast(totals))
+        .select(
+            key_col,
+            "lower",
+            (F.col("lower") + F.col("__t_total") - F.col("__covered"))
+            .cast("bigint")
+            .alias("upper"),
+        )
+    )
+
+
+def spacesaving_topk(
+    df: DataFrame,
+    key_col: str,
+    unit_col: str,
+    k: int,
+    per_unit_k: int | None = None,
+    weight_col: str | None = None,
+    out_count: str = "n",
+    strict: bool = True,
+) -> DataFrame:
+    """EXACT global top-``k`` keys by count via mergeable Space-Saving
+    summaries + exact recount — the a29 pattern (sketch prunes, exact
+    pass certifies) for the top-k-by-frequency question instead of
+    the threshold question.
+
+    1. summarize each unit to its top-``per_unit_k`` (default 4k —
+       slack cuts recount candidates' upper bounds);
+    2. merge order-insensitively into per-key (lower, upper) bounds;
+    3. prune: L_k := the k-th largest lower bound; any key with
+       upper < L_k cannot be in the true top-k (true ≤ upper <
+       L_k ≤ k true counts). Every true top-k key survives: its
+       exact count ≥ the k-th exact count ≥ L_k, and upper ≥ exact.
+    4. exact recount of the surviving candidate keys only (semi-join
+       prefilter BEFORE the groupBy exchange, exactly like
+       frequent_items), then top-k by (count desc, key asc).
+
+    Output is IDENTICAL to the direct GROUP BY / ORDER BY / LIMIT k
+    — the corpus oracle (a30_spacesaving) is that plain SQL. At
+    100 TB the groupBy exchange sees |candidates| ≈ O(k · #units)
+    keys instead of the full vocabulary — for n-gram streams the
+    difference between a bounded exchange and a combinatorial one.
+    NULL keys are excluded (as in frequent_items); a direct GROUP BY
+    would report the NULL group.
+
+    EXACTNESS CERTIFICATE: a key tracked by NO unit never enters the
+    merge, and its count can still reach T_total (every unit hides up
+    to its threshold) — the classic diffuse-key hazard of merged SS
+    summaries. The output is certifiably exact iff ``L_k > T_total``.
+    With ``strict=True`` (default) that certificate is ASSERTED in
+    the plan (``assert_true`` on the broadcast scalars — the job
+    fails loudly instead of silently returning a plausible top-k;
+    raise ``per_unit_k`` until it holds). ``strict=False`` skips the
+    check for exploratory use."""
+    pk = per_unit_k if per_unit_k is not None else 4 * k
+    summaries = spacesaving_summary(
+        df, key_col, unit_col, pk, weight_col=weight_col
+    )
+    merged = spacesaving_merge(summaries, key_col, unit_col)
+    # L_k: k-th largest lower bound — a k-row sort on the tiny merged
+    # summary table, broadcast back as a one-row threshold
+    lk = (
+        merged.select("lower")
+        .orderBy(F.col("lower").desc())
+        .limit(k)
+        .agg(F.min("lower").cast("bigint").alias("__lk"))
+    )
+    t_total = (
+        summaries.select(unit_col, "thr")
+        .distinct()
+        .agg(F.sum("thr").cast("bigint").alias("__t_total"))
+    )
+    cert = lk.join(t_total)
+    candidates = (
+        merged.join(F.broadcast(cert))
+        .filter(F.col("upper") >= F.col("__lk"))
+    )
+    if strict:
+        candidates = candidates.filter(
+            F.assert_true(
+                F.col("__lk") > F.col("__t_total"),
+                F.lit(
+                    "space-saving top-k not certifiably exact "
+                    "(L_k <= T_total): a key below every unit's "
+                    "threshold could still be top-k — raise per_unit_k"
+                ),
+            ).isNull()
+        )
+    candidates = candidates.select(key_col)
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.sum(w).alias(out_count))
+        .orderBy(F.col(out_count).desc(), F.col(key_col).asc())
+        .limit(k)
+    )

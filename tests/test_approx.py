@@ -173,3 +173,94 @@ def test_frequent_items_prefilter_prunes_vocabulary(spark):
     assert candidates < vocab * 0.05  # ~8 hot keys vs ~4600 cold
     got = sk.frequent_items(df, "w", min_count=50, depth=4, width=1 << 12)
     assert got.count() == hot
+
+
+def _ss_stream(spark):
+    """4 units; key counts per unit chosen so per_unit_k=2 truncates
+    real mass in every unit (thr > 0) while the certificate holds."""
+    rows = []
+    per_unit = {
+        0: {"a": 9, "b": 7, "c": 3, "d": 2},
+        1: {"a": 8, "b": 6, "e": 3, "c": 2},
+        2: {"b": 9, "a": 5, "d": 3, "e": 1},
+        3: {"a": 7, "b": 7, "c": 3, "f": 2},
+    }
+    for u, ks in per_unit.items():
+        for key, n in ks.items():
+            rows += [(u, key)] * n
+    return spark.createDataFrame(rows, "unit INT, key STRING")
+
+
+def test_spacesaving_topk_equals_direct_under_truncation(spark):
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        spacesaving_summary,
+        spacesaving_topk,
+    )
+
+    df = _ss_stream(spark)
+    # per_unit_k=2 really truncates: every unit drops keys with mass
+    s = spacesaving_summary(df, "key", "unit", 2)
+    assert all(r.thr > 0 for r in s.select("unit", "thr").distinct().collect())
+    got = spacesaving_topk(df, "key", "unit", k=2, per_unit_k=2).collect()
+    direct = (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(2)
+        .collect()
+    )
+    assert [(r.key, r.n) for r in got] == [(r.key, r.n) for r in direct]
+
+
+def test_spacesaving_merge_is_order_insensitive(spark):
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        spacesaving_merge,
+        spacesaving_summary,
+    )
+
+    df = _ss_stream(spark)
+    s = spacesaving_summary(df, "key", "unit", 2)
+    # merge the per-unit summaries in two different union orders
+    parts = [s.filter(F.col("unit") == u) for u in (0, 1, 2, 3)]
+    fwd = parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(parts[3])
+    rev = parts[3].unionByName(parts[1]).unionByName(parts[0]).unionByName(parts[2])
+    m1 = sorted(
+        (r.key, r.lower, r.upper)
+        for r in spacesaving_merge(fwd, "key", "unit").collect()
+    )
+    m2 = sorted(
+        (r.key, r.lower, r.upper)
+        for r in spacesaving_merge(rev, "key", "unit").collect()
+    )
+    assert m1 == m2
+    # bound sanity: lower <= exact <= upper for every tracked key
+    exact = {
+        r.key: r.n
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for key, lo, up in m1:
+        assert lo <= exact[key] <= up
+
+
+def test_spacesaving_strict_raises_without_exactness_certificate(spark):
+    """Diffuse-key hazard: every unit tracks only its own hot key, so
+    a key hidden just below every threshold could still be global
+    top-k — strict mode must fail the job, not return a guess."""
+    import pytest
+
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+
+    rows = []
+    for u, hot in enumerate(["x", "y", "x", "y"]):
+        rows += [(u, hot)] * 3
+        rows += [(u, f"d{u}")] * 2  # dropped at per_unit_k=1, thr=2
+    df = spark.createDataFrame(rows, "unit INT, key STRING")
+    with pytest.raises(Exception, match="not certifiably exact"):
+        spacesaving_topk(df, "key", "unit", k=2, per_unit_k=1).collect()
+    # non-strict mode returns k rows without the guarantee
+    got = spacesaving_topk(
+        df, "key", "unit", k=2, per_unit_k=1, strict=False
+    ).collect()
+    assert len(got) == 2
