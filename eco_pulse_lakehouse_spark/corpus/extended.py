@@ -1769,6 +1769,79 @@ def w13_journey_pattern(spark, sf_dir):
 
 
 @q(
+    "w24_match_recognize",
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
+             CASE WHEN ts - lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+               <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, c,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM f
+    ),
+    j AS (
+      SELECT user_id, session_id,
+             string_agg(c, '' ORDER BY ts, event_id) AS journey
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_id, journey,
+           CAST(len(regexp_extract_all(journey, 's[cv]+p')) AS BIGINT)
+             AS n_matches,
+           CASE WHEN len(regexp_extract_all(journey, 's[cv]+p')) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(strpos(journey,
+                       regexp_extract(journey, 's[cv]+p')) AS BIGINT) END
+             AS first_match_pos,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(journey, 's[cv]+p'),
+                  x -> length(x))), 0) AS BIGINT) AS matched_chars
+    FROM j
+    """,
+)
+def w24_match_recognize(spark, sf_dir):
+    """W24 — quantified sequence pattern WITHIN sessions
+    (operators/patterns.py:sessionized_pattern_matches): the proper
+    MATCH_RECOGNIZE shape w13's run-counting doesn't cover —
+    PATTERN (A B+ C) with A=signup, B=click|view (one-or-more),
+    C=purchase, contiguous rows, greedy quantifier, AFTER MATCH SKIP
+    PAST LAST ROW, and the whole match confined to one 30-min-gap
+    12-hour-gap session (the w7 sessionize substrate; at sf0.01 the 30-min gap leaves ~1-event sessions and zero matches — a vacuous parity row — while 12 h yields thousands of multi-event sessions and >100 matches). An intervening 'e'rror
+    breaks the match exactly as row-contiguity demands. Sessionize
+    window + per-session journey fold + regex scan = ONE exchange
+    (both cluster on user_id); matched_chars exercises the HOF fold
+    over regexp_extract_all. Oracle replays the identical lag/cumsum
+    + ordered string_agg + RE2 scan (first_match_pos via strpos of
+    the leftmost extract — any earlier occurrence of that substring
+    would itself have been the leftmost match, so the positions
+    coincide)."""
+    from eco_pulse_lakehouse_spark.operators.patterns import (
+        sessionized_pattern_matches,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    return sessionized_pattern_matches(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1),
+        "s[cv]+p",
+        gap_seconds=12 * 3600,
+    )
+
+
+@q(
     "a16_retention",
     """
     WITH first_seen AS (

@@ -349,3 +349,49 @@ def test_dup_shingle_fraction_keeps_sub_n_word_docs(spark):
     # docs 1/2 share the 4-gram 'alpha beta gamma delta' (position 0)
     assert rows[1].n_shingles == 2 and rows[1].n_dup == 1
     assert rows[1].dup_frac == 0.5
+
+
+def test_sessionized_pattern_match_semantics(spark):
+    """MATCH_RECOGNIZE contract: contiguous rows only (an 'e' breaks
+    A B+ C), the session gap ends a match scope, B+ is greedy, and
+    matches don't overlap (skip past last row)."""
+    from eco_pulse_lakehouse_spark.operators.patterns import (
+        sessionized_pattern_matches,
+    )
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+
+    def ev(i, minutes, et):
+        return (i, 1, t0 + minutes * m, et)
+
+    rows = [
+        # session 1: s c v p  -> one match (greedy run), then s e p
+        # -> error breaks contiguity, no second match
+        ev(1, 0, "signup"), ev(2, 1, "click"), ev(3, 2, "view"),
+        ev(4, 3, "purchase"), ev(5, 4, "signup"), ev(6, 5, "error"),
+        ev(7, 6, "purchase"),
+        # session 2 (gap > 30 min): s c ... then the p lands in
+        # session 3 -> the pattern must NOT match across the gap
+        ev(8, 120, "signup"), ev(9, 121, "click"),
+        ev(10, 240, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+    from pyspark.sql import functions as F_
+
+    out = {
+        r.session_id: r
+        for r in sessionized_pattern_matches(
+            df, "user_id", "ts", "event_id",
+            F_.substring("event_type", 1, 1), "s[cv]+p",
+        ).collect()
+    }
+    assert out[1].journey == "scvpsep"
+    assert out[1].n_matches == 1
+    assert out[1].first_match_pos == 1
+    assert out[1].matched_chars == 4  # greedy: s c v p
+    assert out[2].journey == "sc" and out[2].n_matches == 0
+    assert out[2].first_match_pos == 0 and out[2].matched_chars == 0
+    assert out[3].journey == "p" and out[3].n_matches == 0
