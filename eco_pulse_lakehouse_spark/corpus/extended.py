@@ -3805,3 +3805,60 @@ def w23_twap(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return time_weighted_avg(ev, "user_id", "ts", "event_id", "value")
+
+
+@q(
+    "w25_twap_gap_days",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS v_fp
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts_ms, v_fp,
+             COALESCE(lead(ts_ms) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id),
+               (ts_ms // 86400000 + 1) * 86400000) AS end_ms
+      FROM e
+    ),
+    x AS (
+      SELECT user_id, ts_ms, end_ms, v_fp,
+             ts_ms // 86400000 AS d0, u.di AS di
+      FROM p, unnest(range(ts_ms // 86400000,
+             greatest(ts_ms // 86400000,
+                      (end_ms - 1) // 86400000) + 1)) AS u(di)
+    ),
+    c AS (
+      SELECT user_id, di,
+             CASE WHEN di = d0 THEN 1 ELSE 0 END AS own,
+             least(end_ms, (di + 1) * 86400000)
+               - greatest(ts_ms, di * 86400000) AS dur,
+             v_fp
+      FROM x
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(epoch_ms(di * 86400000), '%Y-%m-%d') AS day,
+           CAST(SUM(own) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_ms,
+           CAST(SUM(v_fp * dur) AS DOUBLE)
+             / (CAST(SUM(dur) AS DOUBLE) * 10000.0) AS twap
+    FROM c GROUP BY user_id, di
+    """,
+)
+def w25_twap_gap_days(spark, sf_dir):
+    """W25 — FULL-COVERAGE daily TWAP
+    (operators/timeseries.py:time_weighted_avg_daily): w23's stated
+    limit closed — key-days with ZERO events while a reading holds
+    appear (n_events 0, twap = held value, a full day of duration)
+    via the interval-by-day explode. Day indexes are ms-epoch
+    integer divisions (pure BIGINT — no engine date functions in the
+    hot path), overlaps are clamp arithmetic, values 1e-4 fixed
+    point, one double division — oracle-exact. On event-days the
+    result is IDENTICAL to w23 (pinned in pytest)."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        time_weighted_avg_daily,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    return time_weighted_avg_daily(ev, "user_id", "ts", "event_id", "value")

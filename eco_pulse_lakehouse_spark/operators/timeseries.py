@@ -683,3 +683,112 @@ def time_weighted_avg(
             "twap",
         )
     )
+
+
+def time_weighted_avg_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    value_scale: int = 10_000,
+) -> DataFrame:
+    """FULL-COVERAGE daily TWAP — :func:`time_weighted_avg`'s stated
+    remaining limit, closed: a key-day with ZERO events while a
+    reading is still holding now appears in the output (n_events 0,
+    twap = the held value, total_dur_ms a full day), via the
+    interval-by-day explode that function's docstring defers to.
+
+    Shape: one per-key lead gives each reading its hold interval
+    [ts, next_ts) (the key's last reading holds to the midnight after
+    it, matching time_weighted_avg); the interval EXPLODES into the
+    integer day indexes it covers (sequence over ms-epoch div
+    86400000 — pure BIGINT, no date functions, so the DuckDB oracle
+    replays it with unnest(range(...))); each (reading, day) row
+    contributes clamp-overlap milliseconds. On key-days that have
+    events the result is IDENTICAL to time_weighted_avg (same
+    carry-in, same midnight clamps — pinned in pytest); the explode
+    factor is days-per-hold, bounded by the data horizon (a sensor
+    silent for a year costs 365 rows — still linear in output size,
+    which a gap-day report must produce anyway).
+
+    n_events counts readings whose OWN timestamp falls on the day.
+    All-integer (ms durations, 1e-4 fixed-point values), one double
+    division — oracle-exact. Two shuffles: the per-key window, then
+    the (key, day) groupBy (the explode breaks subset-clustering
+    reuse here; at 100 TB both cluster on the key so AQE coalesces
+    the second exchange cheaply)."""
+    DAY_MS = 86_400_000
+    day_ms = F.lit(DAY_MS).cast("bigint")
+    w_key = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    ts_ms = F.unix_millis(F.col(ts_col))
+    v_fp = F.round(F.col(value_col) * value_scale, 0).cast("bigint")
+
+    def div_day(x):
+        return F.call_function("div", x - F.pmod(x, day_ms), day_ms)
+
+    base = events.select(
+        F.col(key_col),
+        ts_ms.alias("__ts_ms"),
+        F.col(tiebreak_col),
+        v_fp.alias("__v_fp"),
+    )
+    with_end = base.select(
+        F.col(key_col),
+        "__ts_ms",
+        "__v_fp",
+        F.coalesce(
+            F.lead("__ts_ms").over(
+                Window.partitionBy(key_col).orderBy(
+                    F.col("__ts_ms").asc(), F.col(tiebreak_col).asc()
+                )
+            ),
+            (div_day(F.col("__ts_ms")) + 1) * day_ms,
+        ).alias("__end_ms"),
+    )
+    d0 = div_day(F.col("__ts_ms"))
+    # end is EXCLUSIVE; greatest() guards the zero-duration case
+    # (duplicate timestamps at exact midnight would otherwise make
+    # sequence() run descending)
+    d1 = F.greatest(d0, div_day(F.col("__end_ms") - 1))
+    exploded = with_end.select(
+        F.col(key_col),
+        "__ts_ms",
+        "__end_ms",
+        "__v_fp",
+        d0.alias("__d0"),
+        F.explode(F.sequence(d0, d1)).alias("__di"),
+    )
+    lo = F.greatest(F.col("__ts_ms"), F.col("__di") * day_ms)
+    hi = F.least(F.col("__end_ms"), (F.col("__di") + 1) * day_ms)
+    dur = hi - lo
+    own = F.when(F.col("__di") == F.col("__d0"), 1).otherwise(0)
+    return (
+        exploded.select(
+            F.col(key_col),
+            F.col("__di"),
+            dur.alias("__dur"),
+            F.col("__v_fp"),
+            own.alias("__own"),
+        )
+        .groupBy(key_col, "__di")
+        .agg(
+            F.sum("__own").cast("bigint").alias("n_events"),
+            F.sum("__dur").cast("bigint").alias("total_dur_ms"),
+            (
+                F.sum(F.col("__v_fp") * F.col("__dur")).cast("double")
+                / (F.sum("__dur").cast("double") * F.lit(float(value_scale)))
+            ).alias("twap"),
+        )
+        .select(
+            F.col(key_col),
+            F.date_format(
+                F.timestamp_millis(F.col("__di") * day_ms), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_events",
+            "total_dur_ms",
+            "twap",
+        )
+    )

@@ -395,3 +395,39 @@ def test_sessionized_pattern_match_semantics(spark):
     assert out[2].journey == "sc" and out[2].n_matches == 0
     assert out[2].first_match_pos == 0 and out[2].matched_chars == 0
     assert out[3].journey == "p" and out[3].n_matches == 0
+
+
+def test_twap_daily_materializes_gap_days_and_matches_twap_on_event_days(spark):
+    """time_weighted_avg_daily: a silent day inside a hold appears
+    with the held value and zero events; on days WITH events it is
+    identical to time_weighted_avg (same carry-in and clamps)."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        time_weighted_avg,
+        time_weighted_avg_daily,
+    )
+
+    rows = [
+        (1, 7, datetime(2024, 1, 1, 12, 0, 0), 10.0),   # holds 3 days
+        (2, 7, datetime(2024, 1, 4, 6, 0, 0), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    daily = {r.day: r for r in time_weighted_avg_daily(
+        df, "user_id", "ts", "event_id", "value").collect()}
+    # silent gap days fully covered by the held reading
+    for gap_day in ("2024-01-02", "2024-01-03"):
+        r = daily[gap_day]
+        assert r.n_events == 0
+        assert r.total_dur_ms == 86_400_000
+        assert r.twap == 10.0
+    assert daily["2024-01-01"].total_dur_ms == 12 * 3600 * 1000
+    assert daily["2024-01-04"].n_events == 1
+    # day 4: 10.0 held midnight->06:00, then 40.0 to midnight
+    assert daily["2024-01-04"].twap == (10.0 * 6 + 40.0 * 18) / 24
+    # event-day rows identical to time_weighted_avg
+    twap = {r.day: r for r in time_weighted_avg(
+        df, "user_id", "ts", "event_id", "value").collect()}
+    for day, r in twap.items():
+        assert (daily[day].n_events, daily[day].total_dur_ms,
+                daily[day].twap) == (r.n_events, r.total_dur_ms, r.twap)
