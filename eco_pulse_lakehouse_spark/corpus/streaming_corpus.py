@@ -1511,3 +1511,91 @@ def t26_stream_heavy_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 40)
     )
+
+
+@q(
+    "t27_stream_patterns",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    f AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
+             CASE WHEN ts - lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+               <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, c,
+             SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS session_id
+      FROM f
+    ),
+    j AS (
+      SELECT user_id, session_id, MIN(ts) AS session_start,
+             MAX(ts) AS session_end,
+             string_agg(c, '' ORDER BY ts, event_id) AS journey
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_start, journey,
+           CAST(len(regexp_extract_all(journey, 's[cv]+p')) AS BIGINT)
+             AS n_matches,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(journey, 's[cv]+p'),
+                  x -> length(x))), 0) AS BIGINT) AS matched_chars
+    FROM j, mx
+    WHERE session_end + INTERVAL 12 HOUR <= m - INTERVAL 10 MINUTE
+    """,
+)
+def t27_stream_patterns(spark, sf_dir):
+    """T27 — w24's quantified pattern (A B+ C) as a STREAMING query:
+    session_window(12 h) aggregation under a 10-minute watermark
+    builds each session's journey string incrementally (collect_list
+    merges per micro-batch; array_sort over (ts, event_id) structs
+    makes the fold order-insensitive — the same discipline as every
+    streamed ≡ batch entry), append mode emits a session only once
+    the watermark passes its close, and the regex scan runs on the
+    emitted rows. The oracle is w24's lag/cumsum + string_agg replay
+    RESTRICTED to watermark-finalized sessions (session_end + gap ≤
+    max(ts) − delay), t13's append-mode discipline. session_window ≡
+    lag/cumsum sessionization is separately certified by t9."""
+    stage = _stage_events(spark, sf_dir)
+    stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s.getField("c"),
+        ),
+        "",
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window(F.col("ts"), "12 hours"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+        )
+        .agg(journey.alias("journey"))
+    )
+    name = f"pat_{uuid.uuid4().hex[:8]}"
+    out = sp.run_to_memory(agg, name, output_mode="append")
+    pat = F.lit("s[cv]+p")
+    matched_chars = F.aggregate(
+        F.regexp_extract_all(F.col("journey"), pat, F.lit(0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "journey",
+        F.regexp_count(F.col("journey"), pat).cast("bigint").alias("n_matches"),
+        matched_chars.alias("matched_chars"),
+    )
