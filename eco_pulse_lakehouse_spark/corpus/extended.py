@@ -1769,6 +1769,39 @@ def w13_journey_pattern(spark, sf_dir):
 
 
 @q(
+    "u3_python_udtf",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           array_to_string(w[i:i+2], ' ') AS ngram
+    FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+    """,
+)
+def u3_python_udtf(spark, sf_dir):
+    """§2.10 — Python UDTF (Spark 4 table function,
+    operators/pandas_ops.py:word_ngrams_udtf): LATERAL-joined word
+    trigrams per document. Certifies the remaining Python-boundary
+    API (pandas_udf=u2, applyInPandas=u1, mapInPandas=x5,
+    data source=s14, UDTF=here); the HOF transform/explode form
+    stays the hot path for real n-gram work."""
+    from eco_pulse_lakehouse_spark.operators.pandas_ops import (
+        word_ngrams_udtf,
+    )
+
+    from eco_pulse_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("word_ngrams", word_ngrams_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.ngram
+        FROM documents d, LATERAL word_ngrams(d.text, 3) t
+        """
+    )
+
+
+@q(
     "w24_match_recognize",
     """
     WITH f AS (

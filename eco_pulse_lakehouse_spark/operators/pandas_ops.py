@@ -57,3 +57,33 @@ def normalize_text(s: pd.Series) -> pd.Series:
     """Vectorized scalar pandas UDF: trim + lowercase + collapse
     whitespace (Arrow batches, ~10-100x over row-at-a-time)."""
     return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+
+def word_ngrams_udtf():
+    """Python UDTF (Spark 4 table function) — the one §2.10 surface
+    beyond pandas_udf / applyInPandas / mapInPandas: a class-based
+    table function usable under ``LATERAL`` in SQL. Yields
+    (pos, ngram) word n-grams per input row.
+
+    Returned lazily (a factory) so importing this module never pays
+    the decorator cost when the UDTF is unused. Registered by the
+    corpus entry as ``word_ngrams``; the DuckDB oracle replays it
+    with unnest(range(...)) — the UDTF must therefore stay a pure
+    function of its arguments. Scale note: UDTF rows cross the
+    Python boundary row-at-a-time semantics-wise but are
+    Arrow-batched in transport (useArrow); the built-in HOF
+    transform/explode form (f_explode_tokens, x2 shingles) remains
+    the hot path — this entry certifies the API surface, the same
+    role s14 plays for the Python data source."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, ngram STRING", useArrow=True)
+    class WordNgrams:
+        def eval(self, text: str, n: int):
+            if text is None or n is None or n <= 0:
+                return
+            words = text.split(" ")
+            for i in range(len(words) - n + 1):
+                yield i + 1, " ".join(words[i : i + n])
+
+    return WordNgrams
