@@ -154,6 +154,7 @@ def main() -> None:
         "catalog_staging_sec": catalog_staging_sec,
         "stream_batch_ms": latency,
         "stream_state": state,
+        "host_probe": host_speed_probe(),
     }
     # Detail (per-run spread, staging costs, stream probes) goes to an
     # earlier stdout line AND a sidecar file; the FINAL line stays
@@ -180,6 +181,55 @@ def main() -> None:
             }
         )
     )
+
+
+def host_speed_probe() -> dict[str, float]:
+    """Fixed single-core workloads for CROSS-ROUND comparability:
+    round-over-round query ratios are only meaningful when divided by
+    the host-speed ratio. Motivation: this session's full bench ran a
+    uniform ~1.5x over BENCH_r03 — including queries whose code was
+    untouched — i.e. the HOST, not the plans (the same environmental
+    swing NEXT.md documents at up to 2.6x in earlier sessions).
+    py_loop_sec: 10M-iteration integer loop (interpreter+core speed);
+    hash_mb_sec: sha256 over 64 MiB (memory+crypto throughput);
+    par_loop_sec: the SAME loop on every core at once (median
+    per-core) — measured this session at ~1.5x the single-core time,
+    i.e. the host throttles under all-core load, which is exactly
+    when Spark runs; the single-core probes alone would have called
+    this host healthy."""
+    import hashlib
+    from multiprocessing import Pool
+
+    def loop_once():
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i * i
+        return time.perf_counter() - t0
+
+    py_loop = loop_once()
+    buf = b"\x5a" * (1 << 26)
+    t0 = time.perf_counter()
+    hashlib.sha256(buf).hexdigest()
+    hash_sec = time.perf_counter() - t0
+    ncpu = os.cpu_count() or 1
+    with Pool(ncpu) as p:
+        per = p.map(_probe_loop, range(ncpu))
+    par = statistics.median(per)
+    return {
+        "py_loop_sec": round(py_loop, 3),
+        "sha256_64mib_sec": round(hash_sec, 3),
+        "par_loop_sec": round(par, 3),
+        "ncpu": ncpu,
+    }
+
+
+def _probe_loop(_):
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return time.perf_counter() - t0
 
 
 def stream_latency_probe(spark, sf_dir: str) -> dict[str, float]:
