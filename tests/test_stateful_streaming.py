@@ -323,3 +323,57 @@ def test_fanout_two_sinks_consistent_and_replay_idempotent(spark, tmp_path):
         stream2, f"{base}/detail", f"{base}/metrics", f"{base}/ckpt"
     ).awaitTermination()
     assert spark.read.parquet(f"{base}/detail").count() == n_detail
+
+
+def test_transform_with_state_v2_running_totals(spark, tmp_path):
+    """Arbitrary-state v2 (transformWithStateInPandas): running
+    per-key totals across batches == batch GROUP BY. SKIPS until the
+    image gains google.protobuf — the v2 state server's wire
+    protocol needs it (stateful.py:running_totals_tws docstring)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    src = str(tmp_path / "in")
+    spark.range(0, 100).selectExpr(
+        "id % 5 AS user_id", "id AS v_fp"
+    ).repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id BIGINT, v_fp BIGINT").parquet(src)
+    )
+    q = (
+        running_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_v2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    final = {
+        r.user_id: (r.n, r.total_fp)
+        for r in spark.table("tws_v2")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.t)
+        for r in spark.range(0, 100)
+        .selectExpr("id % 5 AS user_id", "id AS v_fp")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("v_fp").alias("t"))
+        .collect()
+    }
+    assert final == expected
