@@ -1769,6 +1769,41 @@ def w13_journey_pattern(spark, sf_dir):
 
 
 @q(
+    "f_pipe_syntax",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def f_pipe_syntax(spark, sf_dir):
+    """F — SQL PIPE syntax (Spark 4 `|>` operators): the same scan →
+    filter → aggregate plan written as a left-to-right pipeline.
+    Catalyst parses pipes into the identical logical plan as the
+    classic form, so the oracle is the classic SQL — this entry
+    certifies the SYNTAX surface (the one modern-SQL API row not yet
+    covered), with decimal-exact aggregation as everywhere."""
+    from eco_pulse_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                          AS DOUBLE) AS total_qty
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, total_qty
+        """
+    )
+
+
+@q(
     "u3_python_udtf",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
