@@ -1379,6 +1379,72 @@ def g2_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+_G3_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id % 50 AS src,
+             (user_id * 7 + 3) % 50 AS dst
+      FROM events
+    ),
+    reach(node, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 10
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY node
+"""
+
+
+@q("g3_recursive_bfs", _G3_SQL)
+def g3_recursive_bfs(spark, sf_dir):
+    """G3 — WITH RECURSIVE in Spark SQL (new in Spark 4.1): min-hop
+    BFS from node 0 over a deterministic 50-node functional graph
+    derived from events. The SAME recursive CTE text runs in both
+    engines — until 4.1 the engine expressed iterative graph work
+    only through driver-side loops (components.py's label
+    propagation) while the ORACLES used DuckDB recursion; this entry
+    certifies the in-engine recursion surface itself. Depth-bounded
+    (hops < 10) so the recursion terminates identically everywhere.
+    Scale note: each recursion step is a planned join — fine for
+    bounded-depth hierarchy/reachability walks; unbounded-diameter
+    components stay on the label-propagation operator."""
+    from eco_pulse_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_G3_SQL)
+
+
+@q(
+    "f_param_sql",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice >= 100000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def f_param_sql(spark, sf_dir):
+    """F — parameterized SQL (named-binding ``spark.sql(query,
+    args=...)``): the injection-safe form of dynamic SQL a query
+    service uses. Parameters bind as typed literals in the plan
+    (constant-folded like inline literals — same physical plan), so
+    the oracle is the inlined query."""
+    from eco_pulse_lakehouse_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 100000.0, "status": "F"},
+    )
+
+
 # --- time series: gap fill + forward fill ---------------------------------
 
 
