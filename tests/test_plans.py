@@ -352,3 +352,42 @@ def test_ks_statistic_has_no_single_partition_window(spark):
         assert "SinglePartition" not in ctx.split("Window")[-1], plan
     # the window must be keyed by the range-partition pid
     assert "windowspecdefinition(__pid" in plan, plan
+
+
+def test_twap_single_exchange(spark):
+    """time_weighted_avg (carry-in form): ONE exchange total — the
+    per-key window; the (key, day) groupBy reuses the per-key hash
+    partitioning via subset clustering (round-4 rewrite; the
+    synthetic-row union form needed three)."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = time_weighted_avg(load_table(spark, SF, "events"))
+    assert _plan(df).count("Exchange") == 1
+
+
+def test_pattern_match_single_exchange(spark):
+    """w24's sessionize + journey fold + regex: window and groupBy
+    both cluster on the key — ONE exchange."""
+    df = extended.QUERIES["w24_match_recognize"](spark, SF)
+    assert _plan(df).count("Exchange") == 1
+
+
+def test_spacesaving_recount_is_semi_join_prefilter(spark):
+    """a30: the exact recount filters the stream with a broadcast
+    LEFT SEMI join on the candidate keys BEFORE its groupBy — the
+    candidates-only-shuffle contract (a29's shape), and no cartesian
+    anywhere."""
+    df = extended.QUERIES["a30_spacesaving"](spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_hot_key_join_joins_on_salt(spark):
+    """skew5: the adversarial hot-key join must actually join on
+    (key, salt) — the guard, not a plain key join AQE might split."""
+    df = extended.QUERIES["skew5_hot_key_join"](spark, SF)
+    plan = _plan(df)
+    assert "__salt" in plan and "__dsalt" in plan
