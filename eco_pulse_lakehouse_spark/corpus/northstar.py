@@ -229,6 +229,54 @@ def x3_quantized_topk(spark, sf_dir):
 
 
 @q(
+    "x3_mrl_sweep",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    q AS (SELECT vec_id AS q_id, qv AS qa FROM e WHERE q_id < 10),
+    c AS (SELECT vec_id AS c_id, qv AS qb FROM e),
+    dms AS (SELECT CAST(d AS INT) AS dims
+            FROM (VALUES (8), (16), (32), (64)) t(d)),
+    scored AS (
+      SELECT dims, q_id, c_id,
+             CAST(list_sum(list_transform(range(1, dims + 1),
+               i -> CAST(qa[i] AS BIGINT) * qb[i])) AS BIGINT) AS qdot
+      FROM q CROSS JOIN c CROSS JOIN dms WHERE q_id != c_id
+    ),
+    ranked AS (
+      SELECT dims, q_id, c_id FROM (
+        SELECT dims, q_id, c_id, row_number() OVER (
+          PARTITION BY dims, q_id ORDER BY qdot DESC, c_id ASC) AS rk
+        FROM scored) WHERE rk <= 10
+    ),
+    fullr AS (SELECT q_id, c_id FROM ranked WHERE dims = 64)
+    SELECT r.dims, r.q_id,
+           CAST(SUM(CASE WHEN f.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN f.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10.0 AS recall
+    FROM ranked r LEFT JOIN fullr f
+      ON r.q_id = f.q_id AND r.c_id = f.c_id
+    GROUP BY r.dims, r.q_id
+    """,
+)
+def x3_mrl_sweep(spark, sf_dir):
+    """X3 — MATRYOSHKA (MRL) truncation sweep
+    (operators/similarity.py:mrl_recall_sweep): top-10 retrieval
+    scored with only the first 8/16/32/64 embedding dimensions,
+    overlap vs the full-dim ranking — the dimension-vs-recall tuning
+    table of an MRL embedding store, the same single-plan sweep
+    pattern as x3_pq_distortion_sweep. Int8 prefix dots are exact
+    BIGINTs ⇒ the whole sweep is oracle-exact (no float-scored ANN
+    ambiguity); dims=64 is the k/k sanity diagonal."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        mrl_recall_sweep,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    return mrl_recall_sweep(e, "vec_id", "embedding")
+
+
+@q(
     "x3_pq_topk",
     f"""
     WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),

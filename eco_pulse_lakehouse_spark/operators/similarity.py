@@ -1494,3 +1494,85 @@ def semdedup_drops(
         )
         .distinct()
     )
+
+
+def mrl_recall_sweep(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple = (8, 16, 32, 64),
+    k: int = 10,
+    n_queries: int = 10,
+    n_levels: int = 127,
+) -> DataFrame:
+    """MATRYOSHKA truncation sweep (Kusupati et al. 2022, MRL): score
+    retrieval with only the first d dimensions of each embedding for
+    every d in ``dims`` and report top-k overlap against the full-dim
+    ranking — the tuning table for the dimension-vs-recall trade an
+    MRL-style embedding store exposes (prefix dims are 8x less scan
+    and shuffle at d=8/64, the same lever as int8 quantization, and
+    the two compose).
+
+    ONE plan: quantize once (int8 — exact BIGINT prefix dots, no
+    float summation anywhere, so the whole sweep is oracle-exact like
+    x3_pq_distortion_sweep), explode the pair stream by the dims
+    list, rank per (dims, query), left-join the full-dim reference
+    top-k, count hits. Returns (dims, q_id, n_overlap, recall); the
+    dims = max row is the k/k sanity diagonal. At scale the pair
+    stream is whatever candidate generation feeds scoring (IVF lists,
+    LSH buckets) — the sweep shape is unchanged."""
+    full_dim = max(dims)
+    qz = quantize_embeddings(embeddings, vec_col, "q_vec", n_levels)
+    qs = qz.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("q_vec").alias("qa")
+    )
+    cs = qz.select(F.col(id_col).alias("c_id"), F.col("q_vec").alias("qb"))
+    pairs = (
+        qs.crossJoin(cs)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias(
+                "dims"
+            ),
+            "qa",
+            "qb",
+        )
+    )
+    dot_d = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qa"), F.lit(1), F.col("dims")),
+            F.slice(F.col("qb"), F.lit(1), F.col("dims")),
+            lambda x, y: x.cast("bigint") * y.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("dims", "q_id").orderBy(
+        F.col("qdot").desc(), F.col("c_id").asc()
+    )
+    ranked = (
+        pairs.withColumn("qdot", dot_d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("dims", "q_id", "c_id")
+    )
+    full_ref = (
+        ranked.filter(F.col("dims") == full_dim)
+        .select("q_id", "c_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ranked.join(full_ref, ["q_id", "c_id"], "left")
+        .groupBy("dims", "q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap")
+        )
+        .withColumn(
+            "recall",
+            F.col("n_overlap").cast("double") / F.lit(float(k)),
+        )
+    )
