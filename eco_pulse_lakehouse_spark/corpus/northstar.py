@@ -2355,6 +2355,40 @@ def x2_containment(spark, sf_dir):
 
 
 @q(
+    "x7_dataset_card",
+    """
+    WITH tc AS (
+      SELECT text, COUNT(*) AS n FROM documents GROUP BY text
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tc.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(d.text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_doc_chars
+    FROM documents d JOIN tc USING (text)
+    GROUP BY lang
+    """,
+)
+def x7_dataset_card(spark, sf_dir):
+    """X7 — per-domain DATASET CARD
+    (operators/quality.py:dataset_card): the stats manifest a
+    curation run publishes beside its export — doc counts, exact
+    corpus-wide duplicate counts, whitespace-token / char totals,
+    exact mean length. One inverted count on the text key + one
+    domain aggregation, all-BIGINT with one double division —
+    oracle-exact. Completes the x6/x7 composition family: recipe
+    (flagship_training_export) → packing (x7_pack_documents) →
+    curriculum (x7_curriculum) → card (here)."""
+    from eco_pulse_lakehouse_spark.operators.quality import dataset_card
+
+    return dataset_card(T(spark, sf_dir, "documents"), "lang", "text")
+
+
+@q(
     "flagship_training_export",
     f"""
     WITH dd AS (

@@ -426,3 +426,43 @@ def profile_diff(
         (~F.col("__mn_a").eqNullSafe(F.col("__mn_b"))).alias("min_changed"),
         (~F.col("__mx_a").eqNullSafe(F.col("__mx_b"))).alias("max_changed"),
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain DATASET CARD — the summary manifest a curation run
+    publishes next to its export (HuggingFace dataset-card /
+    Datasheets-for-Datasets stats block): document counts, exact
+    duplicate counts (docs whose text occurs more than once in the
+    WHOLE corpus — cross-domain dups count in every domain they
+    touch), whitespace-token and character totals, and the exact
+    mean document length. One inverted count on the text key (the
+    x1 exact-dedup shuffle shape) plus one domain aggregation;
+    everything is BIGINT sums with a final double division, so the
+    card replays exactly in SQL. At 100 TB swap the raw text join
+    key for the sha256 content_key (operators/dedup.py) — same
+    plan, 8-byte-ish keys."""
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+
+    text_counts = docs.groupBy(text_col).agg(
+        F.count(F.lit(1)).alias("__tc")
+    )
+    enriched = docs.join(text_counts, text_col).select(
+        F.col(domain_col),
+        token_count(F.col(text_col)).cast("bigint").alias("__toks"),
+        F.length(text_col).cast("bigint").alias("__chars"),
+        F.when(F.col("__tc") > 1, 1).otherwise(0).alias("__dup"),
+    )
+    return enriched.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("__toks").cast("bigint").alias("total_ws_tokens"),
+        F.sum("__chars").cast("bigint").alias("total_chars"),
+        (
+            F.sum("__chars").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_doc_chars"),
+    )
