@@ -105,6 +105,18 @@ _RECERTIFY_R04 = frozenset(
     }
 )
 
+# Entries BUILT in round 4 — never checked AND new code, so they carry
+# the most information per driver slot; they follow the re-certified
+# fixes, ahead of the long-local-green never-checked tail.
+_NEW_R04 = frozenset(
+    {
+        "skew4_hot_key_count", "skew5_hot_key_join", "a30_spacesaving",
+        "w24_match_recognize", "w25_twap_gap_days", "t27_stream_patterns",
+        "u3_python_udtf", "f_pipe_syntax", "f_param_sql",
+        "g3_recursive_bfs", "x3_mrl_sweep", "x7_dataset_card",
+    }
+)
+
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
     """Sort key for a windowed CORRECTNESS run (round 4 rotation).
@@ -120,6 +132,8 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
     → the rest (a*, w*, f*, x*); (3) driver-green entries last."""
     if name in _RECERTIFY_R04:
         return (0, 0, 0)
+    if name in _NEW_R04:
+        return (0, 1, 0)
     if name in _DRIVER_GREEN:
         return (9, 0, 0)
     fam = (
