@@ -1379,6 +1379,40 @@ def g2_triangles(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+@q(
+    "w26_rolling_median",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value, ts
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT user_id, event_id, value,
+             list_sort(list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS w
+      FROM e
+    )
+    SELECT user_id, event_id, value,
+           w[CAST(floor((len(w) + 1) / 2) AS INT)] AS rolling_median
+    FROM f
+    """,
+)
+def w26_rolling_median(spark, sf_dir):
+    """W26 — exact rolling LOWER-median over the last 8 readings per
+    user (operators/windows.py:rolling_median): the robust smoother
+    beside w3's rolling mean. Lower median = an element of the data,
+    no interpolation ⇒ oracle-exact in any engine (the a27/a31
+    selection discipline). NULL values filtered on BOTH sides
+    (Spark collect_list skips NULLs, DuckDB list() keeps them)."""
+    from eco_pulse_lakehouse_spark.operators.windows import (
+        rolling_median,
+    )
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return rolling_median(ev, "user_id", "ts", "event_id", "value", 8)
+
+
 _G3_SQL = """
     WITH RECURSIVE edges AS (
       SELECT DISTINCT user_id % 50 AS src,

@@ -166,3 +166,44 @@ def capped_sessionize(
         F.col("__r.id").alias(tiebreak_col),
         F.col("__r.sid").alias("session_id"),
     )
+
+
+def rolling_median(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    n_rows: int = 8,
+) -> DataFrame:
+    """EXACT rolling (lower-)median over the last ``n_rows`` readings
+    per key — the robust smoother dashboards put beside the rolling
+    mean (w3): one outlier moves the mean by outlier/n but leaves the
+    median untouched. LOWER median (element (n+1)//2 of the sorted
+    frame) rather than the interpolated midpoint, so the result is an
+    ELEMENT of the data — exact in any engine, no float-interpolation
+    parity risk (the a27/a31 selection discipline).
+
+    Shape: collect_list over the ROWS frame + array_sort + one
+    element_at — per-row work is O(frame log frame) entirely inside
+    the window projection, ONE shuffle on the key. NULL values must
+    be filtered upstream: Spark's collect_list skips NULLs while
+    DuckDB's list() keeps them, so the frames would disagree.
+    Returns (key, tiebreak, value, rolling_median)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    med = F.element_at(
+        arr, F.floor((F.size(arr) + 1) / 2).cast("int")
+    )
+    return events.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.col(value_col),
+        med.alias("rolling_median"),
+    )
