@@ -114,7 +114,7 @@ _NEW_R04 = frozenset(
         "w24_match_recognize", "w25_twap_gap_days", "t27_stream_patterns",
         "u3_python_udtf", "f_pipe_syntax", "f_param_sql",
         "g3_recursive_bfs", "x3_mrl_sweep", "x7_dataset_card",
-        "w26_rolling_median",
+        "w26_rolling_median", "s22_xml_roundtrip", "s23_binary_file",
     }
 )
 

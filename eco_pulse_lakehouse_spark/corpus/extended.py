@@ -669,6 +669,84 @@ def skew5_hot_key_join(spark, sf_dir):
 
 
 @q(
+    "s22_xml_roundtrip",
+    "SELECT event_id, user_id, value, event_type FROM events",
+)
+def s22_xml_roundtrip(spark, sf_dir):
+    """S-family — XML source/sink (BUILT-IN since Spark 4.0, no
+    spark-xml package): write the events projection as row-tagged
+    XML, read it back with an explicit schema. The remaining
+    format-gated source is Avro (external module jar, absent;
+    verified 2026-08-14 — same class of gate as delta). Timestamps
+    stay out of the projection (XML has no native timestamp lexical
+    form; s8 pins the string-format discipline for JSON)."""
+    path = os.path.join(
+        _TMP, f"s22_xml_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    (
+        ev.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(
+            "event_id BIGINT, user_id BIGINT, value DOUBLE, "
+            "event_type STRING"
+        )
+        .load(path)
+    )
+
+
+@q(
+    "s23_binary_file",
+    """
+    SELECT format('f{:03d}.bin', i) AS fname,
+           CAST(50 + i AS BIGINT) AS length,
+           CAST((i * 7) % 251 AS INT) AS head,
+           CAST((i * 7 + 49 + i) % 251 AS INT) AS tail
+    FROM (SELECT unnest(range(20)) AS i)
+    """,
+)
+def s23_binary_file(spark, sf_dir):
+    """S-family — ``binaryFile`` source: the ingestion path for
+    opaque media blobs (operators/multimodal.py's payload column is
+    exactly this shape — path metadata + binary content). Stages 20
+    deterministic files, reads them back with (path, length,
+    content), and projects byte-level facts (head/tail bytes via
+    hex — binary→string casts would mangle bytes ≥ 0x80) that the
+    oracle recomputes arithmetically. At 100 TB this source is
+    listed-driven (one task per file range) with
+    pathGlobFilter/recursiveFileLookup pruning; content never
+    shuffles here — metadata-plane only, like x5_resize_plan."""
+    path = os.path.join(
+        _TMP, f"s23_bin_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(path, exist_ok=True)
+    for i in range(20):
+        with open(os.path.join(path, f"f{i:03d}.bin"), "wb") as fh:
+            fh.write(bytes((i * 7 + j) % 251 for j in range(50 + i)))
+    df = spark.read.format("binaryFile").load(path)
+    byte_at = lambda pos: F.conv(  # noqa: E731
+        F.hex(F.expr(f"substring(content, {pos}, 1)")), 16, 10
+    ).cast("int")
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length"),
+        byte_at("1").alias("head"),
+        F.conv(
+            F.hex(F.expr("substring(content, length(content), 1)")), 16, 10
+        ).cast("int").alias("tail"),
+    )
+
+
+@q(
     "s8_json_source",
     "SELECT event_id, ts, user_id, value FROM events",
 )
