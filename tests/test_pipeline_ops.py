@@ -380,3 +380,28 @@ def test_temperature_mixture_flattens_and_is_layout_invariant(spark):
         ).collect()
     }
     assert ids == ids_repart
+
+
+def test_observe_metrics_on_batch_plan(spark):
+    """The Observation API (df.observe): pipeline-health counters
+    collected as a side effect of the SAME job that materializes the
+    result — no second scan (how a 100 TB export job reports row/
+    null/volume counters for free). Metrics must match a direct
+    aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, None)], ["id", "v"]
+    )
+    obs = Observation("card")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("int")).alias("n_null_v"),
+    )
+    out = observed.filter(F.col("id") > 1).count()  # one job
+    assert out == 3
+    got = obs.get
+    assert got["n_rows"] == 4  # observed BEFORE the filter
+    assert got["n_null_v"] == 2
