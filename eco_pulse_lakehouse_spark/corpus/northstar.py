@@ -2355,6 +2355,81 @@ def x2_containment(spark, sf_dir):
 
 
 @q(
+    "flagship_rag_context",
+    f"""
+    WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    q AS (SELECT vec_id AS q_id, qv AS qa FROM e WHERE q_id < 5),
+    c AS (SELECT vec_id AS c_id, qv AS qb FROM e),
+    scored AS (
+      SELECT q_id, c_id,
+             CAST(list_sum(list_transform(range(1, len(qa) + 1),
+               i -> CAST(qa[i] AS BIGINT) * qb[i])) AS BIGINT) AS qdot
+      FROM q CROSS JOIN c WHERE q_id != c_id
+    ),
+    topk AS (
+      SELECT q_id, c_id, rk FROM (
+        SELECT q_id, c_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rk
+        FROM scored) WHERE rk <= 10
+    ),
+    sh AS (
+      SELECT t.q_id, t.c_id, t.rk,
+             list_distinct(CASE
+               WHEN len(string_split(d.text, ' ')) >= 2 THEN
+                 list_transform(range(1, len(string_split(d.text, ' '))),
+                   i -> array_to_string(
+                     (string_split(d.text, ' '))[i:i+1], ' '))
+               ELSE [] END) AS s,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM topk t JOIN documents d ON t.c_id = d.doc_id
+    ),
+    dups AS (
+      SELECT DISTINCT b.q_id, b.c_id
+      FROM sh a JOIN sh b ON a.q_id = b.q_id AND a.rk < b.rk
+      WHERE least(len(a.s), len(b.s)) > 0
+        AND 20 * len(list_intersect(a.s, b.s))
+            >= 3 * least(len(a.s), len(b.s))
+    ),
+    kept AS (
+      SELECT sh.q_id, sh.c_id, sh.rk, sh.n_tokens
+      FROM sh LEFT JOIN dups
+        ON sh.q_id = dups.q_id AND sh.c_id = dups.c_id
+      WHERE dups.c_id IS NULL
+    ),
+    budgeted AS (
+      SELECT q_id, rk, c_id AS doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY q_id ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM kept
+    )
+    SELECT q_id, CAST(rk AS INT) AS rk, doc_id, n_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens <= 400
+    """,
+)
+def flagship_rag_context(spark, sf_dir):
+    """Flagship #4 — the COMPOSED RAG context-builder
+    (plans/rag_context.py:rag_context): int8-exact top-10 retrieval
+    per query → 2-gram-containment dedup of the retrieved set (drop
+    a doc ≥0.15-contained in ANY higher-ranked retrieved doc — the
+    integer-rational comparison 20·|∩| ≥ 3·min, never a float
+    boundary; thresholds tuned so BOTH stages genuinely drop rows
+    at every test sf) → whitespace-token running budget (≤400) over rank
+    order. The serving-side twin of flagship_training_export's
+    curation recipe, end-to-end oracle-checked; per-query cost is
+    k² containment pairs after candidate-bounded retrieval — nothing
+    corpus-quadratic."""
+    from eco_pulse_lakehouse_spark.plans.rag_context import rag_context
+
+    e = T(spark, sf_dir, "embeddings")
+    d = T(spark, sf_dir, "documents")
+    return rag_context(
+        e, d, n_queries=5, k=10, shingle_n=2,
+        containment_num=3, containment_den=20, token_budget=400,
+    )
+
+
+@q(
     "x7_dataset_card",
     """
     WITH tc AS (
