@@ -115,7 +115,7 @@ _NEW_R04 = frozenset(
         "u3_python_udtf", "f_pipe_syntax", "f_param_sql",
         "g3_recursive_bfs", "x3_mrl_sweep", "x7_dataset_card",
         "w26_rolling_median", "s22_xml_roundtrip", "s23_binary_file",
-        "flagship_rag_context",
+        "flagship_rag_context", "t29_stream_dataset_card",
     }
 )
 

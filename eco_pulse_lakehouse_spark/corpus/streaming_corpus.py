@@ -1599,3 +1599,98 @@ def t27_stream_patterns(spark, sf_dir):
         F.regexp_count(F.col("journey"), pat).cast("bigint").alias("n_matches"),
         matched_chars.alias("matched_chars"),
     )
+
+
+@q(
+    "t29_stream_dataset_card",
+    """
+    WITH tc AS (
+      SELECT text, COUNT(*) AS n FROM documents GROUP BY text
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tc.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(d.text)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_doc_chars
+    FROM documents d JOIN tc USING (text)
+    GROUP BY lang
+    """,
+)
+def t29_stream_dataset_card(spark, sf_dir):
+    """T29 — STREAMING dataset card: each micro-batch lands its
+    (lang, text, n, toks, chars) partial as an idempotent epoch-keyed
+    parquet (tokens/chars are FUNCTIONS of the text, so the partial
+    is linear in (lang, text) — union + sum merges exactly, the
+    t17/t23 discipline); serving merges the partials, derives
+    corpus-wide text totals for the dup verdicts, and aggregates the
+    per-domain card. The streamed card is IDENTICAL to the one-shot
+    batch computation, so this entry carries x7_dataset_card's hard
+    oracle verbatim — stats accumulate at ingest, publishing the
+    card is a tiny merge, the corpus is never re-scanned."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t29_{uuid.uuid4().hex}"
+    )
+    stage = os.path.join(base, "in")
+    docs.repartition(4).write.parquet(stage)
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        from eco_pulse_lakehouse_spark.functions.text import token_count
+
+        part = batch_df.groupBy("lang", "text").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first(token_count(F.col("text")).cast("bigint")).alias(
+                "toks"
+            ),
+            F.first(F.length("text").cast("bigint")).alias("chars"),
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("lang", "text", "toks", "chars")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    global_text = merged.groupBy("text").agg(
+        F.sum("n").cast("bigint").alias("__g")
+    )
+    return (
+        merged.join(global_text, "text")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__g") > 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.col("n") * F.col("toks"))
+            .cast("bigint")
+            .alias("total_ws_tokens"),
+            F.sum(F.col("n") * F.col("chars"))
+            .cast("bigint")
+            .alias("total_chars"),
+            (
+                F.sum(F.col("n") * F.col("chars")).cast("double")
+                / F.sum("n").cast("double")
+            ).alias("mean_doc_chars"),
+        )
+    )
