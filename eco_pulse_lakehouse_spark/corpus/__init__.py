@@ -90,60 +90,60 @@ _DRIVER_GREEN = frozenset(
         "t9_session_window", "u1_pandas_running_max", "u2_pandas_normalize",
         "w10_null_ordering", "w8_range_frame", "w9_rank_family",
     }
-)
-
-# Round-4 re-certification tier: the one r03 red (w7_sessionize,
-# oracle SUM dtype) + entries whose oracle or semantics changed this
-# round (HUGEINT casts, stage-hash independence, TWAP carry-in,
-# short-doc profile rows, mixture overflow fix) — they lead the
-# window so the driver certifies the fixes immediately.
-_RECERTIFY_R04 = frozenset(
-    {
-        "w7_sessionize", "tpch_q12", "flagship_training_export",
-        "x6_temperature_mixture", "w23_twap", "x2_dup_ngram_frac",
-        "q12_psi_drift",
+    # --- round 4 greens (CORRECTNESS_r04.json: 50/50 hash_match,
+    # incl. the 7 recertified fixes and all 22 TPC-H shapes) ---
+    | {
+        "a30_spacesaving", "f_param_sql", "f_pipe_syntax",
+        "flagship_rag_context", "flagship_training_export",
+        "g3_recursive_bfs", "j3_anti_join", "j5_lateral_topk",
+        "q12_psi_drift", "s22_xml_roundtrip", "s23_binary_file",
+        "s4_scan_pushdown", "set_except", "skew4_hot_key_count",
+        "skew5_hot_key_join", "t27_stream_patterns",
+        "t29_stream_dataset_card", "tpch_q1", "tpch_q10", "tpch_q11",
+        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+        "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+        "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
+        "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+        "tpch_scalar_subquery", "u3_python_udtf", "w23_twap",
+        "w24_match_recognize", "w25_twap_gap_days", "w26_rolling_median",
+        "w7_sessionize", "x2_dup_ngram_frac", "x3_mrl_sweep",
+        "x6_temperature_mixture", "x7_dataset_card",
     }
 )
 
-# Entries BUILT in round 4 — never checked AND new code, so they carry
-# the most information per driver slot; they follow the re-certified
-# fixes, ahead of the long-local-green never-checked tail.
-_NEW_R04 = frozenset(
+# Entries converted from rows-only to hard-oracle in round 5 (SQL
+# hash replays / semantics-equal oracles) + entries BUILT in round 5
+# — changed-or-new code carries the most information per driver slot,
+# so they lead the window, ahead of the long-local-green
+# never-checked tail.
+_NEW_R05: frozenset[str] = frozenset(
     {
-        "skew4_hot_key_count", "skew5_hot_key_join", "a30_spacesaving",
-        "w24_match_recognize", "w25_twap_gap_days", "t27_stream_patterns",
-        "u3_python_udtf", "f_pipe_syntax", "f_param_sql",
-        "g3_recursive_bfs", "x3_mrl_sweep", "x7_dataset_card",
-        "w26_rolling_median", "s22_xml_roundtrip", "s23_binary_file",
-        "flagship_rag_context", "t29_stream_dataset_card",
+        "x2_dup_span_removal", "w27_match_alternation",
+        "t30_stream_twap",
     }
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 4 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 5 rotation).
 
-    Order: (1) the seven entries fixed/changed this round
-    (_RECERTIFY_R04 — including the one r03 red); (2) never-driver-
-    checked entries, oracle-backed first, families per VERDICT r03
-    item 3: TPC-H (22 entries, zero driver rows) → the as-of/
-    interval/bloom join ladder (j4–j9) + merge (m2/m3) + graph
-    (g1/g2) + the round-2 rewrites (j3_anti_join, set_except,
-    s4_scan_pushdown) and the s20/s21 sources → the skew-guard
-    entries (skew1–3) → quality/drift (q*) + composition (x6/x7)
-    → the rest (a*, w*, f*, x*); (3) driver-green entries last."""
-    if name in _RECERTIFY_R04:
+    VERDICT r04 item 1: lead the window with the 78 never-driver-
+    sampled entries until every entry has a green CORRECTNESS row.
+    Order: (1) entries built or oracle-converted this round (new code
+    = most information per slot); (2) never-driver-checked entries,
+    oracle-backed first — within that, the families VERDICT r04
+    suggests: a12–a31 aggregates → w11–w26 window/timeseries → f_*
+    function tail → x2/x3 dedup-ANN variants → skew/g/m/q/s/j tail —
+    then the rows-only sketches; (3) driver-green entries last."""
+    if name in _NEW_R05:
         return (0, 0, 0)
-    if name in _NEW_R04:
-        return (0, 1, 0)
     if name in _DRIVER_GREEN:
         return (9, 0, 0)
     fam = (
-        0 if name.startswith("tpch") else
-        1 if name.startswith(("j", "m2", "m3", "g", "set_except",
-                              "s4", "s20", "s21", "cat")) else
-        2 if name.startswith("skew") else
-        3 if name.startswith(("q", "x6", "x7", "flagship")) else
+        0 if name.startswith("a") else
+        1 if name.startswith("w") else
+        2 if name.startswith("f_") else
+        3 if name.startswith(("x2", "x3", "x4", "x5")) else
         4
     )
     return (1, 0 if has_oracle else 1, fam)

@@ -2056,8 +2056,11 @@ def w24_match_recognize(spark, sf_dir):
     MATCH_RECOGNIZE shape w13's run-counting doesn't cover —
     PATTERN (A B+ C) with A=signup, B=click|view (one-or-more),
     C=purchase, contiguous rows, greedy quantifier, AFTER MATCH SKIP
-    PAST LAST ROW, and the whole match confined to one 30-min-gap
-    12-hour-gap session (the w7 sessionize substrate; at sf0.01 the 30-min gap leaves ~1-event sessions and zero matches — a vacuous parity row — while 12 h yields thousands of multi-event sessions and >100 matches). An intervening 'e'rror
+    PAST LAST ROW, and the whole match confined to one 12-hour-gap
+    session (the w7 sessionize substrate with a wider gap: a 30-min
+    gap at sf0.01 leaves ~1-event sessions and zero matches — a
+    vacuous parity row — while 12 h yields thousands of multi-event
+    sessions and >100 matches). An intervening 'e'rror event
     breaks the match exactly as row-contiguity demands. Sessionize
     window + per-session journey fold + regex scan = ONE exchange
     (both cluster on user_id); matched_chars exercises the HOF fold

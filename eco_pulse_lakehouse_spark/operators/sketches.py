@@ -344,7 +344,9 @@ def spacesaving_topk(
     EXACTNESS CERTIFICATE: a key tracked by NO unit never enters the
     merge, and its count can still reach T_total (every unit hides up
     to its threshold) — the classic diffuse-key hazard of merged SS
-    summaries. The output is certifiably exact iff ``L_k > T_total``.
+    summaries. The output is certifiably exact iff ``T_total == 0``
+    (no unit truncated anything — merge exact and complete) or
+    ``L_k > T_total``.
     With ``strict=True`` (default) that certificate is ASSERTED in
     the plan (``assert_true`` on the broadcast scalars — the job
     fails loudly instead of silently returning a plausible top-k;
@@ -374,9 +376,16 @@ def spacesaving_topk(
         .filter(F.col("upper") >= F.col("__lk"))
     )
     if strict:
+        # T_total == 0 means no unit truncated anything: the merge is
+        # exact AND complete (no untracked key exists), so the output
+        # is exact even when L_k can't exceed T_total — e.g. a tiny
+        # key vocabulary where every key fits in every unit's summary.
+        # (Candidate-set == merged-set is NOT a valid certificate: an
+        # untracked-everywhere key can still total up to T_total.)
         candidates = candidates.filter(
             F.assert_true(
-                F.col("__lk") > F.col("__t_total"),
+                (F.col("__t_total") == F.lit(0))
+                | (F.col("__lk") > F.col("__t_total")),
                 F.lit(
                     "space-saving top-k not certifiably exact "
                     "(L_k <= T_total): a key below every unit's "

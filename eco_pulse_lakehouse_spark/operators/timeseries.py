@@ -646,10 +646,13 @@ def time_weighted_avg(
     # an earlier day inherits it from midnight to its own timestamp
     carry = prev_day.isNotNull() & (prev_day < F.col("__day"))
     zero = F.lit(0).cast("bigint")
-    carry_dur = F.when(carry & prev_v.isNotNull(), ts_ms - day_start_ms
-                       ).otherwise(zero)
-    carry_wv = F.when(carry & prev_v.isNotNull(),
-                      prev_v * (ts_ms - day_start_ms)).otherwise(zero)
+    # The carried duration counts even when the carried value is NULL
+    # (the oracle's synthetic row adds its duration to SUM(dur) with a
+    # NULL weight); the weighted term stays NULL then, and SUM skips
+    # it — exactly the oracle's single-SUM NULL semantics.
+    carry_dur = F.when(carry, ts_ms - day_start_ms).otherwise(zero)
+    carry_wv = F.when(carry, prev_v * (ts_ms - day_start_ms)
+                      ).otherwise(zero)
     return (
         base.select(
             F.col(key_col),
@@ -666,8 +669,20 @@ def time_weighted_avg(
             .cast("bigint")
             .alias("total_dur_ms"),
             (
-                (F.sum(F.col("__v_fp") * F.col("__dur"))
-                 + F.sum("__cwv"))
+                # Single-SUM NULL semantics: SUM skips NULL products,
+                # returning NULL only when EVERY product is NULL — so
+                # coalesce each partial sum to 0 unless both are NULL.
+                F.when(
+                    F.sum(F.col("__v_fp") * F.col("__dur")).isNull()
+                    & F.sum("__cwv").isNull(),
+                    F.lit(None).cast("bigint"),
+                )
+                .otherwise(
+                    F.coalesce(
+                        F.sum(F.col("__v_fp") * F.col("__dur")), zero
+                    )
+                    + F.coalesce(F.sum("__cwv"), zero)
+                )
                 .cast("double")
                 / (
                     (F.sum("__dur") + F.sum("__cdur")).cast("double")
