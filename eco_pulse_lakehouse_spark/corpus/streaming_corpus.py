@@ -1558,7 +1558,14 @@ def t27_stream_patterns(spark, sf_dir):
     emitted rows. The oracle is w24's lag/cumsum + string_agg replay
     RESTRICTED to watermark-finalized sessions (session_end + gap ≤
     max(ts) − delay), t13's append-mode discipline. session_window ≡
-    lag/cumsum sessionization is separately certified by t9."""
+    lag/cumsum sessionization is separately certified by t9.
+
+    Boundary semantics VERIFIED empirically (round 5, ADVICE r04):
+    Spark's append-mode eviction is INCLUSIVE — a session whose close
+    (last_ts + gap) equals the final watermark exactly IS emitted
+    (probe: gap 1 h, delay 10 min, close == max_ts − delay → row
+    present) — so the oracle's ``<=`` matches Spark at every sf, not
+    just the certified ones."""
     stage = _stage_events(spark, sf_dir)
     stream = sp.read_file_stream(spark, stage, EVENTS_SCHEMA)
     journey = F.array_join(

@@ -595,6 +595,104 @@ def dup_shingle_fraction(
     )
 
 
+def dup_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_span_tokens: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup (Lee et al. 2021 "ExactSubstr",
+    approximated at word-n-gram granularity): REMOVE from every
+    document each maximal run of tokens whose covering ``n``-grams
+    all occur in at least ``min_docs`` distinct documents, when the
+    run spans >= ``min_span_tokens`` tokens. This is the removal tier
+    above :func:`dup_shingle_fraction`'s profiling — the suffix-array
+    pass of the paper re-expressed as n-gram run detection so the
+    whole pipeline stays relational (and SQL-replayable: positions
+    are integers).
+
+    Every duplicated occurrence is removed (the position test is
+    "shingle occurs in >= min_docs docs", which is true for all its
+    occurrences) — the conservative boilerplate-stripping variant;
+    keep-one-copy would need a global occurrence ranking.
+
+    Shape, all equi-joins and per-doc windows — never all-pairs:
+      1. inverted shingle index -> distinct-doc counts (two partial
+         aggs, no count-distinct expand) -> duplicated-shingle set;
+      2. duplicated POSITIONS per doc -> maximal consecutive runs via
+         gaps-and-islands (pos - row_number over the per-doc window);
+      3. qualifying runs (token length b-a+n >= min_span_tokens)
+         explode to covered token positions [a, b+n-1]; union via
+         distinct absorbs overlapping covers from nearby runs;
+      4. LEFT ANTI join the posexploded token stream against the
+         removed set; rebuild surviving text with an order-
+         insensitive sort_array(collect_list(struct)) fold.
+    The per-doc window and the groupBys all cluster on the doc id —
+    AQE coalesces them into the same partitioning; shingle-index
+    shuffles carry (hash, count) rows, not documents. At 100 TB swap
+    shingle strings for shingle_hashes (8-byte join keys), plan
+    unchanged. Docs shorter than ``n`` tokens have no shingles and
+    survive whole (left join from the doc spine)."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__tp", "__tok"),
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("__p", "__s"),
+    )
+    dup_shingles = (
+        sh.select(id_col, "__s")
+        .distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__s")
+    )
+    dup_pos = sh.join(dup_shingles, "__s").select(id_col, "__p")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    runs = (
+        dup_pos.withColumn("__g", F.col("__p") - F.row_number().over(w))
+        .groupBy(id_col, "__g")
+        .agg(F.min("__p").alias("__a"), F.max("__p").alias("__b"))
+        .filter(F.col("__b") - F.col("__a") + F.lit(n) >= min_span_tokens)
+    )
+    removed = runs.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__a"), F.col("__b") + F.lit(n - 1))
+        ).alias("__tp"),
+    ).distinct()
+    surviving = toks.join(removed, [id_col, "__tp"], "left_anti")
+    rebuilt = surviving.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tp", "__tok"))),
+                lambda s: s.getField("__tok"),
+            ),
+        ).alias("__clean"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (
+            F.col("n_tokens")
+            - F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint")
+        ).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     id_col: str,

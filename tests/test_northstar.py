@@ -809,6 +809,40 @@ def test_containment_catches_doc_in_doc_where_jaccard_misses(spark):
     assert jac == []  # jaccard dilutes the quote below threshold
 
 
+def test_dup_span_removal_strips_planted_shared_span(spark):
+    """Lee et al. ExactSubstr semantics: a 200-token span planted in
+    3 documents is removed from ALL of them (exactly those 200
+    tokens — boundary 4-grams straddling unique context are not
+    duplicated, so the removal doesn't bleed); a 6-token shared span
+    stays below the 15-token threshold; a unique doc is untouched."""
+    span = " ".join(f"shared{i}" for i in range(200))
+    short = "tiny0 tiny1 tiny2 tiny3 tiny4 tiny5"
+    rows = [
+        (1, f"a0 a1 a2 {span} a3 a4"),
+        (2, f"b0 b1 {span} b2 b3 b4 b5"),
+        (3, f"{span} c0 c1"),
+        (4, f"d0 d1 d2 {short} d3 d4"),
+        (5, f"e0 e1 {short} e2 e3 e4"),
+        (6, " ".join(f"u{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r
+        for r in xd.dup_span_removal(
+            df, "doc_id", "text", n=4, min_span_tokens=15
+        ).collect()
+    }
+    assert len(out) == 6
+    for doc, kept in ((1, "a0 a1 a2 a3 a4"), (2, "b0 b1 b2 b3 b4 b5"),
+                      (3, "c0 c1")):
+        assert out[doc].n_removed == 200
+        assert out[doc].text_clean == kept
+    texts = dict(rows)
+    for doc in (4, 5, 6):  # short span / unique: below threshold
+        assert out[doc].n_removed == 0
+        assert out[doc].text_clean == texts[doc]
+
+
 def test_training_export_manifest_invariants(spark):
     """End-to-end manifest sanity: survivors are a subset of the
     deduped train split, no survivor shares a 4-gram with the
