@@ -2015,6 +2015,87 @@ def u3_python_udtf(spark, sf_dir):
 
 
 @q(
+    "w27_match_alternation",
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
+             CASE WHEN ts - lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+               <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, c,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM f
+    ),
+    j AS (
+      SELECT user_id, session_id,
+             string_agg(c, '' ORDER BY ts, event_id) AS journey
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, session_id, journey,
+           CAST(len(regexp_extract_all(journey, 's(?:cv|vc)+p'))
+             AS BIGINT) AS n_alt,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(journey, 's(?:cv|vc)+p'),
+                  x -> length(x))), 0) AS BIGINT) AS chars_alt,
+           CAST(len(regexp_extract_all(journey, 's[cvp]+?p'))
+             AS BIGINT) AS n_rel,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(journey, 's[cvp]+?p'),
+                  x -> length(x))), 0) AS BIGINT) AS chars_rel,
+           CAST(len(regexp_extract_all(journey, 's[cvp]+p'))
+             AS BIGINT) AS n_grd,
+           CAST(coalesce(list_sum(list_transform(
+                  regexp_extract_all(journey, 's[cvp]+p'),
+                  x -> length(x))), 0) AS BIGINT) AS chars_grd
+    FROM j
+    """,
+)
+def w27_match_alternation(spark, sf_dir):
+    """W27 — MATCH_RECOGNIZE alternation + reluctant quantifiers on
+    the w24 substrate (operators/patterns.py:
+    sessionized_multi_pattern_matches): three patterns over ONE
+    session/journey pass — PATTERN (A (B|C)+ D) as sequence
+    alternation ``s(?:cv|vc)+p`` (alternating click-view units, NOT
+    the w24 character class), reluctant ``s[cvp]+?p`` (shortest
+    expansion — stops at the FIRST purchase), and its greedy twin
+    ``s[cvp]+p`` (swallows intermediate purchases) so the
+    greedy-vs-reluctant contrast is visible in the data
+    (chars_rel <= chars_grd, strict on multi-purchase sessions).
+    Adding patterns adds projections, not exchanges. Oracle: the
+    same lag/cumsum + ordered string_agg replay with the identical
+    regexes (java.util.regex and RE2 agree on leftmost-first
+    non-greedy scans — verified case-by-case in round 5)."""
+    from eco_pulse_lakehouse_spark.operators.patterns import (
+        sessionized_multi_pattern_matches,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    return sessionized_multi_pattern_matches(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1),
+        {
+            "alt": "s(?:cv|vc)+p",
+            "rel": "s[cvp]+?p",
+            "grd": "s[cvp]+p",
+        },
+        gap_seconds=12 * 3600,
+    )
+
+
+@q(
     "w24_match_recognize",
     """
     WITH f AS (

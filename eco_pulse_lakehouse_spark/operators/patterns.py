@@ -38,25 +38,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sessionized_pattern_matches(
+def _session_journeys(
     events: DataFrame,
     key_col: str,
     ts_col: str,
     tiebreak_col: str,
     class_char: Column,
-    pattern: str,
-    gap_seconds: int = 1800,
+    gap_seconds: int,
 ) -> DataFrame:
-    """Count quantified-pattern matches per (key, session).
-
-    ``class_char`` maps each row to one character of the pattern
-    alphabet; ``pattern`` is a regex over that alphabet (e.g.
-    ``s[cv]+p`` = signup, one-or-more click/view, purchase — an
-    intervening 'e' breaks contiguity exactly as MATCH_RECOGNIZE
-    would). Returns (key, session_id, journey, n_matches,
-    first_match_pos, matched_chars); first_match_pos is 1-based,
-    0 when no match.
-    """
+    """Shared substrate: (key, session_id, journey) — w7 lag/cumsum
+    sessionize + order-insensitive journey fold, ONE exchange."""
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -87,25 +78,89 @@ def sessionized_pattern_matches(
         ),
         "",
     )
-    pat = F.lit(pattern)
-    matched_chars = F.aggregate(
-        F.regexp_extract_all(F.col("journey"), pat, F.lit(0)),
+    return with_session.groupBy(key_col, "session_id").agg(
+        journey.alias("journey")
+    )
+
+
+def _matched_chars(pattern: Column) -> Column:
+    return F.aggregate(
+        F.regexp_extract_all(F.col("journey"), pattern, F.lit(0)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + F.length(x),
     )
-    return (
-        with_session.groupBy(key_col, "session_id")
-        .agg(journey.alias("journey"))
-        .select(
-            key_col,
-            "session_id",
-            "journey",
+
+
+def sessionized_pattern_matches(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    class_char: Column,
+    pattern: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Count quantified-pattern matches per (key, session).
+
+    ``class_char`` maps each row to one character of the pattern
+    alphabet; ``pattern`` is a regex over that alphabet (e.g.
+    ``s[cv]+p`` = signup, one-or-more click/view, purchase — an
+    intervening 'e' breaks contiguity exactly as MATCH_RECOGNIZE
+    would). Returns (key, session_id, journey, n_matches,
+    first_match_pos, matched_chars); first_match_pos is 1-based,
+    0 when no match.
+    """
+    pat = F.lit(pattern)
+    return _session_journeys(
+        events, key_col, ts_col, tiebreak_col, class_char, gap_seconds
+    ).select(
+        key_col,
+        "session_id",
+        "journey",
+        F.regexp_count(F.col("journey"), pat)
+        .cast("bigint")
+        .alias("n_matches"),
+        F.regexp_instr(F.col("journey"), pat)
+        .cast("bigint")
+        .alias("first_match_pos"),
+        _matched_chars(pat).alias("matched_chars"),
+    )
+
+
+def sessionized_multi_pattern_matches(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    class_char: Column,
+    patterns: dict[str, str],
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Several MATCH_RECOGNIZE patterns over ONE session/journey pass
+    — the full quantifier surface in one plan: alternation groups
+    (``A (B|C)+ D`` as ``s(?:cv|vc)+p`` — sequence alternation, not a
+    character class), RELUCTANT quantifiers (``B+?`` — leftmost-first
+    shortest expansion, the ``AFTER MATCH`` contrast to greedy), and
+    their greedy twins, each as ``n_<name>`` / ``chars_<name>``
+    columns. Matching stays a per-row JVM regex scan over the journey
+    string, so adding patterns adds projections, not exchanges.
+
+    java.util.regex (backtracking) and DuckDB's RE2 agree on
+    leftmost-first non-overlapping scans INCLUDING non-greedy ``+?``
+    and non-capturing alternation (verified case-by-case in round 5:
+    e.g. ``s[cvp]+?p`` on ``scpvp`` -> ``scp`` in both engines while
+    greedy takes the whole string), so the oracle replays the same
+    regexes with regexp_extract_all."""
+    jd = _session_journeys(
+        events, key_col, ts_col, tiebreak_col, class_char, gap_seconds
+    )
+    cols = [F.col(key_col), F.col("session_id"), F.col("journey")]
+    for name, pattern in patterns.items():
+        pat = F.lit(pattern)
+        cols.append(
             F.regexp_count(F.col("journey"), pat)
             .cast("bigint")
-            .alias("n_matches"),
-            F.regexp_instr(F.col("journey"), pat)
-            .cast("bigint")
-            .alias("first_match_pos"),
-            matched_chars.alias("matched_chars"),
+            .alias(f"n_{name}")
         )
-    )
+        cols.append(_matched_chars(pat).alias(f"chars_{name}"))
+    return jd.select(*cols)

@@ -397,6 +397,50 @@ def test_sessionized_pattern_match_semantics(spark):
     assert out[3].journey == "p" and out[3].n_matches == 0
 
 
+def test_multi_pattern_alternation_and_reluctant_contrast(spark):
+    """The w27 surface: sequence alternation s(?:cv|vc)+p matches
+    alternating click-view UNITS only (scvvcp yes, scvcp no — a
+    character class would accept both), and the reluctant s[cvp]+?p
+    stops at the FIRST purchase while its greedy twin swallows it
+    (scpvp: 'scp' vs 'scpvp')."""
+    from eco_pulse_lakehouse_spark.operators.patterns import (
+        sessionized_multi_pattern_matches,
+    )
+    from pyspark.sql import functions as F_
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+    # one user per journey so each session is independent
+    journeys = {1: "scvvcp", 2: "scvcp", 3: "scpvp"}
+    et = {"s": "signup", "c": "click", "v": "view", "p": "purchase"}
+    rows = [
+        (uid * 100 + i, uid, t0 + i * m, et[ch])
+        for uid, j in journeys.items()
+        for i, ch in enumerate(j)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+    out = {
+        r.user_id: r
+        for r in sessionized_multi_pattern_matches(
+            df, "user_id", "ts", "event_id",
+            F_.substring("event_type", 1, 1),
+            {"alt": "s(?:cv|vc)+p", "rel": "s[cvp]+?p",
+             "grd": "s[cvp]+p"},
+        ).collect()
+    }
+    # alternation: unit-level, not character-class
+    assert out[1].n_alt == 1 and out[1].chars_alt == 6   # s cv vc p
+    assert out[2].n_alt == 0                             # scvcp: no unit split
+    # reluctant stops at first p; greedy swallows it
+    assert out[3].n_rel == 1 and out[3].chars_rel == 3   # 'scp'
+    assert out[3].n_grd == 1 and out[3].chars_grd == 5   # 'scpvp'
+    # on a single-purchase journey they coincide
+    assert out[2].n_rel == out[2].n_grd == 1
+    assert out[2].chars_rel == out[2].chars_grd == 5
+
+
 def test_twap_daily_materializes_gap_days_and_matches_twap_on_event_days(spark):
     """time_weighted_avg_daily: a silent day inside a hold appears
     with the held value and zero events; on days WITH events it is
