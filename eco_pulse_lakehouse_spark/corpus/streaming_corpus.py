@@ -18,6 +18,7 @@ import os
 import tempfile
 import uuid
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry
@@ -1605,6 +1606,234 @@ def t27_stream_patterns(spark, sf_dir):
         "journey",
         F.regexp_count(F.col("journey"), pat).cast("bigint").alias("n_matches"),
         matched_chars.alias("matched_chars"),
+    )
+
+
+@q(
+    "t30_stream_twap",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS v_fp
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts_ms, v_fp,
+             COALESCE(lead(ts_ms) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id),
+               (ts_ms // 86400000 + 1) * 86400000) AS end_ms
+      FROM e
+    ),
+    x AS (
+      SELECT user_id, ts_ms, end_ms, v_fp,
+             ts_ms // 86400000 AS d0, u.di AS di
+      FROM p, unnest(range(ts_ms // 86400000,
+             greatest(ts_ms // 86400000,
+                      (end_ms - 1) // 86400000) + 1)) AS u(di)
+    ),
+    c AS (
+      SELECT user_id, di,
+             CASE WHEN di = d0 THEN 1 ELSE 0 END AS own,
+             least(end_ms, (di + 1) * 86400000)
+               - greatest(ts_ms, di * 86400000) AS dur,
+             v_fp
+      FROM x
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(epoch_ms(di * 86400000), '%Y-%m-%d') AS day,
+           CAST(SUM(own) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_ms,
+           CAST(SUM(v_fp * dur) AS DOUBLE)
+             / (CAST(SUM(dur) AS DOUBLE) * 10000.0) AS twap
+    FROM c GROUP BY user_id, di
+    """,
+)
+def t30_stream_twap(spark, sf_dir):
+    """T30 — STREAMING incremental maintenance of w25's full-coverage
+    daily TWAP (oracle verbatim). The feed is 4 time-ordered append
+    commits (contiguous DAY ranges, so equal timestamps never
+    straddle a commit boundary — the shape a CDC/versioned change
+    feed or Kafka topic delivers for append-only telemetry), tailed
+    one commit per micro-batch. Each batch folds O(batch) work:
+    union the per-key CARRY STATE (each key's last un-closed reading)
+    with the batch, one per-key lead closes every hold interval
+    except the new last-per-key, intervals CLIP TO DAY BOUNDS
+    immediately, and the batch lands LINEAR partials
+    (user, day, own, dur_ms, weighted_value) as an idempotent
+    epoch-keyed parquet (overwrite-on-retry — the t29 discipline;
+    state epochs are keyed the same way, so a replayed batch reads
+    the same predecessor state and rewrites identical outputs).
+    Serving SUM-merges the partials and closes each key's final open
+    hold to its own day-end (w25's last-reading semantics). Because
+    commits are time-ordered per key, lead-across-(state ∪ batch)
+    produces exactly the global-lead intervals — streamed ≡ batch
+    bit-identically, all-BIGINT arithmetic, one double division.
+    Inserts-only by contract (TWAP under retractions would need the
+    full CDC fold)."""
+    DAY = 86_400_000
+    day_lit = F.lit(DAY).cast("bigint")
+
+    def div_day(x):
+        return F.call_function("div", x - F.pmod(x, day_lit), day_lit)
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_fp"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t30_{uuid.uuid4().hex}"
+    )
+    feed = os.path.join(base, "feed")
+    # Stage the ordered feed: split the horizon's DISTINCT day indexes
+    # (metadata-sized — bounded by the data horizon, not row count)
+    # into 4 contiguous runs, one single-file commit each, written
+    # sequentially so the file stream tails them in order.
+    days = sorted(
+        r[0] for r in ev.select(div_day(F.col("ts_ms")).alias("d"))
+        .distinct().collect()
+    )
+    n_slices = 4
+    cuts = [days[len(days) * i // n_slices] for i in range(1, n_slices)]
+    lo_cut = [None] + cuts
+    hi_cut = cuts + [None]
+    for i in range(n_slices):
+        sl = ev.withColumn("__d", div_day(F.col("ts_ms")))
+        if lo_cut[i] is not None:
+            sl = sl.filter(F.col("__d") >= lo_cut[i])
+        if hi_cut[i] is not None:
+            sl = sl.filter(F.col("__d") < hi_cut[i])
+        sl.drop("__d").coalesce(1).write.parquet(
+            os.path.join(feed, f"cv-{i}")
+        )
+
+    part_root = os.path.join(base, "partials")
+    state_root = os.path.join(base, "state")
+    state_schema = "user_id BIGINT, ts_ms BIGINT, event_id BIGINT, v_fp BIGINT"
+
+    def fold(batch_df, batch_id: int) -> None:
+        import glob as _glob
+
+        sp_ = batch_df.sparkSession
+        prev = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+            if int(os.path.basename(p).split("=")[1]) < batch_id
+        )
+        if prev:
+            prior = sp_.read.parquet(
+                os.path.join(state_root, f"epoch={prev[-1]}")
+            )
+        else:
+            prior = sp_.createDataFrame([], state_schema)
+        cur = batch_df.select("user_id", "ts_ms", "event_id", "v_fp")
+        alle = prior.unionByName(cur)
+        wk = Window.partitionBy("user_id").orderBy(
+            F.col("ts_ms").asc(), F.col("event_id").asc()
+        )
+        closed = (
+            alle.withColumn("end_ms", F.lead("ts_ms").over(wk))
+            .filter(F.col("end_ms").isNotNull())
+        )
+        d0 = div_day(F.col("ts_ms"))
+        d1 = F.greatest(d0, div_day(F.col("end_ms") - 1))
+        ex = closed.select(
+            "user_id", "ts_ms", "end_ms", "v_fp",
+            F.explode(F.sequence(d0, d1)).alias("di"),
+        )
+        lo = F.greatest(F.col("ts_ms"), F.col("di") * day_lit)
+        hi = F.least(F.col("end_ms"), (F.col("di") + 1) * day_lit)
+        ivl = ex.select(
+            "user_id", "di",
+            F.lit(0).cast("bigint").alias("own"),
+            (hi - lo).alias("dur"),
+            (F.col("v_fp") * (hi - lo)).alias("wv"),
+        )
+        owns = cur.select(
+            "user_id", div_day(F.col("ts_ms")).alias("di"),
+            F.lit(1).cast("bigint").alias("own"),
+            F.lit(0).cast("bigint").alias("dur"),
+            F.lit(0).cast("bigint").alias("wv"),
+        )
+        (
+            ivl.unionByName(owns)
+            .groupBy("user_id", "di")
+            .agg(
+                F.sum("own").cast("bigint").alias("own"),
+                F.sum("dur").cast("bigint").alias("dur"),
+                F.sum("wv").cast("bigint").alias("wv"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(part_root, f"batch={batch_id}"))
+        )
+        last = (
+            alle.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts_ms").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        last.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"epoch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(state_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "cv-*"))
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    import glob as _glob
+
+    final_epoch = max(
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+    )
+    st = spark.read.parquet(
+        os.path.join(state_root, f"epoch={final_epoch}")
+    )
+    sd0 = div_day(F.col("ts_ms"))
+    s_end = (sd0 + 1) * day_lit
+    close = st.select(
+        "user_id", sd0.alias("di"),
+        F.lit(0).cast("bigint").alias("own"),
+        (s_end - F.col("ts_ms")).alias("dur"),
+        (F.col("v_fp") * (s_end - F.col("ts_ms"))).alias("wv"),
+    )
+    parts = spark.read.parquet(os.path.join(part_root, "batch=*"))
+    return (
+        parts.unionByName(close)
+        .groupBy("user_id", "di")
+        .agg(
+            F.sum("own").cast("bigint").alias("n_events"),
+            F.sum("dur").cast("bigint").alias("total_dur_ms"),
+            (
+                F.sum("wv").cast("double")
+                / (F.sum("dur").cast("double") * F.lit(10000.0))
+            ).alias("twap"),
+        )
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_millis(F.col("di") * day_lit), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_events",
+            "total_dur_ms",
+            "twap",
+        )
     )
 
 
