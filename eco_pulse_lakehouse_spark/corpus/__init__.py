@@ -118,8 +118,13 @@ _DRIVER_GREEN = frozenset(
 # never-checked tail.
 _NEW_R05: frozenset[str] = frozenset(
     {
+        # built this round
         "x2_dup_span_removal", "w27_match_alternation",
         "t30_stream_twap",
+        # converted rows-only -> hard-oracle this round (SQL hash
+        # replays / shared-index oracles) — changed code + oracle
+        "x2_minhash_lsh", "x2_simhash", "x3_ann_lsh", "x3_ivf_topk",
+        "x3_ivf_persisted", "x3_ivf_bounded", "t18_stream_lsh_index",
     }
 )
 

@@ -100,20 +100,133 @@ def x2_ngram_jaccard(spark, sf_dir):
     return xd.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.2)
 
 
-@q("x2_minhash_lsh")  # sketch-based: rows-only; recall tested in pytest
+# SQL-replayable per-token hash (operators/dedup.py:poly_token_hash):
+# char fold h -> (h*131 + codepoint) % 1e9+7; the greatest() guard
+# matches Spark's ascii('') = 0 (DuckDB unicode('') is -1).
+def _poly_th_sql(tok: str, mult: int = 131, mod: int = 1_000_000_007) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({tok}, ''), "
+        "c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
+        f"(h, c) -> (h * {mult} + c) % {mod})"
+    )
+
+
+_MINHASH_MINS = ",\n             ".join(
+    f"MIN((h0 * {2 * i + 1} + {12289 * i + 1}) % 2147483647) AS m{i}"
+    for i in range(32)
+)
+_MINHASH_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat_ws(',', "
+    f"m{4 * b}, m{4 * b + 1}, m{4 * b + 2}, m{4 * b + 3}) AS chunk "
+    "FROM sig"
+    for b in range(8)
+)
+
+
+@q(
+    "x2_minhash_lsh",
+    f"""
+    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_transform(w, tok -> {_poly_th_sql('tok')}) AS th,
+             len(w) AS nw
+      FROM tw
+    ),
+    sh AS (
+      SELECT doc_id,
+             (((th[i] * 67 + th[i+1]) % 2147483647) * 67 + th[i+2])
+               % 2147483647 AS h0
+      FROM t, unnest(range(1, nw - 1)) AS u(i)
+      WHERE nw >= 3
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_MINS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {_MINHASH_BANDS}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    """,
+)
 def x2_minhash_lsh(spark, sf_dir):
     """X2 — MinHash banded-LSH candidate pairs (32 hashes, 8 bands).
     Candidate generation is an equi-join on (band, band_hash) — the
-    only shape that survives 100 TB."""
+    only shape that survives 100 TB. ORACLE-CONVERTED in round 5
+    (was rows-only): with the poly char-fold token hash
+    (dedup.py:poly_token_hash) the ENTIRE pipeline — token hashes,
+    rolling 3-gram combine, 32 affine min-aggregates, band chunks,
+    bucket self-join — replays in SQL; the oracle joins on the band
+    CHUNK STRING itself (Spark's xxhash64 band key is injective on
+    equal chunks by construction, collisions aside, and any
+    deterministic collision would surface as a parity diff). The
+    xxhash64 default path keeps its recall pytest."""
     d = T(spark, sf_dir, "documents")
-    return xd.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+    return xd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8,
+        token_hash=xd.poly_token_hash,
+    )
 
 
-@q("x2_simhash")  # sketch-based: rows-only; hamming refine tested in pytest
+_SIMHASH_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(61)
+)
+_SIMHASH_PACK = "\n             + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+    for j in range(61)
+)
+
+
+@q(
+    "x2_simhash",
+    f"""
+    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    tok AS (
+      SELECT doc_id,
+             {_poly_th_sql('u.tok')} * 2147483648
+             + {_poly_th_sql('u.tok', 137, 998_244_353)} AS h
+      FROM tw, unnest(w) AS u(tok)
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_SIMHASH_SUMS}
+      FROM tok GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_SIMHASH_PACK} AS sh
+      FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.sh // 281474976710656) = (b.sh // 281474976710656)
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+)
 def x2_simhash(spark, sf_dir):
-    """X2 — SimHash near-dup pairs, prefix-bucketed + hamming ≤ 8."""
+    """X2 — SimHash near-dup pairs, prefix-bucketed + hamming ≤ 8.
+    ORACLE-CONVERTED in round 5 (was rows-only): the ~61-bit
+    poly_token_hash64 (two char folds, h1·2^31 + h2) makes every
+    stage integer-replayable — per-bit ±1 sums (bits 61-63 are
+    structurally dead: always 0 in BOTH engines), sign-pack, 16-bit
+    prefix bucket (sh // 2^48 == shiftrightunsigned on nonneg), XOR
+    popcount refine. The xxhash64 default path keeps its
+    bit-equality pytest vs the Column form."""
     d = T(spark, sf_dir, "documents")
-    return xd.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=8)
+    return xd.simhash_neardup_pairs(
+        d, "doc_id", "text", max_hamming=8,
+        token_hash=xd.poly_token_hash64,
+    )
 
 
 # =====================================================================
@@ -424,9 +537,86 @@ def x3_pq_distortion_sweep(spark, sf_dir):
     return out
 
 
-@q("x3_ann_lsh")  # approximate: rows-only; recall vs brute force in pytest
+def _lsh_sig_sql(vec: str, projs: list[list[float]]) -> str:
+    """DuckDB twin of operators/similarity.py:lsh_signature — the SAME
+    literal projections, sign-packed the same way, so the composed
+    LSH→refine pipeline is exactly reproducible in SQL."""
+    terms = []
+    for j, p in enumerate(projs):
+        arr = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec})+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Seed-centroid IVF replay shared by x3_ivf_topk and x3_ivf_persisted
+# (same centroids => identical results — the lifecycle split changes
+# only WHERE the lists live, which the oracle can't and needn't see).
+_IVF_SQL = f"""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cent_id,
+             embedding AS cent_vec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 16)
+    ),
+    rk AS (
+      SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos('e.embedding', 'c.cent_vec')} DESC,
+                        c.cent_id ASC) AS choice
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    lists AS (SELECT vid AS c_id, v AS c_vec, cent_id
+              FROM rk WHERE choice = 1),
+    probes AS (SELECT vid AS q_id, v AS q_vec, cent_id
+               FROM rk WHERE choice <= 2),
+    scored AS (
+      SELECT q_id, c_id, round({_cos('q_vec', 'c_vec')}, 6) AS sim
+      FROM probes JOIN lists USING (cent_id)
+      WHERE q_id != c_id
+    )
+    SELECT q_id, c_id, sim, rk FROM (
+      SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+"""
+
+
+@q(
+    "x3_ann_lsh",
+    f"""
+    WITH s AS (
+      SELECT vec_id,
+             {_lsh_sig_sql('embedding', xs._deterministic_projections(64, 8, seed=7))}
+               AS sig
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             round({_cos('ea.embedding', 'eb.embedding')}, 6) AS sim
+      FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id != b.vec_id
+      JOIN embeddings ea ON a.vec_id = ea.vec_id
+      JOIN embeddings eb ON b.vec_id = eb.vec_id
+    )
+    SELECT q_id, c_id, sim, rk FROM (
+      SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
 def x3_ann_lsh(spark, sf_dir):
-    """X3 scale path — random-hyperplane LSH buckets + exact refine."""
+    """X3 scale path — random-hyperplane LSH buckets + exact refine.
+    ORACLE-CONVERTED in round 5 (was rows-only): the SQL replays the
+    identical seed-7 literal hyperplanes (_lsh_sig_sql — the
+    x3_ann_refined technique), the sign-packed bucket equi-join, and
+    the rounded-cosine rank; recall vs brute force stays pinned in
+    pytest."""
     e = T(spark, sf_dir, "embeddings")
     return xs.cosine_topk_lsh(e, bits=8, k=10)
 
@@ -434,7 +624,15 @@ def x3_ann_lsh(spark, sf_dir):
 _IVF_INDEX_CACHE: dict = {}
 
 
-@q("x3_ivf_persisted")  # approximate: rows-only; ≡ ivf_topk pinned in pytest
+# Persisted twin queries only vec_id < 10 — same index, probe subset.
+_IVF_PERSISTED_SQL = _IVF_SQL.replace(
+    "FROM rk WHERE choice <= 2",
+    "FROM rk WHERE choice <= 2 AND vid < 10",
+)
+assert "vid < 10" in _IVF_PERSISTED_SQL  # fail loudly if _IVF_SQL drifts
+
+
+@q("x3_ivf_persisted", _IVF_PERSISTED_SQL)
 def x3_ivf_persisted(spark, sf_dir):
     """X3 — PERSISTED IVF index lifecycle (similarity.py:
     build_ivf_index / query_ivf_index): the index (centroids +
@@ -443,7 +641,9 @@ def x3_ivf_persisted(spark, sf_dir):
     reads only those files. Same centroids ⇒ identical results to
     the in-memory ivf_topk (test-pinned); the lifecycle split is the
     100 TB serving shape — build amortizes, queries touch O(probed
-    partitions)."""
+    partitions). ORACLE-CONVERTED in round 5: carries _IVF_SQL (the
+    ivf_topk replay) — the persisted lifecycle changes only where
+    the lists live, not the results."""
     import os
     import tempfile
     import uuid
@@ -467,28 +667,17 @@ def x3_ivf_persisted(spark, sf_dir):
     return query_ivf_index(spark, path, queries, k=10, n_probe=2)
 
 
-@q("x3_ivf_topk")  # approximate: rows-only; recall vs brute force in pytest
+@q("x3_ivf_topk", _IVF_SQL)
 def x3_ivf_topk(spark, sf_dir):
     """X3 scale path #2 — IVF inverted lists (nearest-centroid
     partitions, n_probe search); complements the LSH variant with
-    data-adaptive buckets."""
+    data-adaptive buckets. ORACLE-CONVERTED in round 5 (was
+    rows-only): seed centroids are the 16 lowest-id vectors, so the
+    whole index — assignment argmax, probe set, rounded-cosine rank —
+    replays in SQL (_IVF_SQL, shared with x3_ivf_persisted whose
+    results are identical by construction)."""
     e = T(spark, sf_dir, "embeddings")
     return xs.ivf_topk(e, n_centroids=16, n_probe=2, k=10)
-
-
-def _lsh_sig_sql(vec: str, projs: list[list[float]]) -> str:
-    """DuckDB twin of operators/similarity.py:lsh_signature — the SAME
-    literal projections, sign-packed the same way, so the composed
-    LSH→refine pipeline is exactly reproducible in SQL."""
-    terms = []
-    for j, p in enumerate(projs):
-        arr = "[" + ",".join(repr(float(x)) for x in p) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, len({vec})+1), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
 
 
 _ANN_REFINED_TABLES = 3
@@ -937,12 +1126,65 @@ def x5_chunked_pages(spark, sf_dir):
     )
 
 
-@q("x3_ivf_bounded")  # approximate: rows-only; cap/recall pytest
+@q(
+    "x3_ivf_bounded",
+    f"""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cent_id,
+             embedding AS cent_vec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 16)
+    ),
+    cap AS (SELECT greatest(10, count(*) // 16) AS cap_n
+            FROM embeddings),
+    asg AS (
+      SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
+             {_cos('e.embedding', 'c.cent_vec')} AS cs
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY vid
+               ORDER BY cs DESC, cent_id ASC) AS choice
+      FROM asg
+    ),
+    first AS (
+      SELECT *, row_number() OVER (PARTITION BY cent_id
+               ORDER BY cs DESC, vid ASC) AS pos
+      FROM rk WHERE choice = 1
+    ),
+    lists AS (
+      SELECT vid AS c_id, v AS c_vec, cent_id
+      FROM first, cap WHERE pos <= cap_n
+      UNION ALL
+      SELECT r2.vid, r2.v, r2.cent_id
+      FROM (SELECT vid FROM first, cap WHERE pos > cap_n) s
+      JOIN (SELECT vid, v, cent_id FROM rk WHERE choice = 2) r2
+        USING (vid)
+    ),
+    probes AS (SELECT vid AS q_id, v AS q_vec, cent_id
+               FROM rk WHERE choice <= 2),
+    scored AS (
+      SELECT q_id, c_id, round({_cos('q_vec', 'c_vec')}, 6) AS sim
+      FROM probes JOIN lists USING (cent_id)
+      WHERE q_id != c_id
+    )
+    SELECT q_id, c_id, sim, rk FROM (
+      SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
 def x3_ivf_bounded(spark, sf_dir):
     """X3 skew path — IVF with bounded inverted lists (overflow
     spills to the second-nearest centroid): worst-case probe cost is
     capped regardless of how lumpy the embedding distribution is
-    (operators/similarity.py:ivf_topk_bounded)."""
+    (operators/similarity.py:ivf_topk_bounded). ORACLE-CONVERTED in
+    round 5 (was rows-only): the SQL replays seed centroids, the
+    per-list cap ranking (cs DESC, vid ASC), the one-round spill to
+    the second-nearest list, and the rounded-cosine rank; the
+    cap/recall pytest stays."""
     e = T(spark, sf_dir, "embeddings")
     n = e.count()
     return xs.ivf_topk_bounded(

@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from eco_pulse_lakehouse_spark.corpus import northstar as _ns
 from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry
 from eco_pulse_lakehouse_spark.streaming import pipeline as sp
 
@@ -642,8 +643,7 @@ def t17_stream_countmin(spark, sf_dir):
     return sk.cms_estimate(sketch, vocab, "w", depth=4, width=64)
 
 
-@q("t18_stream_lsh_index")  # sketch-keyed: rows-only; streamed ≡ batch
-# pinned exactly in tests/test_streaming.py (deterministic signatures)
+@q("t18_stream_lsh_index", _ns.ORACLES["x2_minhash_lsh"])
 def t18_stream_lsh_index(spark, sf_dir):
     """T18 — INCREMENTAL near-dup index maintenance: documents stream
     in one file per trigger; each micro-batch's minhash band rows
@@ -655,8 +655,16 @@ def t18_stream_lsh_index(spark, sf_dir):
     the batch-built one row-for-row and candidate pairs match
     minhash_lsh_pairs over the full corpus EXACTLY — the dedup-
     against-a-growing-corpus shape a 100 TB ingest pipeline needs
-    (per-batch cost is O(batch), history never re-hashed)."""
-    from eco_pulse_lakehouse_spark.operators.dedup import minhash_bands
+    (per-batch cost is O(batch), history never re-hashed).
+    ORACLE-CONVERTED in round 5 (was rows-only): with the poly
+    token hash the band rows are SQL-replayable, so this entry
+    carries x2_minhash_lsh's oracle VERBATIM — streamed index ≡
+    batch pairs ≡ DuckDB replay; the streamed ≡ batch pin in
+    tests/test_streaming.py stays."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        minhash_bands,
+        poly_token_hash,
+    )
 
     docs = T(spark, sf_dir, "documents")
     stage = os.path.join(
@@ -676,9 +684,11 @@ def t18_stream_lsh_index(spark, sf_dir):
     )
 
     def land_bands(batch_df, batch_id: int) -> None:
-        minhash_bands(batch_df, "doc_id", "text").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sink, f"batch={batch_id}"))
+        minhash_bands(
+            batch_df, "doc_id", "text", token_hash=poly_token_hash
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
 
     q_ = (
         stream.writeStream.foreachBatch(land_bands)

@@ -48,20 +48,65 @@ def content_key(cols: list[Column]) -> Column:
 # --- minhash --------------------------------------------------------------
 
 _P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: the minhash value domain
+_POLY_P = 1_000_000_007
+_POLY_P2 = 998_244_353
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
+def poly_token_hash(
+    tok: Column, mult: int = 131, mod: int = _POLY_P
+) -> Column:
+    """SQL-REPLAYABLE per-token hash: a left fold over the token's
+    characters, ``h -> (h*mult + codepoint) mod mod`` (~30-bit
+    output). Weaker mixing than xxhash64 (the default hot path) but
+    computable bit-for-bit in any engine — DuckDB replays it with
+    ``list_reduce(list_prepend(0, list_transform(string_split(tok,
+    ''), c -> greatest(unicode(c), 0))), ...)`` — which is what lets
+    the minhash/simhash corpus entries carry HARD oracles instead of
+    rows-only checks (round 5; engine agreement incl. the
+    empty-string edge verified: Spark ascii('')=0 vs DuckDB
+    unicode('')=-1, hence the greatest() guard)."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("bigint"),
+        lambda h, c: F.pmod(h * F.lit(mult) + F.ascii(c), F.lit(mod)),
+    )
+
+
+def poly_token_hash64(tok: Column) -> Column:
+    """~61-bit SQL-replayable token hash: two independent char folds
+    combined as ``h1 * 2^31 + h2`` (bits 61-63 always zero — the
+    simhash consumer treats them as structurally-dead bits)."""
+    return poly_token_hash(tok, 131, _POLY_P) * F.lit(1 << 31).cast(
+        "bigint"
+    ) + poly_token_hash(tok, 137, _POLY_P2)
+
+
+def shingle_hashes(
+    text: Column, n: int = 3, token_hash=None
+) -> Column:
     """Hashes of word n-grams WITHOUT building shingle strings:
     token-hash array once, then a rolling polynomial combine over
     n shifted slices — ``h(sᵢ) = ((xh(tᵢ)·67 + xh(tᵢ₊₁))·67 + xh(tᵢ₊₂))
     mod (2^31-1)``. Building the concatenated strings dominated the
     minhash profile (~60%); this form needs only integer zip_with.
     All intermediates < 2^38 — ANSI-safe.
+
+    ``token_hash``: optional Column-fn overriding the per-token hash
+    (default xxhash64 mod 2^31-1 — fastest; pass
+    :func:`poly_token_hash` for the SQL-replayable variant the
+    oracle-backed corpus entries use). Must return values < 2^31.
     """
     from eco_pulse_lakehouse_spark.functions.text import tokens
 
     toks = tokens(text)
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P31)))
+    if token_hash is None:
+        th = F.transform(
+            toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P31))
+        )
+    else:
+        # exactly-one-arg lambda: pyspark infers HOF arity from the
+        # callable's signature, so default-arg helpers must be wrapped
+        th = F.transform(toks, lambda t: token_hash(t))
     m = F.size(toks) - F.lit(n - 1)  # number of shingles
     rolled = F.slice(th, 1, m)
     for off in range(1, n):
@@ -80,6 +125,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """Per-doc minhash signature: sig[i] = min over shingles of h_i(s),
     with h_i an affine reshuffle of ONE base string hash:
@@ -99,7 +145,9 @@ def minhash_signatures(
     """
     ex = docs.select(
         F.col(id_col),
-        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h0"),
+        F.explode(
+            shingle_hashes(F.col(text_col), shingle_n, token_hash)
+        ).alias("__h0"),
     )
     aggs = [
         F.min(
@@ -129,6 +177,7 @@ def minhash_bands(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """The banded-LSH INDEX rows: (id, band, bh) — one row per band
     per doc. Deterministic in the content alone (plan-constant hash
@@ -137,7 +186,9 @@ def minhash_bands(
     maintainable (t18: per-batch partials appended at ingest, joined
     later) rather than rebuild-only."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_n, token_hash
+    )
     # bands is a small constant -> build the band array explicitly
     # (explode of a literal array, one row per band per doc)
     band_structs = []
@@ -166,6 +217,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    token_hash=None,
 ) -> DataFrame:
     """X2 — candidate near-dup pairs via banded LSH.
 
@@ -178,7 +230,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b) with id_a < id_b.
     """
     banded = minhash_bands(
-        docs, id_col, text_col, num_hashes, bands, shingle_n
+        docs, id_col, text_col, num_hashes, bands, shingle_n, token_hash
     )
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
@@ -224,7 +276,11 @@ def simhash(text_col: Column, bits: int = 64) -> Column:
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str, text_col: str, bits: int = 64
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Per-doc 64-bit simhash via the same shape that won for minhash:
     explode tokens → ONE codegen'd xxhash64 projection → ``bits``
@@ -243,9 +299,12 @@ def simhash_signatures(
     """
     from eco_pulse_lakehouse_spark.functions.text import tokens
 
+    th = (
+        (lambda t: F.xxhash64(t)) if token_hash is None else token_hash
+    )
     ex = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
-    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    ).select(id_col, th(F.col("__t")).alias("__h"))
     masks = [(1 << j) if j < 63 else -(1 << 63) for j in range(bits)]
     aggs = [
         F.sum(
@@ -278,11 +337,12 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    token_hash=None,
 ) -> DataFrame:
     """X2 — simhash near-dup candidates, bucketed by the high
     ``prefix_bits`` of the fingerprint (cheap LSH: near-dups usually
     share the prefix), refined by exact Hamming distance."""
-    s = simhash_signatures(docs, id_col, text_col)
+    s = simhash_signatures(docs, id_col, text_col, token_hash=token_hash)
     s = s.withColumn("bucket", F.shiftrightunsigned("sh", 64 - prefix_bits))
     a = s.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "bucket")
     b = s.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "bucket")

@@ -108,15 +108,22 @@ def test_stream_lsh_index_equals_batch_pairs(spark):
         t18_stream_lsh_index,
     )
     from eco_pulse_lakehouse_spark.catalog import load_table
-    from eco_pulse_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        poly_token_hash,
+    )
 
     sf = "/root/testdata/sf0.001"
     streamed = {
         (r.id_a, r.id_b) for r in t18_stream_lsh_index(spark, sf).collect()
     }
     docs = load_table(spark, sf, "documents")
+    # t18 uses the SQL-replayable poly token hash (round-5 oracle
+    # conversion) — the batch twin must hash identically
     batch = {
         (r.id_a, r.id_b)
-        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", token_hash=poly_token_hash
+        ).collect()
     }
     assert streamed == batch and len(batch) > 0
