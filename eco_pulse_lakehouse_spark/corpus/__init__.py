@@ -125,6 +125,7 @@ _NEW_R05: frozenset[str] = frozenset(
         # replays / shared-index oracles) — changed code + oracle
         "x2_minhash_lsh", "x2_simhash", "x3_ann_lsh", "x3_ivf_topk",
         "x3_ivf_persisted", "x3_ivf_bounded", "t18_stream_lsh_index",
+        "x5_frame_sampling", "x5_multimodal_features",
     }
 )
 

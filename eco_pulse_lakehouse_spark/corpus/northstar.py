@@ -943,22 +943,82 @@ def x5_resize_plan(spark, sf_dir):
     )
 
 
-@q("x5_frame_sampling")  # mapInPandas decode stub: rows-only
+@q(
+    "x5_frame_sampling",
+    """
+    WITH p AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+           hex(encode(substring(text,
+             CAST(least(u.i * step, greatest(n - 1, 0)) + 1 AS INT),
+             CAST(step AS INT)))) AS frame_hex
+    FROM p, unnest(range(0, 4)) AS u(i)
+    """,
+)
 def x5_frame_sampling(spark, sf_dir):
     """X5 — evenly-spaced frame sampling over binary payloads
     (operators/multimodal.py:sample_frames); slice semantics pinned
-    in pytest."""
+    in pytest. ORACLE-CONVERTED in round 5 (was rows-only): the
+    payload is the utf-8 encoding of PURE-ASCII text (max codepoint
+    121 across all sfs — verified), so byte slices equal char
+    slices and the oracle replays start = min(i*step, max(n-1,0)),
+    len = step via varchar substring + encode; frames surface as
+    HEX strings (the s23 lesson: binary→string casts mangle, hex is
+    engine-stable)."""
     d = T(spark, sf_dir, "documents")
-    return xm.sample_frames(xm.to_multimodal(d), n_frames=4)
+    frames = xm.sample_frames(xm.to_multimodal(d), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
-@q("x5_multimodal_features")  # mapInPandas decode stub: rows-only
+@q(
+    "x5_multimodal_features",
+    """
+    WITH p AS (
+      SELECT doc_id, string_split(text, '') AS ch,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n, CAST(u.j AS INT) AS feat_idx,
+             n // 8 + CASE WHEN u.j < n % 8 THEN 1 ELSE 0 END AS sz,
+             u.j * (n // 8) + least(u.j, n % 8) AS st
+      FROM p, unnest(range(0, 8)) AS u(j)
+    )
+    SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_bytes, feat_idx,
+           CASE WHEN sz = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(
+                       ch[CAST(st + 1 AS INT):CAST(st + sz AS INT)],
+                       c -> greatest(unicode(c), 0))) AS DOUBLE)
+                     / CAST(sz AS DOUBLE) END AS feat_val
+    FROM f JOIN p USING (doc_id)
+    """,
+)
 def x5_multimodal_features(spark, sf_dir):
     """X5 — Arrow-batched feature extraction over binary payloads
     (operators/multimodal.py:extract_features; decode stubbed with a
-    deterministic featurizer, pytest pins the values)."""
+    deterministic featurizer, pytest pins the values).
+    ORACLE-CONVERTED in round 5 (was rows-only): the fake featurizer
+    is numpy array_split + mean — chunk j of n bytes has size
+    n//8 + (j < n%8) starting at j*(n//8) + min(j, n%8), and the
+    mean of uint8 values is an EXACT float64 (integer partial sums
+    < 2^53 are exact under any summation order, one final division)
+    — so with pure-ASCII text (bytes == codepoints) the whole thing
+    replays in SQL. Features posexplode to (feat_idx, feat_val)
+    rows because the driver's value-hash can't digest top-level
+    arrays (the round-2 a13 lesson)."""
     d = T(spark, sf_dir, "documents")
-    return xm.extract_features(xm.to_multimodal(d))
+    feats = xm.extract_features(xm.to_multimodal(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("feat_idx", "feat_val"),
+    )
 
 
 # =====================================================================
