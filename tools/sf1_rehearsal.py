@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""sf1 scale rehearsal (VERDICT r04 item 7): measure how the headline
+plans scale from sf0.1 to a synthetic 10x corpus, and record
+per-family scaling exponents in BENCH_DETAIL.json + SCALE.md.
+
+The driver provides no sf1 data (TESTDATA.md: sf up to 0.1,
+read-only), so this builds a PERF-ONLY 10x scale-up under /tmp from
+sf0.1 — never used for correctness:
+
+* dims (region..part) are byte-copied (fixed-dim growth: fan-in per
+  entity rises 10x, the realistic shape);
+* facts are 10 key-shifted copies — orders/lineitem shift o_orderkey
+  jointly (join structure preserved), events shift (event_id,
+  user_id) (10x independent users with identical per-user series),
+  embeddings shift vec_id (query set stays the 10 copy-0 vectors, so
+  ANN cost scales in |C| alone);
+* documents shift doc_id AND suffix every word with the copy index —
+  each copy gets a DISJOINT vocabulary, so cross-copy shingle
+  buckets don't exist and the dedup family's candidate pairs scale
+  linearly (10 verbatim copies would make every pair-emitting
+  operator's OUTPUT quadratic by construction — that would measure
+  the data artifact, not the operator; within-copy duplicates
+  remain, so exact-dedup still finds 10x the dups).
+
+w16 (uncapped SAX motifs) is EXCLUDED: the identical per-user series
+make every SAX word a hot word (candidate pairs x100 at 10x) — w19,
+the capped form built exactly for hot buckets, is measured instead.
+
+Usage: python tools/sf1_rehearsal.py  (~10 min; writes the
+"sf1_rehearsal" section of BENCH_DETAIL.json).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/eco_pulse_sf1"
+COPIES = 10
+
+QUERIES = [
+    "flagship_gold_risk", "a7_summary", "j3_equi_join_3way",
+    "j2_range_join_grid", "w1_latest_per_key", "w6_running_sum",
+    "o4_distributed_global_rank", "tpch_q1", "tpch_q3", "tpch_q5",
+    "x1_hash_dedup_key", "x4_text_stats", "x2_ngram_jaccard",
+    "x2_minhash_lsh", "x3_cosine_topk", "x3_quantized_topk",
+    "x3_pq_topk", "t5_stream_dedup", "w19_sax_motif_capped",
+    "flagship_text_pipeline", "skew1_salted_count",
+    "skew4_hot_key_count",
+]
+
+FACT_KEYS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import TABLES, load_table
+
+    os.makedirs(DST, exist_ok=True)
+    for t in TABLES:
+        done = os.path.join(DST, f"_BUILT_{t}")
+        if os.path.exists(done):
+            continue
+        if t not in FACT_KEYS:
+            shutil.copyfile(
+                os.path.join(SRC, f"{t}.parquet"),
+                os.path.join(DST, f"{t}.parquet"),
+            )
+            open(done, "w").close()
+            continue
+        df = load_table(spark, SRC, t)
+        shifts = {
+            k: (df.agg(F.max(k)).collect()[0][0] or 0) + 1
+            for k in FACT_KEYS[t]
+        }
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for k, kk in shifts.items():
+                c = c.withColumn(k, (F.col(k) + F.lit(i * kk)).cast(
+                    dict(df.dtypes)[k]))
+            if t == "documents":
+                # exactly-one-arg lambda: a default arg (s=sfx) makes
+                # pyspark infer the TWO-arg (element, index) form and
+                # silently binds the suffix to the position index —
+                # every copy then keeps an identical vocabulary and
+                # cross-copy pair counts go quadratic (hit round 5)
+                def _suffix(copy_i):
+                    s = F.lit(f"_c{copy_i}")
+                    return lambda w: F.concat(w, s)
+
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(F.split("text", " "), _suffix(i)),
+                        " ",
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(DST, f"{t}.parquet")
+        )
+        open(done, "w").close()
+        print(f"built {t} x{COPIES}", flush=True)
+
+
+def stage_01(spark) -> str:
+    """32-way silver staging of sf0.1 — bench.py's layout discipline,
+    so both scale points run the same file layout."""
+    import bench
+
+    stage, sec = bench.stage_silver(spark, SRC)
+    print(f"sf0.1 staged in {sec}s", flush=True)
+    return stage
+
+
+def time_query(fn, spark, sf_dir, runs=2):
+    import bench
+
+    bench.materialize(fn(spark, sf_dir))  # warm-up
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        bench.materialize(fn(spark, sf_dir))
+        ts.append(round(time.perf_counter() - t0, 3))
+    return min(ts), ts
+
+
+def main() -> None:
+    from eco_pulse_lakehouse_spark.session import get_session
+
+    spark = get_session("eco-pulse-sf1")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    build_sf1(spark)
+    s01 = stage_01(spark)
+
+    out = {}
+    for name in QUERIES:
+        fn = qs[name]
+        t01, runs01 = time_query(fn, spark, s01)
+        t1, runs1 = time_query(fn, spark, DST)
+        r01 = fn(spark, s01).count()
+        r1 = fn(spark, DST).count()
+        exp = (
+            round(math.log(t1 / t01) / math.log(COPIES), 2)
+            if t01 > 0 and t1 > 0
+            else None
+        )
+        out[name] = {
+            "sf0.1_sec": t01,
+            "sf1_sec": t1,
+            "ratio": round(t1 / t01, 2) if t01 else None,
+            "time_exponent": exp,
+            "rows_sf0.1": r01,
+            "rows_sf1": r1,
+        }
+        print(name, json.dumps(out[name]), flush=True)
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    try:
+        detail = json.load(open(detail_path))
+    except Exception:
+        detail = {}
+    detail["sf1_rehearsal"] = {
+        "copies": COPIES,
+        "method": "key-shifted 10x of sf0.1; documents get per-copy "
+                  "word suffixes (disjoint vocabularies); w16 excluded "
+                  "(identical series make every SAX word hot - w19 "
+                  "measured instead)",
+        "queries": out,
+    }
+    json.dump(detail, open(detail_path, "w"), indent=1)
+    print(json.dumps({"sf1_rehearsal_written": True,
+                      "n_queries": len(out)}))
+
+
+if __name__ == "__main__":
+    main()
