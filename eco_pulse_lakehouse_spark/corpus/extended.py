@@ -3622,6 +3622,49 @@ def q12_psi_drift(spark, sf_dir):
     return psi_drift(ev, "value", F.col("user_id") % 2 == 0)
 
 
+@q(
+    "q15_chi2_drift",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                 CAST(SUM(k2) AS BIGINT) AS n2 FROM b),
+    terms AS (
+      SELECT n1, n2,
+             CAST(round(
+               CAST(k2 * n1 - k1 * n2 AS DOUBLE)
+                 * CAST(k2 * n1 - k1 * n2 AS DOUBLE)
+                 / CAST(k1 * n2 * n1 AS DOUBLE)
+                 * 1000000000.0) AS BIGINT) AS term_fp
+      FROM b CROSS JOIN t WHERE k1 > 0
+    )
+    SELECT n1, n2, CAST(SUM(term_fp) AS BIGINT) AS chi2_fp,
+           CAST(SUM(term_fp) AS DOUBLE) / 1000000000.0 AS chi2,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof
+    FROM terms GROUP BY n1, n2
+    """,
+)
+def q15_chi2_drift(spark, sf_dir):
+    """Q15 — two-sample chi-square drift statistic between the
+    even/odd-user value distributions
+    (operators/anomaly.py:chi2_drift): PSI's hypothesis-test
+    sibling — chi2 = Σ (k2 − k1·n2/n1)²/(k1·n2/n1) over q12's bins,
+    each term computed from the exact integer cross-product
+    d = k2·n1 − k1·n2 as d²/(k1·n2·n1) (both exact as doubles),
+    quantized to 1e-9 fixed point so the sum is order-independent.
+    Reports dof = populated_bins − 1 for p-value lookup. Bin counts
+    stay LINEAR partials (chi2_from_bins), so the t23 streaming
+    pattern applies unchanged."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import chi2_drift
+
+    ev = T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return chi2_drift(ev, "value", F.col("user_id") % 2 == 0)
+
+
 @q("w21_dtw_motif_pairs")  # DP list accumulator: not expressible in
 # DuckDB SQL (list_reduce folds without an initial value), so this
 # entry is rows-only; the exact DP semantics are pinned bit-for-bit
@@ -3854,6 +3897,69 @@ def a31_weighted_median(spark, sf_dir):
             F.max("__W").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@q(
+    "w28_holt_linear",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts,
+                                          event_id := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               r -> r.v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend([vs[1], vs[2] - vs[1]],
+                 list_transform(vs[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 CAST(0.5 AS DOUBLE) * e[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                     * (CAST(0.5 AS DOUBLE) * e[1]
+                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                        - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+      FROM s
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+           hb[1] AS level, hb[2] AS trend, hb[1] + hb[2] AS forecast_1
+    FROM f
+    """,
+)
+def w28_holt_linear(spark, sf_dir):
+    """W28 — Holt's linear (double exponential) smoothing per user
+    (operators/timeseries.py:holt_linear): level+trend recurrence
+    with alpha = beta = 1/2, the dyadic-coefficient discipline that
+    makes a sequential float recurrence bit-exact cross-engine
+    (w14/w22's trick — halving is exact scaling, every add/sub is
+    one correctly-rounded IEEE op on identical operands).
+    Initialization (l_1, b_1) = (x_1, x_2 - x_1), updates for
+    t = 2..n. One groupBy exchange; order-insensitive struct-sort
+    fold; struct accumulator keeps the expression tree O(1)/step.
+    Oracle: DuckDB list_reduce with a 2-element LIST accumulator
+    ([l, b]; init prepended since list_reduce has no empty-init
+    form). A struct_pack accumulator is NOT usable here: DuckDB
+    1.0's list_reduce evaluates struct fields sequentially IN PLACE,
+    so acc.l inside the second field already reads the freshly
+    computed l (probe: lambda `b := acc.l` returns the new l) —
+    list values are pure. Output includes the 1-step forecast
+    level + trend."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts", "event_id", "value",
+    )
+    return holt_linear(ev, "user_id", "ts", "event_id", "value")
 
 
 @q(

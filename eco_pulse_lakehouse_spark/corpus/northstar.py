@@ -1543,9 +1543,10 @@ _BM25_QT_VALUES = ", ".join(
 )
 
 
-@q(
-    "x4_bm25",
-    f"""
+# Shared BM25 CTE chain (postings → tf/dl/stats/df → query terms →
+# fixed-point contributions) — used by x4_bm25 AND x4_rrf_fusion so
+# the two oracles can't drift apart.
+_BM25_CTES = f"""
     WITH post AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), tf AS (
@@ -1578,7 +1579,12 @@ _BM25_QT_VALUES = ", ".join(
       JOIN dfreq USING (term)
       JOIN dl USING (doc_id)
       CROSS JOIN stats
-    )
+    )"""
+
+
+@q(
+    "x4_bm25",
+    f"""{_BM25_CTES}
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(doc_id AS BIGINT) AS doc_id,
            score_fp, n_terms_matched, rk
@@ -1611,6 +1617,82 @@ def x4_bm25(spark, sf_dir):
     return bm25_topk(
         d, "doc_id", "text", _BM25_QUERIES, k1=1.2, b=0.75, k=10
     )
+
+
+@q(
+    "x4_rrf_fusion",
+    f"""{_BM25_CTES},
+    bmc AS (
+      SELECT query_id, doc_id, SUM(c_fp) AS s
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS r
+      FROM bmc
+    ),
+    ovc AS (
+      SELECT qt.query_id, tf.doc_id,
+             COUNT(*) AS nm, SUM(tf.tf) AS ttf
+      FROM tf JOIN qt USING (term)
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    ov AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY nm DESC, ttf DESC, doc_id ASC) AS r
+      FROM ovc
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, o.query_id) AS query_id,
+             COALESCE(b.doc_id, o.doc_id) AS doc_id,
+             round(
+               (CASE WHEN b.r IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + CAST(b.r AS DOUBLE)) END)
+               + (CASE WHEN o.r IS NULL THEN 0.0
+                       ELSE 1.0 / (60.0 + CAST(o.r AS DOUBLE)) END),
+               9) AS rrf_score
+      FROM (SELECT * FROM bm WHERE r <= 20) b
+      FULL OUTER JOIN (SELECT * FROM ov WHERE r <= 20) o
+        ON b.query_id = o.query_id AND b.doc_id = o.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id, rrf_score, rk
+    FROM (
+      SELECT query_id, doc_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def x4_rrf_fusion(spark, sf_dir):
+    """X4 retrieval — HYBRID retrieval via Reciprocal Rank Fusion
+    (operators/retrieval.py:rrf_fuse; Cormack et al. 2009): BM25
+    top-20 and coordinate-match (term-overlap) top-20 per query,
+    fused as Σ 1/(60+rank) over the lists each doc appears in,
+    re-ranked, top-10. The two retrievers rank genuinely differently
+    (idf+saturation vs raw match counts), so the fusion exercises
+    all three cases: both-lists, bm25-only, overlap-only. Fusion
+    input is O(queries·N) — corpus never re-touched. Each RRF term
+    is 1/(60+integer rank) (identical IEEE doubles cross-engine),
+    summed in fixed two-term order, rounded to 9dp BEFORE ranking —
+    oracle-exact; the oracle shares _BM25_CTES with x4_bm25 so the
+    retriever definitions cannot drift."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+        term_overlap_topk,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    a = bm25_topk(
+        d, "doc_id", "text", _BM25_QUERIES, k1=1.2, b=0.75, k=20
+    )
+    b = term_overlap_topk(d, "doc_id", "text", _BM25_QUERIES, k=20)
+    return rrf_fuse(a, b, k=10)
 
 
 # =====================================================================

@@ -1848,6 +1848,97 @@ def t30_stream_twap(spark, sf_dir):
 
 
 @q(
+    "t31_stream_chi2",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
+             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
+                 CAST(SUM(k2) AS BIGINT) AS n2 FROM b),
+    terms AS (
+      SELECT n1, n2,
+             CAST(round(
+               CAST(k2 * n1 - k1 * n2 AS DOUBLE)
+                 * CAST(k2 * n1 - k1 * n2 AS DOUBLE)
+                 / CAST(k1 * n2 * n1 AS DOUBLE)
+                 * 1000000000.0) AS BIGINT) AS term_fp
+      FROM b CROSS JOIN t WHERE k1 > 0
+    )
+    SELECT n1, n2, CAST(SUM(term_fp) AS BIGINT) AS chi2_fp,
+           CAST(SUM(term_fp) AS DOUBLE) / 1000000000.0 AS chi2,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof
+    FROM terms GROUP BY n1, n2
+    """,
+)
+def t31_stream_chi2(spark, sf_dir):
+    """T31 — STREAMING chi-square drift monitor: per-micro-batch
+    per-bucket (side, count) partials land as idempotent epoch-keyed
+    parquet (the t23 discipline — bin counts are LINEAR, union + sum
+    merges exactly), and serving computes the statistic from the
+    merged bins (operators/anomaly.py:chi2_from_bins). Streamed ≡
+    one-shot batch, so this entry carries q15's hard oracle
+    verbatim — PSI and chi-square monitors share the same partial
+    stream, differing only in the serve-side arithmetic."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import (
+        chi2_from_bins,
+    )
+
+    stage = _stage_events(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t31_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        bins = (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy(
+                F.floor(F.col("value") / F.lit(10.0))
+                .cast("bigint")
+                .alias("__bucket")
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                ).alias("__k1"),
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+                ).alias("__k2"),
+            )
+        )
+        bins.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("__bucket")
+        .agg(
+            F.sum("__k1").alias("__k1"),
+            F.sum("__k2").alias("__k2"),
+        )
+    )
+    return chi2_from_bins(merged)
+
+
+@q(
     "t29_stream_dataset_card",
     """
     WITH tc AS (

@@ -397,3 +397,72 @@ def psi_from_bins(b: DataFrame) -> DataFrame:
         # the oracle's GROUP BY over an empty terms set
         .filter(F.col("n1").isNotNull())
     )
+
+
+def chi2_drift(
+    df: DataFrame,
+    value_col: str,
+    in_first: "F.Column",
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Two-sample chi-square drift statistic over equi-width bins —
+    the hypothesis-test sibling of :func:`psi_drift` (PSI reports a
+    score; chi2/dof feeds a p-value):
+
+      chi2 = sum_bins (k2 - E)^2 / E,  E = k1 * n2 / n1
+
+    (sample 1 is the REFERENCE; bins with an empty reference side
+    are excluded — the same unsmoothed convention as PSI, where
+    smoothing constants are caller policy). Each term is computed
+    from the exact integer cross-product d = k2*n1 - k1*n2 as
+    d^2 / (k1*n2*n1) — numerator/denominator are exact BIGINTs
+    (|d| <= ~1e10 exact as double; denominator <= ~1e15 < 2^53),
+    the divide/multiply are single IEEE ops on identical operands,
+    and each term is quantized to a 1e-9 fixed-point BIGINT so the
+    sum is order-independent (q12's discipline). Returns one row
+    (n1, n2, chi2_fp, chi2, dof = populated_bins - 1) or zero rows
+    when no bin has a populated reference side. NULL values are
+    dropped before bucketing (the q12 NULL rule)."""
+    bucket = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast(
+        "bigint"
+    )
+    df = df.filter(F.col(value_col).isNotNull())
+    b = df.groupBy(bucket.alias("__bucket")).agg(
+        F.sum(F.when(in_first, 1).otherwise(0)).alias("__k1"),
+        F.sum(F.when(in_first, 0).otherwise(1)).alias("__k2"),
+    )
+    return chi2_from_bins(b)
+
+
+def chi2_from_bins(b: DataFrame) -> DataFrame:
+    """chi-square from a (``__bucket``, ``__k1``, ``__k2``) bin-count
+    table — split out like :func:`psi_from_bins` because bin counts
+    are LINEAR partials (union + sum), so a streaming monitor can
+    accumulate per-micro-batch bins and serve the exact batch
+    statistic."""
+    tot = b.agg(
+        F.sum("__k1").cast("long").alias("__n1"),
+        F.sum("__k2").cast("long").alias("__n2"),
+    )
+    d = (
+        F.col("__k2") * F.col("__n1") - F.col("__k1") * F.col("__n2")
+    ).cast("double")
+    denom = (
+        F.col("__k1") * F.col("__n2") * F.col("__n1")
+    ).cast("double")
+    term_fp = F.round(d * d / denom * F.lit(1e9), 0).cast("bigint")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .filter(F.col("__k1") > 0)
+        .groupBy("__n1", "__n2")
+        .agg(
+            F.sum(term_fp).cast("bigint").alias("chi2_fp"),
+            (F.sum(term_fp).cast("double") / F.lit(1e9)).alias("chi2"),
+            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("dof"),
+        )
+        .select(
+            F.col("__n1").alias("n1"),
+            F.col("__n2").alias("n2"),
+            "chi2_fp", "chi2", "dof",
+        )
+    )

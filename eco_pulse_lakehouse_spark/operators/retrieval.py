@@ -208,6 +208,100 @@ def _bm25_score(
     )
 
 
+def term_overlap_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Boolean / coordinate-match retrieval: rank documents by how
+    many DISTINCT query terms they contain (then total matched tf,
+    then id) — the classic second retriever next to BM25 in a hybrid
+    stack, and deliberately rank-divergent from it (no idf, no
+    length normalization). Same inverted-index shape: one postings
+    shuffle, broadcast query terms, all-integer scores — exactly
+    SQL-replayable."""
+    q_terms = docs.sparkSession.createDataFrame(
+        [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
+        "query_id long, term string",
+    ).distinct()
+    postings = term_postings(docs, id_col, text_col)
+    scored = (
+        postings.join(F.broadcast(q_terms), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_matched").desc(),
+        F.col("total_tf").desc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", id_col, "n_matched", "total_tf",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of
+    two ranked lists: ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))``
+    over the lists d appears in — the standard hybrid-retrieval
+    combiner (BM25 + dense, or any pair) because it needs only RANKS,
+    never score calibration across retrievers.
+
+    Shape: a full-outer equi-join of the two (query, doc, rank)
+    lists — both already top-N-truncated, so the join input is
+    O(queries · N), trivially broadcastable at any corpus size; the
+    corpus itself is never touched again. Determinism: each term is
+    ``1.0/(rrf_k + integer rank)`` — identical IEEE doubles in any
+    engine — summed in a FIXED two-term order and rounded to 9dp
+    before ranking, so the fused order (score desc, id asc) is
+    engine-exact."""
+    a = ranked_a.select(
+        query_col, id_col, F.col(rank_col).alias("__ra")
+    )
+    b = ranked_b.select(
+        query_col, id_col, F.col(rank_col).alias("__rb")
+    )
+    fused = a.join(b, [query_col, id_col], "full_outer")
+
+    def _term(c):
+        return F.when(
+            c.isNotNull(),
+            F.lit(1.0) / (F.lit(float(rrf_k)) + c.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    rrf = F.round(_term(F.col("__ra")) + _term(F.col("__rb")), 9)
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_col, id_col, "rrf_score",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     id_col: str,

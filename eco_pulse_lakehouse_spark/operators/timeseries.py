@@ -807,3 +807,86 @@ def time_weighted_avg_daily(
             "twap",
         )
     )
+
+
+def holt_linear(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — the
+    level+trend forecaster one rung above w14's EWMA:
+
+      l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+      b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    with alpha = beta = 1/2 FIXED: halving is exact binary scaling
+    and every remaining op (add/sub) is a single correctly-rounded
+    IEEE step on identical operands, so the whole recurrence is
+    bit-exact cross-engine (the w14/w22 dyadic-coefficient
+    discipline — a free alpha would not be). Initialization is the
+    textbook (l_1, b_1) = (x_1, x_2 - x_1) with updates applied for
+    t = 2..n; a single-reading key keeps level = x_1 and NULL trend
+    (unknown slope) in BOTH engines (F.get / list-index-out-of-range
+    both yield NULL — F.get, not element_at, which throws under
+    ANSI).
+
+    Shape: ONE groupBy exchange; the order-insensitive
+    sort_array(collect_list(struct)) fold makes the sequential
+    recurrence deterministic without a sort pass, and the
+    accumulator is a lambda-bound STRUCT variable so the expression
+    tree stays O(1) per step (the SCALE.md DTW lesson). Series
+    length per key is bounded by the key's history — the same
+    contract as every journey/recurrence operator here. Returns
+    (key, n_events, level, trend, forecast_1 = level + trend)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_col, tiebreak_col,
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    def fold(vals):
+        init = F.struct(
+            F.get(vals, 0).alias("l"),
+            (F.get(vals, 1) - F.get(vals, 0)).alias("b"),
+        )
+
+        def step(acc, x):
+            l_new = F.lit(0.5) * x + F.lit(0.5) * (
+                acc.getField("l") + acc.getField("b")
+            )
+            return F.struct(
+                l_new.alias("l"),
+                (
+                    F.lit(0.5) * (l_new - acc.getField("l"))
+                    + F.lit(0.5) * acc.getField("b")
+                ).alias("b"),
+            )
+
+        return F.aggregate(
+            F.slice(vals, 2, F.size(vals) - 1), init, step
+        )
+
+    return (
+        events.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            arr.alias("__arr"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            fold(F.transform(F.col("__arr"), lambda s: s.getField("v"))).alias("__hb"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            F.col("__hb.l").alias("level"),
+            F.col("__hb.b").alias("trend"),
+            (F.col("__hb.l") + F.col("__hb.b")).alias("forecast_1"),
+        )
+    )

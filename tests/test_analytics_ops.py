@@ -249,6 +249,99 @@ def test_weighted_median_equals_replicated_median(spark):
     assert got == flat[(len(flat) - 1) // 2]  # lower median = 30.0
 
 
+def test_chi2_drift_zero_on_identical_and_fires_on_shift(spark):
+    """chi2: exactly 0 for identical per-bin distributions, strictly
+    positive under a location shift, dof = populated ref bins − 1,
+    and cur-only bins are excluded (unsmoothed convention)."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import chi2_drift
+
+    base = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    ident = base.select(
+        (F.floor(F.col("id") / 2) % 97).cast("double").alias("v"),
+        (F.col("id") % 2 == 0).alias("side"),
+    )
+    r = chi2_drift(ident, "v", F.col("side"), bin_width=10.0).collect()[0]
+    assert r.chi2_fp == 0 and r.chi2 == 0.0
+    assert r.dof == 9  # values 0..96, width 10 -> bins 0..9
+    shift = base.select(
+        F.when(F.col("id") % 2 == 0, F.col("v")).otherwise(
+            F.col("v") + 30.0
+        ).alias("v"),
+        (F.col("id") % 2 == 0).alias("side"),
+    )
+    r = chi2_drift(shift, "v", F.col("side"), bin_width=10.0).collect()[0]
+    assert r.chi2 > 10.0  # gross shift: far beyond any alpha cutoff
+    # reference side only covers bins 0..9; cur-only bins 10..12 are
+    # excluded so dof still reflects the REF-populated bins
+    assert r.dof == 9
+
+
+def test_holt_linear_matches_python_reference_and_tracks_trend(spark):
+    """holt_linear == the textbook recurrence run in pure python
+    (bit-exact, alpha=beta=1/2), converges to the exact slope on a
+    linear series, and a single-reading key yields NULL trend."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import holt_linear
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+    series = {1: [10.0, 14.0, 13.0, 20.0, 18.0, 25.0],
+              2: [float(5 + 3 * i) for i in range(40)],  # exact linear
+              3: [7.5]}
+    rows = [
+        (uid * 100 + i, uid, t0 + i * m, v)
+        for uid, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {
+        r.user_id: r
+        for r in holt_linear(df, "user_id", "ts", "event_id", "value")
+        .collect()
+    }
+
+    def ref(vs):
+        l, b = vs[0], vs[1] - vs[0]
+        for x in vs[1:]:
+            ln = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (ln - l) + 0.5 * b
+            l = ln
+        return l, b
+
+    l1, b1 = ref(series[1])
+    assert out[1].level == l1 and out[1].trend == b1
+    assert out[1].forecast_1 == l1 + b1
+    # exact linear series: Holt locks onto the slope exactly
+    assert abs(out[2].trend - 3.0) < 1e-9
+    assert abs(out[2].level - series[2][-1]) < 1e-9
+    assert out[3].level == 7.5 and out[3].trend is None
+
+
+def test_rrf_fusion_scores_and_single_list_docs(spark):
+    """rrf_fuse contract: a doc in both lists scores
+    1/(60+ra) + 1/(60+rb); single-list docs keep one term; ranking
+    is (score desc, id asc)."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id LONG, doc_id LONG, rk LONG"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id LONG, doc_id LONG, rk LONG"
+    )
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10).collect()}
+    assert out[10].rrf_score == round(1 / 61 + 1 / 62, 9)
+    assert out[11].rrf_score == round(1 / 62, 9)
+    assert out[12].rrf_score == round(1 / 61, 9)
+    # both-lists doc outranks either single-list doc
+    assert out[10].rk == 1
+    # 11 and 12 tie-break: 12 has the higher single-term score
+    assert out[12].rk == 2 and out[11].rk == 3
+
+
 def test_bollinger_bands_bracket_mean_and_collapse_on_constants(spark):
     """upper >= mean >= lower everywhere; a constant series has zero
     EW variance so both bands equal the value exactly."""
