@@ -1111,6 +1111,66 @@ def x6_deterministic_sample(spark, sf_dir):
 
 
 @q(
+    "x7_length_buckets",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, tok,
+             CASE WHEN tok <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(power(2, length(bin(tok - 1))) AS BIGINT)
+             END AS bucket
+      FROM t
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(COUNT(*) * bucket - SUM(tok) AS DOUBLE)
+             / CAST(COUNT(*) * bucket AS DOUBLE) AS pad_waste
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def x7_length_buckets(spark, sf_dir):
+    """X7 — sequence-length bucketing for batched inference/training:
+    each document goes to the power-of-two bucket covering its
+    whitespace token count (pad-to-bucket batching — the standard
+    way to bound padding waste without per-batch dynamic shapes),
+    and the report gives per-(lang, bucket) doc counts, real vs
+    padded token totals, and the padding-waste fraction the bucket
+    ladder buys. INTEGER-EXACT bucket math: next_pow2(tok) =
+    2^bitlength(tok-1) via length(bin(tok-1)) — both engines have
+    bin(); no float log2 (exact-power boundaries would be at the
+    mercy of libm). Waste is one double division of exact BIGINTs.
+    One map-side-combinable aggregation — trivially 100 TB-safe."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bucket = F.when(toks <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.pow(
+            F.lit(2.0),
+            F.length(F.bin(toks - F.lit(1))).cast("double"),
+        ).cast("bigint")
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "lang", toks.alias("tok"), bucket.alias("bucket")
+    )
+    return d.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.first("bucket"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+        (
+            (F.count(F.lit(1)) * F.first("bucket") - F.sum("tok"))
+            .cast("double")
+            / (F.count(F.lit(1)) * F.first("bucket")).cast("double")
+        ).alias("pad_waste"),
+    )
+
+
+@q(
     "x7_pack_documents",
     f"""
     WITH RECURSIVE d AS (

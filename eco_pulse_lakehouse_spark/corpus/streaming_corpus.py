@@ -1938,6 +1938,69 @@ def t31_stream_chi2(spark, sf_dir):
     return chi2_from_bins(merged)
 
 
+@q("t32_stream_bm25", _ns.ORACLES["x4_bm25"])
+def t32_stream_bm25(spark, sf_dir):
+    """T32 — STREAMING search-index maintenance: documents stream in
+    one file per trigger and each micro-batch lands its POSTINGS
+    partial (doc_id, term, tf) as idempotent epoch-keyed parquet.
+    Documents partition across batches, so each doc's tf rows are
+    complete within its batch and the accumulated index is a plain
+    union — LINEAR partials, the t17/t23/t29 discipline applied to
+    the inverted index itself. Serving derives dl/df/corpus stats
+    from the merged postings and runs the identical BM25 ranking
+    (retrieval.py:bm25_from_postings), so the streamed index answers
+    queries EXACTLY like the one-shot batch build — this entry
+    carries x4_bm25's hard oracle verbatim. The production shape:
+    the index grows at ingest cost O(batch), history is never
+    re-tokenized, any query batch is a broadcast over the postings."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_from_postings,
+        term_postings,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t32_{uuid.uuid4().hex}"
+    )
+    stage = os.path.join(base, "in")
+    docs.repartition(4).write.parquet(stage)
+    sink, ck = os.path.join(base, "index"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_postings(batch_df, batch_id: int) -> None:
+        term_postings(batch_df, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_postings)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    postings = spark.read.parquet(os.path.join(sink, "batch=*"))
+    q_terms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in _ns._BM25_QUERIES
+            for t in qtext.split(" ")
+        ],
+        "query_id long, term string",
+    ).distinct()
+    return bm25_from_postings(
+        postings, "doc_id", q_terms, k1=1.2, b=0.75, k=10
+    )
+
+
 @q(
     "t29_stream_dataset_card",
     """

@@ -148,6 +148,25 @@ def _bm25_score(
     (callers that re-rank, e.g. the phrase-boost variant, cut later
     — the top-k window must run AFTER any score adjustment)."""
     postings = term_postings(docs, id_col, text_col)
+    return bm25_from_postings(postings, id_col, q_terms, k1, b, k)
+
+
+def bm25_from_postings(
+    postings: DataFrame,
+    id_col: str,
+    q_terms: DataFrame,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """BM25 scoring from a ``(id, term, tf)`` POSTINGS table — split
+    out of :func:`_bm25_score` because postings are LINEAR partials
+    when documents partition across batches (each doc's tf rows are
+    complete within its batch, so the index is a plain union) —
+    which is what lets a streaming ingest maintain the search index
+    incrementally and serve the exact batch ranking
+    (t32_stream_bm25). dl / df / corpus stats all derive from the
+    postings alone."""
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
