@@ -12,7 +12,7 @@ import os
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.catalog import load_table
-from eco_pulse_lakehouse_spark.corpus import relational, extended
+from eco_pulse_lakehouse_spark.corpus import relational, extended, northstar
 
 SF = "/root/testdata/sf0.01"
 
@@ -383,6 +383,58 @@ def test_spacesaving_recount_is_semi_join_prefilter(spark):
     plan = _plan(df)
     assert "LeftSemi" in plan and "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multi_pattern_single_exchange(spark):
+    """w27: three regex patterns over the shared journey substrate
+    must add PROJECTIONS, not exchanges — same single-exchange
+    contract as w24."""
+    df = extended.QUERIES["w27_match_alternation"](spark, SF)
+    assert _plan(df).count("Exchange") == 1
+
+
+def test_dup_span_removal_no_cartesian_and_equi_joins(spark):
+    """x2_dup_span_removal: every join (dup-shingle index, removed-
+    position anti join, doc-spine outer join) is an equi-join — no
+    cartesian / nested-loop anywhere, the never-all-pairs contract
+    of the dedup family."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        dup_span_removal,
+    )
+
+    d = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    plan = _plan(dup_span_removal(d, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan  # surviving tokens via anti join
+
+
+def test_chi2_single_agg_shuffle_and_broadcast_totals(spark):
+    """q15: ONE bin-count aggregation shuffle; the (n1, n2) totals
+    ride back as a broadcast — the q12 shape."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import chi2_drift
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("value").isNotNull()
+    )
+    plan = _plan(chi2_drift(ev, "value", F.col("user_id") % 2 == 0))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_plan_shape(spark):
+    """x4_rrf_fusion: the fusion is a FullOuter EQUI-join of two
+    tiny top-N lists — no cartesian anywhere; corpus rescans are
+    bounded by the retriever-side statistics passes (BM25 re-derives
+    dl/df/stats from postings: 5 FileScans total today), NOT by the
+    query count — a 1000-query batch plans identically."""
+    df = northstar.QUERIES["x4_rrf_fusion"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    assert plan.count("FileScan") <= 6, plan.count("FileScan")
 
 
 def test_salted_hot_key_join_joins_on_salt(spark):
