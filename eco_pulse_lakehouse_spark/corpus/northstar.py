@@ -2713,6 +2713,62 @@ def x2_dup_span_removal(spark, sf_dir):
     )
 
 
+def _phonetic_code_sql(name: str) -> str:
+    """DuckDB twin of operators/dedup.py:phonetic_code — the same
+    RE2-safe replace chain (DuckDB regexp_replace needs the 'g'
+    flag; Spark's is always-global)."""
+    expr = f"substring(lower(string_split({name}, ' ')[1]), 2)"
+    for pat, rep in (
+        ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+        ("l", "4"), ("[mn]", "5"), ("r", "6"), ("[aeiouhwy]", "0"),
+    ):
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for d in "123456":
+        expr = f"regexp_replace({expr}, '{d}{{2,}}', '{d}', 'g')"
+    expr = f"regexp_replace({expr}, '0', '', 'g')"
+    return (
+        f"upper(substring(lower(string_split({name}, ' ')[1]), 1, 1))"
+        f" || substring({expr} || '000', 1, 3)"
+    )
+
+
+@q(
+    "x2_phonetic_blocking",
+    f"""
+    WITH k AS (
+      SELECT p_partkey AS id, p_name AS nm,
+             {_phonetic_code_sql('p_name')} AS pc
+      FROM part
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS lev
+    FROM k a JOIN k b ON a.pc = b.pc AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    """,
+)
+def x2_phonetic_blocking(spark, sf_dir):
+    """X2 — fuzzy-match candidates via PHONETIC BLOCKING + exact
+    edit-distance refine (operators/dedup.py:phonetic_blocking_pairs)
+    over part names: a simplified Soundex-style code of the first
+    token (initial + 3 consonant-class digits, RE2-safe — per-digit
+    run collapses, no backreferences) forms the blocking equi-join,
+    then built-in levenshtein <= 3 keeps exact dup pairs (lev 0 —
+    the catalog has heavy name reuse) AND real variants
+    ('hot ring' ~ 'hot rod', lev 3; the corpus has no lev-1/2
+    neighbors). Both stages are built-ins in BOTH engines with
+    identical integer distances — fully oracle-exact. The classic
+    entity-resolution blocking shape, complementing SNM (sort-based)
+    and LSH (signature-based) blocking."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        phonetic_blocking_pairs,
+    )
+
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"), "p_name"
+    )
+    return phonetic_blocking_pairs(p, "p_partkey", "p_name", max_edit=3)
+
+
 @q(
     "x6_temperature_mixture",
     f"""

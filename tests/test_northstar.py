@@ -843,6 +843,41 @@ def test_dup_span_removal_strips_planted_shared_span(spark):
         assert out[doc].text_clean == texts[doc]
 
 
+def test_phonetic_blocking_code_and_refine(spark):
+    """Phonetic code semantics (simplified Soundex): 'robert' and
+    'rupert' share R163 (the classic pair), vowels drop, consonant
+    runs collapse ('jackson' -> J25), and the refine keeps only
+    edit-distance survivors within a block."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        phonetic_blocking_pairs,
+        phonetic_code,
+    )
+    from pyspark.sql import functions as F_
+
+    names = ["robert x", "rupert y", "jackson z", "smith a",
+             "smyth b", "smithy c"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id LONG, name STRING"
+    )
+    codes = dict(
+        df.select("name", phonetic_code(F_.col("name")).alias("c"))
+        .collect()
+    )
+    assert codes["robert x"] == codes["rupert y"] == "R163"
+    assert codes["jackson z"] == "J25".ljust(4, "0")
+    assert codes["smith a"] == codes["smyth b"] == codes["smithy c"]
+    pairs = {
+        (r.id_a, r.id_b): r.lev
+        for r in phonetic_blocking_pairs(
+            df, "id", "name", max_edit=2
+        ).collect()
+    }
+    # smith/smyth (lev 2 incl. suffix char) survive; robert/rupert
+    # share a block but fail the edit bound
+    assert (3, 4) in pairs and pairs[(3, 4)] == 2
+    assert (0, 1) not in pairs
+
+
 def test_training_export_manifest_invariants(spark):
     """End-to-end manifest sanity: survivors are a subset of the
     deduped train split, no survivor shares a 4-gram with the
