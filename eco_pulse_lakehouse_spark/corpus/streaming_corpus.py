@@ -1938,6 +1938,186 @@ def t31_stream_chi2(spark, sf_dir):
     return chi2_from_bins(merged)
 
 
+@q(
+    "t33_stream_holt",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts,
+                                          event_id := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               r -> r.v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend([vs[1], vs[2] - vs[1]],
+                 list_transform(vs[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 CAST(0.5 AS DOUBLE) * e[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                     * (CAST(0.5 AS DOUBLE) * e[1]
+                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                        - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+      FROM s
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+           hb[1] AS level, hb[2] AS trend, hb[1] + hb[2] AS forecast_1
+    FROM f
+    """,
+)
+def t33_stream_holt(spark, sf_dir):
+    """T33 — STREAMING Holt forecaster maintenance (w28's oracle
+    verbatim): the same time-ordered append feed as t30, but the
+    carried state IS the forecaster — per key (l, b, n, x1_pending).
+    Each micro-batch sorts ITS events per key and continues the
+    exact w28 fold from the carried state in an applyInPandas step
+    (O(batch) work, state O(keys)); because commits are time-ordered
+    per key, the concatenation of per-batch folds IS the one-shot
+    fold — streamed ≡ batch bit-identically, including the
+    first-two-readings initialization (a key's first batch may hold
+    only one reading, so the unstarted state parks x1 until x2
+    arrives). The production shape for millions of per-key online
+    forecasters: no history re-read, serving reads the latest state
+    epoch."""
+    import pandas as pd
+
+    DAY = 86_400_000
+    day_lit = F.lit(DAY).cast("bigint")
+
+    def div_day(x):
+        return F.call_function("div", x - F.pmod(x, day_lit), day_lit)
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("value").cast("double").alias("v"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t33_{uuid.uuid4().hex}"
+    )
+    feed = os.path.join(base, "feed")
+    days = sorted(
+        r[0] for r in ev.select(div_day(F.col("ts_ms")).alias("d"))
+        .distinct().collect()
+    )
+    n_slices = 4
+    cuts = [days[len(days) * i // n_slices] for i in range(1, n_slices)]
+    lo_cut = [None] + cuts
+    hi_cut = cuts + [None]
+    for i in range(n_slices):
+        sl = ev.withColumn("__d", div_day(F.col("ts_ms")))
+        if lo_cut[i] is not None:
+            sl = sl.filter(F.col("__d") >= lo_cut[i])
+        if hi_cut[i] is not None:
+            sl = sl.filter(F.col("__d") < hi_cut[i])
+        sl.drop("__d").coalesce(1).write.parquet(
+            os.path.join(feed, f"cv-{i}")
+        )
+
+    state_root = os.path.join(base, "state")
+    state_schema = (
+        "user_id BIGINT, n BIGINT, l DOUBLE, b DOUBLE, x1 DOUBLE"
+    )
+
+    def fold(batch_df, batch_id: int) -> None:
+        import glob as _glob
+
+        sp_ = batch_df.sparkSession
+        prev = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+            if int(os.path.basename(p).split("=")[1]) < batch_id
+        )
+        if prev:
+            prior = sp_.read.parquet(
+                os.path.join(state_root, f"epoch={prev[-1]}")
+            )
+        else:
+            prior = sp_.createDataFrame([], state_schema)
+
+        def continue_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = pdf[pdf["__src"] == 0]
+            ev_rows = (
+                pdf[pdf["__src"] == 1]
+                .sort_values(["ts_ms", "event_id"])
+            )
+            if len(st):
+                n = int(st["n"].iloc[0])
+                l, b = st["l"].iloc[0], st["b"].iloc[0]
+                x1 = st["x1"].iloc[0]
+            else:
+                n, l, b, x1 = 0, None, None, None
+            for x in ev_rows["v"]:
+                n += 1
+                if n == 1:
+                    x1 = x
+                elif n == 2:
+                    l, b = x1, x - x1
+                    ln = 0.5 * x + 0.5 * (l + b)
+                    b = 0.5 * (ln - l) + 0.5 * b
+                    l = ln
+                else:
+                    ln = 0.5 * x + 0.5 * (l + b)
+                    b = 0.5 * (ln - l) + 0.5 * b
+                    l = ln
+            return pd.DataFrame(
+                {"user_id": [pdf["user_id"].iloc[0]], "n": [n],
+                 "l": [l], "b": [b], "x1": [x1]}
+            )
+
+        alle = prior.withColumn("__src", F.lit(0)).unionByName(
+            batch_df.withColumn("__src", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        alle.groupBy("user_id").applyInPandas(
+            continue_fold, schema=state_schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_root, f"epoch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream
+        .schema("user_id BIGINT, ts_ms BIGINT, event_id BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "cv-*"))
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    import glob as _glob
+
+    final_epoch = max(
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+    )
+    st = spark.read.parquet(
+        os.path.join(state_root, f"epoch={final_epoch}")
+    )
+    return st.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.when(F.col("n") == 1, F.col("x1")).otherwise(F.col("l")).alias("level"),
+        F.col("b").alias("trend"),
+        (
+            F.when(F.col("n") == 1, F.col("x1")).otherwise(F.col("l"))
+            + F.col("b")
+        ).alias("forecast_1"),
+    )
+
+
 @q("t32_stream_bm25", _ns.ORACLES["x4_bm25"])
 def t32_stream_bm25(spark, sf_dir):
     """T32 — STREAMING search-index maintenance: documents stream in
