@@ -3963,6 +3963,86 @@ def w28_holt_linear(spark, sf_dir):
 
 
 @q(
+    "w29_holt_mase",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts,
+                                          event_id := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               r -> r.v) AS vs
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, vs[1 : len(vs) - 4] AS train,
+             vs[len(vs) - 3 :] AS test
+      FROM s WHERE len(vs) >= 8
+    ),
+    g AS (
+      SELECT user_id, len(train) AS nt, test,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(2, len(train) + 1),
+                 i -> abs(train[i] - train[i - 1]))),
+               (a, x) -> a + x)
+               / CAST(len(train) - 1 AS DOUBLE) AS naive_mae,
+             list_reduce(
+               list_prepend([train[1], train[2] - train[1]],
+                 list_transform(train[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 CAST(0.5 AS DOUBLE) * e[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                     * (CAST(0.5 AS DOUBLE) * e[1]
+                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                        - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+      FROM f
+    ),
+    h AS (
+      SELECT user_id, nt, naive_mae,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 5),
+                 j -> abs(test[j]
+                          - (hb[1] + CAST(j AS DOUBLE) * hb[2])))),
+               (a, x) -> a + x) / CAST(4 AS DOUBLE) AS model_mae
+      FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(nt AS BIGINT) AS n_train, naive_mae, model_mae,
+           CASE WHEN naive_mae != CAST(0 AS DOUBLE)
+                THEN model_mae / naive_mae END AS mase
+    FROM h
+    """,
+)
+def w29_holt_mase(spark, sf_dir):
+    """W29 — per-user FORECAST BACKTEST with MASE scoring
+    (operators/timeseries.py:holt_mase_backtest; Hyndman & Koehler
+    2006): hold out the last 4 readings, fit w28's bit-exact Holt
+    fold on the train prefix, forecast l + j·b, and report
+    model MAE / in-sample one-step naive MAE — the scale-free
+    forecast-quality metric (MASE < 1 beats naive). Every float
+    reduction is a strictly left-to-right fold over the sorted
+    series (never a SUM aggregate — partial-agg order floats), so
+    the whole backtest replays in SQL; the Holt fold is staged as a
+    COLUMN so the error lambda doesn't re-evaluate it per element
+    (the w16 interpreted-HOF lesson). ONE exchange."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_mase_backtest,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts", "event_id", "value",
+    )
+    return holt_mase_backtest(
+        ev, "user_id", "ts", "event_id", "value",
+        horizon=4, min_train=4,
+    )
+
+
+@q(
     "w22_bollinger",
     """
     WITH a AS (

@@ -849,28 +849,6 @@ def holt_linear(
             )
         )
     )
-    def fold(vals):
-        init = F.struct(
-            F.get(vals, 0).alias("l"),
-            (F.get(vals, 1) - F.get(vals, 0)).alias("b"),
-        )
-
-        def step(acc, x):
-            l_new = F.lit(0.5) * x + F.lit(0.5) * (
-                acc.getField("l") + acc.getField("b")
-            )
-            return F.struct(
-                l_new.alias("l"),
-                (
-                    F.lit(0.5) * (l_new - acc.getField("l"))
-                    + F.lit(0.5) * acc.getField("b")
-                ).alias("b"),
-            )
-
-        return F.aggregate(
-            F.slice(vals, 2, F.size(vals) - 1), init, step
-        )
-
     return (
         events.groupBy(key_col)
         .agg(
@@ -880,7 +858,9 @@ def holt_linear(
         .select(
             key_col,
             "n_events",
-            fold(F.transform(F.col("__arr"), lambda s: s.getField("v"))).alias("__hb"),
+            holt_fold(
+                F.transform(F.col("__arr"), lambda s: s.getField("v"))
+            ).alias("__hb"),
         )
         .select(
             key_col,
@@ -889,4 +869,118 @@ def holt_linear(
             F.col("__hb.b").alias("trend"),
             (F.col("__hb.l") + F.col("__hb.b")).alias("forecast_1"),
         )
+    )
+
+
+def holt_fold(vals: Column) -> Column:
+    """The w28 recurrence as a reusable Column fold over an ordered
+    DOUBLE array: returns struct(l, b). Shared by :func:`holt_linear`
+    and the MASE backtest (:func:`holt_mase_backtest`)."""
+    init = F.struct(
+        F.get(vals, 0).alias("l"),
+        (F.get(vals, 1) - F.get(vals, 0)).alias("b"),
+    )
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(0.5) * (l_new - acc.getField("l"))
+                + F.lit(0.5) * acc.getField("b")
+            ).alias("b"),
+        )
+
+    return F.aggregate(F.slice(vals, 2, F.size(vals) - 1), init, step)
+
+
+def _seq_sum(arr: Column) -> Column:
+    """Strictly LEFT-TO-RIGHT float sum over an array — the fixed
+    evaluation order both engines reproduce (DuckDB:
+    list_reduce(list_prepend(0.0, arr), +)); a SUM aggregate would
+    be partial-aggregation-order-dependent."""
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def holt_mase_backtest(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    horizon: int = 4,
+    min_train: int = 4,
+) -> DataFrame:
+    """Per-key FORECAST BACKTEST: hold out each key's last
+    ``horizon`` readings, fit Holt (:func:`holt_fold`, alpha=beta=½)
+    on the train prefix, forecast ŷ_j = l + j·b for j = 1..horizon,
+    and score MASE (Hyndman & Koehler 2006) = model MAE / in-sample
+    one-step naive MAE — the scale-free metric that makes forecast
+    quality comparable across keys with wildly different value
+    ranges (MASE < 1 beats the naive forecaster).
+
+    Determinism: every float reduction is a strictly sequential
+    left-to-right fold over the SORTED series (:func:`_seq_sum` —
+    never a SUM aggregate, whose partial order floats), divisions
+    are by exact integer counts, and the Holt fold is the w28
+    bit-exact recurrence — the whole backtest replays in SQL.
+    Keys need ``min_train + horizon`` readings (non-degenerate
+    naive MAE needs >= 2 train points). ONE groupBy exchange; all
+    folds are per-row array math. Returns (key, n_train, naive_mae,
+    model_mae, mase; mase NULL when the naive MAE is exactly 0 —
+    a constant train series)."""
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_col, tiebreak_col,
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    per_key = events.groupBy(key_col).agg(arr.alias("__arr"))
+    vs = F.transform(F.col("__arr"), lambda s: s.getField("v"))
+    n = F.size(vs)
+    n_train = n - F.lit(horizon)
+    # stage train/test/fold as COLUMNS: interpreted HOFs re-evaluate
+    # embedded subtrees per element (SCALE.md, the w16 lesson), so
+    # the Holt fold must not ride inside the error lambda
+    staged = (
+        per_key.filter(n >= F.lit(min_train + horizon))
+        .select(
+            F.col(key_col),
+            n_train.cast("bigint").alias("__nt"),
+            F.slice(vs, 1, n_train).alias("__train"),
+            F.slice(vs, n_train + 1, horizon).alias("__test"),
+        )
+        .withColumn("__hb", holt_fold(F.col("__train")))
+    )
+    tn = F.size(F.col("__train"))
+    diffs = F.zip_with(
+        F.slice(F.col("__train"), 2, tn - 1),
+        F.slice(F.col("__train"), 1, tn - 1),
+        lambda a, b: F.abs(a - b),
+    )
+    naive_mae = _seq_sum(diffs) / (tn - 1).cast("double")
+    errs = F.zip_with(
+        F.col("__test"),
+        F.sequence(F.lit(1), F.lit(horizon)),
+        lambda y, j: F.abs(
+            y
+            - (
+                F.col("__hb").getField("l")
+                + j.cast("double") * F.col("__hb").getField("b")
+            )
+        ),
+    )
+    model_mae = _seq_sum(errs) / F.lit(float(horizon))
+    return staged.select(
+        F.col(key_col),
+        F.col("__nt").alias("n_train"),
+        naive_mae.alias("naive_mae"),
+        model_mae.alias("model_mae"),
+        F.when(
+            naive_mae != F.lit(0.0), model_mae / naive_mae
+        ).alias("mase"),
     )

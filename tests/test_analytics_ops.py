@@ -342,6 +342,45 @@ def test_rrf_fusion_scores_and_single_list_docs(spark):
     assert out[12].rk == 2 and out[11].rk == 3
 
 
+def test_holt_mase_backtest_semantics(spark):
+    """MASE contract: an exactly-linear series forecasts perfectly
+    (model_mae 0, mase 0 — Holt locks the slope); a constant train
+    series yields naive_mae 0 and NULL mase; short keys are
+    excluded."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_mase_backtest,
+    )
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    m = timedelta(minutes=1)
+    series = {
+        1: [float(5 + 3 * i) for i in range(20)],      # linear
+        2: [2.0] * 10 + [9.0, 8.0, 7.0, 6.0],          # constant train
+        3: [1.0, 2.0, 3.0],                            # too short
+    }
+    rows = [
+        (uid * 100 + i, uid, t0 + i * m, v)
+        for uid, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {
+        r.user_id: r
+        for r in holt_mase_backtest(
+            df, "user_id", "ts", "event_id", "value",
+            horizon=4, min_train=4,
+        ).collect()
+    }
+    assert 3 not in out
+    assert out[1].n_train == 16
+    assert abs(out[1].model_mae) < 1e-9 and abs(out[1].mase) < 1e-9
+    assert out[1].naive_mae == 3.0
+    assert out[2].naive_mae == 0.0 and out[2].mase is None
+    assert out[2].model_mae > 0
+
+
 def test_bollinger_bands_bracket_mean_and_collapse_on_constants(spark):
     """upper >= mean >= lower everywhere; a constant series has zero
     EW variance so both bands equal the value exactly."""
