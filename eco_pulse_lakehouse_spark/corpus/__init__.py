@@ -123,7 +123,7 @@ _NEW_R05: frozenset[str] = frozenset(
         "t30_stream_twap", "x4_rrf_fusion", "w28_holt_linear",
         "q15_chi2_drift", "t31_stream_chi2", "x7_length_buckets",
         "t32_stream_bm25", "x2_phonetic_blocking", "t33_stream_holt",
-        "w29_holt_mase",
+        "w29_holt_mase", "flagship_sensor_health",
         # converted rows-only -> hard-oracle this round (SQL hash
         # replays / shared-index oracles) — changed code + oracle
         "x2_minhash_lsh", "x2_simhash", "x3_ann_lsh", "x3_ivf_topk",

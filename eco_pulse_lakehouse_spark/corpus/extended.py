@@ -3963,6 +3963,73 @@ def w28_holt_linear(spark, sf_dir):
 
 
 @q(
+    "flagship_sensor_health",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts,
+                                          event_id := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               r -> r.v) AS vs
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, len(vs) - 1 AS n_history,
+             vs[len(vs)] AS last_value,
+             vs[1 : len(vs) - 1] AS hist
+      FROM s WHERE len(vs) >= 4
+    ),
+    g AS (
+      SELECT user_id, n_history, last_value,
+             list_reduce(
+               list_prepend([hist[1], hist[2] - hist[1]],
+                 list_transform(hist[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 CAST(0.5 AS DOUBLE) * e[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                     * (CAST(0.5 AS DOUBLE) * e[1]
+                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                        - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+      FROM f
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_history AS BIGINT) AS n_history, last_value,
+           hb[1] + hb[2] AS forecast,
+           last_value - (hb[1] + hb[2]) AS residual,
+           CASE WHEN abs(last_value - (hb[1] + hb[2]))
+                     < CAST(10.0 AS DOUBLE) THEN 'ok'
+                WHEN abs(last_value - (hb[1] + hb[2]))
+                     < CAST(25.0 AS DOUBLE) THEN 'watch'
+                ELSE 'alert' END AS status
+    FROM g
+    """,
+)
+def flagship_sensor_health(spark, sf_dir):
+    """FLAGSHIP #5 — forward-looking sensor-health mart
+    (plans/sensor_health.py): the predictive sibling of the
+    reference's reactive gold risk job — per key, fit w28's
+    bit-exact Holt forecaster on every reading EXCEPT the latest,
+    score the latest against its own one-step forecast, classify
+    the residual (|r| < 10 ok / < 25 watch / else alert). Composed
+    from certified pieces (ordered fold substrate + holt_fold +
+    CASE ladder) so the END-TO-END plan carries a hard oracle;
+    ONE exchange; thresholds compare bit-identical doubles."""
+    from eco_pulse_lakehouse_spark.plans.sensor_health import (
+        sensor_health,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts", "event_id", "value",
+    )
+    return sensor_health(ev, "user_id", "ts", "event_id", "value")
+
+
+@q(
     "w29_holt_mase",
     """
     WITH s AS (
