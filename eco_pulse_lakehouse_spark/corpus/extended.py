@@ -140,9 +140,10 @@ def u2_pandas_normalize(spark, sf_dir):
              AS session_id
     FROM (
       SELECT event_id, user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id)
-               <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+               <= 1800 THEN 0 ELSE 1 END AS is_new
       FROM events
     )
     """,
@@ -2019,9 +2020,10 @@ def u3_python_udtf(spark, sf_dir):
     """
     WITH f AS (
       SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
-             CASE WHEN ts - lag(ts) OVER (
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id)
-               <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS is_new
+               <= 43200 THEN 0 ELSE 1 END AS is_new
       FROM events
     ),
     s AS (
@@ -2100,9 +2102,10 @@ def w27_match_alternation(spark, sf_dir):
     """
     WITH f AS (
       SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
-             CASE WHEN ts - lag(ts) OVER (
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id)
-               <= INTERVAL 12 HOUR THEN 0 ELSE 1 END AS is_new
+               <= 43200 THEN 0 ELSE 1 END AS is_new
       FROM events
     ),
     s AS (
@@ -3638,7 +3641,8 @@ def q12_psi_drift(spark, sf_dir):
              CAST(round(
                CAST(k2 * n1 - k1 * n2 AS DOUBLE)
                  * CAST(k2 * n1 - k1 * n2 AS DOUBLE)
-                 / CAST(k1 * n2 * n1 AS DOUBLE)
+                 / (CAST(k1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * CAST(n1 AS DOUBLE))
                  * 1000000000.0) AS BIGINT) AS term_fp
       FROM b CROSS JOIN t WHERE k1 > 0
     )
@@ -3899,9 +3903,30 @@ def a31_weighted_median(spark, sf_dir):
     )
 
 
+def _holt_fold_sql(series: str) -> str:
+    """DuckDB twin of operators/timeseries.py:holt_fold over an
+    ordered DOUBLE list named ``series`` — ONE definition shared by
+    the w28 / w29 / flagship_sensor_health oracles so the recurrence
+    text cannot drift (round-5 review). LIST accumulator on purpose:
+    DuckDB 1.0's list_reduce evaluates struct_pack fields
+    sequentially IN PLACE (see w28's docstring)."""
+    return f"""list_reduce(
+               list_prepend([{series}[1], {series}[2] - {series}[1]],
+                 list_transform({series}[2:],
+                   x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 CAST(0.5 AS DOUBLE) * e[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.5 AS DOUBLE)
+                     * (CAST(0.5 AS DOUBLE) * e[1]
+                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
+                        - acc[1])
+                   + CAST(0.5 AS DOUBLE) * acc[2]])"""
+
+
 @q(
     "w28_holt_linear",
-    """
+    f"""
     WITH s AS (
       SELECT user_id,
              list_transform(
@@ -3914,18 +3939,7 @@ def a31_weighted_median(spark, sf_dir):
     ),
     f AS (
       SELECT user_id, n_events,
-             list_reduce(
-               list_prepend([vs[1], vs[2] - vs[1]],
-                 list_transform(vs[2:],
-                   x -> [x, CAST(0.0 AS DOUBLE)])),
-               (acc, e) -> [
-                 CAST(0.5 AS DOUBLE) * e[1]
-                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
-                 CAST(0.5 AS DOUBLE)
-                     * (CAST(0.5 AS DOUBLE) * e[1]
-                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
-                        - acc[1])
-                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+             {_holt_fold_sql('vs')} AS hb
       FROM s
     )
     SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
@@ -3962,9 +3976,12 @@ def w28_holt_linear(spark, sf_dir):
     return holt_linear(ev, "user_id", "ts", "event_id", "value")
 
 
+
+
+
 @q(
     "flagship_sensor_health",
-    """
+    f"""
     WITH s AS (
       SELECT user_id,
              list_transform(
@@ -3982,18 +3999,7 @@ def w28_holt_linear(spark, sf_dir):
     ),
     g AS (
       SELECT user_id, n_history, last_value,
-             list_reduce(
-               list_prepend([hist[1], hist[2] - hist[1]],
-                 list_transform(hist[2:],
-                   x -> [x, CAST(0.0 AS DOUBLE)])),
-               (acc, e) -> [
-                 CAST(0.5 AS DOUBLE) * e[1]
-                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
-                 CAST(0.5 AS DOUBLE)
-                     * (CAST(0.5 AS DOUBLE) * e[1]
-                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
-                        - acc[1])
-                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+             {_holt_fold_sql('hist')} AS hb
       FROM f
     )
     SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -4031,7 +4037,7 @@ def flagship_sensor_health(spark, sf_dir):
 
 @q(
     "w29_holt_mase",
-    """
+    f"""
     WITH s AS (
       SELECT user_id,
              list_transform(
@@ -4053,18 +4059,7 @@ def flagship_sensor_health(spark, sf_dir):
                  i -> abs(train[i] - train[i - 1]))),
                (a, x) -> a + x)
                / CAST(len(train) - 1 AS DOUBLE) AS naive_mae,
-             list_reduce(
-               list_prepend([train[1], train[2] - train[1]],
-                 list_transform(train[2:],
-                   x -> [x, CAST(0.0 AS DOUBLE)])),
-               (acc, e) -> [
-                 CAST(0.5 AS DOUBLE) * e[1]
-                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
-                 CAST(0.5 AS DOUBLE)
-                     * (CAST(0.5 AS DOUBLE) * e[1]
-                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
-                        - acc[1])
-                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
+             {_holt_fold_sql('train')} AS hb
       FROM f
     ),
     h AS (

@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from eco_pulse_lakehouse_spark.corpus import extended as _ext
 from eco_pulse_lakehouse_spark.corpus import northstar as _ns
 from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry
 from eco_pulse_lakehouse_spark.streaming import pipeline as sp
@@ -37,6 +38,48 @@ EVENTS_SCHEMA = (
 
 
 _STAGE_CACHE: dict[tuple, str] = {}
+
+_DAY_MS = 86_400_000
+
+
+def _div_day(x):
+    """Integer ms-epoch day index (true integer div — the `/` form
+    silently loses precision past 2^53)."""
+    day = F.lit(_DAY_MS).cast("bigint")
+    return F.call_function("div", x - F.pmod(x, day), day)
+
+
+def _stage_ordered_day_feed(ev, base: str, n_slices: int = 4) -> str:
+    """Stage a frame carrying a BIGINT ``ts_ms`` column as
+    ``n_slices`` single-file commits over contiguous DAY ranges,
+    written sequentially so a checkpointed file stream tails them in
+    TIME ORDER (one commit per micro-batch with maxFilesPerTrigger=1;
+    same-day rows never straddle a boundary, so equal timestamps stay
+    within one commit — the ordering contract the carry-state folds
+    in t30/t33 rely on). The distinct-day list is metadata-sized
+    (bounded by the data horizon, not row count). Shared by every
+    time-ordered-feed entry (round-5 review: t30 and t33 had pasted
+    copies)."""
+    feed = os.path.join(base, "feed")
+    days = sorted(
+        r[0]
+        for r in ev.select(_div_day(F.col("ts_ms")).alias("d"))
+        .distinct()
+        .collect()
+    )
+    cuts = [days[len(days) * i // n_slices] for i in range(1, n_slices)]
+    lo_cut = [None] + cuts
+    hi_cut = cuts + [None]
+    for i in range(n_slices):
+        sl = ev.withColumn("__d", _div_day(F.col("ts_ms")))
+        if lo_cut[i] is not None:
+            sl = sl.filter(F.col("__d") >= lo_cut[i])
+        if hi_cut[i] is not None:
+            sl = sl.filter(F.col("__d") < hi_cut[i])
+        sl.drop("__d").coalesce(1).write.parquet(
+            os.path.join(feed, f"cv-{i}")
+        )
+    return feed
 
 
 def _stage_events(spark, sf_dir: str, copies: int = 1, parts: int = 4) -> str:
@@ -1680,11 +1723,8 @@ def t30_stream_twap(spark, sf_dir):
     bit-identically, all-BIGINT arithmetic, one double division.
     Inserts-only by contract (TWAP under retractions would need the
     full CDC fold)."""
-    DAY = 86_400_000
-    day_lit = F.lit(DAY).cast("bigint")
-
-    def div_day(x):
-        return F.call_function("div", x - F.pmod(x, day_lit), day_lit)
+    day_lit = F.lit(_DAY_MS).cast("bigint")
+    div_day = _div_day
 
     ev = T(spark, sf_dir, "events").select(
         F.col("user_id").cast("bigint").alias("user_id"),
@@ -1695,28 +1735,7 @@ def t30_stream_twap(spark, sf_dir):
     base = os.path.join(
         tempfile.gettempdir(), f"eco_pulse_t30_{uuid.uuid4().hex}"
     )
-    feed = os.path.join(base, "feed")
-    # Stage the ordered feed: split the horizon's DISTINCT day indexes
-    # (metadata-sized — bounded by the data horizon, not row count)
-    # into 4 contiguous runs, one single-file commit each, written
-    # sequentially so the file stream tails them in order.
-    days = sorted(
-        r[0] for r in ev.select(div_day(F.col("ts_ms")).alias("d"))
-        .distinct().collect()
-    )
-    n_slices = 4
-    cuts = [days[len(days) * i // n_slices] for i in range(1, n_slices)]
-    lo_cut = [None] + cuts
-    hi_cut = cuts + [None]
-    for i in range(n_slices):
-        sl = ev.withColumn("__d", div_day(F.col("ts_ms")))
-        if lo_cut[i] is not None:
-            sl = sl.filter(F.col("__d") >= lo_cut[i])
-        if hi_cut[i] is not None:
-            sl = sl.filter(F.col("__d") < hi_cut[i])
-        sl.drop("__d").coalesce(1).write.parquet(
-            os.path.join(feed, f"cv-{i}")
-        )
+    feed = _stage_ordered_day_feed(ev, base)
 
     part_root = os.path.join(base, "partials")
     state_root = os.path.join(base, "state")
@@ -1847,32 +1866,7 @@ def t30_stream_twap(spark, sf_dir):
     )
 
 
-@q(
-    "t31_stream_chi2",
-    """
-    WITH b AS (
-      SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
-             SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS k1,
-             SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS k2
-      FROM events WHERE value IS NOT NULL GROUP BY 1
-    ),
-    t AS (SELECT CAST(SUM(k1) AS BIGINT) AS n1,
-                 CAST(SUM(k2) AS BIGINT) AS n2 FROM b),
-    terms AS (
-      SELECT n1, n2,
-             CAST(round(
-               CAST(k2 * n1 - k1 * n2 AS DOUBLE)
-                 * CAST(k2 * n1 - k1 * n2 AS DOUBLE)
-                 / CAST(k1 * n2 * n1 AS DOUBLE)
-                 * 1000000000.0) AS BIGINT) AS term_fp
-      FROM b CROSS JOIN t WHERE k1 > 0
-    )
-    SELECT n1, n2, CAST(SUM(term_fp) AS BIGINT) AS chi2_fp,
-           CAST(SUM(term_fp) AS DOUBLE) / 1000000000.0 AS chi2,
-           CAST(COUNT(*) - 1 AS BIGINT) AS dof
-    FROM terms GROUP BY n1, n2
-    """,
-)
+@q("t31_stream_chi2", _ext.ORACLES["q15_chi2_drift"])
 def t31_stream_chi2(spark, sf_dir):
     """T31 — STREAMING chi-square drift monitor: per-micro-batch
     per-bucket (side, count) partials land as idempotent epoch-keyed
@@ -1938,40 +1932,7 @@ def t31_stream_chi2(spark, sf_dir):
     return chi2_from_bins(merged)
 
 
-@q(
-    "t33_stream_holt",
-    """
-    WITH s AS (
-      SELECT user_id,
-             list_transform(
-               list_sort(list(struct_pack(ts := ts,
-                                          event_id := event_id,
-                                          v := CAST(value AS DOUBLE)))),
-               r -> r.v) AS vs,
-             CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events GROUP BY user_id
-    ),
-    f AS (
-      SELECT user_id, n_events,
-             list_reduce(
-               list_prepend([vs[1], vs[2] - vs[1]],
-                 list_transform(vs[2:],
-                   x -> [x, CAST(0.0 AS DOUBLE)])),
-               (acc, e) -> [
-                 CAST(0.5 AS DOUBLE) * e[1]
-                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
-                 CAST(0.5 AS DOUBLE)
-                     * (CAST(0.5 AS DOUBLE) * e[1]
-                        + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])
-                        - acc[1])
-                   + CAST(0.5 AS DOUBLE) * acc[2]]) AS hb
-      FROM s
-    )
-    SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
-           hb[1] AS level, hb[2] AS trend, hb[1] + hb[2] AS forecast_1
-    FROM f
-    """,
-)
+@q("t33_stream_holt", _ext.ORACLES["w28_holt_linear"])
 def t33_stream_holt(spark, sf_dir):
     """T33 — STREAMING Holt forecaster maintenance (w28's oracle
     verbatim): the same time-ordered append feed as t30, but the
@@ -1988,12 +1949,6 @@ def t33_stream_holt(spark, sf_dir):
     epoch."""
     import pandas as pd
 
-    DAY = 86_400_000
-    day_lit = F.lit(DAY).cast("bigint")
-
-    def div_day(x):
-        return F.call_function("div", x - F.pmod(x, day_lit), day_lit)
-
     ev = T(spark, sf_dir, "events").select(
         F.col("user_id").cast("bigint").alias("user_id"),
         F.unix_millis("ts").alias("ts_ms"),
@@ -2003,24 +1958,7 @@ def t33_stream_holt(spark, sf_dir):
     base = os.path.join(
         tempfile.gettempdir(), f"eco_pulse_t33_{uuid.uuid4().hex}"
     )
-    feed = os.path.join(base, "feed")
-    days = sorted(
-        r[0] for r in ev.select(div_day(F.col("ts_ms")).alias("d"))
-        .distinct().collect()
-    )
-    n_slices = 4
-    cuts = [days[len(days) * i // n_slices] for i in range(1, n_slices)]
-    lo_cut = [None] + cuts
-    hi_cut = cuts + [None]
-    for i in range(n_slices):
-        sl = ev.withColumn("__d", div_day(F.col("ts_ms")))
-        if lo_cut[i] is not None:
-            sl = sl.filter(F.col("__d") >= lo_cut[i])
-        if hi_cut[i] is not None:
-            sl = sl.filter(F.col("__d") < hi_cut[i])
-        sl.drop("__d").coalesce(1).write.parquet(
-            os.path.join(feed, f"cv-{i}")
-        )
+    feed = _stage_ordered_day_feed(ev, base)
 
     state_root = os.path.join(base, "state")
     state_schema = (

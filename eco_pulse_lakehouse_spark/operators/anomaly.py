@@ -414,12 +414,15 @@ def chi2_drift(
     (sample 1 is the REFERENCE; bins with an empty reference side
     are excluded — the same unsmoothed convention as PSI, where
     smoothing constants are caller policy). Each term is computed
-    from the exact integer cross-product d = k2*n1 - k1*n2 as
-    d^2 / (k1*n2*n1) — numerator/denominator are exact BIGINTs
-    (|d| <= ~1e10 exact as double; denominator <= ~1e15 < 2^53),
-    the divide/multiply are single IEEE ops on identical operands,
-    and each term is quantized to a 1e-9 fixed-point BIGINT so the
-    sum is order-independent (q12's discipline). Returns one row
+    from the exact integer cross-product d = k2*n1 - k1*n2 (exact as
+    double while counts stay under ~3e6 per side — d < 2^53) divided
+    by the denominator k1*n2*n1 built from PER-FACTOR double casts
+    (a BIGINT product would silently wrap past 2^63 at ~2e6 rows per
+    side with ANSI off — round-5 review; two double multiplies are
+    deterministic on identical operands and the oracle mirrors the
+    same cast order), and each term is quantized to a 1e-9
+    fixed-point BIGINT so the sum is order-independent (q12's
+    discipline). Returns one row
     (n1, n2, chi2_fp, chi2, dof = populated_bins - 1) or zero rows
     when no bin has a populated reference side. NULL values are
     dropped before bucketing (the q12 NULL rule)."""
@@ -447,9 +450,17 @@ def chi2_from_bins(b: DataFrame) -> DataFrame:
     d = (
         F.col("__k2") * F.col("__n1") - F.col("__k1") * F.col("__n2")
     ).cast("double")
+    # Each FACTOR casts to double BEFORE multiplying (round-5 review):
+    # the BIGINT product k1*n2*n1 silently wraps past 2^63 at ~2e6
+    # rows per side (ANSI off) while the oracle's HUGEINT stays
+    # right. Two double multiplies are deterministic on identical
+    # operands — the oracle mirrors the same per-factor casts so both
+    # engines round identically.
     denom = (
-        F.col("__k1") * F.col("__n2") * F.col("__n1")
-    ).cast("double")
+        F.col("__k1").cast("double")
+        * F.col("__n2").cast("double")
+        * F.col("__n1").cast("double")
+    )
     term_fp = F.round(d * d / denom * F.lit(1e9), 0).cast("bigint")
     return (
         b.crossJoin(F.broadcast(tot))

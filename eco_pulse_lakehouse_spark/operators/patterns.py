@@ -30,6 +30,15 @@ The DuckDB oracle replays the identical construction (lag/cumsum
 sessionize, ordered string_agg, regexp_extract_all) — the regex
 engines (java.util.regex vs RE2) agree on leftmost non-overlapping
 greedy scans for these patterns, a pairing w13 already certifies.
+
+GAP PRECISION (round-5 review finding, confirmed at sf0.1): the gap
+test compares TRUNCATED epoch seconds (``ts.cast("long")`` — the w8
+convention), so the oracle must diff floor(epoch(ts)) too; a naive
+``ts - lag(ts) <= INTERVAL`` compares at microsecond precision and
+disagrees on gaps inside (gap, gap+1s) — sf0.1 has such a boundary
+pair, the certified smaller sfs happen not to. Ordering stays
+full-precision (ts, tiebreak) in both engines; only the gap diff is
+second-granular.
 """
 
 from __future__ import annotations

@@ -88,6 +88,22 @@ def build_sf1(spark) -> None:
             k: (df.agg(F.max(k)).collect()[0][0] or 0) + 1
             for k in FACT_KEYS[t]
         }
+        # orders and lineitem MUST shift their orderkey by the SAME
+        # constant or copies 1..9 silently re-wire the join (round-5
+        # review: per-table maxes only coincide by luck — e.g. a
+        # trailing order with no lineitems would misalign every
+        # join-bearing rehearsal query)
+        if t in ("orders", "lineitem"):
+            okey = "o_orderkey" if t == "orders" else "l_orderkey"
+            o_max = (
+                load_table(spark, SRC, "orders")
+                .agg(F.max("o_orderkey")).collect()[0][0] or 0
+            )
+            l_max = (
+                load_table(spark, SRC, "lineitem")
+                .agg(F.max("l_orderkey")).collect()[0][0] or 0
+            )
+            shifts[okey] = max(o_max, l_max) + 1
         parts = []
         for i in range(COPIES):
             c = df
