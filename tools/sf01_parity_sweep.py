@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Full-corpus oracle parity sweep at an ARBITRARY scale factor
+(default sf0.1 — the bench scale the driver's sf0.01 gate never
+checks).
+
+Motivation (round 5): the w27 gap-precision bug PASSED every sf0.01
+check and only diverged at sf0.1 (one boundary pair) — the class
+"oracle agrees at the certified sf, diverges at a larger one" is
+provably real, so every oracle-backed entry gets a value-exact check
+at the bench scale too. Uses the same compare gate as the local
+pytest replica (tests/parity.py — rows + schema-family + value
+hash).
+
+Usage: python tools/sf01_parity_sweep.py [sf_dir]
+Writes PARITY_SWEEP_<sf>.json {entry: {"ok": bool, "detail": ...}}
+and prints one summary line. Rows-only entries (no oracle) are
+skipped, like the driver does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import duckdb
+
+    from eco_pulse_lakehouse_spark.session import get_session
+    from eco_pulse_lakehouse_spark.catalog import TABLES
+    from parity import compare
+
+    spark = get_session("parity-sweep")
+    import __spark_entry__ as entry
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
+        )
+
+    out: dict[str, dict] = {}
+    n_ok = n_bad = 0
+    t_start = time.perf_counter()
+    for name, fn in qs.items():
+        if name not in osql:
+            continue  # rows-only by design — driver skips hash too
+        t0 = time.perf_counter()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+            oracle_pdf = con.execute(osql[name]).fetchdf()
+            res = compare(name, spark_pdf, oracle_pdf)
+            ok, detail = res.ok, (None if res.ok else res.detail)
+        except Exception as exc:  # noqa: BLE001 — report, don't abort
+            ok, detail = False, f"{type(exc).__name__}: {exc}"[:300]
+        out[name] = {
+            "ok": ok,
+            "sec": round(time.perf_counter() - t0, 2),
+            **({"detail": detail} if detail else {}),
+        }
+        n_ok += ok
+        n_bad += not ok
+        if not ok:
+            print(f"FAIL {name}: {detail}", flush=True)
+        elif (n_ok + n_bad) % 25 == 0:
+            print(f"... {n_ok + n_bad} checked, {n_bad} failing",
+                  flush=True)
+
+    report = os.path.join(REPO, f"PARITY_SWEEP_{sf}.json")
+    json.dump(out, open(report, "w"), indent=1)
+    print(json.dumps({
+        "metric": "oracle_parity_sweep",
+        "sf": sf,
+        "checked": n_ok + n_bad,
+        "green": n_ok,
+        "red": n_bad,
+        "red_entries": sorted(k for k, v in out.items() if not v["ok"]),
+        "total_sec": round(time.perf_counter() - t_start, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
