@@ -50,12 +50,25 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{path}'"
         )
 
+    report = os.path.join(REPO, f"PARITY_SWEEP_{sf}.json")
+    # RESUME: a killed sweep keeps its partial report (entries are
+    # flushed one by one) and re-runs only the missing tail
     out: dict[str, dict] = {}
-    n_ok = n_bad = 0
+    if os.path.exists(report):
+        try:
+            out = json.load(open(report))
+            print(f"resuming: {len(out)} entries already checked",
+                  flush=True)
+        except Exception:
+            out = {}
+    n_ok = sum(1 for v in out.values() if v["ok"])
+    n_bad = len(out) - n_ok
     t_start = time.perf_counter()
     for name, fn in qs.items():
         if name not in osql:
             continue  # rows-only by design — driver skips hash too
+        if name in out:
+            continue
         t0 = time.perf_counter()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -71,14 +84,13 @@ def main() -> None:
         }
         n_ok += ok
         n_bad += not ok
+        json.dump(out, open(report, "w"), indent=1)  # flush per entry
         if not ok:
             print(f"FAIL {name}: {detail}", flush=True)
         elif (n_ok + n_bad) % 25 == 0:
             print(f"... {n_ok + n_bad} checked, {n_bad} failing",
                   flush=True)
 
-    report = os.path.join(REPO, f"PARITY_SWEEP_{sf}.json")
-    json.dump(out, open(report, "w"), indent=1)
     print(json.dumps({
         "metric": "oracle_parity_sweep",
         "sf": sf,
