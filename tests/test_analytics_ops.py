@@ -342,6 +342,71 @@ def test_rrf_fusion_scores_and_single_list_docs(spark):
     assert out[12].rk == 2 and out[11].rk == 3
 
 
+def test_chi2_bins_survive_bigint_scale_counts(spark):
+    """Round-5 review regression pin: with ~2e6 counts per side the
+    denominator k1*n2*n1 ≈ 8e18 exceeds 2^63 — the per-factor double
+    casts must keep the statistic finite, non-negative, and equal to
+    the python float computation (a BIGINT product would wrap to a
+    negative denominator and flip the term's sign)."""
+    from eco_pulse_lakehouse_spark.operators.anomaly import (
+        chi2_from_bins,
+    )
+
+    bins = [(0, 2_000_000, 2_100_000), (1, 1_900_000, 1_800_000)]
+    b = spark.createDataFrame(
+        bins, "__bucket LONG, __k1 LONG, __k2 LONG"
+    )
+    r = chi2_from_bins(b).collect()[0]
+    n1 = sum(k1 for _, k1, _ in bins)
+    n2 = sum(k2 for _, _, k2 in bins)
+    expect = 0.0
+    for _, k1, k2 in bins:
+        d = float(k2 * n1 - k1 * n2)
+        expect += round(
+            d * d / (float(k1) * float(n2) * float(n1)) * 1e9
+        )
+    expect /= 1e9
+    assert r.chi2 >= 0
+    assert abs(r.chi2 - expect) < 1e-9, (r.chi2, expect)
+
+
+def test_session_gap_compares_truncated_seconds(spark):
+    """Round-5 review regression pin: the lag-gap substrate compares
+    TRUNCATED epoch seconds (the w8 both-sides-truncate convention),
+    so a true gap of 12h + 0.2s whose floor-seconds diff is exactly
+    43200 stays ONE session, while a floor-seconds diff of 43201
+    splits — the exact boundary where the old microsecond-INTERVAL
+    oracle diverged at sf0.1."""
+    from eco_pulse_lakehouse_spark.operators.patterns import (
+        sessionized_pattern_matches,
+    )
+    from pyspark.sql import functions as F_
+
+    base = datetime(2024, 3, 1, 10, 0, 0, 700_000)
+    rows = [
+        # user 1: second event at +43200.2s; floor diff 43200 -> merge
+        (1, 1, base, "signup"),
+        (2, 1, base + timedelta(seconds=43200, microseconds=200_000),
+         "purchase"),
+        # user 2: second event at +43201.2s; floor diff 43201 -> split
+        (3, 2, base, "signup"),
+        (4, 2, base + timedelta(seconds=43201, microseconds=200_000),
+         "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, event_type STRING"
+    )
+    out = sessionized_pattern_matches(
+        df, "user_id", "ts", "event_id",
+        F_.substring("event_type", 1, 1), "sp",
+        gap_seconds=43200,
+    ).collect()
+    sessions = {(r.user_id, r.session_id): r.journey for r in out}
+    assert sessions[(1, 1)] == "sp"      # merged
+    assert sessions[(2, 1)] == "s"       # split
+    assert sessions[(2, 2)] == "p"
+
+
 def test_holt_mase_backtest_semantics(spark):
     """MASE contract: an exactly-linear series forecasts perfectly
     (model_mae 0, mase 0 — Holt locks the slope); a constant train
