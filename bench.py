@@ -57,6 +57,11 @@ HEADLINE = [
     "skew4_hot_key_count",     # adversarial: one hot agg key
     "skew3_salted_join",       # uniform twin
     "skew5_hot_key_join",      # adversarial: one hot join key
+    # round-5 families (kept OUT of the comparable-16 floor subset)
+    "x2_dup_span_removal",     # ExactSubstr tier: islands + anti join
+    "x4_rrf_fusion",           # hybrid retrieval: BM25 + overlap + RRF
+    "w29_holt_mase",           # forecast backtest: Holt fold + MASE
+    "flagship_sensor_health",  # predictive gold mart (flagship #5)
 ]
 
 
