@@ -109,51 +109,95 @@ _DRIVER_GREEN = frozenset(
         "w7_sessionize", "x2_dup_ngram_frac", "x3_mrl_sweep",
         "x6_temperature_mixture", "x7_dataset_card",
     }
+    # --- round 5 greens (CORRECTNESS_r05.json: 50/50 hash_match —
+    # the 22 _NEW_R05 entries + the a12-a31/w11-w22/f_* tranche) ---
+    | {
+        "w27_match_alternation", "q15_chi2_drift", "w28_holt_linear",
+        "flagship_sensor_health", "w29_holt_mase", "x2_minhash_lsh",
+        "x2_simhash", "x3_ann_lsh", "x3_ivf_persisted", "x3_ivf_topk",
+        "x5_frame_sampling", "x5_multimodal_features",
+        "x7_length_buckets", "x3_ivf_bounded", "x4_rrf_fusion",
+        "x2_dup_span_removal", "x2_phonetic_blocking",
+        "t18_stream_lsh_index", "t30_stream_twap", "t31_stream_chi2",
+        "t33_stream_holt", "t32_stream_bm25", "a12_exact_stats",
+        "a14_histogram", "a15_cube", "a18_equidepth_hist",
+        "a16_retention", "a19_countmin", "a29_heavy_hitters",
+        "a22_bitmap_distinct", "a23_listagg", "a24_exact_corr",
+        "a25_exact_skew_kurt", "a26_mode", "a28_arg_minmax",
+        "a27_cohort_retention", "a31_weighted_median", "w11_gap_fill",
+        "w12_funnel", "w14_ewma", "w13_journey_pattern",
+        "w15_sax_words", "w16_sax_motif_pairs", "w19_sax_motif_capped",
+        "w17_trend_slope", "w18_window_distinct", "w20_capped_sessions",
+        "w22_bollinger", "f_hof_array", "f_string_extended",
+    }
 )
 
-# Entries converted from rows-only to hard-oracle in round 5 (SQL
-# hash replays / semantics-equal oracles) + entries BUILT in round 5
-# — changed-or-new code carries the most information per driver slot,
-# so they lead the window, ahead of the long-local-green
-# never-checked tail.
-_NEW_R05: frozenset[str] = frozenset(
+# Oldest-certified entries (round-1 greens still standing on their
+# r01 row): tier-2 re-verification candidates — whatever window
+# slots remain after the new/changed + never-checked tiers go to
+# these, oldest evidence first (VERDICT r05 item 1: "9 oldest-
+# certified re-verifications filling the window").
+_R01_GREEN: frozenset[str] = frozenset(
+    {
+        "flagship_gold_risk", "s2_json_decode", "s5_write_roundtrip",
+        "s7_csv_roundtrip", "s9_json_roundtrip",
+        "s10_synthetic_generator", "p1_project_rename",
+        "p2_derived_column", "p3_eq_filter", "p4_range_filter",
+        "p5_compound_filter", "p9_unpivot", "p6_in_filter",
+        "j1_cross_join", "j2_range_join_naive", "j2_range_join_grid",
+        "j2_range_join_band", "j3_equi_join_3way", "j3_semi_join",
+        "j3_outer_join", "a1_count_star", "a2_conditional_counts",
+        "a3_avg", "a4_groupby_count", "a5_distinct",
+        "a6_count_distinct", "a6_approx_count_distinct", "a7_summary",
+        "a8_rollup", "w1_latest_per_key", "w2_keep_best",
+        "w3_rolling_avg", "w4_lag_delta", "w5_rank", "w6_running_sum",
+        "o1_latest_events", "o3_topk_orders", "set_union",
+        "set_intersect", "f_case_when_chain", "f_math", "f_string",
+        "f_datetime", "f_null_handling", "f_random_generator",
+        "j4_asof_join", "m1_merge_upsert",
+    }
+)
+
+# Round-6 front tier: entries BUILT this round plus r05-certified
+# entries whose CODE CHANGED this round (ADVICE r05 fixes: the
+# minhash band-key hardening touches x2_minhash_lsh + t18, the
+# zero-padded/mtime-bumped day feed touches t30 + t33, the integer
+# shift touches x7_length_buckets) — changed code needs a fresh
+# green row, so these lead even though they were green in r05.
+_NEW_R06: frozenset[str] = frozenset(
     {
         # built this round
-        "x2_dup_span_removal", "w27_match_alternation",
-        "t30_stream_twap", "x4_rrf_fusion", "w28_holt_linear",
-        "q15_chi2_drift", "t31_stream_chi2", "x7_length_buckets",
-        "t32_stream_bm25", "x2_phonetic_blocking", "t33_stream_holt",
-        "w29_holt_mase", "flagship_sensor_health",
-        # converted rows-only -> hard-oracle this round (SQL hash
-        # replays / shared-index oracles) — changed code + oracle
-        "x2_minhash_lsh", "x2_simhash", "x3_ann_lsh", "x3_ivf_topk",
-        "x3_ivf_persisted", "x3_ivf_bounded", "t18_stream_lsh_index",
-        "x5_frame_sampling", "x5_multimodal_features",
+        "w30_hw_seasonal", "t34_stream_hw_seasonal",
+        "t35_stream_dedup_clusters",
+        # r05-green but code changed this round (ADVICE fixes)
+        "x2_minhash_lsh", "t18_stream_lsh_index", "x7_length_buckets",
+        "t30_stream_twap", "t33_stream_holt",
     }
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 5 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 6 rotation).
 
-    VERDICT r04 item 1: lead the window with the 78 never-driver-
-    sampled entries until every entry has a green CORRECTNESS row.
-    Order: (1) entries built or oracle-converted this round (new code
-    = most information per slot); (2) never-driver-checked entries,
-    oracle-backed first — within that, the families VERDICT r04
-    suggests: a12–a31 aggregates → w11–w26 window/timeseries → f_*
-    function tail → x2/x3 dedup-ANN variants → skew/g/m/q/s/j tail —
-    then the rows-only sketches; (3) driver-green entries last."""
-    if name in _NEW_R05:
+    VERDICT r05 item 1: the 41 never-driver-sampled entries
+    (sweep-green + pytest-green, but never in a driver window) are
+    this round's first job — certifying them makes the driver union
+    cover the whole corpus. Order: (0) entries built this round or
+    changed by ADVICE fixes (new/changed code = most information per
+    slot, and a changed entry's old green row no longer vouches for
+    it); (1) never-driver-checked entries, oracle-backed first, in
+    family order f_* → x* → skew/graph/join/merge/quality tail →
+    rows-only sketches; (2) oldest-certified entries (round-1 greens)
+    for re-verification, filling the window's remaining slots; (9)
+    recently-certified entries last."""
+    if name in _NEW_R06:
         return (0, 0, 0)
     if name in _DRIVER_GREEN:
-        return (9, 0, 0)
+        return (2, 0, 0) if name in _R01_GREEN else (9, 0, 0)
     fam = (
-        0 if name.startswith("a") else
-        1 if name.startswith("w") else
-        2 if name.startswith("f_") else
-        3 if name.startswith(("x2", "x3", "x4", "x5")) else
-        4
+        0 if name.startswith("f_") else
+        1 if name.startswith(("x2", "x3", "x4", "x5", "x6", "x7")) else
+        2
     )
     return (1, 0 if has_oracle else 1, fam)
 

@@ -162,11 +162,11 @@ def x2_minhash_lsh(spark, sf_dir):
     (was rows-only): with the poly char-fold token hash
     (dedup.py:poly_token_hash) the ENTIRE pipeline — token hashes,
     rolling 3-gram combine, 32 affine min-aggregates, band chunks,
-    bucket self-join — replays in SQL; the oracle joins on the band
-    CHUNK STRING itself (Spark's xxhash64 band key is injective on
-    equal chunks by construction, collisions aside, and any
-    deterministic collision would surface as a parity diff). The
-    xxhash64 default path keeps its recall pytest."""
+    bucket self-join — replays in SQL; on this path the Spark side
+    also joins on the band CHUNK STRING itself (dedup.py:
+    minhash_bands hardening, ADVICE r05), so the Spark and oracle
+    join keys are structurally identical — no band-hash-collision
+    caveat. The xxhash64 default path keeps its recall pytest."""
     d = T(spark, sf_dir, "documents")
     return xd.minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8,
@@ -1142,15 +1142,18 @@ def x7_length_buckets(spark, sf_dir):
     and the report gives per-(lang, bucket) doc counts, real vs
     padded token totals, and the padding-waste fraction the bucket
     ladder buys. INTEGER-EXACT bucket math: next_pow2(tok) =
-    2^bitlength(tok-1) via length(bin(tok-1)) — both engines have
-    bin(); no float log2 (exact-power boundaries would be at the
-    mercy of libm). Waste is one double division of exact BIGINTs.
+    2^bitlength(tok-1) as an integer SHIFT — shiftleft(1L,
+    length(bin(tok-1))) on the Spark side (ADVICE r05: the earlier
+    double F.pow was value-identical below 2^53 but broke the stated
+    no-libm discipline); the oracle's power(2, n) cast is exact for
+    the same range. Waste is one double division of exact BIGINTs.
     One map-side-combinable aggregation — trivially 100 TB-safe."""
     toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
     bucket = F.when(toks <= 1, F.lit(1).cast("bigint")).otherwise(
-        F.pow(
-            F.lit(2.0),
-            F.length(F.bin(toks - F.lit(1))).cast("double"),
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.length(F.bin(toks - F.lit(1))).cast("int"),
         ).cast("bigint")
     )
     d = T(spark, sf_dir, "documents").select(

@@ -59,7 +59,15 @@ def _stage_ordered_day_feed(ev, base: str, n_slices: int = 4) -> str:
     in t30/t33 rely on). The distinct-day list is metadata-sized
     (bounded by the data horizon, not row count). Shared by every
     time-ordered-feed entry (round-5 review: t30 and t33 had pasted
-    copies)."""
+    copies).
+
+    Commit-order hardening (ADVICE r05): FileStreamSource orders by
+    modification time with path order breaking ties, so (a) slice
+    names are zero-padded (``cv-00``) so a lexicographic tiebreak
+    never inverts write order past 10 slices, and (b) every file of
+    slice ``i`` gets an explicit, strictly increasing mtime via
+    ``os.utime`` — commit order no longer depends on filesystem
+    timestamp granularity at all."""
     feed = os.path.join(base, "feed")
     days = sorted(
         r[0]
@@ -70,15 +78,20 @@ def _stage_ordered_day_feed(ev, base: str, n_slices: int = 4) -> str:
     cuts = [days[len(days) * i // n_slices] for i in range(1, n_slices)]
     lo_cut = [None] + cuts
     hi_cut = cuts + [None]
+    mtime_base = 1_000_000_000  # fixed epoch; only relative order matters
     for i in range(n_slices):
         sl = ev.withColumn("__d", _div_day(F.col("ts_ms")))
         if lo_cut[i] is not None:
             sl = sl.filter(F.col("__d") >= lo_cut[i])
         if hi_cut[i] is not None:
             sl = sl.filter(F.col("__d") < hi_cut[i])
-        sl.drop("__d").coalesce(1).write.parquet(
-            os.path.join(feed, f"cv-{i}")
-        )
+        slice_dir = os.path.join(feed, f"cv-{i:02d}")
+        sl.drop("__d").coalesce(1).write.parquet(slice_dir)
+        t = mtime_base + i
+        for root, _dirs, files in os.walk(slice_dir):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(slice_dir, (t, t))
     return feed
 
 

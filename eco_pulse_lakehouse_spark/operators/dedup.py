@@ -194,14 +194,19 @@ def minhash_bands(
     band_structs = []
     for b in range(bands):
         chunk = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        chunk_str = F.concat_ws(",", *[
+            F.element_at(chunk, j + 1).cast("string")
+            for j in range(rows_per_band)
+        ])
+        # Default path compresses the chunk to a fixed 8-byte shuffle
+        # key via xxhash64. On the oracle-replayable poly-hash path
+        # (token_hash given) the chunk STRING itself is the key, so
+        # the Spark join key is structurally identical to the DuckDB
+        # oracle's chunk join — a band-hash collision between distinct
+        # chunks can never produce a Spark-only pair (ADVICE r05).
+        bh = F.xxhash64(chunk_str) if token_hash is None else chunk_str
         band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at(chunk, j + 1).cast("string")
-                    for j in range(rows_per_band)
-                ])).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), bh.alias("bh"))
         )
     return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
