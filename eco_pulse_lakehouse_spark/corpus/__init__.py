@@ -167,7 +167,7 @@ _R01_GREEN: frozenset[str] = frozenset(
 _NEW_R06: frozenset[str] = frozenset(
     {
         # built this round
-        "w30_hw_seasonal", "t34_stream_hw_seasonal",
+        "w30_hw_seasonal", "w31_hw_mase", "t34_stream_hw_seasonal",
         "t35_stream_dedup_clusters",
         # r05-green but code changed this round (ADVICE fixes)
         "x2_minhash_lsh", "t18_stream_lsh_index", "x7_length_buckets",

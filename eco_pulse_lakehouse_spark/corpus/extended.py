@@ -4104,6 +4104,181 @@ def w29_holt_mase(spark, sf_dir):
     )
 
 
+def _hw_fold_sql(series: str, l0: str = "l0", b0: str = "b0") -> str:
+    """DuckDB twin of operators/timeseries.py:hw_seasonal_fold
+    (season m=4) over an ordered DOUBLE list named ``series`` whose
+    init scalars ``l0``/``b0`` were staged in a prior CTE (staging
+    keeps the seq-sum init subtree out of the per-element lambda —
+    the w16 interpreted-HOF lesson applies to DuckDB text size too).
+    ONE definition shared by the w30 / w31 / t34 oracles. LIST
+    accumulator [l, b, s1..s4] on purpose (struct accumulators
+    mutate in place under DuckDB list_reduce — the w28 lesson);
+    acc[3] is always s_{t-m}, each step rotates the buffer."""
+    return f"""list_reduce(
+               list_prepend(
+                 list_value({l0}, {b0})
+                   || list_transform({series}[1:4], x -> x - {l0}),
+                 list_transform({series}[9:], x -> [x])),
+               (acc, e) ->
+                 list_value(
+                   CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                     + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                   CAST(0.5 AS DOUBLE)
+                       * ((CAST(0.5 AS DOUBLE) * (e[1] - acc[3])
+                           + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                          - acc[1])
+                     + CAST(0.5 AS DOUBLE) * acc[2])
+                 || acc[4:6]
+                 || list_value(
+                   CAST(0.5 AS DOUBLE) * (e[1] - acc[1] - acc[2])
+                     + CAST(0.5 AS DOUBLE) * acc[3]))"""
+
+
+_HW_SEQSUM = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}),"
+    " (a, x) -> a + x)"
+)
+
+
+@q(
+    "w30_hw_seasonal",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts,
+                                          event_id := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               r -> r.v) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    i AS (
+      SELECT user_id, n_events, vs,
+             {_HW_SEQSUM.format(arr='vs[1:4]')}
+               / CAST(4.0 AS DOUBLE) AS l0,
+             ({_HW_SEQSUM.format(arr='vs[5:8]')}
+              - {_HW_SEQSUM.format(arr='vs[1:4]')})
+               / CAST(16.0 AS DOUBLE) AS b0
+      FROM s WHERE len(vs) >= 8
+    ),
+    f AS (
+      SELECT user_id, n_events, {_hw_fold_sql('vs')} AS st
+      FROM i
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+           st[1] AS level, st[2] AS trend, st[3] AS season_next,
+           st[1] + st[2] + st[3] AS forecast_1
+    FROM f
+    """,
+)
+def w30_hw_seasonal(spark, sf_dir):
+    """W30 — Holt-Winters ADDITIVE-seasonal smoothing per user
+    (operators/timeseries.py:holt_winters_seasonal, season m=4):
+    the seasonal rung above w28's level+trend, closing VERDICT r05
+    item 6. alpha = beta = gamma = 1/2 (dyadic — halving is exact
+    binary scaling, every other op one correctly-rounded IEEE step
+    on identical operands, so the recurrence is bit-exact
+    cross-engine); textbook two-season init l_m = mean(x_1..x_m),
+    b_m = (sum of season 2 - sum of season 1)/m^2, s_j = x_j - l_m,
+    all via strictly left-to-right seq-sums and exact-integer
+    divisions. Keys need >= 2m readings. Accumulator is one flat
+    DOUBLE list [l, b, s1..s4] on BOTH engines (rotating buffer,
+    acc[3] = the seasonal value the next reading consumes) — the
+    Spark fold and the DuckDB list_reduce are structurally
+    identical. ONE groupBy exchange; O(1) expression tree per step.
+    forecast_1 = level + trend + season_next."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts", "event_id", "value",
+    )
+    return holt_winters_seasonal(
+        ev, "user_id", "ts", "event_id", "value", season=4
+    )
+
+
+@q(
+    "w31_hw_mase",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts,
+                                          event_id := event_id,
+                                          v := CAST(value AS DOUBLE)))),
+               r -> r.v) AS vs
+      FROM events GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, vs[1 : len(vs) - 4] AS train,
+             vs[len(vs) - 3 :] AS test
+      FROM s WHERE len(vs) >= 16
+    ),
+    i AS (
+      SELECT user_id, len(train) AS nt, train, test,
+             {_HW_SEQSUM.format(arr='train[1:4]')}
+               / CAST(4.0 AS DOUBLE) AS l0,
+             ({_HW_SEQSUM.format(arr='train[5:8]')}
+              - {_HW_SEQSUM.format(arr='train[1:4]')})
+               / CAST(16.0 AS DOUBLE) AS b0
+      FROM f
+    ),
+    g AS (
+      SELECT user_id, nt, test,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(5, nt + 1),
+                 i -> abs(train[i] - train[i - 4]))),
+               (a, x) -> a + x)
+               / CAST(nt - 4 AS DOUBLE) AS snaive_mae,
+             {_hw_fold_sql('train')} AS st
+      FROM i
+    ),
+    h AS (
+      SELECT user_id, nt, snaive_mae,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 5),
+                 j -> abs(test[j]
+                          - (st[1] + CAST(j AS DOUBLE) * st[2]
+                             + st[3 + ((j - 1) % 4)])))),
+               (a, x) -> a + x) / CAST(4 AS DOUBLE) AS model_mae
+      FROM g
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(nt AS BIGINT) AS n_train, snaive_mae, model_mae,
+           CASE WHEN snaive_mae != CAST(0 AS DOUBLE)
+                THEN model_mae / snaive_mae END AS mase
+    FROM h
+    """,
+)
+def w31_hw_mase(spark, sf_dir):
+    """W31 — SEASONAL forecast backtest with MASE scoring
+    (operators/timeseries.py:hw_mase_backtest; Hyndman & Koehler
+    2006): hold out the last 4 readings, fit w30's bit-exact
+    Holt-Winters fold on the train prefix, forecast
+    l + j·b + s_{(j-1) mod m} and report model MAE / in-sample
+    SEASONAL-naive MAE (mean |x_t - x_{t-m}|) — skill against the
+    forecaster that repeats last season, the right denominator once
+    a seasonal component is claimed. Train needs >= 3m + horizon
+    readings. Same determinism discipline as w29: strictly
+    sequential folds, exact-integer divisions, staged fold column."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        hw_mase_backtest,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts", "event_id", "value",
+    )
+    return hw_mase_backtest(
+        ev, "user_id", "ts", "event_id", "value",
+        season=4, horizon=4,
+    )
+
+
 @q(
     "w22_bollinger",
     """

@@ -2069,6 +2069,145 @@ def t33_stream_holt(spark, sf_dir):
     )
 
 
+@q("t34_stream_hw_seasonal", _ext.ORACLES["w30_hw_seasonal"])
+def t34_stream_hw_seasonal(spark, sf_dir):
+    """T34 — STREAMING Holt-Winters seasonal maintenance (w30's
+    oracle verbatim; VERDICT r05 item 6's carry-state twin): the
+    same time-ordered append feed as t30/t33, carried state = the
+    full seasonal forecaster per key — (n, l, b, rotating seasonal
+    buffer s[4], pending init prefix). A key's first 2m readings
+    park in ``pend`` until two full seasons arrive, then the
+    textbook init fires and subsequent batches continue the exact
+    w30 fold from carried state (Python float ops are the same IEEE
+    doubles in the same order — bit-identical to the Spark fold and
+    the DuckDB oracle). Because commits are time-ordered per key,
+    the concatenation of per-batch folds IS the one-shot fold —
+    streamed ≡ batch bit-exactly. O(batch) work per batch, state
+    O(keys · m); serving reads the latest state epoch. Keys that
+    never reach 2m readings surface NULL state and are filtered at
+    serve time, matching w30's >= 2m contract."""
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("value").cast("double").alias("v"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t34_{uuid.uuid4().hex}"
+    )
+    feed = _stage_ordered_day_feed(ev, base)
+
+    state_root = os.path.join(base, "state")
+    state_schema = (
+        "user_id BIGINT, n BIGINT, l DOUBLE, b DOUBLE, "
+        "s ARRAY<DOUBLE>, pend ARRAY<DOUBLE>"
+    )
+    m = 4
+
+    def fold(batch_df, batch_id: int) -> None:
+        import glob as _glob
+
+        sp_ = batch_df.sparkSession
+        prev = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+            if int(os.path.basename(p).split("=")[1]) < batch_id
+        )
+        if prev:
+            prior = sp_.read.parquet(
+                os.path.join(state_root, f"epoch={prev[-1]}")
+            )
+        else:
+            prior = sp_.createDataFrame([], state_schema)
+
+        def seq(a) -> float:
+            t = 0.0
+            for x in a:
+                t = t + x
+            return t
+
+        def continue_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            st = pdf[pdf["__src"] == 0]
+            ev_rows = (
+                pdf[pdf["__src"] == 1]
+                .sort_values(["ts_ms", "event_id"])
+            )
+            if len(st):
+                n = int(st["n"].iloc[0])
+                l, b = st["l"].iloc[0], st["b"].iloc[0]
+                s = st["s"].iloc[0]
+                s = None if s is None else list(s)
+                pend = list(st["pend"].iloc[0])
+            else:
+                n, l, b, s, pend = 0, None, None, None, []
+            for x in ev_rows["v"]:
+                n += 1
+                if s is None:
+                    pend.append(x)
+                    if len(pend) == 2 * m:
+                        l = seq(pend[:m]) / float(m)
+                        b = (seq(pend[m:]) - seq(pend[:m])) / float(
+                            m * m
+                        )
+                        s = [xx - l for xx in pend[:m]]
+                        pend = []
+                else:
+                    s_old = s[0]
+                    ln = 0.5 * (x - s_old) + 0.5 * (l + b)
+                    bn = 0.5 * (ln - l) + 0.5 * b
+                    sn = 0.5 * (x - l - b) + 0.5 * s_old
+                    l, b = ln, bn
+                    s = s[1:] + [sn]
+            return pd.DataFrame(
+                {"user_id": [pdf["user_id"].iloc[0]], "n": [n],
+                 "l": [l], "b": [b], "s": [s], "pend": [pend]}
+            )
+
+        alle = prior.withColumn("__src", F.lit(0)).unionByName(
+            batch_df.withColumn("__src", F.lit(1)),
+            allowMissingColumns=True,
+        )
+        alle.groupBy("user_id").applyInPandas(
+            continue_fold, schema=state_schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_root, f"epoch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream
+        .schema("user_id BIGINT, ts_ms BIGINT, event_id BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(feed, "cv-*"))
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    import glob as _glob
+
+    final_epoch = max(
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+    )
+    st = spark.read.parquet(
+        os.path.join(state_root, f"epoch={final_epoch}")
+    )
+    return st.filter(F.col("s").isNotNull()).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("l").alias("level"),
+        F.col("b").alias("trend"),
+        F.get("s", 0).alias("season_next"),
+        (F.col("l") + F.col("b") + F.get("s", 0)).alias("forecast_1"),
+    )
+
+
 @q("t32_stream_bm25", _ns.ORACLES["x4_bm25"])
 def t32_stream_bm25(spark, sf_dir):
     """T32 — STREAMING search-index maintenance: documents stream in

@@ -984,3 +984,205 @@ def holt_mase_backtest(
             naive_mae != F.lit(0.0), model_mae / naive_mae
         ).alias("mase"),
     )
+
+
+def hw_seasonal_fold(vals: Column, season: int = 4) -> Column:
+    """Holt-Winters ADDITIVE-seasonal recurrence as a Column fold
+    over an ordered DOUBLE array of length >= 2*season — the w30
+    rung above :func:`holt_fold` (level+trend+seasonal):
+
+      l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+      b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+      s_t = gamma*(x_t - l_{t-1} - b_{t-1}) + (1-gamma)*s_{t-m}
+
+    with alpha = beta = gamma = 1/2 FIXED (the w14/w22/w28 dyadic
+    discipline: halving is exact binary scaling, every other op is
+    one correctly-rounded IEEE step on identical operands, so the
+    recurrence is bit-exact cross-engine). Textbook two-season
+    initialization consuming x_1..x_{2m}:
+
+      l_m = seqsum(x_1..x_m)/m
+      b_m = (seqsum(x_{m+1}..x_{2m}) - seqsum(x_1..x_m))/m^2
+      s_j = x_j - l_m          (j = 1..m)
+
+    (seqsum = strictly left-to-right :func:`_seq_sum`; the two
+    divisions are single correctly-rounded IEEE ops, so init is
+    bit-exact too), then updates for t = m+1-aligned positions
+    2m+1..n — i.e. x_{m+1}..x_{2m} are charged to initialization,
+    matching the classical Hyndman formulation where the first two
+    seasons seed the state.
+
+    ACCUMULATOR SHAPE: one flat array<double> [l, b, s_head..s_tail]
+    of fixed length season+2, where index 2 (0-based) is always
+    s_{t-m} — the seasonal value the NEXT reading consumes; each
+    step rotates the buffer. A flat DOUBLE list (not a struct) keeps
+    the Spark accumulator structurally identical to the DuckDB
+    oracle's LIST accumulator (struct accumulators mutate in place
+    under DuckDB list_reduce — the w28 lesson). The lambda binds the
+    accumulator as a variable so the expression tree stays O(1) per
+    step (the SCALE.md DTW lesson). Returns the final state array.
+    """
+    m = season
+    first = F.slice(vals, 1, m)
+    second = F.slice(vals, m + 1, m)
+    l0 = _seq_sum(first) / F.lit(float(m))
+    b0 = (_seq_sum(second) - _seq_sum(first)) / F.lit(float(m * m))
+    init = F.concat(
+        F.array(l0, b0), F.transform(first, lambda x: x - l0)
+    )
+    rest = F.slice(vals, 2 * m + 1, F.size(vals) - 2 * m)
+
+    def step(acc, x):
+        l = F.get(acc, 0)
+        b = F.get(acc, 1)
+        s_old = F.get(acc, 2)
+        l_new = F.lit(0.5) * (x - s_old) + F.lit(0.5) * (l + b)
+        b_new = F.lit(0.5) * (l_new - l) + F.lit(0.5) * b
+        s_new = F.lit(0.5) * (x - l - b) + F.lit(0.5) * s_old
+        return F.concat(
+            F.array(l_new, b_new),
+            F.slice(acc, 4, m - 1),
+            F.array(s_new),
+        )
+
+    return F.aggregate(rest, init, step)
+
+
+def holt_winters_seasonal(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    season: int = 4,
+) -> DataFrame:
+    """W30 — per-key Holt-Winters additive-seasonal smoothing
+    (:func:`hw_seasonal_fold`, alpha=beta=gamma=1/2, season=m).
+    Keys need >= 2m readings (two full seasons seed level, trend and
+    the seasonal buffer); shorter keys are filtered out — w28's
+    non-seasonal Holt is the right tool for those. ONE groupBy
+    exchange; order-insensitive sort_array(collect_list(struct))
+    makes the sequential recurrence deterministic without a sort
+    pass. Returns (key, n_events, level, trend, season_next,
+    forecast_1) where season_next = s_{n+1-m} (the buffer head after
+    the fold — exactly the seasonal index the next reading consumes)
+    and forecast_1 = level + trend + season_next."""
+    m = season
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_col, tiebreak_col,
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    per_key = (
+        events.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            arr.alias("__arr"),
+        )
+        .filter(F.col("n_events") >= F.lit(2 * m))
+        .select(
+            key_col,
+            "n_events",
+            hw_seasonal_fold(
+                F.transform(F.col("__arr"), lambda s: s.getField("v")),
+                m,
+            ).alias("__st"),
+        )
+    )
+    return per_key.select(
+        key_col,
+        "n_events",
+        F.get("__st", 0).alias("level"),
+        F.get("__st", 1).alias("trend"),
+        F.get("__st", 2).alias("season_next"),
+        (F.get("__st", 0) + F.get("__st", 1) + F.get("__st", 2)).alias(
+            "forecast_1"
+        ),
+    )
+
+
+def hw_mase_backtest(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    season: int = 4,
+    horizon: int = 4,
+) -> DataFrame:
+    """W31 — SEASONAL forecast backtest: hold out each key's last
+    ``horizon`` readings, fit Holt-Winters (:func:`hw_seasonal_fold`)
+    on the train prefix, forecast
+
+      y_hat_{n+j} = l + j*b + s_{n+j-m}   (the seasonal buffer entry
+                                           at 0-based index
+                                           2 + (j-1) mod m)
+
+    and score the SEASONAL MASE (Hyndman & Koehler 2006): model MAE
+    over the horizon divided by the in-sample seasonal-naive MAE
+    (mean |x_t - x_{t-m}| over the train prefix) — the scale-free
+    skill score against the forecaster that just repeats last
+    season. Train needs >= 2m + m readings (two seasons to seed +
+    at least one seasonal-naive difference-window). All float
+    reductions are strictly sequential folds (:func:`_seq_sum`),
+    divisions by exact integers — bit-exact cross-engine, same as
+    w29. Returns (key, n_train, snaive_mae, model_mae, mase; mase
+    NULL when the seasonal-naive MAE is exactly 0)."""
+    m = season
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                ts_col, tiebreak_col,
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    per_key = events.groupBy(key_col).agg(arr.alias("__arr"))
+    vs = F.transform(F.col("__arr"), lambda s: s.getField("v"))
+    n = F.size(vs)
+    n_train = n - F.lit(horizon)
+    staged = (
+        per_key.filter(n >= F.lit(3 * m + horizon))
+        .select(
+            F.col(key_col),
+            n_train.cast("bigint").alias("__nt"),
+            F.slice(vs, 1, n_train).alias("__train"),
+            F.slice(vs, n_train + 1, horizon).alias("__test"),
+        )
+        .withColumn("__st", hw_seasonal_fold(F.col("__train"), m))
+    )
+    tn = F.size(F.col("__train"))
+    sdiffs = F.zip_with(
+        F.slice(F.col("__train"), m + 1, tn - m),
+        F.slice(F.col("__train"), 1, tn - m),
+        lambda a, b: F.abs(a - b),
+    )
+    snaive_mae = _seq_sum(sdiffs) / (tn - m).cast("double")
+    errs = F.zip_with(
+        F.col("__test"),
+        F.sequence(F.lit(1), F.lit(horizon)),
+        lambda y, j: F.abs(
+            y
+            - (
+                F.get(F.col("__st"), 0)
+                + j.cast("double") * F.get(F.col("__st"), 1)
+                + F.get(
+                    F.col("__st"),
+                    F.lit(2) + F.pmod(j - F.lit(1), F.lit(m)),
+                )
+            )
+        ),
+    )
+    model_mae = _seq_sum(errs) / F.lit(float(horizon))
+    return staged.select(
+        F.col(key_col),
+        F.col("__nt").alias("n_train"),
+        snaive_mae.alias("snaive_mae"),
+        model_mae.alias("model_mae"),
+        F.when(
+            snaive_mae != F.lit(0.0), model_mae / snaive_mae
+        ).alias("mase"),
+    )
