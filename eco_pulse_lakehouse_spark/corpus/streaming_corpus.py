@@ -2208,6 +2208,164 @@ def t34_stream_hw_seasonal(spark, sf_dir):
     )
 
 
+@q("t35_stream_dedup_clusters", _ns.ORACLES["x2_dedup_clusters"])
+def t35_stream_dedup_clusters(spark, sf_dir):
+    """T35 — STREAMING near-dup CLUSTER maintenance
+    (x2_dedup_clusters' oracle verbatim; VERDICT r05 item 7 — the
+    last X2 family member without a streaming twin): documents
+    stream in one file per trigger and the carried state is the
+    cluster LABEL table itself (id, comp), maintained incrementally:
+
+    1. Each batch lands its distinct-shingle index rows
+       (id, shingle, set_size) as idempotent epoch-keyed parquet —
+       the t18 discipline: per-batch cost O(batch), history never
+       re-shingled.
+    2. New pairs = exact Jaccard >= 0.2 between THIS batch's docs
+       and the accumulated corpus (index equi-join on the shingle,
+       countDistinct shared shingles per normalized pair, sizes off
+       the denormalized index rows). Every cross-corpus pair is
+       discovered exactly once — in the batch of its later
+       endpoint — so the union of per-batch pair sets IS the batch
+       operator's pair set.
+    3. Label merge restricted to AFFECTED components only: the
+       carried label table is a star forest (comp = min reachable
+       id — the invariant each batch re-establishes), so
+       connectivity of {star edges of affected comps} + {new pairs}
+       equals connectivity of the full pair graph; min-label
+       propagation (operators/components.py:connected_components)
+       runs on that subgraph alone and unaffected labels carry
+       forward untouched — per-batch relabel cost O(batch + touched
+       clusters), never O(corpus).
+
+    State epochs are full label snapshots here (corpus-scale); at
+    100 TB the same loop writes only affected comp-bucket partitions
+    (dynamic partition overwrite — the t20 gold-upsert trick).
+    Streamed ≡ batch: the final label table equals
+    connected_components(ngram_jaccard_pairs(docs)) exactly, so the
+    entry carries the x2 recursive-CTE closure oracle verbatim."""
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t35_{uuid.uuid4().hex}"
+    )
+    stage = os.path.join(base, "docs")
+    docs.repartition(4).write.parquet(stage)
+
+    idx_root = os.path.join(base, "index")
+    state_root = os.path.join(base, "state")
+
+    def fold(batch_df, batch_id: int) -> None:
+        import glob as _glob
+
+        from eco_pulse_lakehouse_spark.operators.components import (
+            incremental_components_update,
+        )
+        from eco_pulse_lakehouse_spark.operators.dedup import (
+            word_shingles,
+        )
+
+        sp_ = batch_df.sparkSession
+        # 1. land this batch's shingle index partial (idempotent per
+        # epoch: overwrite)
+        sh = batch_df.select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                word_shingles(F.col("text"), 3)
+            ).alias("__shs"),
+        ).select(
+            "id",
+            F.size("__shs").alias("sz"),
+            F.explode("__shs").alias("__s"),
+        )
+        sh.write.mode("overwrite").parquet(
+            os.path.join(idx_root, f"epoch={batch_id}")
+        )
+
+        # 2. pairs touching this batch, against the accumulated index
+        full = sp_.read.parquet(os.path.join(idx_root, "epoch=*"))
+        bat = sp_.read.parquet(
+            os.path.join(idx_root, f"epoch={batch_id}")
+        )
+        cand = full.select(
+            F.col("id").alias("__ia"), F.col("sz").alias("__za"), "__s"
+        ).join(
+            bat.select(
+                F.col("id").alias("__ib"),
+                F.col("sz").alias("__zb"),
+                "__s",
+            ),
+            "__s",
+        ).filter(F.col("__ia") != F.col("__ib"))
+        lo_first = F.col("__ia") < F.col("__ib")
+        new_pairs = (
+            cand.select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                F.when(lo_first, F.col("__za"))
+                .otherwise(F.col("__zb"))
+                .alias("__sa"),
+                F.when(lo_first, F.col("__zb"))
+                .otherwise(F.col("__za"))
+                .alias("__sb"),
+                "__s",
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.countDistinct("__s").alias("__inter"),
+                F.first("__sa").alias("__sa"),
+                F.first("__sb").alias("__sb"),
+            )
+            .withColumn(
+                "__j",
+                F.col("__inter").cast("double")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter")),
+            )
+            .filter(F.col("__j") >= F.lit(0.2))
+            .select("id_a", "id_b")
+        )
+
+        # 3. merge labels — affected components only
+        # (operators/components.py:incremental_components_update)
+        prev = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+            if int(os.path.basename(p).split("=")[1]) < batch_id
+        )
+        if prev:
+            prior = sp_.read.parquet(
+                os.path.join(state_root, f"epoch={prev[-1]}")
+            )
+        else:
+            prior = sp_.createDataFrame([], "id BIGINT, comp BIGINT")
+        incremental_components_update(prior, new_pairs).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_root, f"epoch={batch_id}"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    import glob as _glob
+
+    final_epoch = max(
+        int(os.path.basename(p).split("=")[1])
+        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
+    )
+    return spark.read.parquet(
+        os.path.join(state_root, f"epoch={final_epoch}")
+    )
+
+
 @q("t32_stream_bm25", _ns.ORACLES["x4_bm25"])
 def t32_stream_bm25(spark, sf_dir):
     """T32 — STREAMING search-index maintenance: documents stream in

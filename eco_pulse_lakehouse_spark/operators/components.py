@@ -211,3 +211,43 @@ def pagerank(
             )
         )
     return ranks
+
+
+def incremental_components_update(
+    prior_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """One batch-step of INCREMENTAL connected components (t35): fold
+    a batch of newly discovered pairs into a carried label table,
+    relabeling AFFECTED components only.
+
+    ``prior_labels`` (id, comp) is a star forest with comp = min
+    reachable id — the invariant :func:`connected_components`
+    establishes and this update preserves. Connectivity of
+    {star edges of affected comps} ∪ {new pairs} equals connectivity
+    of the full accumulated pair graph restricted to those nodes, so
+    min-label propagation over that subgraph alone is exact; labels
+    of untouched components carry forward without being read into
+    the propagation loop. Per-batch cost O(new pairs + members of
+    touched clusters) — never O(all nodes) — which is what makes
+    cluster maintenance viable on an unbounded ingest stream.
+    Returns the updated full label table (id, comp)."""
+    ends = (
+        new_pairs.select(F.col(a_col).alias("id"))
+        .unionByName(new_pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    aff_roots = prior_labels.join(ends, "id").select("comp").distinct()
+    aff = prior_labels.join(aff_roots, "comp").select("id", "comp")
+    sub_edges = (
+        aff.filter(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias(a_col), F.col("comp").alias(b_col))
+        .unionByName(new_pairs.select(a_col, b_col))
+    )
+    sub_cc = connected_components(sub_edges, a_col, b_col)
+    return (
+        prior_labels.join(aff.select("id"), "id", "left_anti")
+        .unionByName(sub_cc)
+    )

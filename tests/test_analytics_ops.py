@@ -672,3 +672,144 @@ def test_twap_daily_materializes_gap_days_and_matches_twap_on_event_days(spark):
     for day, r in twap.items():
         assert (daily[day].n_events, daily[day].total_dur_ms,
                 daily[day].twap) == (r.n_events, r.total_dur_ms, r.twap)
+
+
+def test_hw_seasonal_matches_python_reference_and_locks_pattern(spark):
+    """holt_winters_seasonal == the textbook additive recurrence run
+    in pure python (bit-exact, alpha=beta=gamma=1/2, m=4); on an
+    exactly (linear + period-4) series the one-step forecast nails
+    the true next value; keys under 2m readings are excluded."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    mi = timedelta(minutes=1)
+    pat = [4.0, -1.0, 2.5, -5.5]
+    series = {
+        1: [10.0, 12.0, 14.0, 16.0, 11.0, 13.0, 15.0, 17.0, 12.5, 14.5],
+        2: [2.0 * i + pat[i % 4] for i in range(40)],  # linear+seasonal
+        3: [1.0] * 7,                                  # too short
+    }
+    rows = [
+        (uid * 100 + i, uid, t0 + i * mi, v)
+        for uid, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {
+        r.user_id: r
+        for r in holt_winters_seasonal(
+            df, "user_id", "ts", "event_id", "value", season=4
+        ).collect()
+    }
+
+    def ref(vs, m=4):
+        def seq(a):
+            t = 0.0
+            for x in a:
+                t = t + x
+            return t
+
+        l = seq(vs[:m]) / float(m)
+        b = (seq(vs[m:2 * m]) - seq(vs[:m])) / float(m * m)
+        s = [x - l for x in vs[:m]]
+        for x in vs[2 * m:]:
+            s_old = s[0]
+            ln = 0.5 * (x - s_old) + 0.5 * (l + b)
+            bn = 0.5 * (ln - l) + 0.5 * b
+            sn = 0.5 * (x - l - b) + 0.5 * s_old
+            l, b = ln, bn
+            s = s[1:] + [sn]
+        return l, b, s
+
+    l1, b1, s1 = ref(series[1])
+    assert out[1].level == l1 and out[1].trend == b1
+    assert out[1].season_next == s1[0]
+    assert out[1].forecast_1 == l1 + b1 + s1[0]
+    # linear+seasonal: geometric convergence locks on (within ~2%
+    # of one step after 32 updates; naive would be off by >= 2.0)
+    true_next = 2.0 * 40 + pat[40 % 4]
+    assert abs(out[2].forecast_1 - true_next) < 0.1
+    assert abs(out[2].trend - 2.0) < 0.01
+    assert 3 not in out
+
+
+def test_hw_mase_backtest_semantics(spark):
+    """Seasonal MASE contract: an exactly (linear + period-4) series
+    backtests to ~0 model MAE and ~0 mase; a train prefix that is
+    exactly period-4 periodic has snaive_mae 0 and NULL mase; short
+    keys are excluded."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        hw_mase_backtest,
+    )
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    mi = timedelta(minutes=1)
+    pat = [4.0, -1.0, 2.5, -5.5]
+    series = {
+        1: [2.0 * i + pat[i % 4] for i in range(40)],
+        # periodic train (snaive perfect), then a broken test tail
+        2: [pat[i % 4] for i in range(16)] + [50.0, 60.0, 70.0, 80.0],
+        3: [1.0] * 15,  # 15 < 3m + horizon = 16
+    }
+    rows = [
+        (uid * 100 + i, uid, t0 + i * mi, v)
+        for uid, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    )
+    out = {
+        r.user_id: r
+        for r in hw_mase_backtest(
+            df, "user_id", "ts", "event_id", "value",
+            season=4, horizon=4,
+        ).collect()
+    }
+    assert 3 not in out
+    assert out[1].n_train == 36
+    # geometric lock-on: far below the snaive denominator
+    assert out[1].model_mae < 0.2 and out[1].mase < 0.03
+    assert out[1].snaive_mae == 8.0  # |x_t - x_{t-4}| = 8 everywhere
+    assert out[2].snaive_mae == 0.0 and out[2].mase is None
+    assert out[2].model_mae > 0
+
+
+def test_incremental_components_update_merges_only_affected(spark):
+    """incremental_components_update contract: a new edge bridging
+    two existing clusters relabels BOTH to the min id; an untouched
+    cluster's labels carry forward; brand-new nodes enter with the
+    batch; the star-forest invariant (comp = min reachable id)
+    holds on the output."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+        incremental_components_update,
+    )
+
+    prior = spark.createDataFrame(
+        # cluster {1,5,9}, cluster {2,7}, cluster {3,8}
+        [(1, 1), (5, 1), (9, 1), (2, 2), (7, 2), (3, 3), (8, 3)],
+        "id LONG, comp LONG",
+    )
+    new_pairs = spark.createDataFrame(
+        # bridge {2,7} and {3,8} via 7-8; new nodes 20-21 pair up
+        [(7, 8), (20, 21)], "id_a LONG, id_b LONG"
+    )
+    out = {
+        r.id: r.comp
+        for r in incremental_components_update(prior, new_pairs).collect()
+    }
+    assert out == {1: 1, 5: 1, 9: 1,           # untouched
+                   2: 2, 7: 2, 3: 2, 8: 2,     # merged to min id 2
+                   20: 20, 21: 20}             # new cluster
+    # equivalence with one-shot CC over the full accumulated graph
+    full_edges = spark.createDataFrame(
+        [(1, 5), (1, 9), (2, 7), (3, 8), (7, 8), (20, 21)],
+        "id_a LONG, id_b LONG",
+    )
+    batch = {r.id: r.comp for r in connected_components(full_edges).collect()}
+    assert out == batch
