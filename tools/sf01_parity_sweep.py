@@ -11,14 +11,24 @@ at the bench scale too. Uses the same compare gate as the local
 pytest replica (tests/parity.py — rows + schema-family + value
 hash).
 
+Round-6 additions (VERDICT r05 items 4/5):
+- each entry records the driver-style TRIPLE {rows_match,
+  schema_match, hash_match, spark_rows, oracle_rows}, making the
+  sweep file audit-equivalent to a CORRECTNESS file;
+- the ORACLE side is cached on disk keyed by (oracle SQL, source
+  parquet size+mtime): oracles are pure SQL over static data, so a
+  repeat sweep re-runs only the SPARK side plus any oracle whose
+  text or input changed — the 14-minute x2 closure family is paid
+  once per data/oracle change, not per session.
+
 Usage: python tools/sf01_parity_sweep.py [sf_dir]
-Writes PARITY_SWEEP_<sf>.json {entry: {"ok": bool, "detail": ...}}
-and prints one summary line. Rows-only entries (no oracle) are
-skipped, like the driver does.
+Writes PARITY_SWEEP_<sf>.json and prints one summary line.
+Rows-only entries (no oracle) are skipped, like the driver does.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -27,6 +37,41 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
+
+CACHE_DIR = os.path.join(REPO, "tools", ".oracle_cache")
+
+
+def _oracle_cache_key(name: str, sql: str, sf_dir: str) -> str:
+    """Cache key = oracle text + identity of every source parquet
+    (size + mtime) — any data refresh or oracle edit invalidates."""
+    from eco_pulse_lakehouse_spark.catalog import TABLES
+
+    h = hashlib.sha256()
+    h.update(sql.encode())
+    for t in sorted(TABLES):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"{name}-{h.hexdigest()[:24]}"
+
+
+def _oracle_pdf(con, name: str, sql: str, sf_dir: str):
+    """Run (or load) the oracle side. Parquet round-trips DuckDB
+    result frames losslessly for every type the corpus emits
+    (ints/floats/strings/timestamps/lists)."""
+    import pandas as pd
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    key = _oracle_cache_key(name, sql, sf_dir)
+    path = os.path.join(CACHE_DIR, f"{key}.parquet")
+    if os.path.exists(path):
+        return pd.read_parquet(path), True
+    pdf = con.execute(sql).fetchdf()
+    try:
+        pdf.to_parquet(path)
+    except Exception:  # exotic dtype — just skip caching this one
+        pass
+    return pdf, False
 
 
 def main() -> None:
@@ -70,15 +115,33 @@ def main() -> None:
         if name in out:
             continue
         t0 = time.perf_counter()
+        rows_match = schema_match = hash_match = False
+        s_rows = o_rows = None
+        cached = False
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
-            oracle_pdf = con.execute(osql[name]).fetchdf()
+            oracle_pdf, cached = _oracle_pdf(
+                con, name, osql[name], sf_dir
+            )
+            s_rows, o_rows = len(spark_pdf), len(oracle_pdf)
+            rows_match = s_rows == o_rows
+            schema_match = (
+                [c.lower() for c in sorted(spark_pdf.columns)]
+                == [c.lower() for c in sorted(oracle_pdf.columns)]
+            )
             res = compare(name, spark_pdf, oracle_pdf)
+            hash_match = res.ok
             ok, detail = res.ok, (None if res.ok else res.detail)
         except Exception as exc:  # noqa: BLE001 — report, don't abort
             ok, detail = False, f"{type(exc).__name__}: {exc}"[:300]
         out[name] = {
             "ok": ok,
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "oracle_cached": cached,
             "sec": round(time.perf_counter() - t0, 2),
             **({"detail": detail} if detail else {}),
         }
