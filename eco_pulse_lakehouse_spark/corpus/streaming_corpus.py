@@ -2242,7 +2242,7 @@ def t35_stream_dedup_clusters(spark, sf_dir):
     (dynamic partition overwrite — the t20 gold-upsert trick).
     Streamed ≡ batch: the final label table equals
     connected_components(ngram_jaccard_pairs(docs)) exactly, so the
-    entry carries the x2 recursive-CTE closure oracle verbatim."""
+    entry carries the x2 label-propagation oracle verbatim."""
     docs = T(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "text"
     )

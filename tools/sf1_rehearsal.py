@@ -22,9 +22,14 @@ sf0.1 — never used for correctness:
   the data artifact, not the operator; within-copy duplicates
   remain, so exact-dedup still finds 10x the dups).
 
-w16 (uncapped SAX motifs) is EXCLUDED: the identical per-user series
-make every SAX word a hot word (candidate pairs x100 at 10x) — w19,
-the capped form built exactly for hot buckets, is measured instead.
+* events additionally get a per-copy deterministic VALUE jitter
+  (copy 0 untouched): identical per-user series would degenerate
+  every SAX word into one hot bucket (candidate pairs x100 at 10x —
+  measuring the data artifact, not the operator), and a pure
+  per-copy offset or scale would be stripped by z-normalization, so
+  the jitter is a per-row hash ramp that changes each copy's series
+  SHAPE. This lets w16 (uncapped SAX motifs, round-5's exclusion)
+  be measured alongside w19, closing VERDICT r05 item 3.
 
 Usage: python tools/sf1_rehearsal.py  (~10 min; writes the
 "sf1_rehearsal" section of BENCH_DETAIL.json).
@@ -43,7 +48,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/eco_pulse_sf1"
+# v2 suffix = build recipe version (r06 added the events jitter);
+# bumping it invalidates any cached _BUILT_* markers from older runs
+DST = "/tmp/eco_pulse_sf1_v2"
 COPIES = 10
 
 QUERIES = [
@@ -52,9 +59,9 @@ QUERIES = [
     "o4_distributed_global_rank", "tpch_q1", "tpch_q3", "tpch_q5",
     "x1_hash_dedup_key", "x4_text_stats", "x2_ngram_jaccard",
     "x2_minhash_lsh", "x3_cosine_topk", "x3_quantized_topk",
-    "x3_pq_topk", "t5_stream_dedup", "w19_sax_motif_capped",
-    "flagship_text_pipeline", "skew1_salted_count",
-    "skew4_hot_key_count",
+    "x3_pq_topk", "t5_stream_dedup", "w16_sax_motif_pairs",
+    "w19_sax_motif_capped", "flagship_text_pipeline",
+    "skew1_salted_count", "skew4_hot_key_count",
 ]
 
 FACT_KEYS = {
@@ -110,6 +117,19 @@ def build_sf1(spark) -> None:
             for k, kk in shifts.items():
                 c = c.withColumn(k, (F.col(k) + F.lit(i * kk)).cast(
                     dict(df.dtypes)[k]))
+            if t == "events" and i > 0:
+                # shape-changing per-copy jitter (see module doc):
+                # a Knuth-hash ramp over the (already-shifted)
+                # event_id, scaled by the copy index — deterministic,
+                # no RNG, and NOT removable by z-normalization
+                jit = (
+                    F.pmod(
+                        F.col("event_id") * F.lit(2654435761),
+                        F.lit(997),
+                    ).cast("double")
+                    / F.lit(100.0)
+                ) * F.lit(float(i))
+                c = c.withColumn("value", F.col("value") + jit)
             if t == "documents":
                 # exactly-one-arg lambda: a default arg (s=sfx) makes
                 # pyspark infer the TWO-arg (element, index) form and
@@ -203,9 +223,9 @@ def main() -> None:
     detail["sf1_rehearsal"] = {
         "copies": COPIES,
         "method": "key-shifted 10x of sf0.1; documents get per-copy "
-                  "word suffixes (disjoint vocabularies); w16 excluded "
-                  "(identical series make every SAX word hot - w19 "
-                  "measured instead)",
+                  "word suffixes (disjoint vocabularies); events get "
+                  "per-copy shape-changing value jitter so SAX words "
+                  "stay realistically distributed (w16 measurable)",
         "queries": out,
     }
     json.dump(detail, open(detail_path, "w"), indent=1)
