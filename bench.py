@@ -62,6 +62,21 @@ HEADLINE = [
     "x4_rrf_fusion",           # hybrid retrieval: BM25 + overlap + RRF
     "w29_holt_mase",           # forecast backtest: Holt fold + MASE
     "flagship_sensor_health",  # predictive gold mart (flagship #5)
+    # round-6 families (also outside the comparable-16 floor subset)
+    "w30_hw_seasonal",         # Holt-Winters seasonal fold per key
+    "t35_stream_dedup_clusters",  # incremental CC over streamed pairs
+]
+
+# Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
+# bench run (no warm-up median — these are minutes-scale iterative
+# jobs) and recorded in BENCH_DETAIL only, so their cost is on
+# record before anything regresses silently without inflating the
+# headline total the floor comparison reads.
+ONEOFF = [
+    "x2_dedup_clusters",       # jaccard pairs -> iterative min-label CC
+    "g1_pagerank",             # iterative out-degree power method
+    "x7_pack_documents",       # per-shard sequential bin packing
+    "x2_phonetic_blocking",    # soundex blocks + levenshtein refine
 ]
 
 
@@ -159,6 +174,12 @@ def main() -> None:
             "min": round(min(runs), 3),
         }
 
+    oneoff: dict[str, float] = {}
+    for name in ONEOFF:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        oneoff[name] = round(time.perf_counter() - t0, 3)
+
     latency = stream_latency_probe(spark, sf_dir)
     state = stream_state_probe(spark, sf_dir)
     probe_end = host_speed_probe()
@@ -175,6 +196,7 @@ def main() -> None:
     }
     detail = {
         "spread": spread,
+        "oneoff_families_sec": oneoff,
         "runs_per_query": n_runs,
         "silver_staging_sec": staging_sec,
         "catalog_staging_sec": catalog_staging_sec,
