@@ -43,7 +43,11 @@ CACHE_DIR = os.path.join(REPO, "tools", ".oracle_cache")
 
 def _oracle_cache_key(name: str, sql: str, sf_dir: str) -> str:
     """Cache key = oracle text + identity of every source parquet
-    (size + mtime) — any data refresh or oracle edit invalidates."""
+    (size + mtime) — any data refresh or oracle edit invalidates.
+    CONTENT-only key (no entry name): streaming twins carry their
+    batch entry's oracle verbatim (t35 = x2_dedup_clusters, ...), so
+    identical SQL must share one cached result — name-prefixed keys
+    made x2_dedup_clusters recompute t35's 13-minute oracle."""
     from eco_pulse_lakehouse_spark.catalog import TABLES
 
     h = hashlib.sha256()
@@ -52,7 +56,7 @@ def _oracle_cache_key(name: str, sql: str, sf_dir: str) -> str:
         p = os.path.join(sf_dir, f"{t}.parquet")
         st = os.stat(p)
         h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return f"{name}-{h.hexdigest()[:24]}"
+    return h.hexdigest()[:32]
 
 
 def _oracle_pdf(con, name: str, sql: str, sf_dir: str):
