@@ -214,11 +214,21 @@ def main() -> None:
     # round-2 verdict item 3).
     print(json.dumps({"bench_detail": detail}))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
-        ) as fh:
-            json.dump(detail, fh, indent=1)
+        # MERGE into the sidecar rather than overwrite: other tools
+        # (tools/sf1_rehearsal.py) own their own top-level sections
+        # (e.g. "sf1_rehearsal") and a plain overwrite here would
+        # silently drop them on the next bench run
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json",
+        )
+        try:
+            existing = json.load(open(path))
+        except Exception:
+            existing = {}
+        existing.update(detail)
+        with open(path, "w") as fh:
+            json.dump(existing, fh, indent=1)
     except OSError:
         pass
     print(

@@ -443,3 +443,52 @@ def test_salted_hot_key_join_joins_on_salt(spark):
     df = extended.QUERIES["skew5_hot_key_join"](spark, SF)
     plan = _plan(df)
     assert "__salt" in plan and "__dsalt" in plan
+
+
+def test_hw_seasonal_single_exchange(spark):
+    """w30's Holt-Winters fit: the per-key groupBy is the ONLY
+    exchange — init seq-sums, the seasonal fold, and the forecast
+    projection are all per-row array math after it."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    df = holt_winters_seasonal(
+        load_table(spark, SF, "events"), "user_id", "ts", "event_id",
+        "value", season=4,
+    )
+    assert _plan(df).count("Exchange") == 1
+
+
+def test_hw_mase_single_exchange(spark):
+    """w31's seasonal backtest: one per-key groupBy exchange; the
+    train/test split, HW fold, seasonal-naive MAE and horizon errors
+    are per-row folds over the collected array."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        hw_mase_backtest,
+    )
+
+    df = hw_mase_backtest(
+        load_table(spark, SF, "events"), "user_id", "ts", "event_id",
+        "value", season=4, horizon=4,
+    )
+    assert _plan(df).count("Exchange") == 1
+
+
+def test_incremental_components_update_no_cartesian(spark):
+    """t35's per-batch label merge: every join (ends probe, affected
+    expansion, left-anti carry-forward, the propagation rounds inside
+    connected_components) is an equi-join — no CartesianProduct or
+    BroadcastNestedLoopJoin anywhere."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        incremental_components_update,
+    )
+
+    prior = spark.createDataFrame(
+        [(1, 1), (5, 1), (2, 2), (7, 2)], "id LONG, comp LONG"
+    )
+    pairs = spark.createDataFrame([(5, 7)], "id_a LONG, id_b LONG")
+    df = incremental_components_update(prior, pairs)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
