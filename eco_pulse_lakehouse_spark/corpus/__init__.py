@@ -175,6 +175,17 @@ _NEW_R06: frozenset[str] = frozenset(
     }
 )
 
+# Entries whose ORACLE (not Spark code) was rewritten this round
+# (closure -> pointer-jumping label propagation). They don't fit the
+# 50-entry window without pushing out two never-sampled sketches, so
+# they sit immediately AFTER the never-sampled tier: covered if the
+# window has slack, and leading the next round's rotation otherwise.
+# Interim vouching: t35 carries x2_dedup_clusters' oracle VERBATIM
+# in-window, plus the full sf0.1 sweep + the local sf0.01 replica.
+_ORACLE_CHANGED_R06: frozenset[str] = frozenset(
+    {"x2_dedup_clusters", "x6_group_split"}
+)
+
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
     """Sort key for a windowed CORRECTNESS run (round 6 rotation).
@@ -192,8 +203,10 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
     recently-certified entries last."""
     if name in _NEW_R06:
         return (0, 0, 0)
+    if name in _ORACLE_CHANGED_R06:
+        return (2, 0, 0)
     if name in _DRIVER_GREEN:
-        return (2, 0, 0) if name in _R01_GREEN else (9, 0, 0)
+        return (3, 0, 0) if name in _R01_GREEN else (9, 0, 0)
     fam = (
         0 if name.startswith("f_") else
         1 if name.startswith(("x2", "x3", "x4", "x5", "x6", "x7")) else

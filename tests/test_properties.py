@@ -244,3 +244,57 @@ def test_pattern_matches_equal_python_reference(spark):
         assert got == ref
 
     run()
+
+
+def test_hw_seasonal_fold_matches_python_reference_property(spark):
+    """w30's Holt-Winters fold == the pure-python recurrence
+    BIT-EXACTLY for arbitrary generated series (length >= 2m,
+    values spanning sign/magnitude mixes): the cross-engine
+    determinism claim rests on every step being one correctly-
+    rounded IEEE op on identical operands, which must hold for any
+    data, not just the corpus."""
+    from datetime import datetime, timedelta
+
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        holt_winters_seasonal,
+    )
+
+    _val = st.floats(
+        min_value=-1e6, max_value=1e6,
+        allow_nan=False, allow_infinity=False,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(_val, min_size=8, max_size=40))
+    def check(vs):
+        t0 = datetime(2024, 3, 1)
+        rows = [
+            (i, 1, t0 + timedelta(minutes=i), v) for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+        )
+        r = holt_winters_seasonal(
+            df, "user_id", "ts", "event_id", "value", season=4
+        ).collect()[0]
+
+        def seq(a):
+            t = 0.0
+            for x in a:
+                t = t + x
+            return t
+
+        m = 4
+        l = seq(vs[:m]) / float(m)
+        b = (seq(vs[m:2 * m]) - seq(vs[:m])) / float(m * m)
+        s = [x - l for x in vs[:m]]
+        for x in vs[2 * m:]:
+            s_old = s[0]
+            ln = 0.5 * (x - s_old) + 0.5 * (l + b)
+            bn = 0.5 * (ln - l) + 0.5 * b
+            sn = 0.5 * (x - l - b) + 0.5 * s_old
+            l, b = ln, bn
+            s = s[1:] + [sn]
+        assert (r.level, r.trend, r.season_next) == (l, b, s[0])
+
+    check()
