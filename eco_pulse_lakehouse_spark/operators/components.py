@@ -225,29 +225,60 @@ def incremental_components_update(
 
     ``prior_labels`` (id, comp) is a star forest with comp = min
     reachable id — the invariant :func:`connected_components`
-    establishes and this update preserves. Connectivity of
-    {star edges of affected comps} ∪ {new pairs} equals connectivity
-    of the full accumulated pair graph restricted to those nodes, so
-    min-label propagation over that subgraph alone is exact; labels
-    of untouched components carry forward without being read into
-    the propagation loop. Per-batch cost O(new pairs + members of
-    touched clusters) — never O(all nodes) — which is what makes
-    cluster maintenance viable on an unbounded ingest stream.
-    Returns the updated full label table (id, comp)."""
-    ends = (
-        new_pairs.select(F.col(a_col).alias("id"))
-        .unionByName(new_pairs.select(F.col(b_col).alias("id")))
-        .distinct()
+    establishes and this update preserves. The batch's new pairs are
+    first QUOTIENTED onto cluster roots (each endpoint maps to its
+    prior comp, or to itself if unseen): because every old cluster's
+    min-id IS its root id, the min id of a merged component equals
+    the min node value of the corresponding ROOT-graph component —
+    so the iterative propagation runs on the root graph alone
+    (O(new pairs) rows per round, #touched-CLUSTERS nodes), and the
+    potentially much larger cluster MEMBERSHIP is relabeled by one
+    equi-join outside the loop. Labels of untouched components carry
+    forward without being read into the propagation at all.
+    Per-batch cost O(new pairs + members of touched clusters), with
+    the loop itself independent of membership size — the shape that
+    keeps an unbounded ingest stream viable even when a few clusters
+    grow huge. Returns the updated full label table (id, comp)."""
+    # root(x) = prior comp if known, else x itself (new node)
+    ra = new_pairs.join(
+        prior_labels.select(
+            F.col("id").alias(a_col), F.col("comp").alias("__ra")
+        ),
+        a_col,
+        "left",
     )
-    aff_roots = prior_labels.join(ends, "id").select("comp").distinct()
-    aff = prior_labels.join(aff_roots, "comp").select("id", "comp")
-    sub_edges = (
-        aff.filter(F.col("id") != F.col("comp"))
-        .select(F.col("id").alias(a_col), F.col("comp").alias(b_col))
-        .unionByName(new_pairs.select(a_col, b_col))
+    rab = ra.join(
+        prior_labels.select(
+            F.col("id").alias(b_col), F.col("comp").alias("__rb")
+        ),
+        b_col,
+        "left",
+    ).select(
+        F.coalesce(F.col("__ra"), F.col(a_col)).alias("__ra"),
+        F.coalesce(F.col("__rb"), F.col(b_col)).alias("__rb"),
     )
-    sub_cc = connected_components(sub_edges, a_col, b_col)
-    return (
-        prior_labels.join(aff.select("id"), "id", "left_anti")
-        .unionByName(sub_cc)
+    root_edges = rab.filter(F.col("__ra") != F.col("__rb"))
+    root_cc = connected_components(root_edges, "__ra", "__rb").select(
+        F.col("id").alias("__root"), F.col("comp").alias("__new")
     )
+    # Self-merges (both endpoints already in one cluster) produce no
+    # root edge; such roots keep their label via the left joins below.
+    # Relabel memberships of touched clusters in ONE join; new nodes
+    # (roots of themselves) enter from root_cc minus known roots.
+    relabeled = (
+        prior_labels.join(
+            root_cc, prior_labels["comp"] == root_cc["__root"], "left"
+        )
+        .select(
+            "id", F.coalesce(F.col("__new"), F.col("comp")).alias("comp")
+        )
+    )
+    new_nodes = (
+        root_cc.join(
+            prior_labels.select(F.col("id").alias("__root")),
+            "__root",
+            "left_anti",
+        )
+        .select(F.col("__root").alias("id"), F.col("__new").alias("comp"))
+    )
+    return relabeled.unionByName(new_nodes)
