@@ -78,6 +78,7 @@ ONEOFF = [
     "g1_pagerank",             # iterative out-degree power method
     "x7_pack_documents",       # per-shard sequential bin packing
     "x2_phonetic_blocking",    # soundex blocks + levenshtein refine
+    "x2_phonetic_bounded",     # composed-key + capped blocks (scale form)
     "t35_stream_dedup_clusters",  # incremental CC over streamed pairs
 ]
 
@@ -224,7 +225,22 @@ def main() -> None:
         )
         try:
             existing = json.load(open(path))
-        except Exception:
+        except FileNotFoundError:
+            existing = {}
+        except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+            # A corrupted sidecar must NOT be silently replaced — it
+            # holds other tools' sections (sf1_rehearsal). Back it up
+            # and say so, then start fresh (ADVICE r06).
+            backup = path + ".corrupt"
+            os.replace(path, backup)
+            print(
+                json.dumps(
+                    {
+                        "warning": "BENCH_DETAIL.json unparseable; "
+                        f"backed up to {backup}: {exc}"
+                    }
+                )
+            )
             existing = {}
         existing.update(detail)
         with open(path, "w") as fh:

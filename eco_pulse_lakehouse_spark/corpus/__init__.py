@@ -130,6 +130,26 @@ _DRIVER_GREEN = frozenset(
         "w17_trend_slope", "w18_window_distinct", "w20_capped_sessions",
         "w22_bollinger", "f_hof_array", "f_string_extended",
     }
+    # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
+    # 6 rows-only-by-design sketch/DTW/block entries) ---
+    | {
+        "a10_approx_quantiles", "a17_hll_mergeable", "a20_theta_setops",
+        "a21_kll_quantiles", "cat_bucketed_join_agg", "f_agg_predicates",
+        "f_explode_tokens", "f_haversine", "f_regexp_suite", "f_sql_udf",
+        "f_try_arithmetic", "f_variant_extract", "g1_pagerank",
+        "g2_triangles", "j4_asof_forward", "j6_interval_join",
+        "j7_bloom_join", "j9_asof_tolerance", "m2_snapshot_diff",
+        "m3_scd2", "o4_distributed_global_rank", "q10_mad_outliers",
+        "q11_ks_drift", "q13_benford", "q14_profile_diff",
+        "s20_versioned_history", "s21_text_source", "skew1_salted_count",
+        "skew2_salted_sum", "skew3_salted_join", "t34_stream_hw_seasonal",
+        "t35_stream_dedup_clusters", "w21_dtw_motif_pairs",
+        "w30_hw_seasonal", "w31_hw_mase", "x2_containment",
+        "x2_snm_multipass", "x2_sorted_neighborhood",
+        "x3_cosine_topk_block", "x3_pq_distortion_sweep", "x3_semdedup",
+        "x4_bigram_logprob", "x5_audio_segments",
+        "x6_semantic_decontaminate", "x7_curriculum",
+    }
 )
 
 # Oldest-certified entries (round-1 greens still standing on their
@@ -158,53 +178,49 @@ _R01_GREEN: frozenset[str] = frozenset(
     }
 )
 
-# Round-6 front tier: entries BUILT this round plus r05-certified
-# entries whose CODE CHANGED this round (ADVICE r05 fixes: the
-# minhash band-key hardening touches x2_minhash_lsh + t18, the
-# zero-padded/mtime-bumped day feed touches t30 + t33, the integer
-# shift touches x7_length_buckets) — changed code needs a fresh
-# green row, so these lead even though they were green in r05.
-_NEW_R06: frozenset[str] = frozenset(
+# Round-7 front tier: entries BUILT this round plus previously-green
+# entries whose CODE CHANGED this round — changed code needs a fresh
+# green row, so these lead even though an older row exists.
+_NEW_R07: frozenset[str] = frozenset(
     {
-        # built this round
-        "w30_hw_seasonal", "w31_hw_mase", "t34_stream_hw_seasonal",
-        "t35_stream_dedup_clusters",
-        # r05-green but code changed this round (ADVICE fixes)
-        "x2_minhash_lsh", "t18_stream_lsh_index", "x7_length_buckets",
-        "t30_stream_twap", "t33_stream_holt",
     }
 )
 
-# Entries whose ORACLE (not Spark code) was rewritten this round
-# (closure -> pointer-jumping label propagation). They don't fit the
-# 50-entry window without pushing out two never-sampled sketches, so
-# they sit immediately AFTER the never-sampled tier: covered if the
-# window has slack, and leading the next round's rotation otherwise.
-# Interim vouching: t35 carries x2_dedup_clusters' oracle VERBATIM
-# in-window, plus the full sf0.1 sweep + the local sf0.01 replica.
+# Entries whose ORACLE (not Spark code) was rewritten in round 6
+# (quadratic closure -> pointer-jumping label propagation; group-split
+# twin). They did not fit round 6's 50-entry window, so their last
+# driver row predates the oracle they now carry. Interim vouching:
+# t35 carries x2_dedup_clusters' oracle VERBATIM (green r06), plus the
+# full sf0.1 sweep + the local sf0.01 replica — but VERDICT r06 item 1
+# wants a hard driver row, so they lead round 7's window right after
+# any new/changed code.
 _ORACLE_CHANGED_R06: frozenset[str] = frozenset(
     {"x2_dedup_clusters", "x6_group_split"}
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 6 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 7 rotation).
 
-    VERDICT r05 item 1: the 41 never-driver-sampled entries
-    (sweep-green + pytest-green, but never in a driver window) are
-    this round's first job — certifying them makes the driver union
-    cover the whole corpus. Order: (0) entries built this round or
-    changed by ADVICE fixes (new/changed code = most information per
-    slot, and a changed entry's old green row no longer vouches for
-    it); (1) never-driver-checked entries, oracle-backed first, in
-    family order f_* → x* → skew/graph/join/merge/quality tail →
-    rows-only sketches; (2) oldest-certified entries (round-1 greens)
-    for re-verification, filling the window's remaining slots; (9)
-    recently-certified entries last."""
-    if name in _NEW_R06:
+    VERDICT r06 item 1: lead with the two entries certified only
+    under a superseded oracle, then refresh the oldest-standing
+    certifications. Order: (0) entries built or code-changed this
+    round (new/changed code = most information per slot); (1) the two
+    oracle-rewritten stragglers (x2_dedup_clusters, x6_group_split);
+    (2) oldest-certified entries — the round-1 greens, whose rows are
+    six rounds and much refactoring old — filling the window's
+    remaining slots in registration order; (9) recently-certified
+    entries last. Every corpus entry has now been driver-checked at
+    least once (285/285 across r01–r06), so there is no
+    never-sampled tier left; anything not in _DRIVER_GREEN is new."""
+    if name in _NEW_R07:
         return (0, 0, 0)
     if name in _ORACLE_CHANGED_R06:
         return (2, 0, 0)
+    if name == "o2_global_rank":
+        # VERDICT r06 item 7: re-certify the documented
+        # single-partition-by-design twin as part of the rotation.
+        return (2, 1, 0)
     if name in _DRIVER_GREEN:
         return (3, 0, 0) if name in _R01_GREEN else (9, 0, 0)
     fam = (

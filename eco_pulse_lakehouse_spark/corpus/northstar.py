@@ -2814,6 +2814,60 @@ def x2_phonetic_blocking(spark, sf_dir):
 
 
 @q(
+    "x2_phonetic_bounded",
+    f"""
+    WITH k AS (
+      SELECT p_partkey AS id, p_name AS nm,
+             {_phonetic_code_sql('p_name')}
+               || ':' || upper(substring(
+                    coalesce(string_split(p_name, ' ')[2], '') || ' ', 1, 1))
+               || ':' || CAST(len(p_name) // 4 AS VARCHAR) AS bk
+      FROM part
+    ), c AS (
+      SELECT id, nm, bk FROM (
+        SELECT id, nm, bk,
+               row_number() OVER (PARTITION BY bk ORDER BY nm, id) AS rk
+        FROM k
+      ) WHERE rk <= 50
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS lev
+    FROM c a JOIN c b ON a.bk = b.bk AND a.id < b.id
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    """,
+)
+def x2_phonetic_bounded(spark, sf_dir):
+    """X2 — BOUNDED phonetic blocking (VERDICT r06 item 2, the one
+    remaining scale-killer: x2_phonetic_blocking's bare 4-char code
+    draws from an 8-letter alphabet, so blocks grow linearly with
+    data and candidate pairs quadratically — 25M pairs / 27 s at
+    sf0.1). This entry is the 100 TB-sanctioned form
+    (operators/dedup.py:bounded_phonetic_pairs): (a) the COMPOSED
+    blocking key — phonetic code + second-token initial + length
+    band (phonetic_block_key) — multiplies the effective alphabet
+    (8 → 52 blocks, 5.8× fewer pairs, measured 83.5%/75.1% recall of
+    the bare-code lev<=3 survivors at sf0.1); (b) each block capped
+    at its first 50 rows under the deterministic (block, name, id)
+    order via the distributed global rank (operators/rank.py — no
+    single-task-per-block sort), bounding any block at 50·49/2 pairs
+    no matter how the data grows. The cap is deterministic and the
+    oracle replays it with a SQL row_number, so the capped result is
+    itself oracle-EXACT (the w19_sax_motif_capped precedent);
+    companion phonetic_block_overflow surfaces exactly what the cap
+    dropped (no silent caps — pytest-pinned)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        bounded_phonetic_pairs,
+    )
+
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"), "p_name"
+    )
+    return bounded_phonetic_pairs(
+        p, "p_partkey", "p_name", max_edit=3, max_block=50
+    )
+
+
+@q(
     "x6_temperature_mixture",
     f"""
     WITH c AS (

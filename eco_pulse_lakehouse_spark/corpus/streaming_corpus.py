@@ -42,6 +42,24 @@ _STAGE_CACHE: dict[tuple, str] = {}
 _DAY_MS = 86_400_000
 
 
+def _epochs(root: str) -> list[int]:
+    """Sorted numeric epoch ids under ``root/epoch=<digits>``.
+
+    ADVICE r06: the listing must IGNORE stray non-numeric entries
+    (a Spark temporary or _committed dir landing under the state
+    root) instead of raising ValueError inside foreachBatch — benign
+    today because the roots are uuid-fresh temp dirs written only by
+    these jobs, but cheap to make robust."""
+    import glob as _g
+
+    out = []
+    for p in _g.glob(os.path.join(root, "epoch=*")):
+        suffix = os.path.basename(p).split("=", 1)[1]
+        if suffix.isdigit():
+            out.append(int(suffix))
+    return sorted(out)
+
+
 def _div_day(x):
     """Integer ms-epoch day index (true integer div — the `/` form
     silently loses precision past 2^53)."""
@@ -1755,14 +1773,8 @@ def t30_stream_twap(spark, sf_dir):
     state_schema = "user_id BIGINT, ts_ms BIGINT, event_id BIGINT, v_fp BIGINT"
 
     def fold(batch_df, batch_id: int) -> None:
-        import glob as _glob
-
         sp_ = batch_df.sparkSession
-        prev = sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-            if int(os.path.basename(p).split("=")[1]) < batch_id
-        )
+        prev = [e for e in _epochs(state_root) if e < batch_id]
         if prev:
             prior = sp_.read.parquet(
                 os.path.join(state_root, f"epoch={prev[-1]}")
@@ -1838,12 +1850,7 @@ def t30_stream_twap(spark, sf_dir):
     )
     q_.awaitTermination()
 
-    import glob as _glob
-
-    final_epoch = max(
-        int(os.path.basename(p).split("=")[1])
-        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-    )
+    final_epoch = _epochs(state_root)[-1]
     st = spark.read.parquet(
         os.path.join(state_root, f"epoch={final_epoch}")
     )
@@ -1979,14 +1986,8 @@ def t33_stream_holt(spark, sf_dir):
     )
 
     def fold(batch_df, batch_id: int) -> None:
-        import glob as _glob
-
         sp_ = batch_df.sparkSession
-        prev = sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-            if int(os.path.basename(p).split("=")[1]) < batch_id
-        )
+        prev = [e for e in _epochs(state_root) if e < batch_id]
         if prev:
             prior = sp_.read.parquet(
                 os.path.join(state_root, f"epoch={prev[-1]}")
@@ -2048,12 +2049,7 @@ def t33_stream_holt(spark, sf_dir):
     )
     q_.awaitTermination()
 
-    import glob as _glob
-
-    final_epoch = max(
-        int(os.path.basename(p).split("=")[1])
-        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-    )
+    final_epoch = _epochs(state_root)[-1]
     st = spark.read.parquet(
         os.path.join(state_root, f"epoch={final_epoch}")
     )
@@ -2107,14 +2103,8 @@ def t34_stream_hw_seasonal(spark, sf_dir):
     m = 4
 
     def fold(batch_df, batch_id: int) -> None:
-        import glob as _glob
-
         sp_ = batch_df.sparkSession
-        prev = sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-            if int(os.path.basename(p).split("=")[1]) < batch_id
-        )
+        prev = [e for e in _epochs(state_root) if e < batch_id]
         if prev:
             prior = sp_.read.parquet(
                 os.path.join(state_root, f"epoch={prev[-1]}")
@@ -2189,12 +2179,7 @@ def t34_stream_hw_seasonal(spark, sf_dir):
     )
     q_.awaitTermination()
 
-    import glob as _glob
-
-    final_epoch = max(
-        int(os.path.basename(p).split("=")[1])
-        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-    )
+    final_epoch = _epochs(state_root)[-1]
     st = spark.read.parquet(
         os.path.join(state_root, f"epoch={final_epoch}")
     )
@@ -2256,8 +2241,6 @@ def t35_stream_dedup_clusters(spark, sf_dir):
     state_root = os.path.join(base, "state")
 
     def fold(batch_df, batch_id: int) -> None:
-        import glob as _glob
-
         from eco_pulse_lakehouse_spark.operators.components import (
             incremental_components_update,
         )
@@ -2327,11 +2310,7 @@ def t35_stream_dedup_clusters(spark, sf_dir):
 
         # 3. merge labels — affected components only
         # (operators/components.py:incremental_components_update)
-        prev = sorted(
-            int(os.path.basename(p).split("=")[1])
-            for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-            if int(os.path.basename(p).split("=")[1]) < batch_id
-        )
+        prev = [e for e in _epochs(state_root) if e < batch_id]
         if prev:
             prior = sp_.read.parquet(
                 os.path.join(state_root, f"epoch={prev[-1]}")
@@ -2355,12 +2334,7 @@ def t35_stream_dedup_clusters(spark, sf_dir):
     )
     q_.awaitTermination()
 
-    import glob as _glob
-
-    final_epoch = max(
-        int(os.path.basename(p).split("=")[1])
-        for p in _glob.glob(os.path.join(state_root, "epoch=*"))
-    )
+    final_epoch = _epochs(state_root)[-1]
     return spark.read.parquet(
         os.path.join(state_root, f"epoch={final_epoch}")
     )

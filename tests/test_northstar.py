@@ -910,3 +910,104 @@ def test_training_export_manifest_invariants(spark):
     hold_out = d.filter(unit_hash(F.col("doc_id")) >= 0.9)
     leaks = decontaminate(surv, hold_out, "doc_id", "text", shingle_n=4)
     assert leaks.count() == 0
+
+
+def test_bounded_phonetic_cap_and_overflow(spark):
+    """Bounded phonetic blocking (VERDICT r06 item 2): the composed
+    key + deterministic cap keep a hot block at cap rows, under-cap
+    blocks pass through EXACTLY, capped pairs are a subset of the
+    uncapped composed-key pairs, and phonetic_block_overflow surfaces
+    precisely the blocks the cap touched (no silent caps — the
+    w19/sax_bucket_overflow contract)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        bounded_phonetic_pairs,
+        phonetic_block_overflow,
+    )
+
+    # one hot block (same first token, second initial, length) of 30
+    # rows + one cold block of 4 rows
+    names = [(i, f"smith a{i:02d}") for i in range(30)] + [
+        (100 + i, f"jones b{i:02d}") for i in range(4)
+    ]
+    df = spark.createDataFrame(names, "id LONG, name STRING")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in bounded_phonetic_pairs(
+            df, "id", "name", max_edit=3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in bounded_phonetic_pairs(
+            df, "id", "name", max_edit=3, max_block=10
+        ).collect()
+    }
+    assert capped <= uncapped
+    # hot block: only the first 10 rows under (name, id) order
+    # survive -> pairs among ids 0..9 only
+    hot_capped = {p for p in capped if p[0] < 100}
+    assert hot_capped == {
+        (a, b) for a in range(10) for b in range(a + 1, 10)
+    }
+    # cold block under the cap is untouched
+    cold = {p for p in capped if p[0] >= 100}
+    assert cold == {p for p in uncapped if p[0] >= 100} and len(cold) == 6
+
+    over = phonetic_block_overflow(df, "name", max_block=10).collect()
+    assert len(over) == 1
+    (row,) = over
+    assert row.n_rows == 30
+    assert row.n_dropped_rows == 20
+    assert row.uncapped_pairs == 30 * 29 // 2
+
+
+def test_short_doc_shingles_empty_on_both_engines(spark):
+    """ADVICE r06 #4 regression pin: documents under ``shingle_n``
+    tokens yield an EMPTY shingle set — identically on the Spark
+    side (functions/text.py:word_shingles guards Spark's descending
+    sequence(1, x<1)) and in every shingle oracle (all use
+    ``ELSE []``, none a singleton [text]) — so two identical short
+    docs never pair on either engine and the x2/t35 cluster oracles
+    agree by construction."""
+    import duckdb
+
+    from eco_pulse_lakehouse_spark.operators import dedup as xd_
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "a full three token doc"),
+         (4, "a full three token doc")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in xd_.ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.2
+        ).collect()
+    }
+    assert pairs == {(3, 4)}  # short identical docs never pair
+
+    # the oracle shingle CTE (northstar.py x2_dedup_clusters shape)
+    # replays the same guard: short docs -> [] -> zero join rows
+    con = duckdb.connect()
+    o = con.execute(
+        """
+        WITH d(doc_id, text) AS (VALUES (1, 'tiny doc'), (2, 'tiny doc'),
+               (3, 'a full three token doc'), (4, 'a full three token doc')),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                     list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> array_to_string(
+                         (string_split(text, ' '))[i:i+2], ' '))
+                   ELSE [] END) AS s
+          FROM d
+        )
+        SELECT a.doc_id, b.doc_id FROM sh a
+        JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s)) > 0
+        """
+    ).fetchall()
+    assert {(a, b) for a, b in o} == {(3, 4)}

@@ -492,3 +492,16 @@ def test_incremental_components_update_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bounded_phonetic_pairs_equi_join_no_cartesian(spark):
+    """Bounded phonetic blocking joins on the composed block key —
+    a hash/sort-merge EQUI join, never CartesianProduct/BNLJ, with
+    the lev refine applied post-join (candidate volume is bounded by
+    the composed key + cap, so the refine never sees an all-pairs
+    input)."""
+    df = northstar.QUERIES["x2_phonetic_bounded"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)

@@ -47,10 +47,16 @@ def _oracle_cache_key(name: str, sql: str, sf_dir: str) -> str:
     CONTENT-only key (no entry name): streaming twins carry their
     batch entry's oracle verbatim (t35 = x2_dedup_clusters, ...), so
     identical SQL must share one cached result — name-prefixed keys
-    made x2_dedup_clusters recompute t35's 13-minute oracle."""
+    made x2_dedup_clusters recompute t35's 13-minute oracle.
+    duckdb.__version__ is folded in so a library upgrade that changes
+    an oracle's results can never be masked by a stale cached result
+    (ADVICE r06)."""
+    import duckdb
+
     from eco_pulse_lakehouse_spark.catalog import TABLES
 
     h = hashlib.sha256()
+    h.update(f"duckdb:{duckdb.__version__}\n".encode())
     h.update(sql.encode())
     for t in sorted(TABLES):
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -130,8 +136,8 @@ def main() -> None:
             s_rows, o_rows = len(spark_pdf), len(oracle_pdf)
             rows_match = s_rows == o_rows
             schema_match = (
-                [c.lower() for c in sorted(spark_pdf.columns)]
-                == [c.lower() for c in sorted(oracle_pdf.columns)]
+                sorted(c.lower() for c in spark_pdf.columns)
+                == sorted(c.lower() for c in oracle_pdf.columns)
             )
             res = compare(name, spark_pdf, oracle_pdf)
             hash_match = res.ok
