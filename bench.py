@@ -29,6 +29,8 @@ HEADLINE = [
     "a7_summary",              # TPC-H Q1 shape: 2-key groupBy, 7 aggs
     "j3_equi_join_3way",       # broadcast dim + shuffle fact joins
     "j2_range_join_grid",      # bucketed theta join (the 100 TB form)
+    "j2_range_join_grid2",     # 2-D grid cells, ×9 probe replication
+    "j2_range_join_band2",     # 2-D 2eps cells, ×4 half-aware probing
     "w1_latest_per_key",       # ranking window
     "w6_running_sum",          # frame window
     "x1_hash_dedup_key",       # sha256 content keys

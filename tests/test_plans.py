@@ -505,3 +505,14 @@ def test_bounded_phonetic_pairs_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_grid_band_join_is_hash_join_not_cartesian(spark):
+    """The ×4 boundary-band 2-D range join must stay a hash/sort-merge
+    EQUI join on the cell key — never CartesianProduct/BNLJ — exactly
+    like the ×9 grid form it undercuts on shuffle volume."""
+    df = relational.QUERIES["j2_range_join_band2"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from eco_pulse_lakehouse_spark.functions.scalar import risk_level
 from eco_pulse_lakehouse_spark.operators.joins import (
     distance_join_grid,
+    distance_join_grid_band,
     distance_join_naive,
 )
 
@@ -32,8 +33,18 @@ _wind = st.sampled_from([0.0, 19.99, 20.0, 29.99, 30.0, 30.01, 60.0])
 _temp = st.sampled_from([280.0, 303.14, 303.15, 303.16, 400.0])
 _hum = st.sampled_from([0.0, 29.99, 30.0, 30.01, 90.0])
 _conf = st.sampled_from(["h", "n", "l"])
-_coord = st.floats(
-    min_value=-80.0, max_value=80.0, allow_nan=False, allow_infinity=False
+_coord = st.one_of(
+    st.floats(
+        min_value=-80.0, max_value=80.0, allow_nan=False,
+        allow_infinity=False,
+    ),
+    # exact cell boundaries for eps=20: multiples of eps, of the band
+    # form's 2*eps cell width, and the half-cell marks where the
+    # band's lower/upper-half neighbor choice flips
+    st.sampled_from(
+        [-80.0, -60.0, -40.0, -20.0, -10.0, 0.0, 10.0, 20.0, 30.0,
+         40.0, 60.0, 80.0]
+    ),
 )
 
 
@@ -88,6 +99,17 @@ def test_grid_join_equivalence_property(spark):
             .collect()
         }
         assert naive == grid
+        # ×4 band form: same pairs AND no duplicates (every true pair
+        # shares exactly one 2*eps cell — the half-aware neighbor
+        # argument)
+        band_rows = [
+            (r.pid, r.sid)
+            for r in distance_join_grid_band(p, s, 20.0)
+            .select("pid", "sid")
+            .collect()
+        ]
+        assert set(band_rows) == naive
+        assert len(band_rows) == len(set(band_rows))
 
     check()
 
