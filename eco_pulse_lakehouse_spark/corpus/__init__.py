@@ -181,8 +181,17 @@ _R01_GREEN: frozenset[str] = frozenset(
 # Round-7 front tier: entries BUILT this round plus previously-green
 # entries whose CODE CHANGED this round — changed code needs a fresh
 # green row, so these lead even though an older row exists.
+# (The three entries built this round — x2_phonetic_bounded,
+# j2_range_join_grid2, j2_range_join_band2 — are not in _DRIVER_GREEN
+# and therefore already sort ahead of the stragglers via tier 1.)
 _NEW_R07: frozenset[str] = frozenset(
     {
+        # r06-green but code changed this round: connected_components
+        # rewritten (pointer jumping + pinned edges + poison raise)
+        # and the epoch listing hardened (_epochs helper touches the
+        # t30/t33/t34/t35 epoch-state folds)
+        "t35_stream_dedup_clusters", "t30_stream_twap",
+        "t33_stream_holt", "t34_stream_hw_seasonal",
     }
 )
 

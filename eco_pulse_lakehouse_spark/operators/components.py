@@ -27,11 +27,28 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Resolve an undirected pair list into (id, component) where
     ``component`` is the minimum node id reachable from ``id``.
     Nodes appearing in no pair are absent (callers union singletons
-    if needed)."""
+    if needed).
+
+    Each round combines NEIGHBOR-MIN propagation with a POINTER JUMP
+    (comp := comp of comp — the label table self-joined on the
+    carried label), the same doubling the DuckDB oracle's unrolled
+    rounds use (northstar.py:_cc_label_prop_sql): labels reach the
+    component min in O(log diameter) rounds instead of O(diameter),
+    which is what keeps a 20-round bound safe for any graph this
+    corpus (or a 100 TB pair stream) can produce. Each round
+    materializes ONCE via localCheckpoint and the convergence count
+    then scans the checkpointed rows (the pre-r07 order ran the
+    round's join pipeline twice — once for the count, once for the
+    checkpoint). Labels are monotonically non-increasing so
+    convergence is guaranteed; hitting ``max_iterations`` without
+    converging raises instead of silently returning partial labels —
+    the engine-side twin of the oracle's comp=-1 poison
+    certificate."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -40,31 +57,63 @@ def connected_components(
             )
         )
         .distinct()
+        # Pin the edge list ONCE: ``pairs`` is usually the tail of an
+        # expensive discovery plan (shingle index + Jaccard join), and
+        # without pinning every propagation round — plus the initial
+        # label build — re-executes that whole plan (measured: the
+        # x2_dedup_clusters one-off is ~10 s of pair generation and
+        # ~1.5 s of actual propagation, so the unpinned loop tripled
+        # the cost). persist/checkpoint on a real cluster;
+        # localCheckpoint is the local-mode stand-in (rank.py note).
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
+    changed = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
-                F.col("comp").alias("__old"),
-            )
+        half = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
         )
-        # one long to the driver per round: convergence check
+        if pointer_jump:
+            jumped = labels.select(
+                F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+            )
+            half = half.join(
+                jumped, labels["comp"] == jumped["__jid"], "left"
+            )
+            new_comp = F.least(
+                F.col("comp"),
+                F.coalesce(F.col("nmin"), F.col("comp")),
+                F.coalesce(F.col("__jcomp"), F.col("comp")),
+            )
+        else:
+            new_comp = F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            )
+        updated = half.select(
+            "id",
+            new_comp.alias("comp"),
+            F.col("comp").alias("__old"),
+        ).localCheckpoint(eager=True)
+        # one long to the driver per round: convergence check — a
+        # near-free scan of the just-checkpointed partitions
         changed = updated.filter(F.col("comp") != F.col("__old")).count()
-        labels = updated.drop("__old").localCheckpoint(eager=True)
+        labels = updated.drop("__old")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still changing) — raise "
+            "max_iterations; with pointer jumping rounds scale as "
+            "log2(diameter), so this indicates a pathological graph"
+        )
     return labels
 
 
