@@ -131,6 +131,16 @@ def stage_silver(spark, sf_dir: str) -> tuple[str, float]:
 # probed round) — cross-round comparisons of `queries_norm` cancel
 # the host-speed swing that made r04's raw numbers look 1.7x worse.
 REF_PY_LOOP = 0.55
+# All-core companion (VERDICT r06 item 6): the single-core probe
+# under-captures the throttle state Spark actually runs under (r06's
+# 1.4x uniform "slowdown" was normalization artifact — the
+# single-core probe sat at reference speed while the all-core state
+# degraded). Declared from the r05/r06 recorded par_loop_sec band
+# (0.83-0.91); FIXED henceforth. `value_norm_par` / the sidecar's
+# `queries_norm_par` normalize by it; round-over-round sections
+# should cite whichever normalization the three interleaved probes
+# justify (stable py_loop + moving par_loop => trust par).
+REF_PAR_LOOP = 0.87
 
 
 def main() -> None:
@@ -179,6 +189,11 @@ def main() -> None:
             "min": round(min(runs), 3),
         }
 
+    # interleaved probe (VERDICT r06 item 6): a mid-run sample between
+    # the repeat-timed headline loop and the one-off families makes
+    # intra-run host drift visible, not just the start/end endpoints
+    probe_mid = host_speed_probe()
+
     oneoff: dict[str, float] = {}
     for name in ONEOFF:
         t0 = time.perf_counter()
@@ -189,15 +204,27 @@ def main() -> None:
     state = stream_state_probe(spark, sf_dir)
     probe_end = host_speed_probe()
 
-    # Normalize by the MEAN of the start/end single-core probes (the
-    # host swings between minutes — memory: host-speed-fluctuation);
-    # both raw probes are preserved so the choice is auditable.
-    py_loop_mean = (probe_start["py_loop_sec"] + probe_end["py_loop_sec"]) / 2
+    # Normalize by the MEAN of the start/mid/end single-core probes
+    # (the host swings between minutes — memory:
+    # host-speed-fluctuation); all raw probes are preserved so the
+    # choice is auditable. The all-core normalization is carried
+    # ALONGSIDE (never instead): the single-core probe can sit at
+    # reference speed while the all-core throttle state — the one
+    # Spark actually runs under — has moved (the r06 lesson).
+    probes = (probe_start, probe_mid, probe_end)
+    py_loop_mean = sum(p["py_loop_sec"] for p in probes) / len(probes)
+    par_loop_mean = sum(p["par_loop_sec"] for p in probes) / len(probes)
     host_ratio = py_loop_mean / REF_PY_LOOP if py_loop_mean > 0 else 1.0
+    host_ratio_par = (
+        par_loop_mean / REF_PAR_LOOP if par_loop_mean > 0 else 1.0
+    )
 
     total = round(sum(timings.values()), 3)
     timings_norm = {
         k: round(v / host_ratio, 3) for k, v in timings.items()
+    }
+    timings_norm_par = {
+        k: round(v / host_ratio_par, 3) for k, v in timings.items()
     }
     detail = {
         "spread": spread,
@@ -209,6 +236,8 @@ def main() -> None:
         "stream_state": state,
         "host_probe": probe_end,
         "host_probe_start": probe_start,
+        "host_probe_mid": probe_mid,
+        "queries_norm_par": timings_norm_par,
     }
     # Detail (per-run spread, staging costs, stream probes) goes to an
     # earlier stdout line AND a sidecar file; the FINAL line stays
@@ -257,13 +286,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value_norm": round(total / host_ratio, 3),
+                "value_norm_par": round(total / host_ratio_par, 3),
                 "queries_norm": timings_norm,
                 "host_probe": {
                     "py_loop_sec": round(py_loop_mean, 3),
                     "py_loop_start": probe_start["py_loop_sec"],
+                    "py_loop_mid": probe_mid["py_loop_sec"],
                     "py_loop_end": probe_end["py_loop_sec"],
-                    "par_loop_sec": probe_end["par_loop_sec"],
+                    "par_loop_sec": round(par_loop_mean, 3),
+                    "par_loop_start": probe_start["par_loop_sec"],
+                    "par_loop_mid": probe_mid["par_loop_sec"],
+                    "par_loop_end": probe_end["par_loop_sec"],
                     "ref_py_loop": REF_PY_LOOP,
+                    "ref_par_loop": REF_PAR_LOOP,
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

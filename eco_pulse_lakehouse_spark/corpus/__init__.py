@@ -192,6 +192,8 @@ _NEW_R07: frozenset[str] = frozenset(
         # t30/t33/t34/t35 epoch-state folds)
         "t35_stream_dedup_clusters", "t30_stream_twap",
         "t33_stream_holt", "t34_stream_hw_seasonal",
+        # pagerank loop-invariant pinning (same values, new plan)
+        "g1_pagerank",
     }
 )
 

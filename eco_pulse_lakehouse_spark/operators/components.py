@@ -223,11 +223,24 @@ def pagerank(
     full node set; dangling-mass redistribution is deliberately
     omitted (the standard simple variant) and documented here.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # Pin the loop-invariant tables once (same argument as
+    # connected_components' pinned edge list): ``edges`` is often the
+    # tail of an upstream plan, and without pinning every iteration —
+    # each referencing e twice (contribution join + degree) plus
+    # nodes — re-executes it; the final unpinned plan would also
+    # nest iteration i-1's whole tree inside iteration i's.
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     degree = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -259,6 +272,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # pin each iteration's ranks so iteration i+1's plan starts
+        # from materialized rows instead of nesting i's whole tree
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -278,6 +278,11 @@ def kmeans_centroids(
         cents = recomputed.unionByName(
             cents.join(recomputed.select("cent_id"), "cent_id", "left_anti")
         )
+        # pin per iteration: cents is referenced TWICE per round
+        # (recompute + empty-cluster carry), so the unpinned lazy
+        # plan doubles each iteration (2^iterations subtrees). The
+        # table is k rows — pinning is free.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

@@ -127,3 +127,19 @@ def test_stream_lsh_index_equals_batch_pairs(spark):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_epoch_listing_ignores_stray_entries(tmp_path):
+    """ADVICE r06: the epoch-state listing must skip non-numeric
+    entries (Spark temp/_committed dirs landing under the state
+    root) instead of raising inside foreachBatch, and must sort
+    numerically, not lexically."""
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import _epochs
+
+    root = tmp_path / "state"
+    root.mkdir()
+    for name in ["epoch=0", "epoch=2", "epoch=10", "epoch=_tmp",
+                 "epoch=", "_committed_123", "epoch=3b"]:
+        (root / name).mkdir()
+    assert _epochs(str(root)) == [0, 2, 10]
+    assert _epochs(str(tmp_path / "absent")) == []

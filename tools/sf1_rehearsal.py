@@ -190,8 +190,9 @@ def main() -> None:
     build_sf1(spark)
     s01 = stage_01(spark)
 
+    heavy_only = "--heavy-only" in sys.argv
     out = {}
-    for name in QUERIES:
+    for name in [] if heavy_only else QUERIES:
         fn = qs[name]
         t01, runs01 = time_query(fn, spark, s01)
         t1, runs1 = time_query(fn, spark, DST)
@@ -212,14 +213,26 @@ def main() -> None:
         }
         print(name, json.dumps(out[name]), flush=True)
 
+    heavy = heavy_families(spark, qs, s01)
+
     detail_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_DETAIL.json",
     )
     try:
         detail = json.load(open(detail_path))
-    except Exception:
+    except FileNotFoundError:
         detail = {}
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        # same contract as bench.py (ADVICE r06): never silently
+        # replace a sidecar holding other tools' sections
+        os.replace(detail_path, detail_path + ".corrupt")
+        print(f"WARNING: unparseable sidecar backed up to "
+              f"{detail_path}.corrupt", flush=True)
+        detail = {}
+    if heavy_only:
+        # keep the existing headline section, refresh heavy only
+        out = detail.get("sf1_rehearsal", {}).get("queries", out)
     detail["sf1_rehearsal"] = {
         "copies": COPIES,
         "method": "key-shifted 10x of sf0.1; documents get per-copy "
@@ -227,10 +240,127 @@ def main() -> None:
                   "per-copy shape-changing value jitter so SAX words "
                   "stay realistically distributed (w16 measurable)",
         "queries": out,
+        "heavy_families": heavy,
     }
     json.dump(detail, open(detail_path, "w"), indent=1)
     print(json.dumps({"sf1_rehearsal_written": True,
-                      "n_queries": len(out)}))
+                      "n_queries": len(out),
+                      "n_heavy": len(heavy)}))
+
+
+# Heavy one-off families (VERDICT r06 item 3): timed ONCE per scale
+# point (minutes-scale iterative jobs; bench.py times them once too,
+# so single-shot is the comparable protocol).
+HEAVY_QUERIES = ["x2_dedup_clusters", "g1_pagerank", "x7_pack_documents"]
+
+
+def heavy_families(spark, qs, s01) -> dict:
+    import bench
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        bounded_phonetic_pairs,
+        phonetic_code,
+    )
+
+    out = {}
+    for name in HEAVY_QUERIES:
+        fn = qs[name]
+        # warm the operator's code path (codegen + python workers) on
+        # the tiny sf0.01 tables: single-shot timings otherwise charge
+        # first-use overhead to whichever scale point runs first
+        # (observed: x7's sf0.1 number 5x inflated -> negative
+        # exponent)
+        bench.materialize(fn(spark, "/root/testdata/sf0.01"))
+        t0 = time.perf_counter()
+        bench.materialize(fn(spark, s01))
+        t01 = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        bench.materialize(fn(spark, DST))
+        t1 = round(time.perf_counter() - t0, 3)
+        out[name] = {
+            "sf0.1_sec": t01,
+            "sf1_sec": t1,
+            "ratio": round(t1 / t01, 2) if t01 else None,
+            "time_exponent": (
+                round(math.log(t1 / t01) / math.log(COPIES), 2)
+                if t01 > 0 and t1 > 0
+                else None
+            ),
+        }
+        print(name, json.dumps(out[name]), flush=True)
+
+    # Phonetic blocking: part is a byte-copied DIM in this rehearsal
+    # (fixed-dim growth), so the 10x point needs a dedicated
+    # key-shifted 10x part table — names deliberately UNCHANGED
+    # (real catalogs grow with heavy name reuse; that reuse is
+    # exactly why the bare-code block key is the hazard).
+    part10_path = os.path.join(DST, "part10.parquet")
+    if not os.path.exists(os.path.join(DST, "_BUILT_part10")):
+        p = load_table(spark, SRC, "part")
+        shift = (p.agg(F.max("p_partkey")).collect()[0][0] or 0) + 1
+        parts = [
+            p.withColumn(
+                "p_partkey", F.col("p_partkey") + F.lit(i * shift)
+            )
+            for i in range(COPIES)
+        ]
+        u = parts[0]
+        for c in parts[1:]:
+            u = u.unionByName(c)
+        u.repartition(32).write.mode("overwrite").parquet(part10_path)
+        open(os.path.join(DST, "_BUILT_part10"), "w").close()
+
+    def bounded(src_path):
+        p = spark.read.parquet(src_path).select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_name",
+        )
+        return bounded_phonetic_pairs(
+            p, "p_partkey", "p_name", max_edit=3, max_block=50
+        )
+
+    bench.materialize(
+        bounded(os.path.join("/root/testdata/sf0.01", "part.parquet"))
+    )
+    t0 = time.perf_counter()
+    bench.materialize(bounded(os.path.join(SRC, "part.parquet")))
+    t01 = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    bench.materialize(bounded(part10_path))
+    t1 = round(time.perf_counter() - t0, 3)
+    # the UNBOUNDED form's 10x candidate volume, predicted from
+    # block sizes alone (a tiny aggregation — materializing 100x the
+    # 25M sf0.1 pairs just to time the hazard would measure ~2.5G
+    # levenshtein calls, the exact cliff the bounded form removes)
+    p10 = spark.read.parquet(part10_path)
+    uncapped = (
+        p10.select(phonetic_code(F.col("p_name")).alias("pc"))
+        .groupBy("pc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    out["x2_phonetic_bounded"] = {
+        "sf0.1_sec": t01,
+        "sf1_sec": t1,
+        "ratio": round(t1 / t01, 2) if t01 else None,
+        "time_exponent": (
+            round(math.log(t1 / t01) / math.log(COPIES), 2)
+            if t01 > 0 and t1 > 0
+            else None
+        ),
+        "note": "10x part via dedicated key-shifted part10 (names "
+                "reused, the realistic catalog shape); unbounded "
+                f"bare-code form predicts {int(uncapped):,} candidate "
+                "pairs at 10x (~100x sf0.1's 25M) and is deliberately "
+                "not materialized — the bounded entry is the "
+                "scale-sanctioned form (w16->w19 precedent)",
+    }
+    print("x2_phonetic_bounded", json.dumps(out["x2_phonetic_bounded"]),
+          flush=True)
+    return out
 
 
 if __name__ == "__main__":
