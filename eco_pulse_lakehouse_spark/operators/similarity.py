@@ -21,7 +21,11 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from eco_pulse_lakehouse_spark.functions.vector import cosine_similarity
+from eco_pulse_lakehouse_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    norm2,
+)
 
 
 def cosine_topk_bruteforce(
@@ -39,12 +43,25 @@ def cosine_topk_bruteforce(
     Ranking uses (rounded sim desc, candidate id asc) — the rounding
     plus unique tiebreak makes the result set stable across engines
     and partitionings (SURVEY.md §7.4.5).
-    """
-    sim = cosine_similarity(F.col(q_vec), F.col(c_vec))
+
+    Norms are precomputed per ROW below the join (one sqrt-fold per
+    query/candidate instead of two per PAIR), so the per-pair work
+    drops from three zip_with+aggregate folds (and their per-call
+    array allocations) to one dot fold + a divide. Bit-identical to
+    the inline form: same IEEE ops in the same association, just
+    evaluated once. Measured ~1.1× on the 10×20k sf0.1 batch (the
+    BNLJ row machinery and the per-query top-k sort share the bill
+    at this size); the saving scales with pair count, which is the
+    quantity that explodes."""
+    qn = queries.withColumn("__qn", norm2(F.col(q_vec)))
+    cn = candidates.withColumn("__cn", norm2(F.col(c_vec)))
+    sim = dot(F.col(q_vec), F.col(c_vec)) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     scored = (
-        queries.crossJoin(candidates)
+        qn.crossJoin(cn)
         .filter(F.col(q_id) != F.col(c_id))
         .withColumn("sim", sim)
     )
@@ -700,12 +717,21 @@ def cosine_neardup_pairs(
     Brute-force form (oracle truth); LSH-bucketed candidates at scale.
     """
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm2(F.col(vec_col)).alias("__na"),
     )
     b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm2(F.col(vec_col)).alias("__nb"),
     )
-    sim = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    # per-row norms below the join: one dot fold per PAIR instead of
+    # three (bit-identical — same ops, same association; see
+    # cosine_topk_bruteforce)
+    sim = dot(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("__na") * F.col("__nb")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     return (
