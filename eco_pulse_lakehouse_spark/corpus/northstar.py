@@ -621,6 +621,77 @@ def x3_ann_lsh(spark, sf_dir):
     return xs.cosine_topk_lsh(e, bits=8, k=10)
 
 
+def _lsh_dots_sql(vec: str, projs: list[list[float]]) -> str:
+    """DuckDB list of per-hyperplane dot products — the SAME literal
+    projections as the Spark plan, folded in the same order, so
+    signs AND magnitudes (multi-probe margins) replay exactly."""
+    dots = []
+    for p in projs:
+        arr = "[" + ",".join(repr(float(x)) for x in p) + "]"
+        dots.append(
+            f"list_sum(list_transform(range(1, len({vec})+1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+    return "[" + ", ".join(dots) + "]"
+
+
+_MP_BITS = 8
+_MP_FLIP = 2
+_MP_SIG_FROM_DOTS = " + ".join(
+    f"(CASE WHEN dots[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(_MP_BITS)
+)
+
+
+@q(
+    "x3_lsh_multiprobe",
+    f"""
+    WITH d AS (
+      SELECT vec_id, embedding,
+             {_lsh_dots_sql('embedding', xs._deterministic_projections(64, _MP_BITS, seed=7))}
+               AS dots
+      FROM embeddings
+    ), sg AS (
+      SELECT vec_id, embedding, dots,
+             CAST({_MP_SIG_FROM_DOTS} AS BIGINT) AS sig
+      FROM d
+    ), pr AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             unnest(list_concat([sig], list_transform(
+               list_filter(range(0, {_MP_BITS}), j ->
+                 len(list_filter(range(0, {_MP_BITS}), i ->
+                   abs(dots[i+1]) < abs(dots[j+1]) OR
+                   (abs(dots[i+1]) = abs(dots[j+1]) AND i < j))) < {_MP_FLIP}),
+               j -> xor(sig, CAST(1 AS BIGINT) << j)))) AS psig
+      FROM sg
+    ),
+    scored AS (
+      SELECT pr.q_id, sg.vec_id AS c_id,
+             round({_cos('pr.q_vec', 'sg.embedding')}, 6) AS sim
+      FROM pr JOIN sg ON pr.psig = sg.sig AND pr.q_id != sg.vec_id
+    )
+    SELECT q_id, c_id, sim, rk FROM (
+      SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def x3_lsh_multiprobe(spark, sf_dir):
+    """X3 scale path — MULTI-PROBE random-hyperplane LSH (similarity
+    .py:cosine_topk_lsh_multiprobe, after Lv et al. VLDB'07): each
+    query probes its own bucket plus the 2 buckets reached by flipping
+    its lowest-|margin| sign bits. Recall of ~3 independent tables for
+    ONE table's index storage — only the query side replicates (×3),
+    the candidate index is hashed and stored once, which is the knob
+    that matters when the index side is 100 TB. Oracle replays the
+    literal seed-7 hyperplanes, the rank-by-comparison flip rule on
+    identical IEEE margins, and the XOR probe signatures; superset-of
+    -single-probe + recall pinned in pytest."""
+    e = T(spark, sf_dir, "embeddings")
+    return xs.cosine_topk_lsh_multiprobe(e, bits=_MP_BITS, n_flip=_MP_FLIP, k=10)
+
+
 _IVF_INDEX_CACHE: dict = {}
 
 

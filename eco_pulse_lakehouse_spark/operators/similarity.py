@@ -214,6 +214,122 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 8,
+    n_flip: int = 2,
+    dim: int = 64,
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Multi-probe random-hyperplane LSH (Lv et al., VLDB 2007):
+    each query probes its own bucket PLUS the ``n_flip`` buckets
+    reached by flipping its lowest-|margin| sign bits — the bits whose
+    hyperplane the vector sits closest to, i.e. the collisions a
+    near-neighbor is most likely to have landed in.
+
+    The scale knob this adds over :func:`cosine_topk_lsh`: recall
+    comparable to ``n_flip + 1`` independent LSH tables for the index
+    cost of ONE — candidates are hashed and stored once, and only the
+    QUERY side is replicated (×(n_flip+1) rows through the equi-join,
+    never the corpus). At 100 TB the candidate index dominates, so
+    multi-probe is how you buy recall without rebuilding or re-storing
+    it. Probe signatures differ per probe, and every candidate owns
+    exactly one signature, so a (q, c) pair can match at most once —
+    no post-join dedup.
+
+    Bit-flip choice is deterministic and engine-neutral: bit j flips
+    iff fewer than ``n_flip`` bits i have (|dot_i|, i) strictly below
+    (|dot_j|, j) — a rank-by-comparison over the same IEEE doubles
+    both engines compute, no sort, no RNG. Returns (q_id, c_id, sim,
+    rk), the :func:`cosine_topk_lsh` shape.
+    """
+    projections = _deterministic_projections(dim, bits)
+
+    def dot_j(proj: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(p)) for p in proj]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    base = embeddings.withColumn(
+        "__dots", F.array(*[dot_j(p) for p in projections])
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col("__dots")[j] > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    base = base.withColumn("__sig", sig)
+
+    def n_smaller(j: int) -> Column:
+        # |{i : (|dot_i|, i) < (|dot_j|, j)}| — exact double compares
+        # on identically-computed values, index tiebreak total-orders.
+        mj = F.abs(F.col("__dots")[j])
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: (
+                    (F.abs(F.element_at(F.col("__dots"), i + 1)) < mj)
+                    | (
+                        (F.abs(F.element_at(F.col("__dots"), i + 1)) == mj)
+                        & (i < F.lit(j))
+                    )
+                ),
+            )
+        )
+
+    flip_entries = F.array(
+        *[
+            F.struct(
+                (n_smaller(j) < F.lit(n_flip)).alias("f"),
+                F.lit(1 << j).cast("long").alias("m"),
+            )
+            for j in range(bits)
+        ]
+    )
+    probe_sigs = F.concat(
+        F.array(F.col("__sig")),
+        F.transform(
+            F.filter(flip_entries, lambda e: e["f"]),
+            lambda e: F.col("__sig").bitwiseXOR(e["m"]),
+        ),
+    )
+
+    qprobes = base.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_sigs).alias("__sig"),
+    )
+    cand = base.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "__sig"
+    )
+    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    scored = (
+        qprobes.join(cand, "__sig")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
 def seed_centroids(
     embeddings: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame:

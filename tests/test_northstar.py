@@ -84,6 +84,46 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_multiprobe_candidates_superset_and_recall(spark):
+    """Multi-probe LSH must dominate single-probe at the same bits:
+    (a) with k large enough to return EVERY candidate, the multiprobe
+    pair set is a strict-or-equal SUPERSET of single-probe's (the
+    base probe is always included, flips only add buckets); (b) top-k
+    recall vs brute force is therefore non-decreasing. Pins the
+    recall-for-free-index-cost contract the operator exists for."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 400)
+    big_k = 10**6  # no rank truncation: output == candidate set
+    single = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_lsh(emb, bits=8, k=big_k).collect()
+    }
+    multi = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_lsh_multiprobe(
+            emb, bits=8, n_flip=2, k=big_k
+        ).collect()
+    }
+    assert single <= multi, "multiprobe lost single-probe candidates"
+    assert len(multi) > len(single), (
+        "2 extra probes per query found no new candidates — flip "
+        "logic is probably dead"
+    )
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    truth = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_bruteforce(qs, cs, k=5).collect()
+    }
+
+    def recall(pairs):
+        got = {(q, c) for q, c in pairs if q < 20}
+        return len(truth & got) / len(truth)
+
+    assert recall(multi) >= recall(single) - 1e-9
+
+
 def test_quantized_topk_overlaps_exact_cosine(spark):
     """int8 quantization (±127 levels on normalized vectors) must
     preserve nearly all of the exact cosine top-10 — quantization

@@ -182,6 +182,26 @@ def test_ann_refined_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_multiprobe_lsh_no_cartesian_single_probe_join(spark):
+    """Multi-probe LSH: probe fan-out happens BELOW the join (explode
+    of ≤ n_flip+1 signatures per query row), and the bucket match is
+    one equi-join on the 8-byte signature — no CartesianProduct/BNLJ,
+    exactly one join in the plan."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        cosine_topk_lsh_multiprobe,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    plan = _plan(cosine_topk_lsh_multiprobe(e, bits=8, n_flip=2, k=10))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+
+
 def test_catalog_bucketed_corpus_entry_single_exchange(spark):
     """cat_bucketed_join_agg: the fact-fact join runs on bucket-aligned
     managed tables, so the ONLY Exchange in the executed plan is the
