@@ -2472,6 +2472,83 @@ def x4_bigram_logprob(spark, sf_dir):
     return bigram_logprob_score(d, "doc_id", "text")
 
 
+_BPE_MERGES = 6
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unrolled BPE oracle: n_merges chained rounds. Each round's CTEs
+    are MATERIALIZED — seg_{r-1} is referenced twice (pairs_r and
+    seg_r), so plain CTE inlining would blow up 2^rounds, the same
+    trap _cc_label_prop_sql hit. The merge fold uses a LIST
+    accumulator via the list_concat([init], ...) prepend (DuckDB
+    list_reduce seeds from the first element; struct accumulators
+    alias in place — see the a19 countmin note)."""
+    s = """
+    WITH wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w
+    ),
+    seg_0 AS MATERIALIZED (
+      SELECT f, list_transform(range(1, length(w)+1), i -> w[i:i]) AS seg
+      FROM wf
+    )"""
+    for r in range(1, n_merges + 1):
+        s += f""",
+    pairs_{r} AS MATERIALIZED (
+      SELECT p['left_sym'] AS left_sym, p['right_sym'] AS right_sym,
+             CAST(SUM(f) AS BIGINT) AS pair_count
+      FROM (
+        SELECT f, unnest(list_transform(range(1, len(seg)), i ->
+          {{'left_sym': seg[i], 'right_sym': seg[i+1]}})) AS p
+        FROM seg_{r - 1}
+      )
+      GROUP BY 1, 2
+    ),
+    best_{r} AS MATERIALIZED (
+      SELECT left_sym, right_sym, pair_count FROM pairs_{r}
+      ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
+    ),
+    seg_{r} AS MATERIALIZED (
+      SELECT s.f, list_reduce(
+          list_concat([CAST([] AS VARCHAR[])], list_transform(s.seg, x -> [x])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.left_sym
+                            AND x[1] = b.right_sym
+                      THEN list_concat(acc[1:len(acc)-1], [acc[-1] || x[1]])
+                      ELSE list_concat(acc, x) END) AS seg
+      FROM seg_{r - 1} s, best_{r} b
+    )"""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, left_sym, right_sym, "
+        f"pair_count FROM best_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return s + f"""
+    SELECT * FROM (
+      {unions}
+    ) ORDER BY merge_round
+    """
+
+
+@q("x4_bpe_merges", _bpe_sql(_BPE_MERGES))
+def x4_bpe_merges(spark, sf_dir):
+    """X4 — BPE tokenizer training (operators/bpe.py): learn the
+    first 6 merge rules over the documents corpus. One corpus scan
+    builds the (word, freq) table; each round is a vocab-sized
+    pair-count groupBy + a ONE-ROW argmax collect + an O(|word|)
+    merge fold (HOF, no UDF) — the HF-trainer decomposition, the only
+    one that survives 100 TB. Greedy argmax ties break (count desc,
+    left asc, right asc) on exact BIGINTs and binary-collated ASCII,
+    so the learned merge table is bit-identical cross-engine: the
+    oracle replays all 6 rounds with MATERIALIZED unrolled CTEs (the
+    _cc_label_prop_sql discipline)."""
+    from eco_pulse_lakehouse_spark.operators.bpe import learn_bpe_merges
+
+    d = T(spark, sf_dir, "documents").select("text")
+    return learn_bpe_merges(d, "text", n_merges=_BPE_MERGES)
+
+
 _GROUP_HASH_SQL = (
     "(CAST((group_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0)"
 )

@@ -1,0 +1,168 @@
+"""BPE merge-rule learning — tokenizer training as a Spark job
+(north-star X4 adjacency; SURVEY.md §2.11).
+
+A training-data engine that counts tokens (functions/text.py's
+BPE-ish regex) should also be able to LEARN the tokenizer: byte-pair
+encoding (Sennrich et al., ACL 2016) greedily merges the most
+frequent adjacent symbol pair, n_merges times. The reference has no
+tokenizer surface at all; for LLM data pipelines this is the
+canonical preprocessing fit.
+
+The only decomposition that survives 100 TB (and the one the
+Hugging Face BPE trainer itself uses): the corpus is scanned ONCE
+into a (word, frequency) table — vocabulary-sized by Heaps' law
+(millions of rows, not terabytes) — and every merge round after that
+touches only the vocabulary:
+
+  pair counts — explode adjacent symbol pairs of each word's current
+                segmentation, weighted by word frequency; one
+                map-side-combinable groupBy over vocab-sized input.
+  argmax      — a ONE-ROW collect per round (ties broken
+                lexicographically), the same driver-loop protocol as
+                operators/components.py / pagerank: per-round driver
+                data is metadata-scale, never the corpus.
+  apply       — one O(|word|) left-to-right fold per vocab word; the
+                fold is a HOF expression (no UDF, no regex), replayed
+                verbatim by the DuckDB oracle via list_reduce with a
+                LIST accumulator.
+
+Each round's segmentation is pinned with localCheckpoint (persist on
+a real cluster — operators/rank.py note) so round r does not recompute
+rounds 1..r-1's folds, exactly the components.py loop discipline.
+
+Determinism: pair counts are exact BIGINTs; the argmax tiebreak is
+(count desc, left asc, right asc) over ASCII symbols, identical under
+Spark UTF8_BINARY and DuckDB binary collation — so the learned merge
+table is bit-identical cross-engine and the corpus entry
+(x4_bpe_merges) carries a full oracle, unlike any public sketch of
+on-cluster BPE we know of.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.text import tokens
+
+
+def _empty_str_array() -> Column:
+    return F.slice(F.array(F.lit("")), 1, 0)
+
+
+def _char_segmentation(w: Column) -> Column:
+    """Initial BPE state: the word as an array of 1-char symbols."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.substring(w, i, F.lit(1)),
+    )
+
+
+def _adjacent_pairs(seg_col: str) -> Column:
+    """Array of (left_sym, right_sym) structs for adjacent symbols.
+    Guarded for 1-symbol words: Spark's sequence(1, 0) is DESCENDING
+    [1, 0], not empty, so the unguarded form would index position 0."""
+    pair_idx = F.when(
+        F.size(seg_col) >= 2,
+        F.sequence(F.lit(1), F.size(seg_col) - 1),
+    ).otherwise(F.slice(F.array(F.lit(1)), 1, 0))
+    return F.transform(
+        pair_idx,
+        lambda i: F.struct(
+            F.element_at(F.col(seg_col), i).alias("left_sym"),
+            F.element_at(F.col(seg_col), i + 1).alias("right_sym"),
+        ),
+    )
+
+
+def apply_merge(seg: Column, left: str, right: str) -> Column:
+    """Left-to-right, non-overlapping replacement of the adjacent
+    pair (left, right) by its concatenation — one O(|seg|) fold.
+    try_element_at(acc, -1) is NULL on the empty accumulator (ANSI
+    mode would make element_at throw), and NULL compares to false, so
+    the first symbol always lands in the append branch."""
+    return F.aggregate(
+        seg,
+        _empty_str_array(),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.try_element_at(acc, F.lit(-1)), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus.
+
+    Returns (merge_round, left_sym, right_sym, pair_count) — the
+    merge table a tokenizer would ship, in learning order. Stops
+    early if no adjacent pair remains (fully merged vocabulary).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    seg = (
+        words.select("f", _char_segmentation(F.col("w")).alias("seg"))
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, str, int]] = []
+    for merge_round in range(1, n_merges + 1):
+        pairs = (
+            seg.select("f", F.explode(_adjacent_pairs("seg")).alias("p"))
+            .groupBy("p.left_sym", "p.right_sym")
+            .agg(F.sum("f").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("pair_count").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+            .collect()  # ONE row — driver-loop protocol (see module doc)
+        )
+        if not best:
+            break
+        b = best[0]
+        learned.append(
+            (merge_round, b.left_sym, b.right_sym, int(b.pair_count))
+        )
+        seg = seg.withColumn(
+            "seg", apply_merge(F.col("seg"), b.left_sym, b.right_sym)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned,
+        schema="merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
+def segment_words(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to the corpus vocabulary: returns
+    (w, seg) — each distinct word's BPE segmentation. Inference-side
+    twin of :func:`learn_bpe_merges`; same folds, vocab-sized."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    out = words.withColumn("__seg", _char_segmentation(F.col("w")))
+    for left, right in merges:
+        out = out.withColumn("__seg", apply_merge(F.col("__seg"), left, right))
+    return out.select("w", F.col("__seg").alias("seg"))

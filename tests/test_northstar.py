@@ -1051,3 +1051,93 @@ def test_short_doc_shingles_empty_on_both_engines(spark):
         """
     ).fetchall()
     assert {(a, b) for a, b in o} == {(3, 4)}
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE (Sennrich et al.): overlapping pair
+    counts, greedy argmax with (count desc, left asc, right asc)
+    tie-break, left-to-right non-overlapping merge application."""
+    segs = {w: [c for c in w] for w in word_freqs}
+    learned = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, seg in segs.items():
+            for a, b in zip(seg, seg[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        learned.append((l, r, c))
+        for w, seg in segs.items():
+            out: list[str] = []
+            for s in seg:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            segs[w] = out
+    return learned, segs
+
+
+def test_bpe_matches_python_reference_on_overlap_corpus(spark):
+    """learn_bpe_merges vs a pure-Python BPE transcription on a
+    corpus CRAFTED to exercise the sharp edges: 'aaaa' (overlapping
+    pair runs — left-to-right gives [aa, aa], never [a, aa, a]),
+    exact count ties broken lexicographically, and multi-round
+    cascades where round 2 merges a symbol round 1 created."""
+    from eco_pulse_lakehouse_spark.operators import bpe
+
+    texts = ["aaaa aaaa bb", "aaaa bb cc cc", "abab abab cc"]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    expected, expected_segs = _py_bpe(freqs, 4)
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe.learn_bpe_merges(docs, n_merges=4)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected, (got, expected)
+
+    seg = {
+        r.w: list(r.seg)
+        for r in bpe.segment_words(
+            docs, [(l, rr) for l, rr, _ in expected]
+        ).collect()
+    }
+    assert seg == expected_segs, (seg, expected_segs)
+
+
+def test_bpe_segmentations_roundtrip_and_vocab_shrinks(spark):
+    """On the real corpus: every learned merge strictly reduces total
+    symbol count; applying the merges segments each vocab word into
+    pieces that concatenate back to the word (lossless)."""
+    from eco_pulse_lakehouse_spark.operators import bpe
+
+    docs = load_table(spark, SF, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe.learn_bpe_merges(docs, n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert len(merges) == 6
+    seg = bpe.segment_words(docs, merges)
+    bad = seg.filter(
+        F.concat_ws("", F.col("seg")) != F.col("w")
+    ).count()
+    assert bad == 0
+    # the learned merges actually fire on the vocabulary
+    merged_syms = {l + r for l, r in merges}
+    used = {
+        s
+        for row in seg.collect()
+        for s in row.seg
+        if len(s) > 1
+    }
+    assert used & merged_syms, (used, merged_syms)
