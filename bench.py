@@ -82,6 +82,8 @@ ONEOFF = [
     "x2_phonetic_blocking",    # soundex blocks + levenshtein refine
     "x2_phonetic_bounded",     # composed-key + capped blocks (scale form)
     "t35_stream_dedup_clusters",  # incremental CC over streamed pairs
+    "x3_lsh_multiprobe",       # query-side probe fan-out ANN (r07)
+    "x4_bpe_merges",           # 6-round vocab-loop tokenizer training (r07)
 ]
 
 

@@ -2475,14 +2475,18 @@ def x4_bigram_logprob(spark, sf_dir):
 _BPE_MERGES = 6
 
 
-def _bpe_sql(n_merges: int) -> str:
+def _bpe_sql(n_merges: int, final: str = "merges") -> str:
     """Unrolled BPE oracle: n_merges chained rounds. Each round's CTEs
     are MATERIALIZED — seg_{r-1} is referenced twice (pairs_r and
     seg_r), so plain CTE inlining would blow up 2^rounds, the same
     trap _cc_label_prop_sql hit. The merge fold uses a LIST
     accumulator via the list_concat([init], ...) prepend (DuckDB
     list_reduce seeds from the first element; struct accumulators
-    alias in place — see the a19 countmin note)."""
+    alias in place — see the a19 countmin note).
+
+    ``final='merges'`` emits the learned merge table (x4_bpe_merges);
+    ``final='segments'`` emits the round-n vocabulary segmentation
+    (x4_bpe_segment) — same rounds, different tap point."""
     s = """
     WITH wf AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS f
@@ -2491,7 +2495,7 @@ def _bpe_sql(n_merges: int) -> str:
       GROUP BY w
     ),
     seg_0 AS MATERIALIZED (
-      SELECT f, list_transform(range(1, length(w)+1), i -> w[i:i]) AS seg
+      SELECT w, f, list_transform(range(1, length(w)+1), i -> w[i:i]) AS seg
       FROM wf
     )"""
     for r in range(1, n_merges + 1):
@@ -2511,7 +2515,7 @@ def _bpe_sql(n_merges: int) -> str:
       ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
     ),
     seg_{r} AS MATERIALIZED (
-      SELECT s.f, list_reduce(
+      SELECT s.w, s.f, list_reduce(
           list_concat([CAST([] AS VARCHAR[])], list_transform(s.seg, x -> [x])),
           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.left_sym
                             AND x[1] = b.right_sym
@@ -2519,6 +2523,12 @@ def _bpe_sql(n_merges: int) -> str:
                       ELSE list_concat(acc, x) END) AS seg
       FROM seg_{r - 1} s, best_{r} b
     )"""
+    if final == "segments":
+        return s + f"""
+    SELECT w, array_to_string(seg, '|') AS seg_str,
+           CAST(len(seg) AS INT) AS n_pieces
+    FROM seg_{n_merges}
+    """
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, left_sym, right_sym, "
         f"pair_count FROM best_{r}"
@@ -2547,6 +2557,32 @@ def x4_bpe_merges(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("text")
     return learn_bpe_merges(d, "text", n_merges=_BPE_MERGES)
+
+
+@q("x4_bpe_segment", _bpe_sql(_BPE_MERGES, final="segments"))
+def x4_bpe_segment(spark, sf_dir):
+    """X4 — BPE inference (operators/bpe.py:segment_words): learn the
+    6 merges, then segment the VOCABULARY (never the token stream —
+    segmentations join back by word). Pieces are pipe-joined so the
+    array compares engine-neutrally. Oracle taps the same unrolled
+    rounds as x4_bpe_merges at seg_6 instead of the best_r union."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_bpe_merges,
+        segment_words,
+    )
+
+    d = T(spark, sf_dir, "documents").select("text")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_bpe_merges(d, "text", n_merges=_BPE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return segment_words(d, merges).select(
+        "w",
+        F.array_join("seg", "|").alias("seg_str"),
+        F.size("seg").cast("int").alias("n_pieces"),
+    )
 
 
 _GROUP_HASH_SQL = (

@@ -48,9 +48,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-# v2 suffix = build recipe version (r06 added the events jitter);
+# v3 suffix = build recipe version (r06 added the events jitter; v3
+# adds per-copy embedding jitter so LSH signatures stay distributed);
 # bumping it invalidates any cached _BUILT_* markers from older runs
-DST = "/tmp/eco_pulse_sf1_v2"
+DST = "/tmp/eco_pulse_sf1_v3"
 COPIES = 10
 
 QUERIES = [
@@ -59,7 +60,8 @@ QUERIES = [
     "o4_distributed_global_rank", "tpch_q1", "tpch_q3", "tpch_q5",
     "x1_hash_dedup_key", "x4_text_stats", "x2_ngram_jaccard",
     "x2_minhash_lsh", "x3_cosine_topk", "x3_quantized_topk",
-    "x3_pq_topk", "t5_stream_dedup", "w16_sax_motif_pairs",
+    "x3_pq_topk", "x3_lsh_multiprobe", "t5_stream_dedup",
+    "w16_sax_motif_pairs",
     "w19_sax_motif_capped", "flagship_text_pipeline",
     "skew1_salted_count", "skew4_hot_key_count",
 ]
@@ -130,6 +132,35 @@ def build_sf1(spark) -> None:
                     / F.lit(100.0)
                 ) * F.lit(float(i))
                 c = c.withColumn("value", F.col("value") + jit)
+            if t == "embeddings" and i > 0:
+                # per-copy vector jitter (v3): without it, 10 copies
+                # of IDENTICAL vectors put 10x members in every LSH
+                # bucket and cross-copy pair counts go quadratic —
+                # the same degenerate-copy artifact the documents
+                # suffix and events ramp already fix. A small
+                # deterministic (vec_id, position)-keyed ramp flips
+                # low-margin signs so signatures stay realistically
+                # distributed; ±~0.1 max at copy 9 keeps cosine
+                # structure intact. Two-arg lambda is DELIBERATE
+                # (element, index) — position must key the hash.
+                etype = dict(df.dtypes)["embedding"]
+                ramp = F.col("vec_id") * F.lit(2654435761)
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, pos: x.cast("double")
+                        + (
+                            F.pmod(
+                                ramp + pos.cast("bigint") * F.lit(40503),
+                                F.lit(211),
+                            ).cast("double")
+                            - F.lit(105.0)
+                        )
+                        / F.lit(10000.0)
+                        * F.lit(float(i)),
+                    ).cast(etype),
+                )
             if t == "documents":
                 # exactly-one-arg lambda: a default arg (s=sfx) makes
                 # pyspark infer the TWO-arg (element, index) form and
