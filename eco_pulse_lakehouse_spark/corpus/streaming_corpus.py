@@ -2496,3 +2496,65 @@ def t29_stream_dataset_card(spark, sf_dir):
             ).alias("mean_doc_chars"),
         )
     )
+
+
+@q("t36_stream_bpe", _ns._bpe_sql(_ns._BPE_MERGES))
+def t36_stream_bpe(spark, sf_dir):
+    """T36 — STREAMING tokenizer-statistics maintenance: documents
+    stream through the file source one file per trigger; each batch
+    lands its (word, count) partial as an idempotent epoch-keyed
+    parquet (the t17 sketch discipline — word counts are LINEAR, so
+    partials SUM-merge to exactly the one-pass vocabulary), and BPE
+    merge LEARNING (operators/bpe.py:learn_bpe_merges_from_vocab)
+    runs once on the merged vocab-sized table. The 100 TB shape:
+    token statistics accumulate at ingest per batch, history is
+    never re-tokenized, and re-training the tokenizer is a
+    vocab-sized job at any time. Streamed ≡ batch bit-identically
+    (count linearity + the deterministic greedy loop), so this
+    STREAMING entry carries x4_bpe_merges' oracle verbatim."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_bpe_merges_from_vocab,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t36_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t36_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    vocab = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("w")
+        .agg(F.sum("f").alias("f"))
+    )
+    return learn_bpe_merges_from_vocab(vocab, n_merges=_ns._BPE_MERGES)

@@ -106,15 +106,32 @@ def learn_bpe_merges(
     merge table a tokenizer would ship, in learning order. Stops
     early if no adjacent pair remains (fully merged vocabulary).
     """
-    spark = docs.sparkSession
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    return learn_bpe_merges_from_vocab(words, n_merges=n_merges)
+
+
+def learn_bpe_merges_from_vocab(
+    words: DataFrame,
+    n_merges: int = 6,
+    w_col: str = "w",
+    f_col: str = "f",
+) -> DataFrame:
+    """Learn merges from a pre-built (word, frequency) table — the
+    entry point for INCREMENTALLY-MAINTAINED vocabularies (word
+    counts are linear, so per-batch partials SUM-merge to exactly the
+    one-pass table; t36_stream_bpe streams them in). Same loop as
+    :func:`learn_bpe_merges`, which delegates here."""
+    spark = words.sparkSession
     seg = (
-        words.select("f", _char_segmentation(F.col("w")).alias("seg"))
+        words.select(
+            F.col(f_col).alias("f"),
+            _char_segmentation(F.col(w_col)).alias("seg"),
+        )
         .localCheckpoint(eager=True)
     )
     learned: list[tuple[int, str, str, int]] = []

@@ -129,6 +129,32 @@ def test_stream_lsh_index_equals_batch_pairs(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_bpe_equals_batch_merges(spark):
+    """t36's streamed vocabulary (SUM-merged per-batch word-count
+    partials) must learn EXACTLY the batch merge table — word counts
+    are linear and the greedy loop is deterministic, so streamed ≡
+    batch is an equality, not an approximation."""
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import (
+        t36_stream_bpe,
+    )
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.operators.bpe import learn_bpe_merges
+
+    sf = "/root/testdata/sf0.001"
+    streamed = [
+        tuple(r)
+        for r in t36_stream_bpe(spark, sf).orderBy("merge_round").collect()
+    ]
+    docs = load_table(spark, sf, "documents")
+    batch = [
+        tuple(r)
+        for r in learn_bpe_merges(docs, n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert streamed == batch and len(batch) == 6
+
+
 def test_epoch_listing_ignores_stray_entries(tmp_path):
     """ADVICE r06: the epoch-state listing must skip non-numeric
     entries (Spark temp/_committed dirs landing under the state
