@@ -320,3 +320,48 @@ def test_hw_seasonal_fold_matches_python_reference_property(spark):
         assert (r.level, r.trend, r.season_next) == (l, b, s[0])
 
     check()
+
+
+def test_bpe_apply_merge_matches_python_fold(spark):
+    """operators/bpe.py:apply_merge (the HOF accumulator fold) against
+    a literal Python transcription, on symbol arrays DESIGNED to hit
+    the sharp edges: runs of the same symbol ('a a a a' under merge
+    (a,a) must give [aa, aa] left-to-right, never re-merge the new
+    symbol), merge-target collisions (arrays already containing 'aa'),
+    and pairs that never occur."""
+    from eco_pulse_lakehouse_spark.operators.bpe import apply_merge
+
+    def py_merge(seg, l, r):
+        out = []
+        for s in seg:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        return out
+
+    sym = st.sampled_from(["a", "b", "aa", "ab", "c"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        segs=st.lists(
+            st.lists(sym, min_size=1, max_size=8), min_size=1, max_size=8
+        ),
+        pair=st.tuples(sym, sym),
+    )
+    def check(segs, pair):
+        l, r = pair
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(segs)],
+            "i INT, seg ARRAY<STRING>",
+        )
+        got = {
+            row.i: list(row.out)
+            for row in df.select(
+                "i", apply_merge(F.col("seg"), l, r).alias("out")
+            ).collect()
+        }
+        want = {i: py_merge(s, l, r) for i, s in enumerate(segs)}
+        assert got == want
+
+    check()
