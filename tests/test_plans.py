@@ -202,6 +202,38 @@ def test_multiprobe_lsh_no_cartesian_single_probe_join(spark):
     assert n_joins == 1, plan
 
 
+def test_bpe_pair_count_single_exchange_no_join(spark):
+    """The BPE learning round's pair-count aggregation must be one
+    map-side-combinable groupBy over the vocab segmentations — a
+    single Exchange, no join anywhere (pairs are built row-locally
+    from the segment array, never via self-join)."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        _adjacent_pairs,
+        _char_segmentation,
+    )
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    docs = load_table(spark, SF, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    seg = words.select("f", _char_segmentation(F.col("w")).alias("seg"))
+    pairs = (
+        seg.select("f", F.explode(_adjacent_pairs("seg")).alias("p"))
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("f").alias("pair_count"))
+    )
+    plan = _plan(pairs)
+    assert "Join" not in plan, plan
+    # two aggregations (vocab build + pair count), each partial+final:
+    # the pair-count side contributes exactly one extra Exchange on
+    # top of the word-frequency groupBy's
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
 def test_catalog_bucketed_corpus_entry_single_exchange(spark):
     """cat_bucketed_join_agg: the fact-fact join runs on bucket-aligned
     managed tables, so the ONLY Exchange in the executed plan is the
