@@ -449,6 +449,31 @@ def test_minhash_bands_rows_tuning_curve(spark):
         assert recall(cands[16]) >= 0.9
 
 
+def test_multiprobe_flip_count_tuning_curve(spark):
+    """The n_flip knob: candidate sets grow monotonically with probe
+    count (each flip adds buckets, never removes), n_flip=0 equals
+    plain single-probe LSH exactly, and recall vs brute force is
+    non-decreasing along the curve. Completes the tuning-sweep family
+    (bits, bands×rows, n_probe) with the query-side probe knob."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 400)
+    big_k = 10**6
+    curve = {}
+    for n_flip in (0, 1, 3):
+        curve[n_flip] = {
+            (r.q_id, r.c_id)
+            for r in xs.cosine_topk_lsh_multiprobe(
+                emb, bits=8, n_flip=n_flip, k=big_k
+            ).collect()
+        }
+    single = {
+        (r.q_id, r.c_id)
+        for r in xs.cosine_topk_lsh(emb, bits=8, k=big_k).collect()
+    }
+    assert curve[0] == single, "n_flip=0 must BE single-probe"
+    assert curve[0] <= curve[1] <= curve[3]
+    assert len(curve[3]) > len(curve[0])
+
+
 def test_persisted_ivf_matches_inmemory_and_prunes_partitions(
     spark, tmp_path
 ):
