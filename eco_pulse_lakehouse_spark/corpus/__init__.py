@@ -194,9 +194,10 @@ _NEW_R07: frozenset[str] = frozenset(
         "t33_stream_holt", "t34_stream_hw_seasonal",
         # pagerank loop-invariant pinning (same values, new plan)
         "g1_pagerank",
-        # per-row norm precompute in the brute-force cosine forms
+        # per-row norm precompute in the pair-scoring cosine forms
         # (same values — identical IEEE ops — new plan)
         "x3_cosine_topk", "x3_cosine_neardup",
+        "x3_ann_lsh", "x3_ann_refined",
         # register_views session cache touches every SQL-phrased
         # entry's call path; two representatives re-certify it (the
         # full set re-proves in the sweep + parity replica)

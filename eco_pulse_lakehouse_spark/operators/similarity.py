@@ -191,14 +191,24 @@ def cosine_topk_lsh(
     cosine within buckets. Recall measured in tests against the
     brute-force truth (~bits trades recall for bucket size)."""
     projections = _deterministic_projections(dim, bits)
-    sig = embeddings.withColumn("__sig", lsh_signature(F.col(vec_col), projections))
+    # per-row norms below the bucket join: one dot fold per PAIR
+    # instead of three — bit-identical (same ops, same association;
+    # see cosine_topk_bruteforce), and bucket-pair count is the
+    # quantity that explodes at scale
+    sig = embeddings.withColumn(
+        "__sig", lsh_signature(F.col(vec_col), projections)
+    ).withColumn("__n", norm2(F.col(vec_col)))
     a = sig.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "__sig"
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        "__sig", F.col("__n").alias("__qn"),
     )
     b = sig.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "__sig"
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+        "__sig", F.col("__n").alias("__cn"),
     )
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     scored = (
@@ -309,12 +319,19 @@ def cosine_topk_lsh_multiprobe(
     qprobes = base.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm2(F.col(vec_col)).alias("__qn"),
         F.explode(probe_sigs).alias("__sig"),
     )
     cand = base.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "__sig"
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm2(F.col(vec_col)).alias("__cn"),
+        "__sig",
     )
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    # per-row norms below the probe join (see cosine_topk_lsh)
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     scored = (
@@ -695,12 +712,19 @@ def ann_neardup_refined(
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
     e_a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm2(F.col(vec_col)).alias("__na"),
     )
     e_b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm2(F.col(vec_col)).alias("__nb"),
     )
-    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    # per-row norms below the candidate join (see cosine_topk_lsh)
+    sim = dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     return (
