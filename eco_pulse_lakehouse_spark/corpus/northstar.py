@@ -2529,6 +2529,18 @@ def _bpe_sql(n_merges: int, final: str = "merges") -> str:
            CAST(len(seg) AS INT) AS n_pieces
     FROM seg_{n_merges}
     """
+    if final == "token_counts":
+        return s + f"""
+    , tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(s.seg)) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT * FROM tok WHERE length(w) > 0) t
+    JOIN seg_{n_merges} s USING (w)
+    GROUP BY t.doc_id
+    """
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, left_sym, right_sym, "
         f"pair_count FROM best_{r}"
@@ -2582,6 +2594,46 @@ def x4_bpe_segment(spark, sf_dir):
         "w",
         F.array_join("seg", "|").alias("seg_str"),
         F.size("seg").cast("int").alias("n_pieces"),
+    )
+
+
+@q("x4_bpe_token_count", _bpe_sql(_BPE_MERGES, final="token_counts"))
+def x4_bpe_token_count(spark, sf_dir):
+    """X4 — per-document token counts under the LEARNED tokenizer:
+    the corpus's whitespace tokens equi-join the vocab-sized
+    segmentation table (broadcast at scale — the merges never re-run
+    per token), then one map-side-combinable groupBy per doc. The
+    token-budgeting pass a packing/curriculum stage actually needs —
+    functions/text.py's bpe_ish_token_count is the ceil(len/4)
+    ESTIMATE; this is the exact count under the trained merges.
+    Oracle taps the shared unrolled rounds at seg_6 joined back to
+    the token stream."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens as _toks
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_bpe_merges,
+        segment_words,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_bpe_merges(d, "text", n_merges=_BPE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    seg = segment_words(d, merges)
+    tok = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        tok.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("seg")).cast("bigint").alias("n_bpe_tokens"),
+        )
     )
 
 
