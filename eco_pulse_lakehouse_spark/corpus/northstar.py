@@ -3451,3 +3451,138 @@ def flagship_training_export(spark, sf_dir):
         k_budget=150, alpha=0.5, shingle_n=4,
         eval_frac=0.1, val_frac=0.05,
     )
+
+
+# =====================================================================
+# X6 — DSIR importance selection (operators/selection.py)
+# =====================================================================
+
+# Shared feature-stream CTEs: unigrams + word bigrams per doc, each
+# hashed into 128 buckets by the SQL-replayable char fold.
+_DSIR_FB = f"""
+    tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+    feats AS (
+      SELECT doc_id, lang, u.f
+      FROM tw, unnest(list_concat(w,
+        list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' ')))) AS u(f)
+    ),
+    fb AS (SELECT doc_id, lang,
+                  {_poly_th_sql('f')} % 128 AS bucket
+           FROM feats),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_target,
+             COUNT(*) AS c_raw
+      FROM fb GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_target) AS nt, SUM(c_raw) AS nr FROM counts),
+    ratios AS (
+      SELECT bucket,
+             CAST(round(ln(
+               (CAST(2 * c_target + 1 AS DOUBLE)
+                  / CAST(2 * nt + 128 AS DOUBLE))
+               / (CAST(2 * c_raw + 1 AS DOUBLE)
+                  / CAST(2 * nr + 128 AS DOUBLE))
+             ) * 1000000, 0) AS BIGINT) AS w_fp
+      FROM counts, tot
+    ),
+    weights AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w_fp) AS BIGINT) AS weight_fp
+      FROM fb JOIN ratios USING (bucket)
+      GROUP BY doc_id
+    )
+"""
+
+
+@q(
+    "x6_dsir_weights",
+    f"""
+    WITH {_DSIR_FB}
+    SELECT doc_id, n_feats, weight_fp FROM weights
+    """,
+)
+def x6_dsir_weights(spark, sf_dir):
+    """X6 — DSIR hashed-n-gram log importance weights (Xie et al.
+    NeurIPS'23; operators/selection.py:dsir_weights): target =
+    lang='en', raw = the whole pool, 128 hashed unigram+bigram
+    buckets, add-half smoothing. One corpus scan builds both bucket
+    LMs (conditional count in the same vocab-sized groupBy); the
+    128-row fixed-point log-ratio table broadcasts onto the feature
+    stream; per-doc weights are exact BIGINT sums — oracle-exact
+    under the corpus ln-to-1e-6-fixed-point rule."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.dsir_weights(d, F.col("lang") == "en")
+
+
+@q(
+    "x6_dsir_select",
+    f"""
+    WITH {_DSIR_FB}
+    SELECT doc_id, weight_fp FROM weights
+    ORDER BY weight_fp DESC, doc_id ASC LIMIT 50
+    """,
+)
+def x6_dsir_select(spark, sf_dir):
+    """X6 — DSIR top-k selection (deterministic rank-by-weight form
+    of the paper's importance resampling; doc_id tiebreak makes the
+    selected SET unique). TakeOrderedAndProject — per-partition
+    top-k then a k-row driver merge, never a global sort."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.dsir_select(d, F.col("lang") == "en", k=50).select(
+        "doc_id", "weight_fp"
+    )
+
+
+# =====================================================================
+# X2 — CCNet line-level dedup (operators/dedup.py:line_dedup_keep_first)
+# =====================================================================
+
+
+@q(
+    "x2_line_dedup",
+    """
+    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    ch AS (
+      SELECT doc_id, i AS cid,
+             array_to_string(w[3*i+1 : 3*i+3], ' ') AS chunk
+      FROM tw, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)))
+             AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, cid, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, cid) AS rn
+      FROM ch
+    ),
+    kept AS (SELECT doc_id, cid, chunk FROM ranked WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY cid) AS clean
+      FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_chunks AS BIGINT) AS n_chunks,
+           CAST(b.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean, '') AS text_clean
+    FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """,
+)
+def x2_line_dedup(spark, sf_dir):
+    """X2 — CCNet-style keep-first line dedup (Wenzek et al. 2020;
+    operators/dedup.py:line_dedup_keep_first): every duplicated
+    3-token chunk keeps only its globally-first (doc, position)
+    occurrence. The keep-one-copy tier dup_span_removal defers —
+    ranking is per-line-group argmin (one map-side-combinable
+    groupBy), never a global sort."""
+    d = T(spark, sf_dir, "documents")
+    return xd.line_dedup_keep_first(d, "doc_id", "text", chunk_tokens=3)

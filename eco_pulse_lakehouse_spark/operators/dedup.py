@@ -1010,3 +1010,93 @@ def phonetic_block_overflow(
             (n * (n - 1) / 2).cast("bigint").alias("uncapped_pairs"),
         )
     )
+
+
+def doc_chunks(
+    docs: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 3
+) -> DataFrame:
+    """Non-overlapping ``chunk_tokens``-token chunks — the "line"
+    unit for corpora whose text carries no newlines (the synthetic
+    tables are single-space token streams; with real newline-bearing
+    text swap this for split(text, '\\n')). Row-local: sequence →
+    slice → posexplode, no shuffle. Returns (id, __cid, __chunk);
+    the final chunk may be short, empty docs yield one '' chunk."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("__cid", "__chunk")
+    )
+
+
+def line_dedup_keep_first(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 3,
+) -> DataFrame:
+    """CCNet-style LINE-level dedup with keep-one-copy semantics
+    (Wenzek et al. 2020): every duplicated line keeps exactly its
+    globally-FIRST occurrence — ordered by (doc, position) — and
+    every later occurrence is removed. This is the keep-one-copy
+    tier :func:`dup_span_removal`'s docstring defers ("would need a
+    global occurrence ranking"): span removal strips ALL copies of
+    cross-doc boilerplate; line dedup preserves one canonical copy,
+    the semantics curation wants when the duplicated text is content
+    rather than chrome. "Lines" here are :func:`doc_chunks` units.
+
+    The global occurrence ranking that makes keep-first scale is NOT
+    a global sort: rank occurrences within each line's hash group —
+    ``min(struct(doc, pos))`` per line, one map-side-combinable
+    groupBy on the line key — then mark an occurrence removed iff the
+    line's group has >1 member and this occurrence is not the argmin.
+    Shapes: one groupBy(line) carrying (line, min-struct, count), one
+    equi-join back onto the chunk stream, one per-doc rebuild
+    groupBy. At 100 TB the join key swaps for an 8-byte line hash
+    (sha2/xxhash64 prefix) so the shuffle never carries line text
+    twice; collision handling = verify-on-match, same as minhash.
+
+    Returns (id_col, n_chunks, n_removed, text_clean) — text_clean
+    rebuilt from surviving chunks in document order (docs whose every
+    chunk was removed surface with text_clean = '', not dropped)."""
+    ch = doc_chunks(docs, id_col, text_col, chunk_tokens)
+    first = ch.groupBy("__chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("__cid"))).alias("__first")
+    )
+    kept = (
+        ch.join(first, "__chunk")
+        .filter(
+            (F.col("__first").getField(id_col) == F.col(id_col))
+            & (F.col("__first").getField("__cid") == F.col("__cid"))
+        )
+        .select(id_col, "__cid", "__chunk")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__cid", "__chunk"))),
+                lambda s: s.getField("__chunk"),
+            ),
+        ).alias("__clean"),
+    )
+    base = ch.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        (
+            F.col("n_chunks")
+            - F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint")
+        ).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
+    )

@@ -1,0 +1,160 @@
+"""Data selection with importance resampling (DSIR) — hashed n-gram
+importance weights for target-distribution-matched corpus selection
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023).
+
+The 100 TB curation problem: given a huge raw pool and a small
+high-quality target set, select raw documents whose token statistics
+resemble the target. DSIR fits two bag-of-hashed-n-grams unigram
+models (target and raw), scores every raw document by its log
+importance weight
+
+    w(doc) = Σ_features  log( p_target(bucket(f)) / p_raw(bucket(f)) )
+
+and keeps the top-k (the paper resamples with Gumbel noise; the
+deterministic rank-by-weight form here keeps the corpus entry
+oracle-checkable — swap in a ``unit_hash`` Gumbel draw for the
+randomized variant).
+
+Shape (the part that must survive 100 TB):
+  - ONE scan of the pool builds BOTH bucket-count tables — the target
+    is a predicate over the same rows, so ``c_target`` is a
+    conditional count inside the same vocab-sized, map-side-combinable
+    groupBy. No second pass.
+  - The per-bucket log-ratio table has exactly ``n_buckets`` rows
+    (the point of feature hashing) — it broadcasts everywhere.
+  - Per-document weights are ONE groupBy(doc) over the exploded
+    feature stream with the broadcast weight joined in; the only
+    per-document shuffle carries (doc_id, fp_weight) longs.
+  - Selection is top-k by weight = TakeOrderedAndProject, never a
+    global sort.
+
+Determinism contract (the corpus float policy): the smoothed
+probability ratio is computed with a FIXED expression tree of
+correctly-rounded IEEE ops — (2c_t+1)/(2N_t+B) and (2c_r+1)/(2N_r+B)
+as single divisions of exact integers (doubled to clear the ½
+Laplace term without leaving integer land), one more division for
+the ratio — then ln() rounds to a 1e-6 fixed-point BIGINT per BUCKET
+(ln is 1-ulp unstable across libms; the unigram_logprob rule), so
+every per-document sum is exact integer addition in any order.
+
+Features are unigrams plus word bigrams hashed with the
+SQL-replayable char-fold ``poly_token_hash`` (dedup.py) mod
+``n_buckets`` — the DuckDB oracle replays the whole pipeline.
+
+Reference parity note: raulJD13/eco-pulse-lakehouse has no data-
+selection stage (its curate step is filter+dedup only); this extends
+the X6 sampling family the way a pre-training pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.functions.text import tokens, word_shingles
+from eco_pulse_lakehouse_spark.operators.dedup import poly_token_hash
+
+FP_SCALE = 1_000_000
+
+
+def _hashed_features(text: Column, n_buckets: int) -> Column:
+    """Unigram + bigram feature stream, hashed to [0, n_buckets)."""
+    feats = F.concat(tokens(text), word_shingles(text, 2))
+    return F.transform(
+        feats, lambda t: F.pmod(poly_token_hash(t), F.lit(n_buckets))
+    )
+
+
+def bucket_log_ratios(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Per-bucket fixed-point log importance ratio
+    ``round(ln(p̂_target(b) / p̂_raw(b)) · fp_scale)`` with add-½
+    Laplace smoothing. One corpus scan: the target counts are a
+    conditional sum inside the same groupBy. Returns
+    (bucket, c_target, c_raw, w_fp) — at most ``n_buckets`` rows."""
+    feat = docs.select(
+        target_pred.alias("__is_t"),
+        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+    )
+    totals = counts.agg(
+        F.sum("c_target").alias("__nt"), F.sum("c_raw").alias("__nr")
+    )
+    b = F.lit(int(n_buckets)).cast("bigint")
+    p_t = (2 * F.col("c_target") + 1).cast("double") / (
+        2 * F.col("__nt") + b
+    ).cast("double")
+    p_r = (2 * F.col("c_raw") + 1).cast("double") / (
+        2 * F.col("__nr") + b
+    ).cast("double")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "c_target",
+        "c_raw",
+        F.round(F.log(p_t / p_r) * fp_scale, 0).cast("bigint").alias("w_fp"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Per-document DSIR log importance weight over the raw pool.
+
+    Returns (id_col, n_feats, weight_fp): ``weight_fp`` is the exact
+    BIGINT sum of per-feature fixed-point bucket ratios — divide by
+    ``fp_scale`` for nats. The ≤``n_buckets``-row ratio table
+    broadcasts onto the exploded feature stream, so the only
+    document-keyed shuffle carries two longs per document."""
+    ratios = bucket_log_ratios(
+        docs, target_pred, text_col, n_buckets, fp_scale
+    )
+    feat = docs.select(
+        F.col(id_col),
+        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    return (
+        feat.join(F.broadcast(ratios.select("bucket", "w_fp")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w_fp").alias("weight_fp"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Top-k raw documents by DSIR weight, deterministic ``id_col``
+    tiebreak (TakeOrderedAndProject — k rows reach the driver side,
+    never a global sort)."""
+    w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets, fp_scale)
+    return w.orderBy(
+        F.col("weight_fp").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -1166,3 +1166,126 @@ def test_bpe_segmentations_roundtrip_and_vocab_shrinks(spark):
         if len(s) > 1
     }
     assert used & merged_syms, (used, merged_syms)
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    """Hand-crafted corpus: duplicated 3-token lines keep exactly the
+    globally-first (doc, position) occurrence — across docs AND
+    within one doc — and fully-boilerplate docs survive with ''."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        line_dedup_keep_first,
+    )
+
+    rows = [
+        (0, "a b c d e f"),   # first owner of 'a b c'
+        (1, "a b c x y z"),   # cross-doc dup: loses 'a b c'
+        (2, "a b c"),         # loses its only chunk -> ''
+        (3, "p q r p q r"),   # within-doc dup: keeps first copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: r
+        for r in line_dedup_keep_first(df, "doc_id", "text", 3).collect()
+    }
+    assert (out[0].n_removed, out[0].text_clean) == (0, "a b c d e f")
+    assert (out[1].n_removed, out[1].text_clean) == (1, "x y z")
+    assert (out[2].n_removed, out[2].text_clean) == (1, "")
+    assert (out[3].n_removed, out[3].text_clean) == (1, "p q r")
+    assert all(out[i].n_chunks == 2 for i in (0, 1, 3))
+    assert out[2].n_chunks == 1
+
+
+def _py_dsir_weights(rows, target_langs=("en",), n_buckets=128):
+    """Pure-Python DSIR reference: same poly char-fold hash, same
+    add-half smoothing, same ln→1e-6 fixed point (HALF_UP to match
+    Spark/DuckDB round, not Python's banker's rounding)."""
+    import math
+    from collections import Counter
+
+    def poly(tok):
+        h = 0
+        for c in tok:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    def feats(text):
+        w = text.split(" ")
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    c_t, c_r = Counter(), Counter()
+    for _id, text, lang in rows:
+        for f in feats(text):
+            b = poly(f) % n_buckets
+            c_r[b] += 1
+            if lang in target_langs:
+                c_t[b] += 1
+    nt, nr = sum(c_t.values()), sum(c_r.values())
+    w_fp = {}
+    for b in c_r:
+        r = ((2 * c_t[b] + 1) / (2 * nt + n_buckets)) / (
+            (2 * c_r[b] + 1) / (2 * nr + n_buckets)
+        )
+        x = math.log(r) * 1_000_000
+        w_fp[b] = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    out = {}
+    for _id, text, lang in rows:
+        fs = feats(text)
+        out[_id] = (len(fs), sum(w_fp[poly(f) % n_buckets] for f in fs))
+    return out
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """operators/selection.py:dsir_weights vs an independent pure-
+    Python implementation on a crafted bilingual corpus (bucket
+    collisions guaranteed: 128 buckets, >128 distinct features)."""
+    from eco_pulse_lakehouse_spark.operators.selection import dsir_weights
+
+    rows = [
+        (i, " ".join(f"en{(i * 7 + j) % 40}" for j in range(12)), "en")
+        for i in range(20)
+    ] + [
+        (100 + i, " ".join(f"xx{(i * 5 + j) % 37}" for j in range(9)), "de")
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    got = {
+        r.doc_id: (r.n_feats, r.weight_fp)
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    assert got == _py_dsir_weights([(i, t, l) for i, t, l in rows])
+
+
+def test_dsir_separates_target_from_offtarget(spark):
+    """The point of the operator: with target = lang='en', English
+    documents must average a strictly higher importance weight than
+    off-target documents (measured +0.19 vs −0.45 nats at sf0.001)."""
+    from eco_pulse_lakehouse_spark.operators.selection import dsir_weights
+
+    docs = load_table(spark, SF, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    m = (
+        w.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("weight_fp").alias("mw"))
+        .collect()
+    )
+    mw = {r.is_en: r.mw for r in m}
+    assert mw[True] > 0 > mw[False]
+
+
+def test_dsir_select_is_topk_of_weights(spark):
+    """dsir_select == the k highest-weight docs (doc_id tiebreak)."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("lang") == "en"
+    all_w = sorted(
+        ((-r.weight_fp, r.doc_id) for r in dsir_weights(docs, pred).collect())
+    )
+    expect = [d for _, d in all_w[:25]]
+    got = [r.doc_id for r in dsir_select(docs, pred, k=25).collect()]
+    assert got == expect

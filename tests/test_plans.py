@@ -568,3 +568,22 @@ def test_grid_band_join_is_hash_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_dsir_weights_plan_broadcasts_ratio_table(spark):
+    """x6_dsir_weights: the 128-row log-ratio table must broadcast
+    onto the exploded feature stream (BroadcastHashJoin) and nothing
+    may cartesian except the 1-row totals BNLJ."""
+    df = northstar.QUERIES["x6_dsir_weights"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_line_dedup_plan_no_cartesian(spark):
+    """x2_line_dedup: occurrence ranking is a groupBy + equi-join on
+    the line key — never a cross product."""
+    df = northstar.QUERIES["x2_line_dedup"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
