@@ -198,6 +198,10 @@ _NEW_R07: frozenset[str] = frozenset(
         # (same values — identical IEEE ops — new plan)
         "x3_cosine_topk", "x3_cosine_neardup",
         "x3_ann_lsh", "x3_ann_refined",
+        # same rewrite extended to the IVF family (assignment + pair
+        # scorer reuse one precomputed norm per row; the persisted
+        # index now stores c_norm) — parity re-verified exact
+        "x3_ivf_topk", "x3_ivf_bounded", "x3_ivf_persisted",
         # register_views session cache touches every SQL-phrased
         # entry's call path; two representatives re-certify it (the
         # full set re-proves in the sweep + parity replica)

@@ -389,16 +389,24 @@ def kmeans_centroids(
     data-adaptive clusters (measurably better recall at equal
     n_probe — see tests/test_northstar.py)."""
     cents = seed_centroids(embeddings, id_col, vec_col, k)
+    # row norms are loop-INVARIANT — fold each vector once, not once
+    # per centroid per iteration (bit-identical; the per-iteration
+    # centroid norms are k rows, free)
     vecs = embeddings.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        norm2(F.col(vec_col)).alias("__vn"),
     )
     for _ in range(iterations):
-        sim = cosine_similarity(F.col("__v"), F.col("cent_vec"))
+        cn = cents.withColumn("__cent_n", norm2(F.col("cent_vec")))
+        sim = dot(F.col("__v"), F.col("cent_vec")) / (
+            F.col("__vn") * F.col("__cent_n")
+        )
         w = Window.partitionBy("__vid").orderBy(
             F.col("__cs").desc(), F.col("cent_id").asc()
         )
         assigned = (
-            vecs.crossJoin(F.broadcast(cents))
+            vecs.crossJoin(F.broadcast(cn))
             .withColumn("__cs", sim)
             .withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") == 1)
@@ -437,20 +445,40 @@ def kmeans_centroids(
 
 
 def _nearest_lists(
-    df: DataFrame, idc: str, vecc: str, cents: DataFrame, n_lists: int
+    df: DataFrame,
+    idc: str,
+    vecc: str,
+    cents: DataFrame,
+    n_lists: int,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """n_lists nearest centroids per row via rank over the broadcast
-    cross product (centroid count is tiny)."""
-    sim = cosine_similarity(F.col(vecc), F.col("cent_vec"))
-    scored = df.crossJoin(F.broadcast(cents)).withColumn("__cs", sim)
+    cross product (centroid count is tiny).
+
+    Row and centroid norms are computed ONCE below the cross join
+    (one sqrt-fold per row + per centroid instead of two per
+    row×centroid cell) — bit-identical to the inline cosine: same
+    IEEE ops in the same ``dot / (n_row · n_cent)`` association.
+    Pass ``norm_col`` to KEEP the per-row norm in the output under
+    that name so the downstream pair scorer reuses it instead of
+    re-folding the vector."""
+    cn = cents.withColumn("__cent_n", norm2(F.col("cent_vec")))
+    base = df.withColumn("__rown", norm2(F.col(vecc)))
+    sim = dot(F.col(vecc), F.col("cent_vec")) / (
+        F.col("__rown") * F.col("__cent_n")
+    )
+    scored = base.crossJoin(F.broadcast(cn)).withColumn("__cs", sim)
     w = Window.partitionBy(idc).orderBy(
         F.col("__cs").desc(), F.col("cent_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_lists)
-        .drop("__cs", "__r", "cent_vec")
+        .drop("__cs", "__r", "cent_vec", "__cent_n")
     )
+    if norm_col is None:
+        return out.drop("__rown")
+    return out.withColumnRenamed("__rown", norm_col)
 
 
 def build_ivf_index(
@@ -478,6 +506,10 @@ def build_ivf_index(
         else seed_centroids(embeddings, id_col, vec_col, n_centroids)
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # the index stores each vector's norm next to it (c_norm), so
+    # query-time scoring folds each candidate pair ONCE — classic
+    # IVF metadata, free at build time because assignment computed
+    # the norm anyway
     lists = _nearest_lists(
         embeddings.select(
             F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
@@ -486,6 +518,7 @@ def build_ivf_index(
         "c_vec",
         cents,
         1,
+        norm_col="c_norm",
     )
     lists.write.mode("overwrite").partitionBy("cent_id").parquet(
         f"{path}/lists"
@@ -510,14 +543,18 @@ def query_ivf_index(
     Scoring/ranking matches `ivf_topk` exactly — same centroids ⇒
     same results (test-pinned)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    probes = _nearest_lists(queries, q_id, q_vec, cents, n_probe)
+    probes = _nearest_lists(queries, q_id, q_vec, cents, n_probe, "__qn")
     probe_ids = [
         r.cent_id for r in probes.select("cent_id").distinct().collect()
     ]
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("cent_id").isin(probe_ids)
     )
-    sim = cosine_similarity(F.col(q_vec), F.col("c_vec"))
+    if "c_norm" not in lists.columns:  # index built before norms were stored
+        lists = lists.withColumn("c_norm", norm2(F.col("c_vec")))
+    sim = dot(F.col(q_vec), F.col("c_vec")) / (
+        F.col("__qn") * F.col("c_norm")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     scored = (
@@ -569,6 +606,7 @@ def ivf_topk(
         "c_vec",
         cents,
         1,  # each vector lives in exactly one inverted list
+        norm_col="__cn",
     )
     probes = _nearest_lists(
         embeddings.select(
@@ -578,8 +616,14 @@ def ivf_topk(
         "q_vec",
         cents,
         n_probe,
+        norm_col="__qn",
     )
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    # reuse the norms assignment already computed: one dot fold per
+    # candidate pair instead of three (bit-identical — same IEEE ops,
+    # same association; see cosine_topk_bruteforce)
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     scored = (
@@ -772,12 +816,20 @@ def ivf_topk_bounded(
         else seed_centroids(embeddings, id_col, vec_col, n_centroids)
     )
 
-    sim_c = cosine_similarity(F.col("__v"), F.col("cent_vec"))
+    # per-row + per-centroid norms below the broadcast cross join,
+    # reused by the pair scorer at the end (bit-identical; see
+    # cosine_topk_bruteforce)
+    cn = cents.withColumn("__cent_n", norm2(F.col("cent_vec")))
+    sim_c = dot(F.col("__v"), F.col("cent_vec")) / (
+        F.col("__cn") * F.col("__cent_n")
+    )
     ranked = (
         embeddings.select(
-            F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            norm2(F.col(vec_col)).alias("__cn"),
         )
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(cn))
         .withColumn("__cs", sim_c)
         .withColumn(
             "__choice",
@@ -807,18 +859,28 @@ def ivf_topk_bounded(
             F.col("__vid").alias("c_id"),
             F.col("__v").alias("c_vec"),
             "cent_id",
+            "__cn",
         )
     else:
         lists = first.select(
-            F.col("__vid").alias("c_id"), F.col("__v").alias("c_vec"), "cent_id"
+            F.col("__vid").alias("c_id"),
+            F.col("__v").alias("c_vec"),
+            "cent_id",
+            "__cn",
         )
 
     probes = (
         embeddings.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm2(F.col(vec_col)).alias("__qn"),
         )
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__qs", cosine_similarity(F.col("q_vec"), F.col("cent_vec")))
+        .crossJoin(F.broadcast(cn))
+        .withColumn(
+            "__qs",
+            dot(F.col("q_vec"), F.col("cent_vec"))
+            / (F.col("__qn") * F.col("__cent_n")),
+        )
         .withColumn(
             "__r",
             F.row_number().over(
@@ -828,9 +890,11 @@ def ivf_topk_bounded(
             ),
         )
         .filter(F.col("__r") <= n_probe)
-        .select("q_id", "q_vec", "cent_id")
+        .select("q_id", "q_vec", "cent_id", "__qn")
     )
-    sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     scored = (
