@@ -3586,3 +3586,57 @@ def x2_line_dedup(spark, sf_dir):
     groupBy), never a global sort."""
     d = T(spark, sf_dir, "documents")
     return xd.line_dedup_keep_first(d, "doc_id", "text", chunk_tokens=3)
+
+
+@q(
+    "x6_dsir_resample",
+    f"""
+    WITH {_DSIR_FB}
+    SELECT doc_id, weight_fp, key_fp FROM (
+      SELECT doc_id, weight_fp,
+             weight_fp + CAST(round(-ln(-ln(
+               (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+               / 4294967296.0
+             )) * 1000000, 0) AS BIGINT) AS key_fp
+      FROM weights
+    )
+    ORDER BY key_fp DESC, doc_id ASC LIMIT 50
+    """,
+)
+def x6_dsir_resample(spark, sf_dir):
+    """X6 — the DSIR paper's actual Gumbel-top-k importance
+    RESAMPLING (operators/selection.py:dsir_gumbel_resample):
+    sample 50 docs ∝ exp(weight) with hash-seeded, reproducible
+    Gumbel noise — u from the Knuth unit hash shifted by ½ step,
+    g = −ln(−ln u) through the fixed-point rule, key = exact BIGINT
+    weight_fp + g_fp. Row-local noise: same TakeOrderedAndProject
+    shape as the deterministic top-k."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.dsir_gumbel_resample(d, F.col("lang") == "en", k=50)
+
+
+@q(
+    "x1_soft_dedup",
+    """
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies,
+           CAST(1 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY text)
+                                    AS DOUBLE) AS weight
+    FROM documents
+    """,
+)
+def x1_soft_dedup(spark, sf_dir):
+    """X1 — SoftDeDup: keep every exact duplicate but down-weight it
+    to 1/|group| sampling mass (operators/selection.py:
+    soft_dedup_weights) — the reweighting alternative to
+    exact_dedup's hard drop. One window count over the content key,
+    single correctly-rounded division. sf0.1 carries real duplicate
+    groups (8 texts duplicated); smaller SFs are all-unique, where
+    the contract degrades to n_copies=1/weight=1.0 — crafted dup
+    groups are pinned in tests/test_northstar.py."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.soft_dedup_weights(d, ["text"], "doc_id")

@@ -49,7 +49,7 @@ the X6 sampling family the way a pre-training pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.functions.text import tokens, word_shingles
@@ -158,3 +158,71 @@ def dsir_select(
     return w.orderBy(
         F.col("weight_fp").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def dsir_gumbel_resample(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """The DSIR paper's ACTUAL selection rule — importance
+    RESAMPLING without replacement via the Gumbel-top-k trick
+    (Vieira 2014; Kool et al. 2019): sample k docs ∝ exp(weight) by
+    taking the top-k of ``weight + Gumbel noise``.
+
+    Production pipelines need the draw REPRODUCIBLE across reruns,
+    partitionings, and engines, so the noise is seeded from the row
+    itself: u = (id·K mod 2³²  + ½) / 2³² (the Knuth multiplicative
+    unit hash, shifted half a step so u ∈ (0,1) strictly — u=0 at
+    id=0 would send g to −∞), g = −ln(−ln u). Both ln's round
+    through the 1e-6 fixed-point rule, so the selection key
+    ``weight_fp + g_fp`` is exact integer math and the selected SET
+    is deterministic (id tiebreak). Still TakeOrderedAndProject —
+    noise is row-local, no extra shuffle over dsir_select."""
+    from eco_pulse_lakehouse_spark.operators.sampling import KNUTH, M32
+
+    w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets, fp_scale)
+    u = (
+        F.pmod(F.col(id_col).cast("bigint") * F.lit(KNUTH), F.lit(M32))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(M32))
+    g_fp = F.round(-F.log(-F.log(u)) * fp_scale, 0).cast("bigint")
+    return (
+        w.withColumn("key_fp", F.col("weight_fp") + g_fp)
+        .orderBy(F.col("key_fp").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "weight_fp", "key_fp")
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    content_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2407.06654 family): instead
+    of DROPPING exact duplicates, keep every copy but DOWN-WEIGHT it
+    so each duplicate group contributes one document's worth of
+    sampling mass — weight = 1 / |group|. Hard dedup loses the
+    (often quality-correlated) signal that a document was replicated;
+    soft dedup preserves corpus coverage while killing the
+    over-representation.
+
+    One window count over the content key — the same single shuffle
+    as exact_dedup; 1/n is a single correctly-rounded IEEE division,
+    so weights are bit-identical in any engine. At 100 TB the
+    partition key swaps for content_key() (32-byte sha2) like the
+    rest of the exact-dedup family. Returns (id, n_copies, weight)."""
+    w = Window.partitionBy(*[F.col(c) for c in content_cols])
+    return docs.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_copies"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")).alias(
+            "weight"
+        ),
+    )

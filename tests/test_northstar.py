@@ -1289,3 +1289,40 @@ def test_dsir_select_is_topk_of_weights(spark):
     expect = [d for _, d in all_w[:25]]
     got = [r.doc_id for r in dsir_select(docs, pred, k=25).collect()]
     assert got == expect
+
+
+def test_soft_dedup_weights_crafted_groups(spark):
+    """Duplicate groups get weight 1/n on every copy; the total
+    sampling mass equals the number of DISTINCT contents."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        soft_dedup_weights,
+    )
+
+    rows = [(0, "x"), (1, "x"), (2, "x"), (3, "y"), (4, "z"), (5, "z")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in soft_dedup_weights(df, ["text"]).collect()}
+    assert [out[i].n_copies for i in range(6)] == [3, 3, 3, 1, 2, 2]
+    assert abs(sum(r.weight for r in out.values()) - 3.0) < 1e-12
+
+
+def test_gumbel_resample_differs_from_topk_but_skews_to_weight(spark):
+    """The resample must (a) be reproducible, (b) not equal the
+    deterministic top-k (the noise does something), (c) still skew
+    toward high-weight docs (mean selected weight > corpus mean)."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        dsir_gumbel_resample,
+        dsir_select,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("lang") == "en"
+    r1 = [r.doc_id for r in dsir_gumbel_resample(docs, pred, k=50).collect()]
+    r2 = [r.doc_id for r in dsir_gumbel_resample(docs, pred, k=50).collect()]
+    assert r1 == r2  # reproducible across runs
+    topk = [r.doc_id for r in dsir_select(docs, pred, k=50).collect()]
+    assert set(r1) != set(topk)  # noise actually perturbs
+    w = {r.doc_id: r.weight_fp for r in dsir_weights(docs, pred).collect()}
+    mean_sel = sum(w[d] for d in r1) / len(r1)
+    mean_all = sum(w.values()) / len(w)
+    assert mean_sel > mean_all
