@@ -2558,3 +2558,103 @@ def t36_stream_bpe(spark, sf_dir):
         .agg(F.sum("f").alias("f"))
     )
     return learn_bpe_merges_from_vocab(vocab, n_merges=_ns._BPE_MERGES)
+
+
+@q(
+    "t37_stream_dsir",
+    f"WITH {_ns._DSIR_FB}\n"
+    "    SELECT doc_id, n_feats, weight_fp FROM weights",
+)
+def t37_stream_dsir(spark, sf_dir):
+    """T37 — STREAMING importance-model maintenance (the incremental
+    twin of x6_dsir_weights): documents stream one file per trigger;
+    each batch lands TWO linear partials as idempotent epoch-keyed
+    parquet — (bucket, c_target, c_raw) for the hashed-n-gram LMs and
+    (doc_id, bucket, n) per-doc feature-bucket counts — both pure
+    SUMs, so partials merge to exactly the one-pass tables (the
+    t17/t29 discipline). Serving re-derives the 128-row fixed-point
+    log-ratio table from the merged counts (selection.py:ratio_table,
+    the identical expression tree) and joins it broadcast onto the
+    merged doc-bucket counts: Σ_bucket n·w_fp ≡ Σ_features w_fp, so
+    the streamed weights are BIT-IDENTICAL to the batch run and this
+    entry carries x6_dsir_weights' oracle verbatim. The 100 TB shape:
+    ingest updates vocab-sized + per-doc-linear tables, history is
+    never re-featurized, and re-weighting the whole corpus after the
+    target distribution drifts is a broadcast join — not a re-scan of
+    the text."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        _hashed_features,
+        ratio_table,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t37_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t37_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partials(batch_df, batch_id: int) -> None:
+        feat = batch_df.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("__is_t"),
+            F.explode(_hashed_features(F.col("text"), 128)).alias("bucket"),
+        )
+        (
+            feat.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("c_target"),
+                F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"counts/batch={batch_id}"))
+        )
+        (
+            feat.groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"docbuckets/batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partials)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    counts = (
+        spark.read.parquet(os.path.join(sink, "counts/batch=*"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("c_target").cast("bigint").alias("c_target"),
+            F.sum("c_raw").cast("bigint").alias("c_raw"),
+        )
+    )
+    ratios = ratio_table(counts, n_buckets=128)
+    docbuckets = (
+        spark.read.parquet(os.path.join(sink, "docbuckets/batch=*"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return (
+        docbuckets.join(F.broadcast(ratios.select("bucket", "w_fp")), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"),
+        )
+    )

@@ -90,6 +90,16 @@ def bucket_log_ratios(
         .alias("c_target"),
         F.count(F.lit(1)).cast("bigint").alias("c_raw"),
     )
+    return ratio_table(counts, n_buckets, fp_scale)
+
+
+def ratio_table(
+    counts: DataFrame, n_buckets: int, fp_scale: int = FP_SCALE
+) -> DataFrame:
+    """The counts→ratios stage of :func:`bucket_log_ratios`, split
+    out so an INCREMENTAL pipeline (t37: per-batch (bucket, c_target,
+    c_raw) partials, SUM-merged) feeds the identical fixed
+    expression tree. Input: (bucket, c_target, c_raw)."""
     totals = counts.agg(
         F.sum("c_target").alias("__nt"), F.sum("c_raw").alias("__nr")
     )

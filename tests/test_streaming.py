@@ -169,3 +169,28 @@ def test_epoch_listing_ignores_stray_entries(tmp_path):
         (root / name).mkdir()
     assert _epochs(str(root)) == [0, 2, 10]
     assert _epochs(str(tmp_path / "absent")) == []
+
+
+def test_stream_dsir_equals_batch(spark):
+    """t37: per-batch (bucket-count, doc-bucket) partials merged at
+    serving time must reproduce the one-pass DSIR weights
+    BIT-identically (count linearity + the shared ratio_table
+    expression tree)."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.selection import dsir_weights
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: (r.n_feats, r.weight_fp)
+        for r in QUERIES["t37_stream_dsir"](spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_feats, r.weight_fp)
+        for r in dsir_weights(
+            load_table(spark, sf, "documents"), F.col("lang") == "en"
+        ).collect()
+    }
+    assert streamed == batch
