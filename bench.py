@@ -66,6 +66,10 @@ HEADLINE = [
     "flagship_sensor_health",  # predictive gold mart (flagship #5)
     # round-6 families (also outside the comparable-16 floor subset)
     "w30_hw_seasonal",         # Holt-Winters seasonal fold per key
+    # round-7 families (outside the floor subset)
+    "x6_dsir_weights",         # DSIR hashed-ngram importance weights
+    "x2_line_dedup",           # CCNet keep-first line dedup + rebuild
+    "x1_soft_dedup",           # duplicate down-weighting window
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -84,6 +88,7 @@ ONEOFF = [
     "t35_stream_dedup_clusters",  # incremental CC over streamed pairs
     "x3_lsh_multiprobe",       # query-side probe fan-out ANN (r07)
     "x4_bpe_merges",           # 6-round vocab-loop tokenizer training (r07)
+    "t37_stream_dsir",         # incremental importance-model drain (r07)
 ]
 
 

@@ -61,6 +61,8 @@ QUERIES = [
     "x1_hash_dedup_key", "x4_text_stats", "x2_ngram_jaccard",
     "x2_minhash_lsh", "x3_cosine_topk", "x3_quantized_topk",
     "x3_pq_topk", "x3_lsh_multiprobe", "t5_stream_dedup",
+    "x6_dsir_weights", "x6_dsir_resample", "x2_line_dedup",
+    "x1_soft_dedup", "x3_ivf_topk",
     "w16_sax_motif_pairs",
     "w19_sax_motif_capped", "flagship_text_pipeline",
     "skew1_salted_count", "skew4_hot_key_count",
