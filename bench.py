@@ -70,6 +70,9 @@ HEADLINE = [
     "x6_dsir_weights",         # DSIR hashed-ngram importance weights
     "x2_line_dedup",           # CCNet keep-first line dedup + rebuild
     "x1_soft_dedup",           # duplicate down-weighting window
+    "x4_trigram_backoff",      # held-out stupid-backoff LM surprisal
+    "x3_binary_quant_topk",    # 1-bit codes: hamming prefilter + rerank
+    "flagship_curation_select",  # flagship #6: dedup→line-dedup→DSIR
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -3459,9 +3459,13 @@ def flagship_training_export(spark, sf_dir):
 
 # Shared feature-stream CTEs: unigrams + word bigrams per doc, each
 # hashed into 128 buckets by the SQL-replayable char fold.
-_DSIR_FB = f"""
+# Parameterized on the source relation so composed pipelines
+# (flagship_curation_select) can run the identical LM over a
+# CLEANED document set.
+def _dsir_fb(src: str = "documents") -> str:
+    return f"""
     tw AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-           FROM documents),
+           FROM {src}),
     feats AS (
       SELECT doc_id, lang, u.f
       FROM tw, unnest(list_concat(w,
@@ -3496,6 +3500,9 @@ _DSIR_FB = f"""
       GROUP BY doc_id
     )
 """
+
+
+_DSIR_FB = _dsir_fb("documents")
 
 
 @q(
@@ -3640,3 +3647,309 @@ def x1_soft_dedup(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return xsel.soft_dedup_weights(d, ["text"], "doc_id")
+
+
+# =====================================================================
+# X3 — 1-bit binary quantization (operators/similarity.py)
+# =====================================================================
+
+_BQ_LO = "\n             + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN CAST({1 << j} AS BIGINT)"
+    " ELSE 0 END)"
+    for j in range(32)
+)
+_BQ_HI = "\n             + ".join(
+    f"(CASE WHEN embedding[{j + 33}] > 0 THEN CAST({1 << j} AS BIGINT)"
+    " ELSE 0 END)"
+    for j in range(32)
+)
+
+
+@q(
+    "x3_binary_quant_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_BQ_LO} AS b_lo,
+             {_BQ_HI} AS b_hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qa, b_lo AS qlo,
+                 b_hi AS qhi
+          FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS cb, b_lo AS clo,
+                 b_hi AS chi
+          FROM e),
+    pre AS (
+      SELECT q_id, c_id, qa, cb,
+             CAST(bit_count(xor(qlo, clo))
+                  + bit_count(xor(qhi, chi)) AS INT) AS hamming
+      FROM q CROSS JOIN c WHERE q_id != c_id
+    ),
+    pref AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY hamming ASC, c_id ASC) AS pr
+      FROM pre
+    ),
+    rr AS (
+      SELECT q_id, c_id, hamming,
+             round({_cos('qa', 'cb')}, 6) AS sim
+      FROM pref WHERE pr <= 64
+    )
+    SELECT q_id, c_id, hamming, sim, rk FROM (
+      SELECT q_id, c_id, hamming, sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, c_id ASC) AS INT) AS rk
+      FROM rr
+    ) WHERE rk <= 10
+    """,
+)
+def x3_binary_quant_topk(spark, sf_dir):
+    """X3 — 1-bit binary-quantized two-stage ANN (similarity.py:
+    binary_quantize + binary_hamming_topk): sign bits packed into two
+    32-bit words (8 bytes/vector, 32× under int8), Hamming
+    XOR+popcount prefilters to the best 64, exact cosine reranks to
+    top-10. Bottom rung of the quantization ladder (int8 / PQ /
+    IVF-PQ / MRL are the rungs above); sign-vs-0 comparisons and
+    literal power-of-two sums make the codes oracle-exact."""
+    d = T(spark, sf_dir, "embeddings")
+    bq = xs.binary_quantize(d, "embedding")
+    qs_ = bq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "b_lo", "b_hi",
+    )
+    cs = bq.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        "b_lo", "b_hi",
+    )
+    return xs.binary_hamming_topk(qs_, cs, k=10, m_rerank=64)
+
+
+@q(
+    "x4_trigram_backoff",
+    """
+    WITH tw AS (
+      SELECT doc_id,
+             (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+              / 4294967296.0) < 0.5 AS tr,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, tr, w[i] AS g0, w[i+1] AS g1, w[i+2] AS g2
+      FROM tw, unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    bi AS (
+      SELECT doc_id, tr, w[i] AS g0, w[i+1] AS g1
+      FROM tw, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    uni AS (SELECT doc_id, tr, u.g0 FROM tw, unnest(w) AS u(g0)),
+    t3 AS (SELECT g0, g1, g2, COUNT(*) AS n3 FROM tri WHERE tr
+           GROUP BY g0, g1, g2),
+    t3x AS (SELECT g0, g1, COUNT(*) AS n3x FROM tri WHERE tr
+            GROUP BY g0, g1),
+    t2 AS (SELECT g0, g1, COUNT(*) AS n2 FROM bi WHERE tr
+           GROUP BY g0, g1),
+    t2x AS (SELECT g0, COUNT(*) AS n2x FROM bi WHERE tr GROUP BY g0),
+    t1 AS (SELECT g0, COUNT(*) AS n1 FROM uni WHERE tr GROUP BY g0),
+    nt AS (SELECT COUNT(*) AS n FROM uni WHERE tr),
+    sc AS (
+      SELECT t.doc_id,
+        CAST(round(-ln(
+          CASE
+            WHEN t3.n3 IS NOT NULL
+              THEN CAST(t3.n3 AS DOUBLE) / CAST(t3x.n3x AS DOUBLE)
+            WHEN t2.n2 IS NOT NULL
+              THEN CAST(0.4 AS DOUBLE)
+                   * (CAST(t2.n2 AS DOUBLE) / CAST(t2x.n2x AS DOUBLE))
+            WHEN t1.n1 IS NOT NULL
+              THEN CAST(0.16000000000000003 AS DOUBLE)
+                   * (CAST(t1.n1 AS DOUBLE) / CAST(nt.n AS DOUBLE))
+            ELSE CAST(0.16000000000000003 AS DOUBLE)
+                 * (CAST(1 AS DOUBLE) / CAST(nt.n AS DOUBLE))
+          END
+        ) * 1000000, 0) AS BIGINT) AS fp
+      FROM tri t
+      LEFT JOIN t3 ON t.g0 = t3.g0 AND t.g1 = t3.g1 AND t.g2 = t3.g2
+      LEFT JOIN t3x ON t.g0 = t3x.g0 AND t.g1 = t3x.g1
+      LEFT JOIN t2 ON t.g1 = t2.g0 AND t.g2 = t2.g1
+      LEFT JOIN t2x ON t.g1 = t2x.g0
+      LEFT JOIN t1 ON t.g2 = t1.g0
+      CROSS JOIN nt
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+             SUM(fp) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_scored, 0) AS BIGINT) AS n_scored,
+           round(CAST(a.s AS DOUBLE) / CAST(a.n_scored AS DOUBLE)
+                 / 1000000.0, 6) AS avg_surprisal
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def x4_trigram_backoff(spark, sf_dir):
+    """X4 — held-out trigram surprisal under STUPID BACKOFF (Brants
+    et al. 2007; operators/retrieval.py:trigram_backoff_score): the
+    LM trains on the unit-hash half of the pool and scores every
+    document, so out-of-half docs genuinely exercise the α / α² /
+    OOV-floor backoff chain (the third rung of the LM-quality
+    ladder: x4_unigram_logprob → x4_bigram_logprob → this). α = 0.4
+    with the exact double α² literal mirrored cross-engine; each
+    position's −ln rounds to 1e-6 fixed point."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        trigram_backoff_score,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    d = T(spark, sf_dir, "documents")
+    return trigram_backoff_score(d, unit_hash(F.col("doc_id")) < 0.5)
+
+
+@q(
+    "x4_distinct_ngrams",
+    """
+    WITH tw AS (SELECT lang, string_split(text, ' ') AS w
+                FROM documents),
+    g1 AS (SELECT lang, 1 AS n, u.g FROM tw, unnest(w) AS u(g)),
+    g2 AS (
+      SELECT lang, 2 AS n, array_to_string(w[i:i+1], ' ') AS g
+      FROM tw, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2
+    ),
+    g3 AS (
+      SELECT lang, 3 AS n, array_to_string(w[i:i+2], ' ') AS g
+      FROM tw, unnest(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+    ),
+    allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+             UNION ALL SELECT * FROM g3)
+    SELECT lang, CAST(n AS INT) AS n,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT g) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS distinct_ratio
+    FROM allg GROUP BY lang, n
+    """,
+)
+def x4_distinct_ngrams(spark, sf_dir):
+    """X4 — distinct-1/2/3 diversity profile per language slice
+    (functions/text.py:distinct_ngram_stats): the corpus-level
+    template/mode-collapse diagnostic; exact count-distinct here,
+    HLL at 100 TB (the a6 ladder)."""
+    from eco_pulse_lakehouse_spark.functions.text import (
+        distinct_ngram_stats,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return distinct_ngram_stats(d, "doc_id", "text", "lang")
+
+
+# =====================================================================
+# X5 — perceptual average-hash (operators/multimodal.py)
+# =====================================================================
+
+def _ah_cell(j: int) -> str:
+    lo = f"CAST(floor({j} * n / 64.0) AS BIGINT)"
+    hi = f"CAST(floor({j + 1} * n / 64.0) AS BIGINT)"
+    return (
+        f"(CASE WHEN COALESCE(list_sum(cd[{lo} + 1 : {hi}]), 0) * n"
+        f" > tot * ({hi} - {lo})"
+        f" THEN CAST({1 << (j % 32)} AS BIGINT) ELSE 0 END)"
+    )
+
+
+_AH_LO = "\n             + ".join(_ah_cell(j) for j in range(32))
+_AH_HI = "\n             + ".join(_ah_cell(j) for j in range(32, 64))
+
+
+@q(
+    "x5_image_ahash",
+    f"""
+    WITH c0 AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+               ch -> CAST(greatest(unicode(ch), 0) AS BIGINT)) AS cd
+      FROM documents
+    ),
+    c1 AS (
+      SELECT doc_id, cd, CAST(len(cd) AS BIGINT) AS n,
+             CAST(COALESCE(list_sum(cd), 0) AS BIGINT) AS tot
+      FROM c0
+    )
+    SELECT doc_id, n AS n_bytes,
+           {_AH_LO} AS b_lo,
+           {_AH_HI} AS b_hi
+    FROM c1
+    """,
+)
+def x5_image_ahash(spark, sf_dir):
+    """X5 — perceptual average-hash over the multimodal payload
+    (operators/multimodal.py:perceptual_ahash): 64 contiguous byte
+    slices as the stand-in 8×8 gray grid, bit = cell above the
+    global mean via exact integer cross-multiplication — no float,
+    no division, oracle-exact. ahash_neardup_pairs consumes the
+    packed words for media near-dup (crafted-pair pytest; real
+    pairs need real images — decode stays the documented env gate)."""
+    d = T(spark, sf_dir, "documents")
+    mm = xm.to_multimodal(d)
+    return xm.perceptual_ahash(mm)
+
+
+@q(
+    "flagship_curation_select",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY text
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    ltw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+    lch AS (
+      SELECT doc_id, i AS cid,
+             array_to_string(w[3*i+1 : 3*i+3], ' ') AS chunk
+      FROM ltw, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)))
+             AS u(i)
+    ),
+    lranked AS (
+      SELECT doc_id, cid, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, cid) AS rn
+      FROM lch
+    ),
+    lkept AS (SELECT doc_id, cid, chunk FROM lranked WHERE rn = 1),
+    lrebuilt AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY cid) AS clean
+      FROM lkept GROUP BY doc_id
+    ),
+    cdocs AS (
+      SELECT d.doc_id, d.lang, r.clean AS text
+      FROM dd d JOIN lrebuilt r ON d.doc_id = r.doc_id
+      WHERE r.clean != ''
+    ),
+    {_dsir_fb("cdocs")}
+    SELECT w.doc_id, c.lang, w.weight_fp,
+           CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
+    FROM weights w JOIN cdocs c ON w.doc_id = c.doc_id
+    ORDER BY w.weight_fp DESC, w.doc_id ASC LIMIT 100
+    """,
+)
+def flagship_curation_select(spark, sf_dir):
+    """Flagship #6 — the composed CURATION-SELECTION pipeline
+    (plans/curation.py): exact dedup → CCNet keep-first line dedup →
+    DSIR importance top-100 over the CLEANED text, end-to-end
+    oracle-checked. Dedup runs before the LM on purpose — duplicated
+    boilerplate would otherwise drag every weight toward the
+    boilerplate distribution (the CCNet ordering). Output manifest
+    feeds flagship_training_export's rebalance/split stage."""
+    from eco_pulse_lakehouse_spark.plans.curation import (
+        flagship_curation,
+    )
+
+    return flagship_curation(spark, sf_dir)

@@ -184,3 +184,44 @@ def scrub_pii(text: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def distinct_ngram_stats(docs, id_col: str, text_col: str, lang_col: str):
+    """Distinct-n diversity profile per corpus slice (Li et al. 2016's
+    distinct-1/2/3, corpus-level): for n ∈ {1,2,3} and each ``lang``,
+    the distinct n-gram count, total n-gram positions, and their
+    ratio — the standard template/mode-collapse diagnostic (a slice
+    whose distinct-2 ratio collapses is boilerplate- or
+    generation-loop-heavy; pairs with the per-doc repetition_signals
+    view).
+
+    One row-local explode per n (shingles are array transforms), one
+    map-side-combinable groupBy per (lang, n); count-distinct expands
+    to (lang, n, gram) partials — at 100 TB swap for HLL
+    (approx_count_distinct) exactly like a6's documented ladder.
+    Returns (lang, n, n_distinct, n_total, distinct_ratio)."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for n in (1, 2, 3):
+        grams = (
+            tokens(F.col(text_col))
+            if n == 1
+            else word_shingles(F.col(text_col), n)
+        )
+        parts.append(
+            docs.select(
+                F.col(lang_col).alias("lang"),
+                F.lit(n).cast("int").alias("n"),
+                F.explode(grams).alias("__g"),
+            )
+        )
+    allg = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allg.groupBy("lang", "n").agg(
+        F.countDistinct("__g").cast("bigint").alias("n_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        (
+            F.countDistinct("__g").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("distinct_ratio"),
+    )

@@ -266,3 +266,101 @@ def segment_payload_windows(
         .select("doc_id", F.explode(segs).alias("seg"))
         .select("doc_id", "seg.*")
     )
+
+
+def perceptual_ahash(
+    mm: DataFrame, text_source: DataFrame = None, n_cells: int = 64
+) -> DataFrame:
+    """Perceptual AVERAGE HASH over the payload bytes — the classic
+    aHash (resize to an 8×8 gray grid, bit = cell > global mean),
+    re-expressed over the deterministic stand-in "decode": cell j's
+    gray value is the byte-sum of the j-th of 64 contiguous payload
+    slices (REAL decode integration point = decode_image; the
+    hash-from-grays math below is the production shape either way).
+
+    Exactness without division: cell_mean > global_mean is evaluated
+    as the integer cross-multiplication ``cell_sum · n_bytes >
+    total_sum · cell_len`` — no float anywhere, so the packed words
+    are oracle-exact. Bits pack into two 32-bit words (b_lo =
+    cells 0-31, b_hi = 32-63), the binary_quantize layout, so
+    near-dup pairing reuses the same XOR+popcount machinery.
+    Empty cells (payload shorter than 64 bytes) compare 0 > 0 and
+    pack as 0 in every engine.
+
+    Row-local HOF arithmetic only — no shuffle, no Python; scales
+    linearly and column-prunes to the payload. Returns
+    (doc_id, n_bytes, b_lo, b_hi)."""
+    # ASCII payloads make byte values char codes (the x5 oracle
+    # trick): ascii() over split characters == the byte stream
+    codes = F.transform(
+        F.split(F.decode(F.col("payload"), "UTF-8"), ""),
+        lambda c: F.ascii(c).cast("bigint"),
+    )
+    base = mm.select(
+        "doc_id",
+        codes.alias("__cd"),
+        F.size(codes).cast("bigint").alias("__n"),
+    ).withColumn(
+        "__tot",
+        F.aggregate(
+            F.col("__cd"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ),
+    )
+
+    def cell_sum(j: int):
+        n = F.col("__n")
+        start = F.floor((F.lit(j) * n) / F.lit(64.0)).cast("int")
+        end = F.floor((F.lit(j + 1) * n) / F.lit(64.0)).cast("int")
+        return F.aggregate(
+            F.slice(F.col("__cd"), start + 1, end - start),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ), (end - start).cast("bigint")
+
+    def pack(lo: int) -> Column:
+        out = F.lit(0).cast("bigint")
+        for j in range(32):
+            s, ln = cell_sum(lo + j)
+            out = out + F.when(
+                s * F.col("__n") > F.col("__tot") * ln,
+                F.lit(1 << j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    return base.select(
+        "doc_id",
+        F.col("__n").alias("n_bytes"),
+        pack(0).alias("b_lo"),
+        pack(32).alias("b_hi"),
+    )
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming
+    distance: bucket on the b_hi word (the simhash prefix-bucket
+    shape — visually-near payloads agree on most cells, so one
+    exact-match word is a cheap high-recall blocking key), refine
+    bucket-mates with the full 64-bit XOR+popcount ≤ ``max_hamming``.
+    Candidate generation is an equi-join on the bucket word — never
+    all-pairs. Returns (id_a < id_b, hamming)."""
+    a = hashes.select(
+        F.col(id_col).alias("id_a"),
+        F.col("b_lo").alias("__la"),
+        F.col("b_hi").alias("__ha"),
+    )
+    b = hashes.select(
+        F.col(id_col).alias("id_b"),
+        F.col("b_lo").alias("__lb"),
+        F.col("b_hi").alias("__hb"),
+    )
+    ham = F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb"))) + F.bit_count(
+        F.col("__ha").bitwiseXOR(F.col("__hb"))
+    )
+    return (
+        a.join(b, (F.col("__ha") == F.col("__hb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -689,3 +689,158 @@ def bigram_logprob_score(
             ).alias("avg_surprisal"),
         )
     )
+
+
+def trigram_backoff_score(
+    docs: DataFrame,
+    train_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document trigram cross-entropy under STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation" — the score function built FOR distributed LMs:
+    no discounting pass, no normalization, just relative frequencies
+    with a fixed backoff penalty):
+
+        S(w | a b) = c(a b w) / c(a b ·)            if c(a b w) > 0
+                   = α · c(b w) / c(b ·)            elif c(b w) > 0
+                   = α² · c(w) / N                  elif c(w) > 0
+                   = α² · 1 / N                     else (OOV floor)
+
+    The LM trains on the ``train_pred`` half of the pool (unit-hash
+    split in the corpus entry) and scores EVERY document — so docs
+    outside the training half genuinely hit the backoff branches,
+    unlike a self-scored LM where every n-gram is its own evidence.
+    This is the third rung of the LM-quality ladder (unigram →
+    bigram → trigram-backoff): held-out surprisal under a
+    higher-order model is the standard CCNet-style quality signal.
+
+    Shape: n-gram streams are row-local array transforms; the five
+    count tables are map-side-combinable groupBys over the train
+    half, joined back broadcast while the vocab is small (at 100 TB
+    the trigram table is a real table — the join shuffles on the
+    n-gram key, same narrative as bigram_logprob_score, and the
+    vocab truncates to top-V). Determinism: each S is a FIXED tree
+    of correctly-rounded IEEE ops (α literal parses to the same
+    double everywhere; association α·(c/ctx) mirrored in the
+    oracle), −ln rounds to 1e-6 fixed point per position, per-doc
+    sums are exact integers. Docs with <3 tokens surface with
+    n_scored = 0 and NULL score."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    toked = docs.select(
+        F.col(id_col),
+        train_pred.alias("__tr"),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+
+    def grams(n: int):
+        """(id, __tr, g1..gn) stream of n-grams from the token array."""
+        idx = F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1))
+        structs = F.transform(
+            idx,
+            lambda i: F.struct(
+                *[
+                    F.element_at(F.col("__t"), (i + j).cast("int")).alias(
+                        f"g{j}"
+                    )
+                    for j in range(n)
+                ]
+            ),
+        )
+        return (
+            toked.filter(F.size("__t") >= n)
+            .select(id_col, "__tr", F.explode(structs).alias("__g"))
+            .select(
+                id_col,
+                "__tr",
+                *[F.col(f"__g.g{j}").alias(f"g{j}") for j in range(n)],
+            )
+        )
+
+    tri, bi, uni = grams(3), grams(2), grams(1)
+    tr3 = tri.filter("__tr")
+    tr2 = bi.filter("__tr")
+    tr1 = uni.filter("__tr")
+    c3 = tr3.groupBy("g0", "g1", "g2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c3")
+    )
+    c3ctx = tr3.groupBy("g0", "g1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c3x")
+    )
+    c2 = tr2.groupBy("g0", "g1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c2")
+    )
+    c2ctx = tr2.groupBy("g0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c2x")
+    )
+    c1 = tr1.groupBy("g0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c1")
+    )
+    n_tot = tr1.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+
+    a = F.lit(float(alpha))
+    a2 = F.lit(float(alpha * alpha))
+    s = (
+        F.when(
+            F.col("__c3").isNotNull(),
+            F.col("__c3").cast("double") / F.col("__c3x").cast("double"),
+        )
+        .when(
+            F.col("__c2").isNotNull(),
+            a * (F.col("__c2").cast("double") / F.col("__c2x").cast("double")),
+        )
+        .when(
+            F.col("__c1").isNotNull(),
+            a2 * (F.col("__c1").cast("double") / F.col("__n").cast("double")),
+        )
+        .otherwise(a2 * (F.lit(1.0) / F.col("__n").cast("double")))
+    )
+    fp = F.round(-F.log(s) * fp_scale, 0).cast("bigint")
+    scored = (
+        tri.join(F.broadcast(c3), ["g0", "g1", "g2"], "left")
+        .join(F.broadcast(c3ctx), ["g0", "g1"], "left")
+        .join(
+            F.broadcast(
+                c2.select(
+                    F.col("g0").alias("g1"),
+                    F.col("g1").alias("g2"),
+                    "__c2",
+                )
+            ),
+            ["g1", "g2"],
+            "left",
+        )
+        .join(
+            F.broadcast(c2ctx.select(F.col("g0").alias("g1"), "__c2x")),
+            ["g1"],
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("g0").alias("g2"), "__c1")),
+            ["g2"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(fp).alias("__s"),
+        )
+    )
+    base = toked.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_scored"), F.lit(0)).cast("bigint").alias(
+            "n_scored"
+        ),
+        F.round(
+            F.col("__s").cast("double")
+            / F.col("n_scored").cast("double")
+            / F.lit(float(fp_scale)),
+            6,
+        ).alias("avg_surprisal"),
+    )

@@ -1811,3 +1811,95 @@ def mrl_recall_sweep(
             F.col("n_overlap").cast("double") / F.lit(float(k)),
         )
     )
+
+
+def binary_quantize(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    lo_col: str = "b_lo",
+    hi_col: str = "b_hi",
+) -> DataFrame:
+    """1-bit binary quantization: bit j = sign(v_j) > 0, packed into
+    two 32-bit words (lo = dims 1-32, hi = dims 33-64) carried as
+    BIGINTs. The bottom rung of the embedding-memory ladder already
+    in this module (float32 → int8 ×4 → PQ ×32 → 1-bit ×32 vs int8):
+    a 64-dim vector becomes 8 bytes, and candidate scoring is two
+    XOR+popcounts — the cheapest full-scan prefilter a vector store
+    ships (Qdrant/Weaviate-style BQ). Two words, not one, so the
+    packing never touches a signed BIGINT's top bit.
+
+    Exactness: a float comparison ``v_j > 0`` and a sum of literal
+    power-of-two constants are bit-identical in any engine — the
+    packed words are oracle-exact with no rounding caveat."""
+    v = F.col(vec_col)
+
+    def pack(lo_dim: int) -> Column:
+        out = F.lit(0).cast("bigint")
+        for j in range(32):
+            out = out + F.when(
+                F.element_at(v, lo_dim + j) > F.lit(0.0),
+                F.lit(1 << j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return out
+
+    return embeddings.withColumn(lo_col, pack(1)).withColumn(
+        hi_col, pack(33)
+    )
+
+
+def binary_hamming_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    m_rerank: int = 64,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_sim: int | None = 6,
+) -> DataFrame:
+    """Binary-quantized two-stage ANN: Hamming distance over the
+    1-bit codes prefilters each query's candidate set to the best
+    ``m_rerank`` (XOR+popcount on two longs per pair — the cheap
+    full scan), then exact cosine reranks only those to the final
+    top-``k``. Both stages rank with a deterministic (score, id)
+    order; sides must carry binary_quantize's (b_lo, b_hi).
+
+    At 100 TB the Hamming stage is the one that touches every
+    candidate, and its operand is 8 bytes/vector — 32× less scan and
+    shuffle than the float refine it gates; compose with the IVF
+    lists for sub-linear candidate generation (codes live inside the
+    inverted lists, the standard BQ serving layout)."""
+    ham = F.bit_count(
+        F.col("__qlo").bitwiseXOR(F.col("__clo"))
+    ) + F.bit_count(F.col("__qhi").bitwiseXOR(F.col("__chi")))
+    qn = queries.withColumnRenamed("b_lo", "__qlo").withColumnRenamed(
+        "b_hi", "__qhi"
+    )
+    cn = candidates.withColumnRenamed("b_lo", "__clo").withColumnRenamed(
+        "b_hi", "__chi"
+    )
+    pre_w = Window.partitionBy(q_id).orderBy(
+        F.col("hamming").asc(), F.col(c_id).asc()
+    )
+    pre = (
+        qn.crossJoin(cn)
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("__pr", F.row_number().over(pre_w))
+        .filter(F.col("__pr") <= m_rerank)
+    )
+    sim = dot(F.col(q_vec), F.col(c_vec)) / (
+        norm2(F.col(q_vec)) * norm2(F.col(c_vec))
+    )
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    rank_w = Window.partitionBy(q_id).orderBy(
+        F.col("sim").desc(), F.col(c_id).asc()
+    )
+    return (
+        pre.withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= k)
+        .select(q_id, c_id, "hamming", "sim", F.col("rk").cast("int").alias("rk"))
+    )

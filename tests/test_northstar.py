@@ -1326,3 +1326,142 @@ def test_gumbel_resample_differs_from_topk_but_skews_to_weight(spark):
     mean_sel = sum(w[d] for d in r1) / len(r1)
     mean_all = sum(w.values()) / len(w)
     assert mean_sel > mean_all
+
+
+def test_binary_quantize_packs_sign_bits(spark):
+    """Packed words vs an independent Python bit-pack on crafted
+    vectors (positive, negative, zero — zero must pack as 0)."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        binary_quantize,
+    )
+
+    vecs = [
+        [1.0] * 64,
+        [-1.0] * 64,
+        [0.0] * 64,
+        [(1.0 if (i * 7) % 3 == 0 else -1.0) for i in range(64)],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r.vec_id: (r.b_lo, r.b_hi)
+        for r in binary_quantize(df, "embedding").collect()
+    }
+    for i, v in enumerate(vecs):
+        lo = sum(1 << j for j in range(32) if v[j] > 0)
+        hi = sum(1 << j for j in range(32) if v[32 + j] > 0)
+        assert got[i] == (lo, hi), (i, got[i], (lo, hi))
+
+
+def test_binary_hamming_topk_recall_vs_exact(spark):
+    """The 1-bit prefilter + cosine rerank recovers most of the exact
+    cosine top-10, and recall is monotone in the rerank budget — the
+    tuning-curve pin. Measured at sf0.001 (near-random synthetic
+    directions, the WORST case for sign sketches): 0.73 @ m=64,
+    0.86 @ m=128; real clustered embeddings sit higher."""
+    from eco_pulse_lakehouse_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_quantize,
+        cosine_topk_bruteforce,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    bq = binary_quantize(e, "embedding")
+    qs_ = bq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "b_lo", "b_hi",
+    )
+    cs = bq.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        "b_lo", "b_hi",
+    )
+    approx64 = {
+        (r.q_id, r.c_id)
+        for r in binary_hamming_topk(qs_, cs, k=10, m_rerank=64).collect()
+    }
+    approx128 = {
+        (r.q_id, r.c_id)
+        for r in binary_hamming_topk(qs_, cs, k=10, m_rerank=128).collect()
+    }
+    exact = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk_bruteforce(
+            e.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+            ),
+            e.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("embedding").alias("c_vec"),
+            ),
+            k=10,
+        ).collect()
+    }
+    r64 = len(approx64 & exact) / len(exact)
+    r128 = len(approx128 & exact) / len(exact)
+    assert r64 >= 0.65, f"binary-quant recall@m=64 {r64}"
+    assert r128 >= 0.8, f"binary-quant recall@m=128 {r128}"
+    assert r128 >= r64, (r64, r128)
+
+
+def test_perceptual_ahash_matches_python_reference(spark):
+    """perceptual_ahash vs an independent Python aHash on crafted
+    payloads (including one shorter than 64 bytes — empty cells must
+    pack as 0)."""
+    from eco_pulse_lakehouse_spark.operators.multimodal import (
+        perceptual_ahash,
+        to_multimodal,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "aaaa bbbb " * 20,
+        "short",  # < 64 bytes
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_bytes, r.b_lo, r.b_hi)
+        for r in perceptual_ahash(to_multimodal(df)).collect()
+    }
+    for i, t in enumerate(texts):
+        cd = [ord(c) for c in t]
+        n, tot = len(cd), sum(cd)
+        bits = []
+        for j in range(64):
+            a, b = j * n // 64, (j + 1) * n // 64
+            s, ln = sum(cd[a:b]), b - a
+            bits.append(1 if s * n > tot * ln else 0)
+        lo = sum(1 << j for j in range(32) if bits[j])
+        hi = sum(1 << j for j in range(32) if bits[32 + j])
+        assert got[i] == (n, lo, hi), (i, got[i], (n, lo, hi))
+
+
+def test_ahash_neardup_finds_crafted_pairs(spark):
+    """Visually-near payloads (one byte changed) pair within the
+    Hamming budget; unrelated payloads don't."""
+    from eco_pulse_lakehouse_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        perceptual_ahash,
+        to_multimodal,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (0, base),
+        (1, base[:50] + "X" + base[51:]),     # near-identical
+        (2, "zz yy xx ww vv uu tt ss rr qq " * 6),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    h = perceptual_ahash(to_multimodal(df))
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ahash_neardup_pairs(h, max_hamming=6).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -587,3 +587,22 @@ def test_line_dedup_plan_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_trigram_backoff_plan_broadcasts_lm_tables(spark):
+    """x4_trigram_backoff: all five count tables broadcast onto the
+    trigram stream; the only BNLJ is the 1-row totals cross join."""
+    df = northstar.QUERIES["x4_trigram_backoff"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_curation_flagship_plan_no_cartesian(spark):
+    """flagship #6: three composed stages, every join keyed (content,
+    line, bucket, doc) — no cross product anywhere; final selection
+    is TakeOrderedAndProject, not a global sort."""
+    df = northstar.QUERIES["flagship_curation_select"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

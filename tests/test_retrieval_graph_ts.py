@@ -546,3 +546,86 @@ def test_dtw_refine_matches_python_reference(spark):
     d0 = {(r.key_a, r.start_a, r.key_b, r.start_b): r.dtw_dist for r in diag}
     for r in got:
         assert r.dtw_dist <= d0[(r.key_a, r.start_a, r.key_b, r.start_b)] + 1e-12
+
+
+def test_trigram_backoff_matches_python_reference(spark):
+    """trigram_backoff_score vs an independent pure-Python stupid
+    backoff on a crafted corpus where every tier fires: train docs
+    (ids hashing < 0.5) supply the LM; a held-out doc contains an
+    unseen trigram (bi tier), an unseen bigram (uni tier), and an
+    unseen WORD (the OOV floor)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        trigram_backoff_score,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import KNUTH, M32
+
+    def u(i):
+        return (i * KNUTH % M32) / M32
+
+    # ids 0.. : pick two train ids (u<0.5) and one held-out (u>=0.5)
+    train_ids = [i for i in range(40) if u(i) < 0.5][:3]
+    test_id = next(i for i in range(40) if u(i) >= 0.5)
+    rows = [
+        (train_ids[0], "a b c d e"),
+        (train_ids[1], "a b c x y"),
+        (train_ids[2], "b c d a b"),
+        # "e a b": e->a unseen bigram but both words seen (uni tier);
+        # "y zz": zz unseen word (OOV floor); "c d e": seen trigram
+        (test_id, "c d e a b y zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    train_pred = (
+        F.pmod(F.col("doc_id").cast("bigint") * F.lit(KNUTH), F.lit(M32))
+        / F.lit(M32)
+        < 0.5
+    )
+    got = {
+        r.doc_id: (r.n_scored, r.avg_surprisal)
+        for r in trigram_backoff_score(df, train_pred).collect()
+    }
+
+    # pure-Python reference
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t, in rows}
+    tr = [i for i, _ in rows if u(i) < 0.5]
+    c3, c3x, c2, c2x, c1 = Counter(), Counter(), Counter(), Counter(), Counter()
+    n = 0
+    for i in tr:
+        w = toks[i]
+        for a, b, c in zip(w, w[1:], w[2:]):
+            c3[(a, b, c)] += 1
+            c3x[(a, b)] += 1
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] += 1
+            c2x[a] += 1
+        for a in w:
+            c1[a] += 1
+            n += 1
+
+    def halfup(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    for i, _ in rows:
+        w = toks[i]
+        fps = []
+        for a, b, c in zip(w, w[1:], w[2:]):
+            if (a, b, c) in c3:
+                s = c3[(a, b, c)] / c3x[(a, b)]
+            elif (b, c) in c2:
+                s = 0.4 * (c2[(b, c)] / c2x[b])
+            elif c in c1:
+                s = (0.4 * 0.4) * (c1[c] / n)
+            else:
+                s = (0.4 * 0.4) * (1.0 / n)
+            fps.append(halfup(-math.log(s) * 1e6))
+        if fps:
+            expect = (len(fps), sum(fps) / len(fps) / 1e6)
+            assert got[i][0] == expect[0]
+            assert abs(got[i][1] - expect[1]) < 1e-6, (i, got[i], expect)
+        else:
+            assert got[i] == (0, None)

@@ -62,7 +62,14 @@ QUERIES = [
     "x2_minhash_lsh", "x3_cosine_topk", "x3_quantized_topk",
     "x3_pq_topk", "x3_lsh_multiprobe", "t5_stream_dedup",
     "x6_dsir_weights", "x6_dsir_resample", "x2_line_dedup",
-    "x1_soft_dedup", "x3_ivf_topk",
+    "x1_soft_dedup",
+    # x3_ivf_topk is deliberately NOT rehearsed: the entry is
+    # self-ANN with n_centroids pinned at 16, so 10x data means
+    # 10x queries x 10x list size = ~100x candidate pairs — a
+    # fixed-knob artifact, not the operator (at scale n_centroids
+    # grows with the corpus so list sizes stay bounded; ivf_bounded
+    # additionally caps them). Measured once in r07 for the record:
+    # exponent ~1.5-2 exactly as the arithmetic predicts.
     "w16_sax_motif_pairs",
     "w19_sax_motif_capped", "flagship_text_pipeline",
     "skew1_salted_count", "skew4_hot_key_count",
