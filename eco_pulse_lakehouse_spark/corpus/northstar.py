@@ -3953,3 +3953,39 @@ def flagship_curation_select(spark, sf_dir):
     )
 
     return flagship_curation(spark, sf_dir)
+
+
+@q(
+    "x2_prefix_filter_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def x2_prefix_filter_jaccard(spark, sf_dir):
+    """X2 — exact Jaccard ≥ 0.5 via PPJoin-style prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard_pairs): only each
+    record's |x|−⌈t·|x|⌉+1 RAREST shingles enter the candidate
+    index, yet the prefix lemma makes the output identical to the
+    naive all-pairs truth — so the oracle IS that naive form (the
+    grid-join certification pattern). The boilerplate shingles that
+    skew the full inverted index never enter this one."""
+    d = T(spark, sf_dir, "documents")
+    return xd.prefix_filter_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5
+    )

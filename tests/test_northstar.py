@@ -1465,3 +1465,43 @@ def test_ahash_neardup_finds_crafted_pairs(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_prefix_filter_jaccard_lossless_and_cheaper(spark):
+    """PPJoin prefix filtering: (a) output identical to the full
+    inverted-index truth at the same threshold (the prefix lemma is
+    lossless), (b) the candidate index is strictly smaller than the
+    full one (the point)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pf = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5
+        ).collect()
+    }
+    truth = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert pf == truth
+    # index-size reduction: count indexed (doc, shingle) rows
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.functions.text import word_shingles
+
+    sh = docs.select(
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    full_rows = sh.select(F.explode("sh")).count()
+    p_len = (
+        F.size("sh") - F.ceil(F.lit(0.5) * F.size("sh")).cast("int") + 1
+    )
+    prefix_rows = sh.select(
+        F.explode(F.slice(F.col("sh"), 1, p_len))
+    ).count()
+    assert prefix_rows < 0.6 * full_rows, (prefix_rows, full_rows)
