@@ -3989,3 +3989,38 @@ def x2_prefix_filter_jaccard(spark, sf_dir):
     return xd.prefix_filter_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.5
     )
+
+
+@q(
+    "x6_budget_select",
+    f"""
+    WITH {_dsir_fb("documents")},
+    tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT w.doc_id, w.weight_fp, t.n_tokens,
+             SUM(t.n_tokens) OVER (
+               ORDER BY w.weight_fp DESC, w.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_tokens
+      FROM weights w JOIN tok t USING (doc_id)
+    )
+    SELECT doc_id, weight_fp, n_tokens,
+           CAST(run_tokens AS BIGINT) AS run_tokens
+    FROM r WHERE run_tokens <= 5000
+    """,
+)
+def x6_budget_select(spark, sf_dir):
+    """X6 — token-BUDGET-constrained DSIR selection (selection.py:
+    budget_select): greedy prefix of the weight order until 5000
+    cumulative tokens — the "best N tokens" consumption shape.
+    The global cumulative sum runs DISTRIBUTED (rank.py:
+    global_running_sum — range partition + local windows + broadcast
+    offsets), never a single-partition window."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.budget_select(d, F.col("lang") == "en", token_budget=5000)

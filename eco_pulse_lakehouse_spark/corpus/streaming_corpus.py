@@ -2658,3 +2658,104 @@ def t37_stream_dsir(spark, sf_dir):
             F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"),
         )
     )
+
+
+@q(
+    "t38_stream_line_dedup",
+    _ns.ORACLES["x2_line_dedup"],
+)
+def t38_stream_line_dedup(spark, sf_dir):
+    """T38 — STREAMING keep-first line dedup (the incremental twin of
+    x2_line_dedup): each micro-batch chunks ONLY its own documents
+    (history is never re-chunked) and lands two linear partials —
+    the batch's chunk stream (doc_id, cid, chunk) and a per-chunk
+    FIRST-OCCURRENCE min-partial (chunk, min(struct(doc, pos))).
+    Mins are associative, so serving min-merges the tiny first-store
+    partials instead of re-ranking the occurrence history; kept
+    occurrences are one equi-join of the merged stream against the
+    merged first-store, then the per-doc rebuild. Keep-first is
+    RETROACTIVE by definition (a later batch carrying a smaller
+    (doc, pos) steals ownership and the earlier copy's doc text
+    changes), which is exactly why the serve-time join is the right
+    shape — ownership is decided at read time from the min-store,
+    never frozen into history. Streamed ≡ batch bit-identically, so
+    this entry carries x2_line_dedup's oracle verbatim."""
+    from eco_pulse_lakehouse_spark.operators.dedup import doc_chunks
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t38_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t38_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partials(batch_df, batch_id: int) -> None:
+        ch = doc_chunks(batch_df, "doc_id", "text", 3).select(
+            "doc_id",
+            F.col("__cid").alias("cid"),
+            F.col("__chunk").alias("chunk"),
+        )
+        ch.write.mode("overwrite").parquet(
+            os.path.join(sink, f"chunks/batch={batch_id}")
+        )
+        (
+            ch.groupBy("chunk")
+            .agg(F.min(F.struct("doc_id", "cid")).alias("first"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"firsts/batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partials)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    firsts = (
+        spark.read.parquet(os.path.join(sink, "firsts/batch=*"))
+        .groupBy("chunk")
+        .agg(F.min("first").alias("first"))
+    )
+    ch = spark.read.parquet(os.path.join(sink, "chunks/batch=*"))
+    kept = (
+        ch.join(firsts, "chunk")
+        .filter(
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.cid") == F.col("cid"))
+        )
+        .select("doc_id", "cid", "chunk")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+        ).alias("__clean"),
+    )
+    base_counts = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    return base_counts.join(rebuilt, "doc_id", "left").select(
+        F.col("doc_id"),
+        F.col("n_chunks"),
+        (
+            F.col("n_chunks")
+            - F.coalesce(F.col("__n_kept"), F.lit(0)).cast("bigint")
+        ).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
+    )

@@ -236,3 +236,47 @@ def soft_dedup_weights(
             "weight"
         ),
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    target_pred: Column,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Budget-constrained selection: take documents in DSIR-weight
+    order until the cumulative token count reaches ``token_budget`` —
+    how a training run actually consumes a selection ("give me the
+    best 50B tokens", not "the best k documents").
+
+    The greedy prefix needs a cumulative sum over a GLOBAL order;
+    the naive window (no PARTITION BY) collapses to one task, so
+    this composes rank.py:global_running_sum — range partition on
+    the (weight desc, id) total order, partition-local running sums,
+    broadcast per-partition offsets (O(partitions) driver metadata,
+    the sanctioned collect). Returns the selected manifest
+    (id, weight_fp, n_tokens, run_tokens) with run_tokens the
+    inclusive cumulative count."""
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
+    w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets, fp_scale)
+    toks = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    joined = w.join(toks, id_col)
+    run = global_running_sum(
+        joined,
+        [F.col("weight_fp").desc(), F.col(id_col).asc()],
+        ["n_tokens"],
+    )
+    return run.filter(F.col("run_n_tokens") <= token_budget).select(
+        id_col,
+        "weight_fp",
+        "n_tokens",
+        F.col("run_n_tokens").alias("run_tokens"),
+    )

@@ -1505,3 +1505,40 @@ def test_prefix_filter_jaccard_lossless_and_cheaper(spark):
         F.explode(F.slice(F.col("sh"), 1, p_len))
     ).count()
     assert prefix_rows < 0.6 * full_rows, (prefix_rows, full_rows)
+
+
+def test_budget_select_is_greedy_prefix(spark):
+    """budget_select == the exact greedy prefix of the weight order:
+    selected set matches a driver-side cumsum replay, and the next
+    unselected doc would blow the budget."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        budget_select,
+        dsir_weights,
+    )
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("lang") == "en"
+    budget = 3000
+    got = {
+        r.doc_id: r.run_tokens
+        for r in budget_select(docs, pred, budget).collect()
+    }
+    w = dsir_weights(docs, pred).join(
+        docs.select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        ),
+        "doc_id",
+    ).collect()
+    order = sorted(w, key=lambda r: (-r.weight_fp, r.doc_id))
+    acc, expect = 0, {}
+    nxt = None
+    for r in order:
+        if acc + r.n_tokens <= budget:
+            acc += r.n_tokens
+            expect[r.doc_id] = acc
+        else:
+            nxt = r
+            break
+    assert got == expect
+    assert nxt is not None and acc + nxt.n_tokens > budget

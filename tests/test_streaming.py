@@ -194,3 +194,27 @@ def test_stream_dsir_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_line_dedup_equals_batch(spark):
+    """t38: per-batch chunk partials + min-merged first-occurrence
+    store must reproduce the one-shot keep-first line dedup exactly
+    (mins are associative; ownership decided at read time)."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        line_dedup_keep_first,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: (r.n_chunks, r.n_removed, r.text_clean)
+        for r in QUERIES["t38_stream_line_dedup"](spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_chunks, r.n_removed, r.text_clean)
+        for r in line_dedup_keep_first(
+            load_table(spark, sf, "documents"), "doc_id", "text", 3
+        ).collect()
+    }
+    assert streamed == batch
