@@ -73,6 +73,8 @@ HEADLINE = [
     "x4_trigram_backoff",      # held-out stupid-backoff LM surprisal
     "x3_binary_quant_topk",    # 1-bit codes: hamming prefilter + rerank
     "flagship_curation_select",  # flagship #6: dedup→line-dedup→DSIR
+    "x2_prefix_filter_jaccard",  # PPJoin: rarest-prefix index, lossless
+    "x6_budget_select",        # distributed-cumsum token-budget prefix
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -92,6 +94,7 @@ ONEOFF = [
     "x3_lsh_multiprobe",       # query-side probe fan-out ANN (r07)
     "x4_bpe_merges",           # 6-round vocab-loop tokenizer training (r07)
     "t37_stream_dsir",         # incremental importance-model drain (r07)
+    "t38_stream_line_dedup",   # incremental keep-first line dedup drain
 ]
 
 
