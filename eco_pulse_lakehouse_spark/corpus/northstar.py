@@ -4024,3 +4024,62 @@ def x6_budget_select(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return xsel.budget_select(d, F.col("lang") == "en", token_budget=5000)
+
+
+@q(
+    "x2_canonical_per_cluster",
+    f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+               ELSE [] END) AS s
+      FROM documents
+    ), pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.2
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ){_cc_label_prop_sql()}, {_dsir_fb("documents")},
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT comp, doc_id, weight_fp, n_members FROM (
+      SELECT f.comp, f.doc_id, w.weight_fp,
+             CAST(COUNT(*) OVER (PARTITION BY f.comp) AS BIGINT)
+               AS n_members,
+             row_number() OVER (PARTITION BY f.comp
+               ORDER BY w.weight_fp DESC, f.doc_id ASC) AS rn
+      FROM alldocs f JOIN weights w ON f.doc_id = w.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def x2_canonical_per_cluster(spark, sf_dir):
+    """X2/X6 — quality-aware CANONICAL selection: near-dup clusters
+    (Jaccard ≥ 0.2 pairs → pointer-jumping components) each keep
+    their highest-DSIR-weight member, singletons keep themselves
+    (operators/selection.py:canonical_per_cluster) — the keep-BEST
+    tier above exact_dedup's keep-lowest-id and line_dedup's
+    keep-first. The oracle composes the CC label-propagation
+    fixpoint (with the poison certificate) with the DSIR weight CTEs
+    in one statement."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    pairs = xd.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.2
+    )
+    return canonical_per_cluster(d, pairs, F.col("lang") == "en")

@@ -280,3 +280,55 @@ def budget_select(
         "n_tokens",
         F.col("run_n_tokens").alias("run_tokens"),
     )
+
+
+def canonical_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Canonical-document selection: resolve near-dup PAIRS into
+    clusters and keep the BEST copy of each — best by DSIR importance
+    weight, not first-seen. Keep-first (line_dedup) and keep-lowest-id
+    (exact_dedup) are arbitrary among copies; modern curation keeps
+    the copy most like the target distribution (the cleanest render
+    of a page that was scraped five ways) — quality-aware canonical
+    selection over connected components.
+
+    Shape: components.py:connected_components (pointer-jumping
+    min-label, raises on non-convergence), singletons folded back as
+    their own cluster via a LEFT join from the doc spine, one
+    per-cluster ranking window over (weight desc, id). Returns
+    (comp, id, weight_fp, n_members) — one row per cluster, comp =
+    the cluster's min doc id."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, "id_a", "id_b")
+    full = (
+        docs.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("comp"),
+        )
+    )
+    w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets, fp_scale)
+    j = full.join(w.select(id_col, "weight_fp"), id_col)
+    members_w = Window.partitionBy("comp")
+    rank_w = Window.partitionBy("comp").orderBy(
+        F.col("weight_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn(
+            "n_members", F.count(F.lit(1)).over(members_w).cast("bigint")
+        )
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .select("comp", id_col, "weight_fp", "n_members")
+    )

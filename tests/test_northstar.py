@@ -1542,3 +1542,49 @@ def test_budget_select_is_greedy_prefix(spark):
             break
     assert got == expect
     assert nxt is not None and acc + nxt.n_tokens > budget
+
+
+def test_canonical_per_cluster_picks_argmax_weight(spark):
+    """Canonical selection replay: one row per cluster; the kept doc
+    is the cluster's (weight desc, id) argmax; singletons keep
+    themselves; and keep-BEST genuinely differs from keep-lowest-id
+    on this corpus (else the operator adds nothing)."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("lang") == "en"
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2)
+    got = {
+        r.comp: (r.doc_id, r.weight_fp, r.n_members)
+        for r in canonical_per_cluster(docs, pairs, pred).collect()
+    }
+    cc = {
+        r.id: r.comp for r in connected_components(pairs).collect()
+    }
+    w = {
+        r.doc_id: r.weight_fp
+        for r in dsir_weights(docs, pred).collect()
+    }
+    clusters: dict = {}
+    for d in w:
+        clusters.setdefault(cc.get(d, d), []).append(d)
+    expect = {
+        c: (
+            min(ms, key=lambda d: (-w[d], d)),
+            w[min(ms, key=lambda d: (-w[d], d))],
+            len(ms),
+        )
+        for c, ms in clusters.items()
+    }
+    assert got == expect
+    # keep-best != keep-lowest somewhere
+    assert any(doc != c for c, (doc, _, n) in got.items() if n > 1)
