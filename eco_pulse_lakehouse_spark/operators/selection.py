@@ -11,10 +11,12 @@ importance weight
 
     w(doc) = Σ_features  log( p_target(bucket(f)) / p_raw(bucket(f)) )
 
-and keeps the top-k (the paper resamples with Gumbel noise; the
-deterministic rank-by-weight form here keeps the corpus entry
-oracle-checkable — swap in a ``unit_hash`` Gumbel draw for the
-randomized variant).
+and keeps the top-k — or resamples with Gumbel noise
+(:func:`dsir_gumbel_resample`, the paper's actual rule, made
+reproducible AND oracle-checkable by seeding the noise from the
+row's unit hash), or takes the greedy weight-order prefix up to a
+token budget (:func:`budget_select`), or keeps the best member of
+each near-dup cluster (:func:`canonical_per_cluster`).
 
 Shape (the part that must survive 100 TB):
   - ONE scan of the pool builds BOTH bucket-count tables — the target
