@@ -4083,3 +4083,33 @@ def x2_canonical_per_cluster(spark, sf_dir):
         d, "doc_id", "text", shingle_n=3, threshold=0.2
     )
     return canonical_per_cluster(d, pairs, F.col("lang") == "en")
+
+
+@q(
+    "x6_k_anonymity",
+    """
+    WITH g AS (
+      SELECT doc_id, lang, source,
+             CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+               AS group_n
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN group_n < 5 THEN '*' ELSE lang END AS lang,
+           CASE WHEN group_n < 5 THEN '*' ELSE source END AS source,
+           group_n,
+           group_n < 5 AS suppressed
+    FROM g
+    """,
+)
+def x6_k_anonymity(spark, sf_dir):
+    """X6 — k-anonymity suppression (Sweeney 2002; operators/
+    quality.py:k_anonymize): (lang, source) combinations held by
+    fewer than 5 documents are redacted before release, so every
+    shipped quasi-identifier combination describes ≥ 5 docs. One
+    window count + row-local CASEs; complements scrub_pii (in-text)
+    with release-metadata privacy."""
+    from eco_pulse_lakehouse_spark.operators.quality import k_anonymize
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return k_anonymize(d, ["lang", "source"], k=5)

@@ -466,3 +466,32 @@ def dataset_card(
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_doc_chars"),
     )
+
+
+def k_anonymize(
+    df, quasi_cols: list[str], k: int = 5, redacted: str = "*"
+):
+    """k-anonymity suppression over a quasi-identifier combination
+    (Sweeney 2002): rows whose quasi-identifier GROUP holds fewer
+    than ``k`` members get those columns redacted, so every released
+    combination describes at least k rows — the release-gating step
+    a curated corpus needs before shipping per-source/per-language
+    metadata next to scrub_pii's in-text redaction.
+
+    Suppression (not generalization): one window count over the
+    quasi columns — the same single content-key shuffle as
+    exact_dedup — then a row-local CASE per column. Returns the
+    input columns (quasi columns redacted where the group is small)
+    plus (group_n, suppressed)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    n = F.count(F.lit(1)).over(w)
+    out = df.withColumn("group_n", n.cast("bigint"))
+    small = F.col("group_n") < k
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(small, F.lit(redacted)).otherwise(F.col(c))
+        )
+    return out.withColumn("suppressed", small)

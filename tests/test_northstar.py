@@ -1588,3 +1588,22 @@ def test_canonical_per_cluster_picks_argmax_weight(spark):
     assert got == expect
     # keep-best != keep-lowest somewhere
     assert any(doc != c for c, (doc, _, n) in got.items() if n > 1)
+
+
+def test_k_anonymize_groups(spark):
+    """Every released (non-redacted) quasi combination describes >= k
+    rows; small groups are fully redacted; counts reflect the
+    ORIGINAL groups."""
+    from eco_pulse_lakehouse_spark.operators.quality import k_anonymize
+
+    rows = (
+        [(i, "en", "a") for i in range(6)]
+        + [(10 + i, "de", "b") for i in range(2)]
+        + [(20, "zh", "c")]
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, source STRING")
+    out = k_anonymize(df, ["lang", "source"], k=5).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert all(not by_id[i].suppressed and by_id[i].lang == "en" for i in range(6))
+    assert all(by_id[i].suppressed and by_id[i].lang == "*" for i in (10, 11, 20))
+    assert by_id[10].group_n == 2 and by_id[20].group_n == 1
