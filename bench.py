@@ -75,6 +75,7 @@ HEADLINE = [
     "flagship_curation_select",  # flagship #6: dedup→line-dedup→DSIR
     "x2_prefix_filter_jaccard",  # PPJoin: rarest-prefix index, lossless
     "x6_budget_select",        # distributed-cumsum token-budget prefix
+    "x6_k_anonymity",          # quasi-identifier suppression window
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -95,6 +96,7 @@ ONEOFF = [
     "x4_bpe_merges",           # 6-round vocab-loop tokenizer training (r07)
     "t37_stream_dsir",         # incremental importance-model drain (r07)
     "t38_stream_line_dedup",   # incremental keep-first line dedup drain
+    "x2_canonical_per_cluster",  # CC + DSIR keep-best composition
 ]
 
 

@@ -365,3 +365,47 @@ def test_bpe_apply_merge_matches_python_fold(spark):
         assert got == want
 
     check()
+
+
+class TestPrefixFilterLossless:
+    """PPJoin prefix filtering must equal the full inverted-index
+    truth on ADVERSARIAL random corpora — tiny vocab + short docs
+    maximize shared shingles, ties in df, and boundary prefix
+    lengths (the places a prefix-length off-by-one would lose
+    pairs)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=1,
+                max_size=9,
+            ).map(" ".join),
+            min_size=2,
+            max_size=12,
+        ),
+        threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+    )
+    def test_equals_full_index(self, spark, docs, threshold):
+        from eco_pulse_lakehouse_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id LONG, text STRING"
+        )
+        pf = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", 3, threshold
+            ).collect()
+        }
+        truth = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, threshold
+            ).collect()
+        }
+        assert pf == truth
