@@ -409,3 +409,46 @@ class TestPrefixFilterLossless:
             ).collect()
         }
         assert pf == truth
+
+
+class TestDsirWeightsReference:
+    """DSIR weights vs the pure-Python reference on RANDOM bilingual
+    corpora — generalizes the crafted pin in test_northstar.py:
+    random doc lengths (incl. 1-token docs with no bigrams), random
+    target membership, forced bucket collisions (vocab > buckets)."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.lists(
+                    st.sampled_from([f"w{i}" for i in range(40)]),
+                    min_size=1,
+                    max_size=12,
+                ).map(" ".join),
+                st.sampled_from(["en", "de"]),
+            ),
+            min_size=2,
+            max_size=15,
+        )
+    )
+    def test_matches_python(self, spark, docs):
+        from hypothesis import assume
+
+        from eco_pulse_lakehouse_spark.operators.selection import (
+            dsir_weights,
+        )
+        from tests.test_northstar import _py_dsir_weights
+
+        assume(any(lang == "en" for _, lang in docs))
+        rows = [(i, t, l) for i, (t, l) in enumerate(docs)]
+        df = spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING"
+        )
+        got = {
+            r.doc_id: (r.n_feats, r.weight_fp)
+            for r in dsir_weights(
+                df, F.col("lang") == "en", n_buckets=16
+            ).collect()
+        }
+        assert got == _py_dsir_weights(rows, n_buckets=16)
