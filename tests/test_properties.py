@@ -452,3 +452,55 @@ class TestDsirWeightsReference:
             ).collect()
         }
         assert got == _py_dsir_weights(rows, n_buckets=16)
+
+
+class TestLineDedupReference:
+    """line_dedup_keep_first vs a pure-Python replay on dup-heavy
+    random corpora (2-word vocab, short docs — chunk collisions
+    everywhere, partial tail chunks, within-doc repeats)."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["x", "y"]), min_size=1, max_size=10
+            ).map(" ".join),
+            min_size=2,
+            max_size=10,
+        ),
+        chunk_tokens=st.sampled_from([2, 3]),
+    )
+    def test_matches_python(self, spark, docs, chunk_tokens):
+        import math
+
+        from eco_pulse_lakehouse_spark.operators.dedup import (
+            line_dedup_keep_first,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id LONG, text STRING"
+        )
+        got = {
+            r.doc_id: (r.n_chunks, r.n_removed, r.text_clean)
+            for r in line_dedup_keep_first(
+                df, "doc_id", "text", chunk_tokens
+            ).collect()
+        }
+
+        chunks = []  # (doc, cid, chunk) in (doc, cid) order
+        for i, t in enumerate(docs):
+            w = t.split(" ")
+            n = math.ceil(len(w) / chunk_tokens)
+            for c in range(n):
+                chunks.append(
+                    (i, c, " ".join(w[c * chunk_tokens:(c + 1) * chunk_tokens]))
+                )
+        first = {}
+        for d, c, ch in sorted(chunks):
+            first.setdefault(ch, (d, c))
+        expect = {}
+        for i, _ in enumerate(docs):
+            mine = [(c, ch) for d, c, ch in chunks if d == i]
+            kept = [ch for c, ch in mine if first[ch] == (i, c)]
+            expect[i] = (len(mine), len(mine) - len(kept), " ".join(kept))
+        assert got == expect
