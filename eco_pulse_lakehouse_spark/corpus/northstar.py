@@ -3973,7 +3973,8 @@ def flagship_curation_select(spark, sf_dir):
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
                AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id AND len(a.s) + len(b.s) > 0
     ) WHERE jaccard >= 0.5
     """,
 )

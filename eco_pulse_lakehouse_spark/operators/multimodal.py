@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
@@ -268,15 +268,16 @@ def segment_payload_windows(
     )
 
 
-def perceptual_ahash(
-    mm: DataFrame, text_source: DataFrame = None, n_cells: int = 64
-) -> DataFrame:
+def perceptual_ahash(mm: DataFrame) -> DataFrame:
     """Perceptual AVERAGE HASH over the payload bytes — the classic
     aHash (resize to an 8×8 gray grid, bit = cell > global mean),
     re-expressed over the deterministic stand-in "decode": cell j's
     gray value is the byte-sum of the j-th of 64 contiguous payload
     slices (REAL decode integration point = decode_image; the
     hash-from-grays math below is the production shape either way).
+    The 64-cell / two-32-bit-word layout is fixed (it is the
+    binary_quantize word layout ahash_neardup_pairs XORs against),
+    so there is deliberately no cell-count knob.
 
     Exactness without division: cell_mean > global_mean is evaluated
     as the integer cross-multiplication ``cell_sum · n_bytes >
@@ -291,11 +292,15 @@ def perceptual_ahash(
     linearly and column-prunes to the payload. Returns
     (doc_id, n_bytes, b_lo, b_hi)."""
     # ASCII payloads make byte values char codes (the x5 oracle
-    # trick): ascii() over split characters == the byte stream
-    codes = F.transform(
-        F.split(F.decode(F.col("payload"), "UTF-8"), ""),
-        lambda c: F.ascii(c).cast("bigint"),
-    )
+    # trick): ascii() over split characters == the byte stream.
+    # Spark split('', '') yields [''] where DuckDB string_split
+    # yields [] — guard the empty payload to the empty byte stream
+    # so both engines agree on n_bytes = 0.
+    txt = F.decode(F.col("payload"), "UTF-8")
+    codes = F.when(
+        F.length(txt) > 0,
+        F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
     base = mm.select(
         "doc_id",
         codes.alias("__cd"),
@@ -335,32 +340,87 @@ def perceptual_ahash(
     )
 
 
+def _hash_block(start: int, end: int) -> Column:
+    """Bits [start, end) of the 64-bit (b_lo = bits 0-31,
+    b_hi = bits 32-63) hash as a small bigint. Handles blocks that
+    span the word boundary; words hold unsigned 32-bit values so
+    shiftrightunsigned is exact."""
+    parts = []
+    if start < 32:
+        lo_end = min(end, 32)
+        width = lo_end - start
+        parts.append(
+            F.shiftrightunsigned(F.col("b_lo"), start).bitwiseAND(
+                F.lit((1 << width) - 1).cast("bigint")
+            )
+        )
+    if end > 32:
+        hi_start = max(start, 32) - 32
+        width = end - max(start, 32)
+        shift_in = max(start, 32) - start
+        hi = F.shiftrightunsigned(F.col("b_hi"), hi_start).bitwiseAND(
+            F.lit((1 << width) - 1).cast("bigint")
+        )
+        parts.append(hi * F.lit(1 << shift_in).cast("bigint"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
 def ahash_neardup_pairs(
     hashes: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual-hash Hamming
-    distance: bucket on the b_hi word (the simhash prefix-bucket
-    shape — visually-near payloads agree on most cells, so one
-    exact-match word is a cheap high-recall blocking key), refine
-    bucket-mates with the full 64-bit XOR+popcount ≤ ``max_hamming``.
-    Candidate generation is an equi-join on the bucket word — never
-    all-pairs. Returns (id_a < id_b, hamming)."""
-    a = hashes.select(
-        F.col(id_col).alias("id_a"),
-        F.col("b_lo").alias("__la"),
-        F.col("b_hi").alias("__ha"),
+    distance via PIGEONHOLE MULTI-INDEX blocking (multi-index
+    hashing, Norouzi & Fleet 2012): the 64 hash bits split into
+    ``max_hamming + 1`` disjoint blocks, a candidate index is built
+    per block, and any pair within ``max_hamming`` differing bits
+    MUST agree exactly on at least one block — guaranteed 100%
+    recall, unlike a single-word block (which misses every pair
+    whose diffs straddle the indexed word). Candidates from the
+    block equi-joins are de-duplicated and refined with the full
+    64-bit XOR+popcount — never all-pairs. Returns
+    (id_a < id_b, hamming)."""
+    n_blocks = max_hamming + 1
+    bounds = [64 * k // n_blocks for k in range(n_blocks + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("bk"),
+                _hash_block(bounds[k], bounds[k + 1]).alias("bv"),
+            )
+            for k in range(n_blocks)
+        ]
     )
-    b = hashes.select(
-        F.col(id_col).alias("id_b"),
-        F.col("b_lo").alias("__lb"),
-        F.col("b_hi").alias("__hb"),
+    keyed = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col("b_lo").alias("lo"),
+        F.col("b_hi").alias("hi"),
+        F.explode(blocks).alias("blk"),
+    ).select("id", "lo", "hi", "blk.bk", "blk.bv")
+    a = keyed.select(
+        F.col("id").alias("id_a"),
+        F.col("lo").alias("__la"),
+        F.col("hi").alias("__ha"),
+        "bk",
+        "bv",
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"),
+        F.col("lo").alias("__lb"),
+        F.col("hi").alias("__hb"),
+        "bk",
+        "bv",
     )
     ham = F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb"))) + F.bit_count(
         F.col("__ha").bitwiseXOR(F.col("__hb"))
     )
     return (
-        a.join(b, (F.col("__ha") == F.col("__hb")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, ["bk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -1467,6 +1467,46 @@ def test_ahash_neardup_finds_crafted_pairs(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_ahash_neardup_pigeonhole_full_recall(spark):
+    """The multi-index pigeonhole blocking is LOSSLESS at the
+    Hamming budget: every ≤ max_hamming pair is found even when the
+    differing bits straddle both 32-bit words (the case the old
+    single-word block silently missed), verified exhaustively
+    against a brute-force Python Hamming scan."""
+    from eco_pulse_lakehouse_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    # Deterministic pseudo-random 64-bit hashes + crafted straddling
+    # variants of row 0: 3 bits flipped in lo AND 3 in hi (ham=6),
+    # and a 7-bit flip that must NOT pair (ham=7 > budget).
+    def h64(i):
+        x = (i * 2654435761) % (1 << 32)
+        y = (i * 40503 + 17) % (1 << 32)
+        return x, y
+
+    rows = [(i, *h64(i)) for i in range(12)]
+    lo0, hi0 = h64(0)
+    rows.append((100, lo0 ^ 0b111, hi0 ^ 0b111))          # ham 6
+    rows.append((101, lo0 ^ 0b1111, hi0 ^ 0b111))         # ham 7
+    rows.append((102, lo0, hi0 ^ (0b111111 << 20)))       # ham 6, all-hi
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, b_lo LONG, b_hi LONG"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ahash_neardup_pairs(df, max_hamming=6).collect()
+    }
+    want = set()
+    for i, (ia, la, ha) in enumerate(rows):
+        for ib, lb, hb in rows[i + 1 :]:
+            ham = bin((la ^ lb) | ((ha ^ hb) << 32)).count("1")
+            if ham <= 6:
+                want.add((min(ia, ib), max(ia, ib), ham))
+    assert (0, 100, 6) in want and (0, 102, 6) in want
+    assert got == want, (got ^ want)
+
+
 def test_prefix_filter_jaccard_lossless_and_cheaper(spark):
     """PPJoin prefix filtering: (a) output identical to the full
     inverted-index truth at the same threshold (the prefix lemma is
