@@ -1041,6 +1041,7 @@ def line_dedup_keep_first(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 3,
+    hash_key: bool = True,
 ) -> DataFrame:
     """CCNet-style LINE-level dedup with keep-one-copy semantics
     (Wenzek et al. 2020): every duplicated line keeps exactly its
@@ -1059,23 +1060,41 @@ def line_dedup_keep_first(
     line's group has >1 member and this occurrence is not the argmin.
     Shapes: one groupBy(line) carrying (line, min-struct, count), one
     equi-join back onto the chunk stream, one per-doc rebuild
-    groupBy. At 100 TB the join key swaps for an 8-byte line hash
-    (sha2/xxhash64 prefix) so the shuffle never carries line text
-    twice; collision handling = verify-on-match, same as minhash.
+    groupBy. With ``hash_key=True`` (the default — the 100 TB form)
+    the groupBy/join key is the 8-byte ``xxhash64`` of the line, so
+    the shuffle never carries the line text twice; collisions are
+    handled VERIFY-ON-MATCH, same as minhash: an occurrence is
+    removed only when its text EXACTLY equals the group argmin's
+    text, so a 64-bit collision can only UNDER-remove (keep a stray
+    duplicate, ~2⁻⁶⁴/pair), never delete distinct content.
+    ``hash_key=False`` keys on the raw text (the certified-equal
+    reference form; pinned ≡ in tests).
 
     Returns (id_col, n_chunks, n_removed, text_clean) — text_clean
     rebuilt from surviving chunks in document order (docs whose every
     chunk was removed surface with text_clean = '', not dropped)."""
     ch = doc_chunks(docs, id_col, text_col, chunk_tokens)
-    first = ch.groupBy("__chunk").agg(
-        F.min(F.struct(F.col(id_col), F.col("__cid"))).alias("__first")
+    key = (
+        F.xxhash64(F.col("__chunk")) if hash_key else F.col("__chunk")
+    ).alias("__lk")
+    occ = ch.select(F.col(id_col), "__cid", "__chunk", key)
+    # Carry the argmin's chunk text in the min-struct for
+    # verify-on-match; (id, cid) is unique so the trailing text
+    # field never influences the ordering.
+    first = occ.groupBy("__lk").agg(
+        F.min(
+            F.struct(F.col(id_col), F.col("__cid"), F.col("__chunk"))
+        ).alias("__first")
+    )
+    is_argmin = (
+        F.col("__first").getField(id_col) == F.col(id_col)
+    ) & (F.col("__first").getField("__cid") == F.col("__cid"))
+    keep = is_argmin | (
+        F.col("__first").getField("__chunk") != F.col("__chunk")
     )
     kept = (
-        ch.join(first, "__chunk")
-        .filter(
-            (F.col("__first").getField(id_col) == F.col(id_col))
-            & (F.col("__first").getField("__cid") == F.col("__cid"))
-        )
+        occ.join(first, "__lk")
+        .filter(keep)
         .select(id_col, "__cid", "__chunk")
     )
     rebuilt = kept.groupBy(id_col).agg(

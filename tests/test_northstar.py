@@ -1195,6 +1195,41 @@ def test_line_dedup_keep_first_semantics(spark):
     assert out[2].n_chunks == 1
 
 
+def test_line_dedup_hash_key_equivalent_to_text_key(spark):
+    """The 8-byte xxhash64 line key (the 100 TB shuffle form, the
+    default) returns EXACTLY the text-keyed reference form's output
+    on real data — sf0.01 documents, where duplicated chunks exist —
+    and on the crafted dup-heavy corpus above."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        line_dedup_keep_first,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c x y z"),
+            (2, "a b c"),
+            (3, "p q r p q r"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    docs = load_table(spark, SF, "documents")
+    for df in (crafted, docs):
+        hashed = {
+            tuple(r)
+            for r in line_dedup_keep_first(
+                df, "doc_id", "text", 3, hash_key=True
+            ).collect()
+        }
+        texted = {
+            tuple(r)
+            for r in line_dedup_keep_first(
+                df, "doc_id", "text", 3, hash_key=False
+            ).collect()
+        }
+        assert hashed == texted
+
+
 def _py_dsir_weights(rows, target_langs=("en",), n_buckets=128):
     """Pure-Python DSIR reference: same poly char-fold hash, same
     add-half smoothing, same ln→1e-6 fixed point (HALF_UP to match
