@@ -89,7 +89,12 @@ ONEOFF = [
     "x2_dedup_clusters",       # jaccard pairs -> iterative min-label CC
     "g1_pagerank",             # iterative out-degree power method
     "x7_pack_documents",       # per-shard sequential bin packing
-    "x2_phonetic_blocking",    # soundex blocks + levenshtein refine
+    # x2_phonetic_blocking (the bare, uncomposed block key) was timed
+    # through r07 as the measured contrast to its bounded replacement:
+    # 25.9 s at sf0.1 vs 1.5 s bounded (frozen in SCALE.md). It cost
+    # ~30% of the one-off budget per round with no new information —
+    # dropped from the loop r08 (VERDICT r07 item 6); the entry +
+    # oracle stay registered for correctness certification.
     "x2_phonetic_bounded",     # composed-key + capped blocks (scale form)
     "t35_stream_dedup_clusters",  # incremental CC over streamed pairs
     "x3_lsh_multiprobe",       # query-side probe fan-out ANN (r07)

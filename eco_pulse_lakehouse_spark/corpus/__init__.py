@@ -22,6 +22,58 @@ from eco_pulse_lakehouse_spark.corpus import (
 
 _MODULES = (relational, extended, tpch, northstar, streaming_corpus)
 
+# Round-3 driver window greens (CORRECTNESS_r03.json, all
+# hash_match): named because after round 8 refreshes the r01-era
+# remainder, this is the oldest-standing certification tranche —
+# tier-3 staleness-rotation candidates.
+_R03_GREEN: frozenset[str] = frozenset(
+    {
+        "a10_quantiles", "a11_grouping_sets", "a13_collect_set",
+        "a9_pivot", "f_map_lookup", "m4_versioned_merge",
+        "o2_global_rank", "s11_partitioned_scan", "s12_orc_roundtrip",
+        "s13_schema_evolution", "s14_python_datasource",
+        "s15_compaction", "s16_versioned_table", "s17_versioned_changes",
+        "s18_versioned_vacuum", "s19_versioned_restore", "s8_json_source",
+        "t10_stream_stream_join", "t11_stream_stream_left_join",
+        "t12_python_stream_source", "t13_chained_windows",
+        "t14_sliding_windows", "t15_stream_reassembly", "t16_stream_fanout",
+        "t17_stream_countmin", "t19_stream_ann_ingest",
+        "t20_stream_versioned_gold", "t21_cdf_incremental_agg",
+        "t22_stream_cdf", "t23_stream_psi", "t24_stream_ks",
+        "t25_stream_semdedup", "t26_stream_heavy_hitters",
+        "t3_stream_append_silver", "t5_stream_dedup",
+        "t6_stream_windowed_counts", "t8_stream_static_join",
+        "t9_session_window", "u1_pandas_running_max", "u2_pandas_normalize",
+        "w10_null_ordering", "w8_range_frame", "w9_rank_family",
+    }
+)
+
+# Round-7 driver window: 50/50 green on the full rows+schema+hash
+# triple (CORRECTNESS_r07.json) — named so the rotation can subtract
+# these from the stale tiers below.
+_R07_GREEN: frozenset[str] = frozenset(
+    {
+        "g1_pagerank", "tpch_q1", "tpch_q3", "x3_cosine_topk",
+        "x3_cosine_neardup", "x3_ann_lsh", "x3_ivf_persisted",
+        "x3_ivf_topk", "x3_ann_refined", "x3_ivf_bounded",
+        "t30_stream_twap", "t33_stream_holt", "t34_stream_hw_seasonal",
+        "t35_stream_dedup_clusters", "x3_lsh_multiprobe",
+        "x4_bpe_merges", "x4_bpe_segment", "x4_bpe_token_count",
+        "x2_phonetic_bounded", "x6_dsir_weights", "x6_dsir_select",
+        "x2_line_dedup", "x6_dsir_resample", "x3_binary_quant_topk",
+        "x4_trigram_backoff", "x4_distinct_ngrams", "x5_image_ahash",
+        "x2_prefix_filter_jaccard", "x6_budget_select",
+        "x2_canonical_per_cluster", "x6_k_anonymity",
+        "j2_range_join_grid2", "j2_range_join_band2", "x1_soft_dedup",
+        "flagship_curation_select", "t36_stream_bpe", "t37_stream_dsir",
+        "t38_stream_line_dedup", "x2_dedup_clusters", "x6_group_split",
+        "o2_global_rank", "flagship_gold_risk", "s2_json_decode",
+        "s5_write_roundtrip", "s7_csv_roundtrip", "s9_json_roundtrip",
+        "s10_synthetic_generator", "p1_project_rename",
+        "p2_derived_column", "p3_eq_filter",
+    }
+)
+
 # Entries a past driver round already CORRECTNESS-checked green
 # (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
 # the registry from the front, so never-checked entries must lead;
@@ -71,25 +123,7 @@ _DRIVER_GREEN = frozenset(
         "x4_bm25", "x4_bm25_table", "x3_embedding_pool",
     }
     # --- round 3 greens (CORRECTNESS_r03.json, all hash_match) ---
-    | {
-        "a10_quantiles", "a11_grouping_sets", "a13_collect_set",
-        "a9_pivot", "f_map_lookup", "m4_versioned_merge",
-        "o2_global_rank", "s11_partitioned_scan", "s12_orc_roundtrip",
-        "s13_schema_evolution", "s14_python_datasource",
-        "s15_compaction", "s16_versioned_table", "s17_versioned_changes",
-        "s18_versioned_vacuum", "s19_versioned_restore", "s8_json_source",
-        "t10_stream_stream_join", "t11_stream_stream_left_join",
-        "t12_python_stream_source", "t13_chained_windows",
-        "t14_sliding_windows", "t15_stream_reassembly", "t16_stream_fanout",
-        "t17_stream_countmin", "t19_stream_ann_ingest",
-        "t20_stream_versioned_gold", "t21_cdf_incremental_agg",
-        "t22_stream_cdf", "t23_stream_psi", "t24_stream_ks",
-        "t25_stream_semdedup", "t26_stream_heavy_hitters",
-        "t3_stream_append_silver", "t5_stream_dedup",
-        "t6_stream_windowed_counts", "t8_stream_static_join",
-        "t9_session_window", "u1_pandas_running_max", "u2_pandas_normalize",
-        "w10_null_ordering", "w8_range_frame", "w9_rank_family",
-    }
+    | _R03_GREEN
     # --- round 4 greens (CORRECTNESS_r04.json: 50/50 hash_match,
     # incl. the 7 recertified fixes and all 22 TPC-H shapes) ---
     | {
@@ -130,6 +164,9 @@ _DRIVER_GREEN = frozenset(
         "w17_trend_slope", "w18_window_distinct", "w20_capped_sessions",
         "w22_bollinger", "f_hof_array", "f_string_extended",
     }
+    # --- round 7 greens (CORRECTNESS_r07.json: 50/50 hash_match —
+    # the first all-hard-oracle window) ---
+    | _R07_GREEN
     # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
     # 6 rows-only-by-design sketch/DTW/block entries) ---
     | {
@@ -178,80 +215,56 @@ _R01_GREEN: frozenset[str] = frozenset(
     }
 )
 
-# Round-7 front tier: entries BUILT this round plus previously-green
-# entries whose CODE CHANGED this round — changed code needs a fresh
-# green row, so these lead even though an older row exists.
-# (The three entries built this round — x2_phonetic_bounded,
-# j2_range_join_grid2, j2_range_join_band2 — are not in _DRIVER_GREEN
-# and therefore already sort ahead of the stragglers via tier 1.)
-_NEW_R07: frozenset[str] = frozenset(
+# Round-8 front tier: entries whose CODE or ORACLE changed this
+# round — changed code/oracle needs a fresh green row even though a
+# (now-stale) r07 row exists.
+_NEW_R08: frozenset[str] = frozenset(
     {
-        # r06-green but code changed this round: connected_components
-        # rewritten (pointer jumping + pinned edges + poison raise)
-        # and the epoch listing hardened (_epochs helper touches the
-        # t30/t33/t34/t35 epoch-state folds)
-        "t35_stream_dedup_clusters", "t30_stream_twap",
-        "t33_stream_holt", "t34_stream_hw_seasonal",
-        # pagerank loop-invariant pinning (same values, new plan)
-        "g1_pagerank",
-        # per-row norm precompute in the pair-scoring cosine forms
-        # (same values — identical IEEE ops — new plan)
-        "x3_cosine_topk", "x3_cosine_neardup",
-        "x3_ann_lsh", "x3_ann_refined",
-        # same rewrite extended to the IVF family (assignment + pair
-        # scorer reuse one precomputed norm per row; the persisted
-        # index now stores c_norm) — parity re-verified exact
-        "x3_ivf_topk", "x3_ivf_bounded", "x3_ivf_persisted",
-        # register_views session cache touches every SQL-phrased
-        # entry's call path; two representatives re-certify it (the
-        # full set re-proves in the sweep + parity replica)
-        "tpch_q1", "tpch_q3",
+        # line_dedup_keep_first now defaults to the 8-byte xxhash64
+        # line key (verify-on-match); the hash-keyed plan is what
+        # needs the fresh row. flagship_curation_select and the t38
+        # streaming twin compose the same operator.
+        "x2_line_dedup", "flagship_curation_select",
+        "t38_stream_line_dedup",
+        # x3_ivf_topk: knob-scaled (n_centroids = max(16,
+        # round(sqrt(N))) on BOTH engines — Spark code AND oracle SQL
+        # changed, VERDICT r07 item 5)
+        "x3_ivf_topk",
+        # perceptual_ahash: empty-payload guard + param cleanup
+        "x5_image_ahash",
+        # oracle edge guard (0/0-NaN join predicate) — oracle text
+        # changed, so the standing row is under a superseded oracle
+        "x2_prefix_filter_jaccard",
     }
-)
-
-# Entries whose ORACLE (not Spark code) was rewritten in round 6
-# (quadratic closure -> pointer-jumping label propagation; group-split
-# twin). They did not fit round 6's 50-entry window, so their last
-# driver row predates the oracle they now carry. Interim vouching:
-# t35 carries x2_dedup_clusters' oracle VERBATIM (green r06), plus the
-# full sf0.1 sweep + the local sf0.01 replica — but VERDICT r06 item 1
-# wants a hard driver row, so they lead round 7's window right after
-# any new/changed code.
-_ORACLE_CHANGED_R06: frozenset[str] = frozenset(
-    {"x2_dedup_clusters", "x6_group_split"}
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 7 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 8 rotation).
 
-    VERDICT r06 item 1: lead with the two entries certified only
-    under a superseded oracle, then refresh the oldest-standing
-    certifications. Order: (0) entries built or code-changed this
-    round (new/changed code = most information per slot); (1) the two
-    oracle-rewritten stragglers (x2_dedup_clusters, x6_group_split);
-    (2) oldest-certified entries — the round-1 greens, whose rows are
-    six rounds and much refactoring old — filling the window's
-    remaining slots in registration order; (9) recently-certified
-    entries last. Every corpus entry has now been driver-checked at
-    least once (285/285 across r01–r06), so there is no
-    never-sampled tier left; anything not in _DRIVER_GREEN is new."""
-    if name in _NEW_R07:
+    VERDICT r07 item 1: fold the r07 greens into _DRIVER_GREEN and
+    front-load the window with the oldest standing certifications.
+    Order: (0) entries whose code or oracle changed this round (a
+    fresh row per change = most information per slot); (1) anything
+    never driver-checked (new entries built this round); (2) the
+    ~38 round-1-era greens not refreshed since r01 — six rounds and
+    much refactoring old; (3) the round-3 tranche (the next-oldest
+    evidence) for whatever slots remain; (9) recently-certified
+    entries last. Registration order within a tier."""
+    if name in _NEW_R08:
         return (0, 0, 0)
-    if name in _ORACLE_CHANGED_R06:
+    if name not in _DRIVER_GREEN:
+        fam = (
+            0 if name.startswith("f_") else
+            1 if name.startswith(("x2", "x3", "x4", "x5", "x6", "x7"))
+            else 2
+        )
+        return (1, 0 if has_oracle else 1, fam)
+    if name in _R01_GREEN and name not in _R07_GREEN:
         return (2, 0, 0)
-    if name == "o2_global_rank":
-        # VERDICT r06 item 7: re-certify the documented
-        # single-partition-by-design twin as part of the rotation.
-        return (2, 1, 0)
-    if name in _DRIVER_GREEN:
-        return (3, 0, 0) if name in _R01_GREEN else (9, 0, 0)
-    fam = (
-        0 if name.startswith("f_") else
-        1 if name.startswith(("x2", "x3", "x4", "x5", "x6", "x7")) else
-        2
-    )
-    return (1, 0 if has_oracle else 1, fam)
+    if name in _R03_GREEN and name not in _R07_GREEN:
+        return (3, 0, 0)
+    return (9, 0, 0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

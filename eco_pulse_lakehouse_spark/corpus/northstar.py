@@ -555,13 +555,26 @@ def _lsh_sig_sql(vec: str, projs: list[list[float]]) -> str:
 # Seed-centroid IVF replay shared by x3_ivf_topk and x3_ivf_persisted
 # (same centroids => identical results — the lifecycle split changes
 # only WHERE the lists live, which the oracle can't and needn't see).
-_IVF_SQL = f"""
+# The centroid-count knob is a template parameter: the persisted twin
+# pins 16 (its parquet index layout), while x3_ivf_topk derives the
+# knob from the corpus size IN SQL — the same max(16, round(sqrt(N)))
+# the Spark side computes, so the oracle is data-parameterized and
+# the certified artifact is the scale-shaped one (sqrt is correctly
+# rounded and round() is half-away-from-zero in BOTH engines).
+_IVF_KNOB_SQL = (
+    "(SELECT GREATEST(16, CAST(round(sqrt(COUNT(*))) AS INT)) "
+    "FROM embeddings)"
+)
+
+
+def _ivf_sql(n_centroids_expr: str) -> str:
+    return f"""
     WITH cents AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
                AS cent_id,
              embedding AS cent_vec
       FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT 16)
+            ORDER BY vec_id LIMIT {n_centroids_expr})
     ),
     rk AS (
       SELECT e.vec_id AS vid, e.embedding AS v, c.cent_id,
@@ -585,6 +598,10 @@ _IVF_SQL = f"""
       FROM scored
     ) WHERE rk <= 10
 """
+
+
+_IVF_SQL = _ivf_sql("16")
+_IVF_SCALED_SQL = _ivf_sql(_IVF_KNOB_SQL)
 
 
 @q(
@@ -738,17 +755,28 @@ def x3_ivf_persisted(spark, sf_dir):
     return query_ivf_index(spark, path, queries, k=10, n_probe=2)
 
 
-@q("x3_ivf_topk", _IVF_SQL)
+@q("x3_ivf_topk", _IVF_SCALED_SQL)
 def x3_ivf_topk(spark, sf_dir):
     """X3 scale path #2 — IVF inverted lists (nearest-centroid
     partitions, n_probe search); complements the LSH variant with
     data-adaptive buckets. ORACLE-CONVERTED in round 5 (was
-    rows-only): seed centroids are the 16 lowest-id vectors, so the
-    whole index — assignment argmax, probe set, rounded-cosine rank —
-    replays in SQL (_IVF_SQL, shared with x3_ivf_persisted whose
-    results are identical by construction)."""
+    rows-only); KNOB-SCALED in round 8 (VERDICT r07 item 5): the
+    centroid count is max(16, round(sqrt(N))) derived from the
+    corpus size — on BOTH engines, the oracle computes the same
+    knob in SQL — so per-list candidate sets stay ~sqrt(N) and the
+    measured fixed-knob exponent-1.46 artifact is retired
+    (tools/ivf_scaling_probe.py measured exp ≈0.1 with the scaled
+    knob). N comes from one count() — metadata-scale on parquet, a
+    catalog-stats lookup at 100 TB. Seed centroids are the lowest-id
+    vectors, so the whole index — assignment argmax, probe set,
+    rounded-cosine rank — replays in SQL (_ivf_sql, shared with
+    x3_ivf_persisted which pins 16, its parquet index layout)."""
+    import math
+
     e = T(spark, sf_dir, "embeddings")
-    return xs.ivf_topk(e, n_centroids=16, n_probe=2, k=10)
+    n = e.count()
+    n_centroids = max(16, int(math.floor(math.sqrt(n) + 0.5)))
+    return xs.ivf_topk(e, n_centroids=n_centroids, n_probe=2, k=10)
 
 
 _ANN_REFINED_TABLES = 3

@@ -63,16 +63,21 @@ QUERIES = [
     "x3_pq_topk", "x3_lsh_multiprobe", "t5_stream_dedup",
     "x6_dsir_weights", "x6_dsir_resample", "x2_line_dedup",
     "x1_soft_dedup",
-    # x3_ivf_topk is deliberately NOT rehearsed: the entry is
-    # self-ANN with n_centroids pinned at 16, so 10x data means
-    # 10x queries x 10x list size = ~100x candidate pairs — a
-    # fixed-knob artifact, not the operator (at scale n_centroids
-    # grows with the corpus so list sizes stay bounded; ivf_bounded
-    # additionally caps them). Measured once in r07 for the record:
-    # exponent ~1.5-2 exactly as the arithmetic predicts.
+    # x3_ivf_topk REJOINED in round 8: the entry now derives
+    # n_centroids = max(16, round(sqrt(N))) from the corpus size, so
+    # per-list candidate sets stay ~sqrt(N) and the r07 fixed-knob
+    # exponent-1.46 artifact no longer applies (tools/
+    # ivf_scaling_probe.py predicted exp ≈0.1 with the scaled knob).
+    "x3_ivf_topk",
     "w16_sax_motif_pairs",
     "w19_sax_motif_capped", "flagship_text_pipeline",
     "skew1_salted_count", "skew4_hot_key_count",
+    # round-8 additions (VERDICT r07 item 2): the late round-7
+    # families whose 10x exponents were unmeasured.
+    "x2_prefix_filter_jaccard", "x2_canonical_per_cluster",
+    "x4_trigram_backoff", "x6_budget_select", "x4_bpe_merges",
+    "x3_binary_quant_topk", "x6_k_anonymity",
+    "flagship_curation_select",
 ]
 
 FACT_KEYS = {
