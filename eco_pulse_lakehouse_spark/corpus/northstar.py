@@ -2450,6 +2450,55 @@ def x4_unigram_logprob(spark, sf_dir):
 
 
 @q(
+    "x4_perplexity_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    nt AS (SELECT sum(c) AS n FROM lm),
+    fp AS (
+      SELECT doc_id,
+             CAST(round(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS s
+      FROM tok JOIN lm USING (w) CROSS JOIN nt
+    ),
+    sc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 1000000.0, 6) AS avg_surprisal
+      FROM fp GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, sc.n_tokens, sc.avg_surprisal,
+           CAST(ntile(3) OVER (
+             PARTITION BY d.lang
+             ORDER BY sc.avg_surprisal ASC, d.doc_id ASC) AS INT)
+             AS ppx_bucket
+    FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+    """,
+)
+def x4_perplexity_buckets(spark, sf_dir):
+    """X4 — CCNet head/middle/tail perplexity buckets (operators/
+    retrieval.py:perplexity_buckets, Wenzek et al. 2020): per-LANGUAGE
+    ntile terciles over unigram surprisal — the quality gate between
+    dedup and selection (train on the head, drop the tail). The Spark
+    side never runs a single-task per-language sort: rank comes from
+    the distributed global_row_number (o4 pattern) over
+    (lang, avg_surprisal, doc_id), per-language (base, count)
+    broadcast, and the bucket is exact-ntile ARITHMETIC (pinned ≡
+    F.ntile in pytest); the oracle uses the builtin ntile over the
+    identical total order."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        perplexity_buckets,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
+    )
+    return perplexity_buckets(d, "doc_id", "text", "lang", n_buckets=3)
+
+
+@q(
     "x4_bigram_logprob",
     """
     WITH t AS (
@@ -2663,6 +2712,96 @@ def x4_bpe_token_count(spark, sf_dir):
             F.sum(F.size("seg")).cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+def _wp_sql(n_merges: int) -> str:
+    """Unrolled WORDPIECE oracle: the BPE rounds (_bpe_sql) with the
+    likelihood-ratio argmax — each round additionally materializes
+    the vocab-sized symbol-count table, and best_r maximizes the
+    exact BIGINT fixed point (pair_count · 10¹²) // (count(left) ·
+    count(right)) with (score desc, pair_count desc, left, right)
+    tie-break. Same MATERIALIZED discipline (seg_{r−1} is referenced
+    by syms_r, pairs_r, AND seg_r — plain inlining would blow up
+    3^rounds)."""
+    s = """
+    WITH wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w
+    ),
+    seg_0 AS MATERIALIZED (
+      SELECT w, f, list_transform(range(1, length(w)+1), i -> w[i:i]) AS seg
+      FROM wf
+    )"""
+    for r in range(1, n_merges + 1):
+        s += f""",
+    syms_{r} AS MATERIALIZED (
+      SELECT sym, CAST(SUM(f) AS BIGINT) AS sym_count
+      FROM (SELECT f, unnest(seg) AS sym FROM seg_{r - 1})
+      GROUP BY sym
+    ),
+    pairs_{r} AS MATERIALIZED (
+      SELECT p['left_sym'] AS left_sym, p['right_sym'] AS right_sym,
+             CAST(SUM(f) AS BIGINT) AS pair_count
+      FROM (
+        SELECT f, unnest(list_transform(range(1, len(seg)), i ->
+          {{'left_sym': seg[i], 'right_sym': seg[i+1]}})) AS p
+        FROM seg_{r - 1}
+      )
+      GROUP BY 1, 2
+    ),
+    best_{r} AS MATERIALIZED (
+      SELECT p.left_sym, p.right_sym, p.pair_count,
+             (p.pair_count * CAST(1000000000000 AS BIGINT))
+               // (l.sym_count * rr.sym_count) AS score_fp
+      FROM pairs_{r} p
+      JOIN syms_{r} l ON p.left_sym = l.sym
+      JOIN syms_{r} rr ON p.right_sym = rr.sym
+      ORDER BY score_fp DESC, p.pair_count DESC,
+               p.left_sym ASC, p.right_sym ASC LIMIT 1
+    ),
+    seg_{r} AS MATERIALIZED (
+      SELECT s.w, s.f, list_reduce(
+          list_concat([CAST([] AS VARCHAR[])], list_transform(s.seg, x -> [x])),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.left_sym
+                            AND x[1] = b.right_sym
+                      THEN list_concat(acc[1:len(acc)-1], [acc[-1] || x[1]])
+                      ELSE list_concat(acc, x) END) AS seg
+      FROM seg_{r - 1} s, best_{r} b
+    )"""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, left_sym, right_sym, "
+        f"pair_count, score_fp FROM best_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return s + f"""
+    SELECT * FROM (
+      {unions}
+    ) ORDER BY merge_round
+    """
+
+
+@q("x4_wordpiece_merges", _wp_sql(_BPE_MERGES))
+def x4_wordpiece_merges(spark, sf_dir):
+    """X4 — WORDPIECE tokenizer training (operators/bpe.py:
+    learn_wordpiece_merges, Schuster & Nakajima 2012 / the HF
+    WordPiece trainer objective): merge the adjacent pair maximizing
+    count(pair)/(count(left)·count(right)) — cohesion above chance —
+    instead of BPE's raw frequency. Same 100 TB decomposition as
+    x4_bpe_merges (one corpus scan → vocab-sized tables; per-round
+    argmax is a 1-row collect) plus one vocab-sized symbol-count
+    groupBy per round for the denominator. The score compares as the
+    exact BIGINT fixed point (pair_count·10¹²) div (cl·cr) — no
+    float — so the learned merge table is bit-identical cross-engine
+    and the oracle replays all 6 rounds with MATERIALIZED unrolled
+    CTEs."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_wordpiece_merges,
+    )
+
+    d = T(spark, sf_dir, "documents").select("text")
+    return learn_wordpiece_merges(d, "text", n_merges=_BPE_MERGES)
 
 
 _GROUP_HASH_SQL = (

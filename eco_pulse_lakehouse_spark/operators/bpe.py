@@ -166,6 +166,134 @@ def learn_bpe_merges_from_vocab(
     )
 
 
+def learn_wordpiece_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Learn the first ``n_merges`` WORDPIECE merge rules (Schuster &
+    Nakajima, ICASSP 2012 — the likelihood objective the Hugging Face
+    WordPiece trainer uses): where BPE merges the most FREQUENT
+    adjacent pair, WordPiece merges the pair maximizing
+    ``count(pair) / (count(left) * count(right))`` — the pair whose
+    parts co-occur most above chance, so frequent-but-independent
+    pairs (e.g. 'e'+'s' across unrelated words) lose to genuinely
+    cohesive units. Same corpus decomposition as
+    :func:`learn_bpe_merges` (ONE corpus scan → vocab-sized (word,
+    freq) table; per-round work touches only the vocabulary; 1-row
+    argmax collect per round), plus one vocab-sized symbol-count
+    groupBy per round for the denominator.
+
+    Determinism: the score is compared as the exact fixed point
+    ``(pair_count * 10^12) div (count(left) * count(right))`` — pure
+    BIGINT arithmetic, truncating division, identical in Spark and
+    DuckDB (`div` / `//`), no float anywhere; ties break (score desc,
+    pair_count desc, left asc, right asc). BIGINT headroom: exact up
+    to pair_count ≤ 9.2e6 and count(l)·count(r) ≤ 9.2e18 — at 100 TB
+    the same expression shifts to DECIMAL(38,0)/HUGEINT, which both
+    engines support. The HF '##' continuation-prefix convention is an
+    input-alphabet detail (it changes WHAT the initial symbols are,
+    not how merges are chosen) deliberately not modeled over this
+    corpus's single-space ASCII token streams; the algorithmic
+    difference being exercised and certified is the score-based
+    argmax.
+
+    Returns (merge_round, left_sym, right_sym, pair_count, score_fp).
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return learn_wordpiece_merges_from_vocab(words, n_merges=n_merges)
+
+
+def learn_wordpiece_merges_from_vocab(
+    words: DataFrame,
+    n_merges: int = 6,
+    w_col: str = "w",
+    f_col: str = "f",
+) -> DataFrame:
+    """WordPiece loop over a pre-built (word, frequency) table — see
+    :func:`learn_wordpiece_merges`. Shares the BPE loop discipline:
+    localCheckpoint pins each round's segmentation so round r never
+    recomputes rounds 1..r−1's folds."""
+    spark = words.sparkSession
+    seg = (
+        words.select(
+            F.col(f_col).alias("f"),
+            _char_segmentation(F.col(w_col)).alias("seg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, str, int, int]] = []
+    for merge_round in range(1, n_merges + 1):
+        syms = (
+            seg.select("f", F.explode("seg").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("f").alias("sym_count"))
+        )
+        pairs = (
+            seg.select("f", F.explode(_adjacent_pairs("seg")).alias("p"))
+            .groupBy("p.left_sym", "p.right_sym")
+            .agg(F.sum("f").alias("pair_count"))
+        )
+        scored = (
+            pairs.join(
+                syms.select(
+                    F.col("sym").alias("left_sym"),
+                    F.col("sym_count").alias("__lc"),
+                ),
+                "left_sym",
+            )
+            .join(
+                syms.select(
+                    F.col("sym").alias("right_sym"),
+                    F.col("sym_count").alias("__rc"),
+                ),
+                "right_sym",
+            )
+            .withColumn(
+                "score_fp",
+                F.expr(
+                    "(pair_count * CAST(1000000000000 AS BIGINT)) "
+                    "div (__lc * __rc)"
+                ),
+            )
+        )
+        best = (
+            scored.orderBy(
+                F.col("score_fp").desc(),
+                F.col("pair_count").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+            .collect()  # ONE row — driver-loop protocol (module doc)
+        )
+        if not best:
+            break
+        b = best[0]
+        learned.append(
+            (
+                merge_round,
+                b.left_sym,
+                b.right_sym,
+                int(b.pair_count),
+                int(b.score_fp),
+            )
+        )
+        seg = seg.withColumn(
+            "seg", apply_merge(F.col("seg"), b.left_sym, b.right_sym)
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        learned,
+        schema="merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint, score_fp bigint",
+    )
+
+
 def segment_words(
     docs: DataFrame,
     merges: list[tuple[str, str]],

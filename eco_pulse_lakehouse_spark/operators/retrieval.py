@@ -605,6 +605,78 @@ def unigram_logprob_score(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al.
+    2020): per LANGUAGE, rank documents by unigram surprisal
+    (:func:`unigram_logprob_score`) and cut the ranking into
+    ``n_buckets`` ntile bands — bucket 1 = head (most
+    in-distribution), ``n_buckets`` = tail. CCNet trains on the head
+    and discards or down-weights the tail; this is the standard
+    quality gate between dedup and selection.
+
+    Scale shape: a naive ``ntile() OVER (PARTITION BY lang)`` sorts
+    each language in ONE task — a 20 TB-per-task disaster when langs
+    are few. Here the rank comes from
+    :func:`~eco_pulse_lakehouse_spark.operators.rank.global_row_number`
+    (range-repartition + per-partition offsets — the o4 pattern) over
+    the total order (lang, avg_surprisal, doc_id); per-language base
+    rank and count broadcast (one row per language), and the bucket
+    is computed ARITHMETICALLY with exact ntile semantics: the first
+    ``n mod k`` buckets take ``n div k + 1`` rows, the rest
+    ``n div k`` (pinned ≡ F.ntile in tests). Ordering key: the
+    6dp-rounded surprisal — BIGINT-pair division is correctly rounded
+    in both engines, so ranks replay exactly; doc_id breaks ties.
+
+    Returns (id_col, lang_col, n_tokens, avg_surprisal, ppx_bucket).
+    """
+    scored = unigram_logprob_score(docs, id_col, text_col)
+    j = scored.join(docs.select(id_col, lang_col), id_col)
+
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    ranked = global_row_number(
+        j,
+        [
+            F.col(lang_col).asc(),
+            F.col("avg_surprisal").asc(),
+            F.col(id_col).asc(),
+        ],
+        out_col="__grn",
+    )
+    per_lang = ranked.groupBy(lang_col).agg(
+        F.min("__grn").alias("__base"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # integer 'div' isn't exposed as a Column operator — build the
+    # whole CASE as one SQL expression so both branches stay BIGINT
+    out = (
+        ranked.join(F.broadcast(per_lang), lang_col)
+        .withColumn(
+            "__r", (F.col("__grn") - F.col("__base") + 1).cast("long")
+        )
+        .withColumn(
+            "ppx_bucket",
+            F.expr(
+                f"CAST(CASE WHEN __r <= (__n div {n_buckets} + 1)"
+                f" * (__n % {n_buckets})"
+                f" THEN (__r - 1) div (__n div {n_buckets} + 1) + 1"
+                f" ELSE (__n % {n_buckets}) + (__r - (__n % {n_buckets})"
+                f" * (__n div {n_buckets} + 1) - 1)"
+                f" div (__n div {n_buckets}) + 1 END AS INT)"
+            ),
+        )
+    )
+    return out.select(
+        id_col, lang_col, "n_tokens", "avg_surprisal", "ppx_bucket"
+    )
+
+
 def bigram_logprob_score(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1138,6 +1138,77 @@ def test_bpe_matches_python_reference_on_overlap_corpus(spark):
     assert seg == expected_segs, (seg, expected_segs)
 
 
+def _py_wordpiece(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python reference WordPiece: BPE's loop with the
+    likelihood-ratio argmax — exact integer fixed point
+    (pair·10¹²) // (cl·cr), (score desc, count desc, left, right)
+    tie-break."""
+    segs = {w: [c for c in w] for w in word_freqs}
+    learned = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        syms: dict[str, int] = {}
+        for w, seg in segs.items():
+            f = word_freqs[w]
+            for s in seg:
+                syms[s] = syms.get(s, 0) + f
+            for a, b in zip(seg, seg[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + f
+        if not pairs:
+            break
+        scored = {
+            k: (v * 10**12) // (syms[k[0]] * syms[k[1]])
+            for k, v in pairs.items()
+        }
+        best = min(
+            pairs.items(), key=lambda kv: (-scored[kv[0]], -kv[1], kv[0])
+        )
+        (l, r), c = best
+        learned.append((l, r, c, scored[(l, r)]))
+        for w, seg in segs.items():
+            out: list[str] = []
+            for s in seg:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            segs[w] = out
+    return learned, segs
+
+
+def test_wordpiece_matches_python_reference_and_diverges_from_bpe(spark):
+    """learn_wordpiece_merges vs a pure-Python transcription on a
+    corpus CRAFTED so WordPiece and BPE choose DIFFERENT first
+    merges: 'xy' always co-occurs (score 10¹²·c/(c·c) is maximal)
+    while 'aa' inside frequent-but-varied contexts has the higher
+    RAW count — BPE must pick the count leader, WordPiece the
+    cohesion leader."""
+    from eco_pulse_lakehouse_spark.operators import bpe
+
+    # 'xy' appears 3x and x,y appear nowhere else (perfect cohesion);
+    # pairs of 'a' appear 8x but 'a' is everywhere (16 occurrences).
+    texts = ["xy aaaa aaaa", "xy aab baa", "xy ab ba"]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    expected, _ = _py_wordpiece(freqs, 4)
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count, r.score_fp)
+        for r in bpe.learn_wordpiece_merges(docs, n_merges=4)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected, (got, expected)
+    # the divergence actually happened: BPE round 1 picks the raw
+    # count leader ('a','a'), WordPiece the cohesion leader ('x','y')
+    bpe_first = bpe.learn_bpe_merges(docs, n_merges=1).collect()[0]
+    assert (bpe_first.left_sym, bpe_first.right_sym) == ("a", "a")
+    assert (got[0][0], got[0][1]) == ("x", "y"), got[0]
+
+
 def test_bpe_segmentations_roundtrip_and_vocab_shrinks(spark):
     """On the real corpus: every learned merge strictly reduces total
     symbol count; applying the merges segments each vocab word into
@@ -1228,6 +1299,54 @@ def test_line_dedup_hash_key_equivalent_to_text_key(spark):
             ).collect()
         }
         assert hashed == texted
+
+
+def test_perplexity_buckets_match_builtin_ntile(spark):
+    """The distributed-rank arithmetic bucket (no single-task
+    per-language sort) is EXACTLY F.ntile over the same total order —
+    on the real corpus (languages with n % 3 != 0 included) and on a
+    crafted 4-doc language (ntile gives buckets 1,1,2,3)."""
+    from pyspark.sql import Window
+
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        perplexity_buckets,
+    )
+
+    crafted = spark.createDataFrame(
+        [
+            (0, "a a a a", "xx"),
+            (1, "a a b b", "xx"),
+            (2, "a b c d", "xx"),
+            (3, "q r s t", "xx"),
+            (4, "a a a b", "yy"),
+        ],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    docs = load_table(spark, SF, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text", "lang"
+    )
+    for d in (crafted, docs):
+        got = perplexity_buckets(d, "doc_id", "text", "lang", 3)
+        w = Window.partitionBy("lang").orderBy(
+            F.col("avg_surprisal").asc(), F.col("doc_id").asc()
+        )
+        want = {
+            (r.doc_id, r.ppx_bucket)
+            for r in got.select("doc_id", "lang", "avg_surprisal")
+            .withColumn("ppx_bucket", F.ntile(3).over(w))
+            .collect()
+        }
+        assert {
+            (r.doc_id, r.ppx_bucket) for r in got.collect()
+        } == want
+    # crafted 'xx' has 4 docs: ntile(3) = sizes 2,1,1
+    xx = {
+        r.doc_id: r.ppx_bucket
+        for r in perplexity_buckets(crafted, "doc_id", "text", "lang", 3)
+        .filter(F.col("lang") == "xx")
+        .collect()
+    }
+    assert sorted(xx.values()) == [1, 1, 2, 3], xx
 
 
 def _py_dsir_weights(rows, target_langs=("en",), n_buckets=128):
