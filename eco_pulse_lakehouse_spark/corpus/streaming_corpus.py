@@ -2560,6 +2560,67 @@ def t36_stream_bpe(spark, sf_dir):
     return learn_bpe_merges_from_vocab(vocab, n_merges=_ns._BPE_MERGES)
 
 
+@q("t39_stream_wordpiece", _ns._wp_sql(_ns._BPE_MERGES))
+def t39_stream_wordpiece(spark, sf_dir):
+    """T39 — STREAMING WordPiece maintenance: the t36 discipline
+    (one idempotent epoch-keyed (word, count) partial per batch;
+    counts are LINEAR so partials SUM-merge to exactly the one-pass
+    vocabulary) with the likelihood-scored merge loop
+    (operators/bpe.py:learn_wordpiece_merges_from_vocab) on the
+    merged table. Symbol counts — the WordPiece denominator — derive
+    from the segmentation state of the merged vocab, not from the
+    stream, so streamed ≡ batch bit-identically and this entry
+    carries x4_wordpiece_merges' oracle verbatim."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_wordpiece_merges_from_vocab,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t39_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t39_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partial(batch_df, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode(tokens(F.col("text"))).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partial)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    vocab = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("w")
+        .agg(F.sum("f").alias("f"))
+    )
+    return learn_wordpiece_merges_from_vocab(
+        vocab, n_merges=_ns._BPE_MERGES
+    )
+
+
 @q(
     "t37_stream_dsir",
     f"WITH {_ns._DSIR_FB}\n"

@@ -598,6 +598,68 @@ def test_trigram_backoff_plan_broadcasts_lm_tables(spark):
     assert plan.count("BroadcastHashJoin") >= 5, plan
 
 
+def test_wordpiece_round_plan_no_cartesian(spark):
+    """WordPiece round: pair counts equi-join the two symbol-count
+    tables on (left_sym)/(right_sym) — hash joins on a vocab-sized
+    input, never a cross product. Asserted on one round's scored
+    plan (the loop repeats the same shape)."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators import bpe
+
+    docs = load_table(spark, SF, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    seg = words.select(
+        "f", bpe._char_segmentation(F.col("w")).alias("seg")
+    )
+    syms = (
+        seg.select("f", F.explode("seg").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("f").alias("sym_count"))
+    )
+    pairs = (
+        seg.select("f", F.explode(bpe._adjacent_pairs("seg")).alias("p"))
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("f").alias("pair_count"))
+    )
+    scored = pairs.join(
+        syms.select(
+            F.col("sym").alias("left_sym"), F.col("sym_count").alias("__lc")
+        ),
+        "left_sym",
+    ).join(
+        syms.select(
+            F.col("sym").alias("right_sym"), F.col("sym_count").alias("__rc")
+        ),
+        "right_sym",
+    )
+    plan = _plan(scored)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_perplexity_buckets_plan_no_global_window(spark):
+    """x4_perplexity_buckets: the per-language ntile must come from
+    the distributed rank (range repartition + per-partition windows),
+    never a single-partition global window, and the per-lang
+    (base, count) table must broadcast."""
+    df = northstar.QUERIES["x4_perplexity_buckets"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # global_row_number's RangePartitioning exchange is absorbed by
+    # the localCheckpoint (the plan scans the pinned RDD), so the
+    # observable contract is: every Window is partitioned by __pid —
+    # never a partition-less global window — and no ntile anywhere
+    assert "windowspecdefinition(__pid" in plan.lower(), plan
+    assert "windowspecdefinition(lang" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ntile" not in plan.lower(), plan
+
+
 def test_curation_flagship_plan_no_cartesian(spark):
     """flagship #6: three composed stages, every join keyed (content,
     line, bucket, doc) — no cross product anywhere; final selection
