@@ -100,6 +100,7 @@ ONEOFF = [
     "x3_lsh_multiprobe",       # query-side probe fan-out ANN (r07)
     "x4_bpe_merges",           # 6-round vocab-loop tokenizer training (r07)
     "x4_wordpiece_merges",     # likelihood-scored merge variant (r08)
+    "x4_sp_unigram_em",        # SentencePiece Viterbi + 1 hard-EM (r08)
     "t37_stream_dsir",         # incremental importance-model drain (r07)
     "t38_stream_line_dedup",   # incremental keep-first line dedup drain
     "x2_canonical_per_cluster",  # CC + DSIR keep-best composition

@@ -2782,6 +2782,181 @@ def _wp_sql(n_merges: int) -> str:
     """
 
 
+_SP_L = 4  # max piece length (mirrors unigram_viterbi_segment)
+_SP_MAXLEN = 16  # DP unroll depth — corpus max word length is 8
+
+
+def _sp_round_sql(r: int, lm: str) -> str:
+    """One Viterbi round over LM table ``lm`` (piece, lp) — FULLY
+    RELATIONAL unrolled DP, no list lambdas anywhere: DuckDB 1.0.0's
+    multithreaded evaluation of nested lambdas inside list_reduce is
+    NONDETERMINISTIC (measured: 3 runs of the fold-based form gave 3
+    different outputs at threads=8, identical at threads=1), so the
+    oracle unrolls positions 1.._SP_MAXLEN as MATERIALIZED CTEs — the
+    _cc_label_prop/_bpe_sql discipline. dpos_{{r}}_k holds the best
+    (score, backptr) for every word position ≤ k; the argmax is a
+    row_number window ordered (score DESC, start DESC) — identical to
+    the Spark side's struct-lexicographic (s, b) max. The backtrace
+    walks _SP_MAXLEN relational steps; the segmentation rebuilds via
+    ordered window sums, never a fold."""
+    s = f""",
+    sl_{r} AS MATERIALIZED (
+      SELECT s.w, s.f, s.j, s.l, m.lp
+      FROM subs s JOIN {lm} m USING (piece)
+    ),
+    dpos_{r}_0 AS MATERIALIZED (
+      SELECT w, f, 0 AS i, CAST(0 AS BIGINT) AS s, 0 AS b FROM wf
+    )"""
+    for k in range(1, _SP_MAXLEN + 1):
+        s += f""",
+    dpos_{r}_{k} AS MATERIALIZED (
+      SELECT * FROM dpos_{r}_{k - 1}
+      UNION ALL
+      SELECT w, f, i, s, b FROM (
+        SELECT d.w, d.f, {k} AS i, d.s + l.lp AS s, d.i AS b,
+               row_number() OVER (PARTITION BY d.w
+                 ORDER BY d.s + l.lp DESC, d.i DESC) AS rn
+        FROM dpos_{r}_{k - 1} d
+        JOIN sl_{r} l ON l.w = d.w AND l.j = d.i AND l.l = {k} - d.i
+        WHERE {k} - d.i BETWEEN 1 AND {_SP_L}
+      ) WHERE rn = 1
+    )"""
+    s += f""",
+    bt_{r}_0 AS MATERIALIZED (
+      SELECT w, f, CAST(length(w) AS INT) AS cur,
+             CAST([] AS INT[]) AS lens
+      FROM wf
+    )"""
+    for t in range(1, _SP_MAXLEN + 1):
+        s += f""",
+    bt_{r}_{t} AS MATERIALIZED (
+      SELECT b.w, b.f,
+             CASE WHEN b.cur > 0 THEN d.b ELSE b.cur END AS cur,
+             CASE WHEN b.cur > 0
+                  THEN list_prepend(b.cur - d.b, b.lens)
+                  ELSE b.lens END AS lens
+      FROM bt_{r}_{t - 1} b
+      JOIN dpos_{r}_{_SP_MAXLEN} d ON d.w = b.w AND d.i = b.cur
+    )"""
+    s += f""",
+    pieces_{r} AS MATERIALIZED (
+      SELECT w, f, k, l,
+             CAST(COALESCE(SUM(l) OVER (PARTITION BY w ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS INT) AS off,
+             CAST(n AS INT) AS n_pieces
+      FROM (
+        SELECT w, f, u.k, lens[k] AS l, len(lens) AS n
+        FROM bt_{r}_{_SP_MAXLEN}, unnest(range(1, len(lens)+1)) AS u(k)
+      )
+    ),
+    seg_r{r} AS MATERIALIZED (
+      SELECT p.w, p.f, p.n_pieces,
+             string_agg(p.w[p.off + 1 : p.off + p.l], '|' ORDER BY p.k)
+               AS seg_str,
+             max(d.s) AS best_fp
+      FROM pieces_{r} p
+      JOIN dpos_{r}_{_SP_MAXLEN} d
+        ON d.w = p.w AND d.i = length(p.w)
+      GROUP BY p.w, p.f, p.n_pieces
+    )"""
+    return s
+
+
+def _sp_sql(em_rounds: int) -> str:
+    """Unrolled SentencePiece-unigram Viterbi oracle: seed LM from
+    frequency-weighted substring counts, then ``em_rounds`` hard-EM
+    re-estimations (recount pieces from the round's segmentations,
+    characters floored at count 1 — Kudo's alphabet invariant)."""
+    s = f"""
+    WITH wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) > 0
+      GROUP BY w
+    ),
+    subs AS MATERIALIZED (
+      SELECT w, f, CAST(j AS INT) AS j, CAST(l AS INT) AS l,
+             w[j+1 : j+l] AS piece
+      FROM wf,
+           unnest(range(0, length(w))) AS u(j),
+           unnest(range(1, least({_SP_L}, length(w) - j) + 1)) AS v(l)
+    ),
+    pc_0 AS MATERIALIZED (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS c FROM subs GROUP BY piece
+    ),
+    lm_0 AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lp
+      FROM pc_0 CROSS JOIN (SELECT SUM(c) AS t FROM pc_0)
+    )"""
+    s += _sp_round_sql(0, "lm_0")
+    for r in range(1, em_rounds + 1):
+        s += f""",
+    used_{r} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS c
+      FROM (SELECT f, unnest(string_split(seg_str, '|')) AS piece
+            FROM seg_r{r - 1})
+      GROUP BY piece
+    ),
+    pc_{r} AS MATERIALIZED (
+      SELECT COALESCE(u.piece, a.piece) AS piece,
+             COALESCE(u.c, CAST(1 AS BIGINT)) AS c
+      FROM used_{r} u
+      FULL OUTER JOIN (SELECT DISTINCT piece FROM subs WHERE l = 1) a
+        ON u.piece = a.piece
+    ),
+    lm_{r} AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lp
+      FROM pc_{r} CROSS JOIN (SELECT SUM(c) AS t FROM pc_{r})
+    )"""
+        s += _sp_round_sql(r, f"lm_{r}")
+    return s + f"""
+    SELECT w, f, n_pieces, seg_str, best_fp FROM seg_r{em_rounds}
+    """
+
+
+@q("x4_sp_unigram_segment", _sp_sql(0))
+def x4_sp_unigram_segment(spark, sf_dir):
+    """X4 — SentencePiece-style UNIGRAM-LM Viterbi segmentation
+    (operators/bpe.py:unigram_viterbi_segment, Kudo ACL 2018): every
+    vocab word's maximum-likelihood piece split under the
+    deterministic seed piece LM (frequency-weighted substring counts,
+    pieces ≤ 4 chars). The DP is a row-local O(n·L) fold per word —
+    corpus size only enters the one vocabulary scan; piece log-probs
+    are ln→1e-6 fixed-point BIGINTs, DP scores exact integer sums,
+    argmax = struct-lexicographic (score, start) max — so the full
+    lattice DP, backtrace included, replays in SQL."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        unigram_viterbi_segment,
+    )
+
+    d = T(spark, sf_dir, "documents").select("text")
+    return unigram_viterbi_segment(d, "text", max_piece_len=_SP_L)
+
+
+@q("x4_sp_unigram_em", _sp_sql(1))
+def x4_sp_unigram_em(spark, sf_dir):
+    """X4 — one HARD-EM round of the SentencePiece-unigram trainer:
+    recount pieces from the seed-LM Viterbi segmentations
+    (frequency-weighted; characters floored at count 1 — Kudo's
+    alphabet invariant), renormalize, re-segment. The Viterbi
+    approximation of Kudo's EM — the M-step is a vocab-sized groupBy
+    and the E-step the same row-local DP, so training cost is
+    independent of corpus size after the one scan."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        unigram_viterbi_segment,
+    )
+
+    d = T(spark, sf_dir, "documents").select("text")
+    return unigram_viterbi_segment(
+        d, "text", max_piece_len=_SP_L, em_rounds=1
+    )
+
+
 @q("x4_wordpiece_merges", _wp_sql(_BPE_MERGES))
 def x4_wordpiece_merges(spark, sf_dir):
     """X4 — WORDPIECE tokenizer training (operators/bpe.py:

@@ -294,6 +294,229 @@ def learn_wordpiece_merges_from_vocab(
     )
 
 
+def unigram_viterbi_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    em_rounds: int = 0,
+) -> DataFrame:
+    """SentencePiece-style UNIGRAM-LM segmentation (Kudo, ACL 2018):
+    segment every vocabulary word into the maximum-likelihood piece
+    sequence under a unigram piece LM via VITERBI dynamic
+    programming — the E-step of the SentencePiece trainer. The seed
+    LM is deterministic: every substring of length ≤ ``max_piece_len``
+    of every vocab word, p(piece) = its frequency-weighted occurrence
+    count / total occurrences. ``em_rounds`` > 0 runs that many HARD-EM
+    re-estimation rounds: pieces are recounted from the current
+    Viterbi segmentations (weighted by word frequency), renormalized,
+    and the DP re-runs — the Viterbi-approximation of Kudo's EM
+    (full EM uses forward-backward expected counts; hard EM is the
+    standard on-cluster simplification and converges to the same
+    fixed points on unambiguous corpora).
+
+    100 TB shape: ONE corpus scan builds the (word, freq) vocabulary;
+    the piece table and every later step are VOCAB-sized; the DP is
+    row-local (an O(n·L) fold per word, n = word length) — no
+    shuffle beyond the piece-count groupBys. Determinism: piece
+    log-probs are ln→1e-6 fixed-point BIGINTs (the DSIR/BM25 ln
+    rule); DP scores are exact integer sums; the argmax tiebreak is
+    the lexicographic (score, start-position) struct max, identical
+    in both engines; so segmentations replay exactly in SQL
+    (x4_sp_unigram_segment).
+
+    Returns (w, f, n_pieces, seg_str, best_fp) — seg_str pipe-joined.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    L = max_piece_len
+    # (w, f, pos 0-based, len, piece) for every substring ≤ L
+    subs = words.select(
+        "w",
+        "f",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("w") - 1),
+                    lambda j: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(L), F.length("w") - j),
+                        ),
+                        lambda l: F.struct(
+                            j.cast("int").alias("pos"),
+                            l.cast("int").alias("len"),
+                            F.col("w")
+                            .substr(j + 1, l)
+                            .alias("piece"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("sub"),
+    ).select("w", "f", "sub.pos", "sub.len", "sub.piece")
+
+    def lm_from(counts: DataFrame) -> DataFrame:
+        """(piece, c) -> (piece, lp) ln→1e-6 fixed point."""
+        total = counts.agg(F.sum("c").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "piece",
+            F.round(
+                F.log(F.col("c").cast("double") / F.col("__t").cast("double"))
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+
+    lm = lm_from(
+        subs.groupBy("piece").agg(F.sum("f").cast("bigint").alias("c"))
+    )
+
+    def viterbi(lm_df: DataFrame) -> DataFrame:
+        pcs = (
+            subs.join(lm_df, "piece")
+            .groupBy("w", "f")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "len", "lp"))
+                ).alias("pcs")
+            )
+        )
+
+        def lp_at(j, ln):  # noqa: ANN001 — HOF lambda columns
+            # missing piece (possible after an EM round drops one)
+            # scores -inf-like so a candidate using it never wins;
+            # characters never leave the vocabulary, so every
+            # position always has ≥1 finite candidate
+            return F.coalesce(
+                F.try_element_at(
+                    F.filter(
+                        F.col("pcs"),
+                        lambda e: (e.getField("pos") == j)
+                        & (e.getField("len") == ln),
+                    ),
+                    F.lit(1),
+                ).getField("lp"),
+                F.lit(-(10**15)).cast("bigint"),
+            )
+
+        n = F.length("w")
+        init = F.array(
+            F.struct(
+                F.lit(0).cast("bigint").alias("s"),
+                F.lit(0).cast("int").alias("b"),
+            )
+        )
+        dp = F.aggregate(
+            F.sequence(F.lit(1), n),
+            init,
+            lambda acc, _i: F.concat(
+                acc,
+                F.array(
+                    F.array_max(
+                        F.transform(
+                            F.sequence(
+                                F.greatest(
+                                    F.lit(0), F.size(acc) - F.lit(L)
+                                ),
+                                F.size(acc) - 1,
+                            ),
+                            lambda j: F.struct(
+                                (
+                                    F.element_at(acc, j + 1).getField("s")
+                                    + lp_at(j, F.size(acc) - j)
+                                ).alias("s"),
+                                j.cast("int").alias("b"),
+                            ),
+                        )
+                    )
+                ),
+            ),
+        )
+        scored = pcs.withColumn("__dp", dp)
+        # backtrace: int-list acc [cur, len_1, len_2, ...] (prepend
+        # lens walking back from n — LIST accumulator, never struct:
+        # struct-acc recurrences alias in place in DuckDB)
+        back = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.array(n.cast("int")),
+            lambda acc, _i: F.when(
+                F.element_at(acc, 1) > 0,
+                F.concat(
+                    F.array(
+                        F.element_at(
+                            F.col("__dp"), F.element_at(acc, 1) + 1
+                        ).getField("b")
+                    ),
+                    F.array(
+                        F.element_at(acc, 1)
+                        - F.element_at(
+                            F.col("__dp"), F.element_at(acc, 1) + 1
+                        ).getField("b")
+                    ),
+                    F.slice(acc, 2, F.size(acc) - 1),
+                ),
+            ).otherwise(acc),
+        )
+        lens = F.slice(back, 2, F.size(back) - 1)
+        offsets = F.transform(
+            F.sequence(F.lit(1), F.size(lens)),
+            lambda k: F.aggregate(
+                F.slice(lens, 1, k - 1),
+                F.lit(0),
+                lambda a, x: a + x,
+            ),
+        )
+        seg = F.zip_with(
+            offsets,
+            lens,
+            lambda off, ln: F.col("w").substr(off + 1, ln),
+        )
+        return scored.withColumn("__lens", lens).select(
+            "w",
+            "f",
+            F.size("__lens").cast("int").alias("n_pieces"),
+            F.array_join(seg, "|").alias("seg_str"),
+            F.element_at("__dp", F.length("w") + 1)
+            .getField("s")
+            .alias("best_fp"),
+        )
+
+    out = viterbi(lm)
+    alphabet = (
+        subs.filter(F.col("len") == 1)
+        .select("piece")
+        .distinct()
+    )
+    for _ in range(em_rounds):
+        # hard-EM M-step: recount pieces from the Viterbi
+        # segmentations (frequency-weighted), renormalize, re-segment.
+        # Characters never leave the vocabulary (Kudo's invariant):
+        # unused alphabet pieces keep count 1 so every word stays
+        # segmentable.
+        used = (
+            out.select(
+                "f", F.explode(F.split("seg_str", r"\|")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("f").cast("bigint").alias("c"))
+        )
+        counts = (
+            used.join(alphabet, "piece", "full_outer")
+            .select(
+                "piece",
+                F.coalesce(F.col("c"), F.lit(1).cast("bigint")).alias("c"),
+            )
+        )
+        out = viterbi(lm_from(counts))
+    return out
+
+
 def segment_words(
     docs: DataFrame,
     merges: list[tuple[str, str]],

@@ -1209,6 +1209,103 @@ def test_wordpiece_matches_python_reference_and_diverges_from_bpe(spark):
     assert (got[0][0], got[0][1]) == ("x", "y"), got[0]
 
 
+def _py_unigram_viterbi(word_freqs, L=4, em_rounds=0):
+    """Pure-Python SentencePiece-unigram reference: seed LM from
+    weighted substring counts, Viterbi with (score, start) argmax,
+    ln→1e-6 fixed point with half-away-from-zero rounding, hard-EM
+    rounds with the character count-1 floor."""
+    import math
+
+    def fp(x):
+        y = x * 1_000_000
+        return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
+    def seed_counts():
+        c = {}
+        for w, f in word_freqs.items():
+            for j in range(len(w)):
+                for l in range(1, min(L, len(w) - j) + 1):
+                    c[w[j : j + l]] = c.get(w[j : j + l], 0) + f
+        return c
+
+    def lm_of(counts):
+        t = sum(counts.values())
+        return {p: fp(math.log(c / t)) for p, c in counts.items()}
+
+    def viterbi(lm):
+        segs = {}
+        for w, f in word_freqs.items():
+            n = len(w)
+            best = [(0, 0)] + [None] * n
+            for i in range(1, n + 1):
+                cands = []
+                for j in range(max(0, i - L), i):
+                    lp = lm.get(w[j:i], -(10**15))
+                    cands.append((best[j][0] + lp, j))
+                best[i] = max(cands)  # (score, largest start)
+            lens, cur = [], n
+            while cur > 0:
+                b = best[cur][1]
+                lens.insert(0, cur - b)
+                cur = b
+            off, pieces = 0, []
+            for ln in lens:
+                pieces.append(w[off : off + ln])
+                off += ln
+            segs[w] = (f, len(lens), "|".join(pieces), best[n][0])
+        return segs
+
+    chars = {p for p in seed_counts() if len(p) == 1}
+    out = viterbi(lm_of(seed_counts()))
+    for _ in range(em_rounds):
+        used = {}
+        for w, (f, _n, seg, _s) in out.items():
+            for p in seg.split("|"):
+                used[p] = used.get(p, 0) + f
+        for ch in chars:
+            used.setdefault(ch, 1)
+        out = viterbi(lm_of(used))
+    return out
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    """unigram_viterbi_segment vs an independent Python Viterbi on a
+    crafted corpus with genuine lattice ambiguity (repeated bigrams,
+    shared prefixes/suffixes), for the seed round AND one hard-EM
+    round; plus losslessness (pieces concatenate back to the word)
+    on the real corpus."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        unigram_viterbi_segment,
+    )
+
+    texts = [
+        "abab abab ababab cd cd abcd",
+        "dcba abab cdcd cd ab",
+        "aab abb abab bb aa",
+    ]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    for em in (0, 1):
+        want = _py_unigram_viterbi(freqs, em_rounds=em)
+        got = {
+            r.w: (r.f, r.n_pieces, r.seg_str, r.best_fp)
+            for r in unigram_viterbi_segment(
+                docs, em_rounds=em
+            ).collect()
+        }
+        assert got == want, (em, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)})
+
+    real = load_table(spark, SF, "documents")
+    seg = unigram_viterbi_segment(real)
+    bad = seg.filter(
+        F.replace(F.col("seg_str"), F.lit("|"), F.lit("")) != F.col("w")
+    ).count()
+    assert bad == 0
+
+
 def test_bpe_segmentations_roundtrip_and_vocab_shrinks(spark):
     """On the real corpus: every learned merge strictly reduces total
     symbol count; applying the merges segments each vocab word into
