@@ -660,6 +660,16 @@ def test_perplexity_buckets_plan_no_global_window(spark):
     assert "ntile" not in plan.lower(), plan
 
 
+def test_sp_unigram_plan_vocab_sized_no_cartesian(spark):
+    """x4_sp_unigram_segment: the piece-LM join is an equi-join on
+    the piece key over vocab-sized tables; the DP is row-local HOF
+    arithmetic — no cross product, and the only BNLJ is the 1-row
+    LM-total broadcast."""
+    df = northstar.QUERIES["x4_sp_unigram_segment"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_curation_flagship_plan_no_cartesian(spark):
     """flagship #6: three composed stages, every join keyed (content,
     line, bucket, doc) — no cross product anywhere; final selection

@@ -78,6 +78,9 @@ QUERIES = [
     "x4_trigram_backoff", "x6_budget_select", "x4_bpe_merges",
     "x3_binary_quant_topk", "x6_k_anonymity",
     "flagship_curation_select",
+    # round-8 new families
+    "x4_wordpiece_merges", "x4_sp_unigram_em",
+    "x4_perplexity_buckets",
 ]
 
 FACT_KEYS = {
@@ -236,8 +239,19 @@ def main() -> None:
     s01 = stage_01(spark)
 
     heavy_only = "--heavy-only" in sys.argv
+    # --only a,b,c: rehearse just those entries and MERGE their rows
+    # into the existing section (late-added families don't force a
+    # full 25-minute re-run)
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     out = {}
-    for name in [] if heavy_only else QUERIES:
+    run_list = (
+        [] if heavy_only
+        else [n for n in QUERIES if only is None or n in only]
+        + ([n for n in (only or set()) if n not in QUERIES])
+    )
+    for name in run_list:
         fn = qs[name]
         t01, runs01 = time_query(fn, spark, s01)
         t1, runs1 = time_query(fn, spark, DST)
@@ -258,7 +272,9 @@ def main() -> None:
         }
         print(name, json.dumps(out[name]), flush=True)
 
-    heavy = heavy_families(spark, qs, s01)
+    # --only: keep the standing heavy section (merged below) instead
+    # of re-paying the one-off families
+    heavy = {} if only is not None else heavy_families(spark, qs, s01)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -278,6 +294,13 @@ def main() -> None:
     if heavy_only:
         # keep the existing headline section, refresh heavy only
         out = detail.get("sf1_rehearsal", {}).get("queries", out)
+    elif only is not None:
+        # merge the subset into the standing rows
+        prev = detail.get("sf1_rehearsal", {}).get("queries", {})
+        out = {**prev, **out}
+        heavy = detail.get("sf1_rehearsal", {}).get(
+            "heavy_families", heavy
+        )
     detail["sf1_rehearsal"] = {
         "copies": COPIES,
         "method": "key-shifted 10x of sf0.1; documents get per-copy "
