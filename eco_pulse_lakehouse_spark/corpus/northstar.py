@@ -2714,7 +2714,7 @@ def x4_bpe_token_count(spark, sf_dir):
     )
 
 
-def _wp_sql(n_merges: int) -> str:
+def _wp_sql(n_merges: int, final: str = "merges") -> str:
     """Unrolled WORDPIECE oracle: the BPE rounds (_bpe_sql) with the
     likelihood-ratio argmax — each round additionally materializes
     the vocab-sized symbol-count table, and best_r maximizes the
@@ -2722,7 +2722,9 @@ def _wp_sql(n_merges: int) -> str:
     count(right)) with (score desc, pair_count desc, left, right)
     tie-break. Same MATERIALIZED discipline (seg_{r−1} is referenced
     by syms_r, pairs_r, AND seg_r — plain inlining would blow up
-    3^rounds)."""
+    3^rounds). ``final`` taps the rounds like _bpe_sql: 'merges'
+    (default), 'segments' (seg_n vocabulary split), 'token_counts'
+    (per-doc exact counts under the learned WP merges)."""
     s = """
     WITH wf AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS f
@@ -2770,6 +2772,24 @@ def _wp_sql(n_merges: int) -> str:
                       ELSE list_concat(acc, x) END) AS seg
       FROM seg_{r - 1} s, best_{r} b
     )"""
+    if final == "segments":
+        return s + f"""
+    SELECT w, array_to_string(seg, '|') AS seg_str,
+           CAST(len(seg) AS INT) AS n_pieces
+    FROM seg_{n_merges}
+    """
+    if final == "token_counts":
+        return s + f"""
+    , tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(s.seg)) AS BIGINT) AS n_wp_tokens
+    FROM (SELECT * FROM tok WHERE length(w) > 0) t
+    JOIN seg_{n_merges} s USING (w)
+    GROUP BY t.doc_id
+    """
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, left_sym, right_sym, "
         f"pair_count, score_fp FROM best_{r}"
@@ -2917,6 +2937,67 @@ def _sp_sql(em_rounds: int) -> str:
     return s + f"""
     SELECT w, f, n_pieces, seg_str, best_fp FROM seg_r{em_rounds}
     """
+
+
+@q("x4_wordpiece_segment", _wp_sql(_BPE_MERGES, final="segments"))
+def x4_wordpiece_segment(spark, sf_dir):
+    """X4 — WordPiece inference: learn the 6 likelihood-scored
+    merges, segment the VOCABULARY (segmentations join back by word
+    — segment_words applies merges identically whatever objective
+    chose them). Oracle taps the same unrolled WP rounds at seg_6."""
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_wordpiece_merges,
+        segment_words,
+    )
+
+    d = T(spark, sf_dir, "documents").select("text")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_wordpiece_merges(d, "text", n_merges=_BPE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return segment_words(d, merges).select(
+        "w",
+        F.array_join("seg", "|").alias("seg_str"),
+        F.size("seg").cast("int").alias("n_pieces"),
+    )
+
+
+@q("x4_wordpiece_token_count", _wp_sql(_BPE_MERGES, final="token_counts"))
+def x4_wordpiece_token_count(spark, sf_dir):
+    """X4 — per-document exact token counts under the LEARNED
+    WordPiece merges: whitespace tokens equi-join the vocab-sized
+    segmentation (broadcast at scale), one map-side-combinable
+    per-doc groupBy — the x4_bpe_token_count twin under the
+    likelihood objective, for tokenizer A/B cost comparisons."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens as _toks
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_wordpiece_merges,
+        segment_words,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_wordpiece_merges(d, "text", n_merges=_BPE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    seg = segment_words(d, merges)
+    tok = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        tok.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("seg")).cast("bigint").alias("n_wp_tokens"),
+        )
+    )
 
 
 @q("x4_sp_unigram_segment", _sp_sql(0))
