@@ -101,6 +101,7 @@ ONEOFF = [
     "x4_bpe_merges",           # 6-round vocab-loop tokenizer training (r07)
     "x4_wordpiece_merges",     # likelihood-scored merge variant (r08)
     "x4_sp_unigram_em",        # SentencePiece Viterbi + 1 hard-EM (r08)
+    "flagship_tokenizer_pipeline",  # flagship #7: ppx gate -> WP -> counts
     "t37_stream_dsir",         # incremental importance-model drain (r07)
     "t38_stream_line_dedup",   # incremental keep-first line dedup drain
     "x2_canonical_per_cluster",  # CC + DSIR keep-best composition

@@ -2449,10 +2449,10 @@ def x4_unigram_logprob(spark, sf_dir):
     return unigram_logprob_score(d, "doc_id", "text")
 
 
-@q(
-    "x4_perplexity_buckets",
-    """
-    WITH tok AS (
+# CCNet perplexity-bucket CTE chain — shared by x4_perplexity_buckets
+# and flagship_tokenizer_pipeline (which composes it with the WP
+# rounds over the kept head+middle docs).
+_PPX_CTES = """tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ),
     lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
@@ -2468,13 +2468,23 @@ def x4_unigram_logprob(spark, sf_dir):
              round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                    / 1000000.0, 6) AS avg_surprisal
       FROM fp GROUP BY doc_id
-    )
-    SELECT d.doc_id, d.lang, sc.n_tokens, sc.avg_surprisal,
-           CAST(ntile(3) OVER (
-             PARTITION BY d.lang
-             ORDER BY sc.avg_surprisal ASC, d.doc_id ASC) AS INT)
-             AS ppx_bucket
-    FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+    ),
+    bucketed AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, sc.n_tokens, sc.avg_surprisal,
+             CAST(ntile(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY sc.avg_surprisal ASC, d.doc_id ASC) AS INT)
+               AS ppx_bucket
+      FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+    )"""
+
+
+@q(
+    "x4_perplexity_buckets",
+    f"""
+    WITH {_PPX_CTES}
+    SELECT doc_id, lang, n_tokens, avg_surprisal, ppx_bucket
+    FROM bucketed
     """,
 )
 def x4_perplexity_buckets(spark, sf_dir):
@@ -2714,7 +2724,10 @@ def x4_bpe_token_count(spark, sf_dir):
     )
 
 
-def _wp_sql(n_merges: int, final: str = "merges") -> str:
+def _wp_sql(
+    n_merges: int, final: str = "merges", src: str = "documents",
+    with_kw: str = "WITH ",
+) -> str:
     """Unrolled WORDPIECE oracle: the BPE rounds (_bpe_sql) with the
     likelihood-ratio argmax — each round additionally materializes
     the vocab-sized symbol-count table, and best_r maximizes the
@@ -2725,10 +2738,10 @@ def _wp_sql(n_merges: int, final: str = "merges") -> str:
     3^rounds). ``final`` taps the rounds like _bpe_sql: 'merges'
     (default), 'segments' (seg_n vocabulary split), 'token_counts'
     (per-doc exact counts under the learned WP merges)."""
-    s = """
-    WITH wf AS MATERIALIZED (
+    s = f"""
+    {with_kw}wf AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {src})
       WHERE length(w) > 0
       GROUP BY w
     ),
@@ -2781,7 +2794,7 @@ def _wp_sql(n_merges: int, final: str = "merges") -> str:
     if final == "token_counts":
         return s + f"""
     , tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {src}
     )
     SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -2790,6 +2803,8 @@ def _wp_sql(n_merges: int, final: str = "merges") -> str:
     JOIN seg_{n_merges} s USING (w)
     GROUP BY t.doc_id
     """
+    if final == "none":
+        return s  # bare CTE chain ending at seg_{n_merges} (composition)
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, left_sym, right_sym, "
         f"pair_count, score_fp FROM best_{r}"
@@ -2998,6 +3013,53 @@ def x4_wordpiece_token_count(spark, sf_dir):
             F.sum(F.size("seg")).cast("bigint").alias("n_wp_tokens"),
         )
     )
+
+
+_FLAGSHIP_TOKENIZER_SQL = (
+    "WITH "
+    + _PPX_CTES
+    + """,
+    keep AS MATERIALIZED (
+      SELECT doc_id, lang, ppx_bucket FROM bucketed WHERE ppx_bucket <= 2
+    ),
+    kdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN keep USING (doc_id)
+    ),
+    """
+    + _wp_sql(_BPE_MERGES, final="none", src="kdocs", with_kw="")
+    + f"""
+    , ktok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM kdocs
+    ),
+    cnt AS (
+      SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(s.seg)) AS BIGINT) AS n_wp_tokens
+      FROM (SELECT * FROM ktok WHERE length(w) > 0) t
+      JOIN seg_{_BPE_MERGES} s USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT c.doc_id, k.lang, k.ppx_bucket, c.n_words, c.n_wp_tokens
+    FROM cnt c JOIN keep k USING (doc_id)
+    """
+)
+
+
+@q("flagship_tokenizer_pipeline", _FLAGSHIP_TOKENIZER_SQL)
+def flagship_tokenizer_pipeline(spark, sf_dir):
+    """Flagship #7 — the composed TOKENIZER pipeline
+    (plans/tokenizer.py): CCNet perplexity buckets gate the corpus
+    (keep head+middle, drop the tail), WordPiece trains on the KEPT
+    text only, and every kept doc gets its EXACT token count under
+    the learned merges — the budget number packing/curriculum
+    consume. One oracle composes the shared perplexity CTE chain
+    with the unrolled WP rounds over the kept subset."""
+    from eco_pulse_lakehouse_spark.plans.tokenizer import (
+        flagship_tokenizer,
+    )
+
+    return flagship_tokenizer(spark, sf_dir)
 
 
 @q("x4_sp_unigram_segment", _sp_sql(0))
