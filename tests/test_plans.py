@@ -670,6 +670,16 @@ def test_sp_unigram_plan_vocab_sized_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_tokenizer_flagship_plan_no_cartesian(spark):
+    """flagship #7: perplexity gate (distributed rank, no global
+    window), WP training loop, and the count join — keyed joins
+    everywhere; the only BNLJ is the 1-row LM-total broadcast."""
+    df = northstar.QUERIES["flagship_tokenizer_pipeline"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "ntile" not in plan.lower(), plan
+
+
 def test_curation_flagship_plan_no_cartesian(spark):
     """flagship #6: three composed stages, every join keyed (content,
     line, bucket, doc) — no cross product anywhere; final selection
