@@ -504,3 +504,82 @@ class TestLineDedupReference:
             kept = [ch for c, ch in mine if first[ch] == (i, c)]
             expect[i] = (len(mine), len(mine) - len(kept), " ".join(kept))
         assert got == expect
+
+
+class TestWordPieceReference:
+    """learn_wordpiece_merges vs the pure-Python reference on RANDOM
+    small-alphabet corpora — generalizes the crafted divergence pin
+    in test_northstar.py: tied scores, repeated-char runs, words that
+    fully merge before n_merges rounds."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["ab", "ba", "aab", "abb", "xy", "a"]),
+                min_size=1,
+                max_size=8,
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        ),
+        n_merges=st.sampled_from([2, 3]),
+    )
+    def test_matches_python(self, spark, docs, n_merges):
+        from eco_pulse_lakehouse_spark.operators import bpe
+        from tests.test_northstar import _py_wordpiece
+
+        freqs: dict[str, int] = {}
+        for t in docs:
+            for w in t.split(" "):
+                freqs[w] = freqs.get(w, 0) + 1
+        expected, _segs = _py_wordpiece(freqs, n_merges)
+        df = spark.createDataFrame([(t,) for t in docs], "text STRING")
+        got = [
+            (r.left_sym, r.right_sym, r.pair_count, r.score_fp)
+            for r in bpe.learn_wordpiece_merges(df, n_merges=n_merges)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == expected, (got, expected)
+
+
+class TestUnigramViterbiReference:
+    """unigram_viterbi_segment vs the pure-Python Viterbi on RANDOM
+    two-char corpora (maximal lattice ambiguity: every substring is a
+    plausible piece), for the seed round and one hard-EM round."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.text(alphabet="ab", min_size=1, max_size=7),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        ),
+        em=st.sampled_from([0, 1]),
+    )
+    def test_matches_python(self, spark, docs, em):
+        from eco_pulse_lakehouse_spark.operators.bpe import (
+            unigram_viterbi_segment,
+        )
+        from tests.test_northstar import _py_unigram_viterbi
+
+        freqs: dict[str, int] = {}
+        for t in docs:
+            for w in t.split(" "):
+                if w:
+                    freqs[w] = freqs.get(w, 0) + 1
+        from hypothesis import assume
+
+        assume(freqs)
+        want = _py_unigram_viterbi(freqs, em_rounds=em)
+        df = spark.createDataFrame([(t,) for t in docs], "text STRING")
+        got = {
+            r.w: (r.f, r.n_pieces, r.seg_str, r.best_fp)
+            for r in unigram_viterbi_segment(df, em_rounds=em).collect()
+        }
+        assert got == want, (got, want)
