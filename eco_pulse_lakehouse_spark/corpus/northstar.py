@@ -2902,7 +2902,13 @@ def _sp_sql(em_rounds: int) -> str:
     """Unrolled SentencePiece-unigram Viterbi oracle: seed LM from
     frequency-weighted substring counts, then ``em_rounds`` hard-EM
     re-estimations (recount pieces from the round's segmentations,
-    characters floored at count 1 — Kudo's alphabet invariant)."""
+    characters floored at count 1 — Kudo's alphabet invariant).
+
+    The DP unrolls _SP_MAXLEN positions, so a vocab word LONGER than
+    _SP_MAXLEN would silently vanish from the oracle (the Spark side
+    handles any length) — the final SELECT therefore raises via
+    error() if such a word exists, turning a testdata regeneration
+    into a loud failure instead of a row-count mismatch."""
     s = f"""
     WITH wf AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS f
@@ -2951,6 +2957,10 @@ def _sp_sql(em_rounds: int) -> str:
         s += _sp_round_sql(r, f"lm_{r}")
     return s + f"""
     SELECT w, f, n_pieces, seg_str, best_fp FROM seg_r{em_rounds}
+    WHERE CASE WHEN (SELECT max(length(w)) FROM wf) > {_SP_MAXLEN}
+               THEN error('vocab word exceeds _SP_MAXLEN={_SP_MAXLEN} — '
+                          'raise the DP unroll in _sp_sql')
+               ELSE TRUE END
     """
 
 
