@@ -74,6 +74,33 @@ _R07_GREEN: frozenset[str] = frozenset(
     }
 )
 
+# Round-8 driver window: 48/50 green on the full rows+schema+hash
+# triple (CORRECTNESS_r08.json; the 2 non-passes are the by-design
+# rows-only entries a6_approx_count_distinct / f_random_generator,
+# which have no oracle and were checked rows-clean).
+_R08_GREEN: frozenset[str] = frozenset(
+    {
+        "a1_count_star", "a2_conditional_counts", "a3_avg",
+        "a4_groupby_count", "a5_distinct", "a6_count_distinct",
+        "a7_summary", "a8_rollup", "f_case_when_chain", "f_datetime",
+        "f_math", "f_null_handling", "f_string",
+        "flagship_curation_select", "flagship_tokenizer_pipeline",
+        "j1_cross_join", "j2_range_join_band", "j2_range_join_grid",
+        "j2_range_join_naive", "j3_equi_join_3way", "j3_outer_join",
+        "j3_semi_join", "o1_latest_events", "o3_topk_orders",
+        "p4_range_filter", "p5_compound_filter", "p6_in_filter",
+        "p9_unpivot", "set_intersect", "set_union",
+        "t38_stream_line_dedup", "t39_stream_wordpiece",
+        "w1_latest_per_key", "w2_keep_best", "w3_rolling_avg",
+        "w4_lag_delta", "w5_rank", "w6_running_sum", "x2_line_dedup",
+        "x2_prefix_filter_jaccard", "x3_ivf_topk",
+        "x4_perplexity_buckets", "x4_sp_unigram_em",
+        "x4_sp_unigram_segment", "x4_wordpiece_merges",
+        "x4_wordpiece_segment", "x4_wordpiece_token_count",
+        "x5_image_ahash",
+    }
+)
+
 # Entries a past driver round already CORRECTNESS-checked green
 # (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
 # the registry from the front, so never-checked entries must lead;
@@ -167,6 +194,9 @@ _DRIVER_GREEN = frozenset(
     # --- round 7 greens (CORRECTNESS_r07.json: 50/50 hash_match —
     # the first all-hard-oracle window) ---
     | _R07_GREEN
+    # --- round 8 greens (CORRECTNESS_r08.json: 48/48 oracle-backed
+    # hash_match; the 2 rows-only entries ran clean) ---
+    | _R08_GREEN
     # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
     # 6 rows-only-by-design sketch/DTW/block entries) ---
     | {
@@ -215,43 +245,46 @@ _R01_GREEN: frozenset[str] = frozenset(
     }
 )
 
-# Round-8 front tier: entries whose CODE or ORACLE changed this
+# Round-9 front tier: entries whose CODE or ORACLE changed this
 # round — changed code/oracle needs a fresh green row even though a
-# (now-stale) r07 row exists.
-_NEW_R08: frozenset[str] = frozenset(
+# (now-stale) earlier row exists.
+_NEW_R09: frozenset[str] = frozenset(
     {
-        # line_dedup_keep_first now defaults to the 8-byte xxhash64
-        # line key (verify-on-match); the hash-keyed plan is what
-        # needs the fresh row. flagship_curation_select and the t38
-        # streaming twin compose the same operator.
-        "x2_line_dedup", "flagship_curation_select",
-        "t38_stream_line_dedup",
-        # x3_ivf_topk: knob-scaled (n_centroids = max(16,
-        # round(sqrt(N))) on BOTH engines — Spark code AND oracle SQL
-        # changed, VERDICT r07 item 5)
-        "x3_ivf_topk",
-        # perceptual_ahash: empty-payload guard + param cleanup
-        "x5_image_ahash",
-        # oracle edge guard (0/0-NaN join predicate) — oracle text
-        # changed, so the standing row is under a superseded oracle
-        "x2_prefix_filter_jaccard",
+        # flagship #6 gained the learned NB quality gate between the
+        # line-dedup and DSIR stages (VERDICT r08 item 2) — oracle
+        # composition changed.
+        "flagship_curation_select",
+        # flagship #7: explicit F.broadcast pin on the vocab-sized
+        # segment join (VERDICT r08 item 5) — plan changed.
+        "flagship_tokenizer_pipeline",
+        # WordPiece training: loud fixed-point overflow guard on
+        # score_fp (ADVICE r08) — code path changed.
+        "x4_wordpiece_merges",
     }
+)
+
+# r01-era greens whose re-certification did not fit round 8's window
+# (NEXT.md: tail of the r01 tranche in registration order).
+_R09_CARRYOVER: frozenset[str] = frozenset(
+    {"j4_asof_join", "m1_merge_upsert"}
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 8 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 9 rotation).
 
-    VERDICT r07 item 1: fold the r07 greens into _DRIVER_GREEN and
-    front-load the window with the oldest standing certifications.
-    Order: (0) entries whose code or oracle changed this round (a
-    fresh row per change = most information per slot); (1) anything
-    never driver-checked (new entries built this round); (2) the
-    ~38 round-1-era greens not refreshed since r01 — six rounds and
-    much refactoring old; (3) the round-3 tranche (the next-oldest
-    evidence) for whatever slots remain; (9) recently-certified
-    entries last. Registration order within a tier."""
-    if name in _NEW_R08:
+    VERDICT r08 item 1: fold the r08 greens into _DRIVER_GREEN and
+    front-load the window with the r03 tranche — after round 8
+    refreshed the r01-era remainder, the r03 rows are the oldest
+    standing certifications (5 rounds stale). Order: (0) entries
+    whose code or oracle changed this round (a fresh row per change
+    = most information per slot); (1) anything never driver-checked
+    (new entries built this round); (2) the two r01 carryovers that
+    fell off round 8's window edge, then the 42 r03-era greens not
+    refreshed since; (9) recently-certified entries last.
+    Registration order within a tier."""
+    refreshed = _R07_GREEN | _R08_GREEN
+    if name in _NEW_R09:
         return (0, 0, 0)
     if name not in _DRIVER_GREEN:
         fam = (
@@ -260,10 +293,10 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
             else 2
         )
         return (1, 0 if has_oracle else 1, fam)
-    if name in _R01_GREEN and name not in _R07_GREEN:
+    if name in _R09_CARRYOVER and name not in refreshed:
         return (2, 0, 0)
-    if name in _R03_GREEN and name not in _R07_GREEN:
-        return (3, 0, 0)
+    if name in _R03_GREEN and name not in refreshed:
+        return (2, 1, 0)
     return (9, 0, 0)
 
 
