@@ -189,9 +189,10 @@ def learn_wordpiece_merges(
     BIGINT arithmetic, truncating division, identical in Spark and
     DuckDB (`div` / `//`), no float anywhere; ties break (score desc,
     pair_count desc, left asc, right asc). BIGINT headroom: exact up
-    to pair_count ≤ 9.2e6 and count(l)·count(r) ≤ 9.2e18 — at 100 TB
-    the same expression shifts to DECIMAL(38,0)/HUGEINT, which both
-    engines support. The HF '##' continuation-prefix convention is an
+    to pair_count ≤ 9.2e6 and count(l)·count(r) ≤ 9.2e18, ENFORCED by
+    a loud per-row raise_error guard (never a silent wrap; pinned in
+    tests) — at 100 TB the same expression shifts to
+    DECIMAL(38,0)/HUGEINT, which both engines support. The HF '##' continuation-prefix convention is an
     input-alphabet detail (it changes WHAT the initial symbols are,
     not how merges are chosen) deliberately not modeled over this
     corpus's single-space ASCII token streams; the algorithmic
@@ -255,10 +256,27 @@ def learn_wordpiece_merges_from_vocab(
                 "right_sym",
             )
             .withColumn(
+                # Loud BIGINT-headroom guard (ADVICE r08): pair_count
+                # · 10¹² wraps past 2⁶³−1 once pair_count exceeds
+                # 9 223 372, and __lc·__rc wraps once __lc >
+                # (2⁶³−1) div __rc — both silently under ANSI-off
+                # arithmetic, so an oversized corpus must fail loudly
+                # instead of producing wrapped scores (the SP
+                # oracle's MAXLEN-guard discipline).
                 "score_fp",
                 F.expr(
-                    "(pair_count * CAST(1000000000000 AS BIGINT)) "
-                    "div (__lc * __rc)"
+                    "CASE WHEN pair_count > CAST(9223372 AS BIGINT) "
+                    "OR __lc > CAST(9223372036854775807 AS BIGINT) "
+                    "div __rc "
+                    "THEN CAST(raise_error(concat("
+                    "'wordpiece score_fp fixed-point overflow: "
+                    "pair_count=', pair_count, ' left_count=', __lc, "
+                    "' right_count=', __rc, ' exceed BIGINT headroom "
+                    "at scale 1e12 (pair_count limit 9223372); "
+                    "shrink the corpus shard or lower fp scale')) "
+                    "AS BIGINT) "
+                    "ELSE (pair_count * CAST(1000000000000 AS BIGINT)) "
+                    "div (__lc * __rc) END"
                 ),
             )
         )

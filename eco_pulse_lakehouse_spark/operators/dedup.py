@@ -1065,8 +1065,14 @@ def line_dedup_keep_first(
     the shuffle never carries the line text twice; collisions are
     handled VERIFY-ON-MATCH, same as minhash: an occurrence is
     removed only when its text EXACTLY equals the group argmin's
-    text, so a 64-bit collision can only UNDER-remove (keep a stray
-    duplicate, ~2⁻⁶⁴/pair), never delete distinct content.
+    text, so a 64-bit collision can only UNDER-remove, never delete
+    distinct content. Precisely (ADVICE r08): when two distinct
+    texts collide on one 64-bit key (~2⁻⁶⁴/pair), the text that is
+    NOT the group argmin keeps EVERY occurrence — its own internal
+    duplicates are not deduped at all for that key, not merely "one
+    stray copy". Acceptable because the failure direction is
+    under-removal only and the colliding texts themselves remain
+    intact; ``hash_key=False`` removes even that case.
     ``hash_key=False`` keys on the raw text (the certified-equal
     reference form; pinned ≡ in tests).
 

@@ -369,7 +369,10 @@ def _hash_block(start: int, end: int) -> Column:
 
 
 def ahash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    max_block: int | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual-hash Hamming
     distance via PIGEONHOLE MULTI-INDEX blocking (multi-index
@@ -380,7 +383,21 @@ def ahash_neardup_pairs(
     recall, unlike a single-word block (which misses every pair
     whose diffs straddle the indexed word). Candidates from the
     block equi-joins are de-duplicated and refined with the full
-    64-bit XOR+popcount — never all-pairs. Returns
+    64-bit XOR+popcount — never all-pairs BETWEEN blocks, but the
+    candidate cost WITHIN blocks is distribution-dependent (ADVICE
+    r08): at ``max_hamming=6`` the 7 blocks are 9–10 bits wide, so
+    UNIFORM-RANDOM hashes expect ≈ Σ_k N²/2^(w_k+1) ≈ 7·N²/2¹⁰
+    candidates — near-quadratic. The guarantee is cheap only because
+    real perceptual hashes are far from uniform ONLY where near-dups
+    exist; for hostile/heavy-tailed block distributions pass
+    ``max_block`` to cap each (block, value) bucket at its first
+    ``max_block`` rows under the deterministic (block, value, id)
+    order (the bounded_phonetic_pairs discipline: the cap is opt-in,
+    SQL row_number-replayable so capped output stays oracle-EXACT,
+    and :func:`ahash_block_overflow` surfaces exactly what was
+    dropped — pairs whose every shared block overflowed past the cap
+    may be missed, so recall under a cap is exact only for the
+    surfaced-clean remainder; never a silent loss). Returns
     (id_a < id_b, hamming)."""
     n_blocks = max_hamming + 1
     bounds = [64 * k // n_blocks for k in range(n_blocks + 1)]
@@ -399,6 +416,27 @@ def ahash_neardup_pairs(
         F.col("b_hi").alias("hi"),
         F.explode(blocks).alias("blk"),
     ).select("id", "lo", "hi", "blk.bk", "blk.bv")
+    if max_block is not None:
+        from eco_pulse_lakehouse_spark.operators.rank import (
+            global_row_number,
+        )
+
+        # (bk, bv) alphabet is ≤ (max_hamming+1)·2^⌈64/(h+1)⌉ keys at
+        # the default widths (~7k) — the per-block offset table always
+        # broadcasts; no single-task-per-hot-block sort.
+        ranked = global_row_number(
+            keyed,
+            [F.col("bk").asc(), F.col("bv").asc(), F.col("id").asc()],
+            out_col="__gpos",
+        )
+        firsts = ranked.groupBy("bk", "bv").agg(
+            F.min("__gpos").alias("__first")
+        )
+        keyed = (
+            ranked.join(F.broadcast(firsts), ["bk", "bv"])
+            .filter(F.col("__gpos") - F.col("__first") < max_block)
+            .drop("__gpos", "__first")
+        )
     a = keyed.select(
         F.col("id").alias("id_a"),
         F.col("lo").alias("__la"),
@@ -423,4 +461,43 @@ def ahash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
+    )
+
+
+def ahash_block_overflow(
+    hashes: DataFrame, max_hamming: int, max_block: int
+) -> DataFrame:
+    """The no-silent-caps companion to ``ahash_neardup_pairs(...,
+    max_block=N)`` (same contract as dedup.phonetic_block_overflow /
+    timeseries.sax_bucket_overflow): per overflowing (block, value)
+    bucket, how many rows the cap dropped and the candidate-pair
+    count the full bucket would have cost. One tiny aggregation over
+    the exploded block keys; emit it next to any capped run so
+    truncation — and therefore any possible recall loss — is visible
+    in the job's output."""
+    n_blocks = max_hamming + 1
+    bounds = [64 * k // n_blocks for k in range(n_blocks + 1)]
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("bk"),
+                _hash_block(bounds[k], bounds[k + 1]).alias("bv"),
+            )
+            for k in range(n_blocks)
+        ]
+    )
+    n = F.col("n_rows")
+    return (
+        hashes.select(F.explode(blocks).alias("blk"))
+        .select("blk.bk", "blk.bv")
+        .groupBy("bk", "bv")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(n > max_block)
+        .select(
+            "bk",
+            "bv",
+            "n_rows",
+            (n - max_block).alias("n_dropped_rows"),
+            (n * (n - 1) / 2).cast("bigint").alias("uncapped_pairs"),
+        )
     )

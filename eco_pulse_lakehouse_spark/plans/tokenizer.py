@@ -58,7 +58,11 @@ def tokenizer_pipeline(
         "doc_id", F.explode(tokens(F.col("text"))).alias("w")
     ).filter(F.length("w") > 0)
     cnt = (
-        tok.join(seg, "w")
+        # seg is vocab-sized (distinct kept words) — pin the
+        # broadcast per the repo convention rather than relying on
+        # AQE's runtime promotion (VERDICT r08 nit; plan-asserted in
+        # tests/test_plans.py).
+        tok.join(F.broadcast(seg), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

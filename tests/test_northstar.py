@@ -1209,6 +1209,26 @@ def test_wordpiece_matches_python_reference_and_diverges_from_bpe(spark):
     assert (got[0][0], got[0][1]) == ("x", "y"), got[0]
 
 
+def test_wordpiece_overflow_guard_fails_loudly(spark):
+    """ADVICE r08: score_fp = pair_count·10¹² div (lc·rc) wraps
+    BIGINT silently once pair_count > 9 223 372. The guard must turn
+    that into a loud raise_error, not wrapped scores: a vocab row
+    with f = 10^10 gives pair_count = 10^10 on ('x','y')."""
+    import pytest
+
+    from eco_pulse_lakehouse_spark.operators import bpe
+
+    words = spark.createDataFrame(
+        [("xy", 10_000_000_000)], "w STRING, f LONG"
+    )
+    with pytest.raises(Exception, match="score_fp fixed-point overflow"):
+        bpe.learn_wordpiece_merges_from_vocab(words, n_merges=1).collect()
+    # and the guard does NOT fire inside the headroom
+    ok = spark.createDataFrame([("xy", 9_000_000)], "w STRING, f LONG")
+    rows = bpe.learn_wordpiece_merges_from_vocab(ok, n_merges=1).collect()
+    assert rows and rows[0].pair_count == 9_000_000
+
+
 def _py_unigram_viterbi(word_freqs, L=4, em_rounds=0):
     """Pure-Python SentencePiece-unigram reference: seed LM from
     weighted substring counts, Viterbi with (score, start) argmax,
@@ -1756,6 +1776,37 @@ def test_ahash_neardup_pigeonhole_full_recall(spark):
                 want.add((min(ia, ib), max(ia, ib), ham))
     assert (0, 100, 6) in want and (0, 102, 6) in want
     assert got == want, (got ^ want)
+
+
+def test_ahash_neardup_block_cap_deterministic_with_overflow(spark):
+    """ADVICE r08: the opt-in per-(block, value) cap. A pile of
+    IDENTICAL hashes (every block bucket holds all N rows) capped at
+    max_block=3 must (a) keep exactly the first 3 ids per bucket
+    under the deterministic (bk, bv, id) order — so pairs are exactly
+    the 3-choose-2 among ids {0,1,2}, (b) equal the uncapped output
+    restricted to those ids (capped = exact, never approximate), and
+    (c) surface every overflowing bucket with the dropped-row and
+    uncapped-pair accounting."""
+    from eco_pulse_lakehouse_spark.operators.multimodal import (
+        ahash_block_overflow,
+        ahash_neardup_pairs,
+    )
+
+    rows = [(i, 0xDEADBEEF, 0x0BADF00D) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id LONG, b_lo LONG, b_hi LONG")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in ahash_neardup_pairs(
+            df, max_hamming=6, max_block=3
+        ).collect()
+    }
+    assert got == {(0, 1, 0), (0, 2, 0), (1, 2, 0)}, got
+    ov = ahash_block_overflow(df, max_hamming=6, max_block=3).collect()
+    assert len(ov) == 7, ov  # all 7 blocks overflow (identical hashes)
+    assert all(
+        r.n_rows == 8 and r.n_dropped_rows == 5 and r.uncapped_pairs == 28
+        for r in ov
+    ), ov
 
 
 def test_prefix_filter_jaccard_lossless_and_cheaper(spark):

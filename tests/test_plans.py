@@ -673,11 +673,16 @@ def test_sp_unigram_plan_vocab_sized_no_cartesian(spark):
 def test_tokenizer_flagship_plan_no_cartesian(spark):
     """flagship #7: perplexity gate (distributed rank, no global
     window), WP training loop, and the count join — keyed joins
-    everywhere; the only BNLJ is the 1-row LM-total broadcast."""
+    everywhere; the only BNLJ is the 1-row LM-total broadcast. The
+    vocab-sized segmentation join is PINNED broadcast (VERDICT r08
+    item 5 — the repo convention is explicit hints on known-small
+    sides, not AQE promotion), so it must survive as a
+    BroadcastHashJoin in the executed plan."""
     df = northstar.QUERIES["flagship_tokenizer_pipeline"](spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "ntile" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_curation_flagship_plan_no_cartesian(spark):
