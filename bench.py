@@ -72,7 +72,7 @@ HEADLINE = [
     "x1_soft_dedup",           # duplicate down-weighting window
     "x4_trigram_backoff",      # held-out stupid-backoff LM surprisal
     "x3_binary_quant_topk",    # 1-bit codes: hamming prefilter + rerank
-    "flagship_curation_select",  # flagship #6: dedup→line-dedup→DSIR
+    "flagship_curation_select",  # flagship #6: dedup→line-dedup→NB gate→DSIR
     "x2_prefix_filter_jaccard",  # PPJoin: rarest-prefix index, lossless
     "x6_budget_select",        # distributed-cumsum token-budget prefix
     "x6_k_anonymity",          # quasi-identifier suppression window

@@ -4119,6 +4119,134 @@ def x6_dsir_resample(spark, sf_dir):
     return xsel.dsir_gumbel_resample(d, F.col("lang") == "en", k=50)
 
 
+# =====================================================================
+# X4 — learned NB quality classifier (operators/selection.py:
+# nb_log_odds / nb_classify) — VERDICT r08 item 2
+# =====================================================================
+
+# Weak label: the "curated sources" split (DCLM / FineWeb-Edu shape —
+# positives come from trusted provenance, the classifier generalizes
+# the provenance signal onto content so it can score unlabeled text).
+_NB_POS_SQL = "source IN ('src0','src1','src2','src3','src4')"
+
+
+def _nb_pos_pred():
+    return F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+
+
+# Shared NB CTE chain, parameterized on the source relation (which
+# must carry doc_id, source, text) so composed pipelines
+# (flagship_curation_select) replay the identical training pass over
+# a CLEANED document set. Same feature stream as _dsir_fb
+# (unigrams + word bigrams, poly-hash → 128 buckets); n-prefixed CTE
+# names so both chains compose in one oracle.
+def _nb_cte(src: str = "documents") -> str:
+    return f"""
+    ntw AS (SELECT doc_id, {_NB_POS_SQL} AS is_p,
+                   string_split(text, ' ') AS w
+            FROM {src}),
+    nfeats AS (
+      SELECT doc_id, is_p, u.f
+      FROM ntw, unnest(list_concat(w,
+        list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' ')))) AS u(f)
+    ),
+    nfb AS (SELECT doc_id, is_p,
+                   {_poly_th_sql('f')} % 128 AS bucket
+            FROM nfeats),
+    ncounts AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS c_neg
+      FROM nfb GROUP BY bucket
+    ),
+    ntot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn FROM ncounts),
+    nlo AS (
+      SELECT bucket, c_pos, c_neg,
+             CAST(round(ln(
+               (CAST(2 * c_pos + 1 AS DOUBLE)
+                  / CAST(2 * np + 128 AS DOUBLE))
+               / (CAST(2 * c_neg + 1 AS DOUBLE)
+                  / CAST(2 * nn + 128 AS DOUBLE))
+             ) * 1000000, 0) AS BIGINT) AS w_fp
+      FROM ncounts, ntot
+    ),
+    ndoc AS (
+      SELECT SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS dp,
+             SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS dn
+      FROM ntw
+    ),
+    npri AS (
+      SELECT CAST(round(ln(CAST(2 * dp + 1 AS DOUBLE)
+                           / CAST(2 * dn + 1 AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS prior_fp
+      FROM ndoc
+    ),
+    nmargins AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w_fp) AS BIGINT) AS evidence_fp,
+             CAST(CAST(SUM(w_fp) AS BIGINT) + prior_fp AS BIGINT)
+               AS margin_fp
+      FROM nfb JOIN nlo USING (bucket) CROSS JOIN npri
+      GROUP BY doc_id, prior_fp
+    )
+"""
+
+
+@q(
+    "x4_nb_log_odds",
+    f"""
+    WITH {_nb_cte("documents")}
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(c_pos AS BIGINT) AS c_pos,
+           CAST(c_neg AS BIGINT) AS c_neg,
+           w_fp
+    FROM nlo
+    """,
+)
+def x4_nb_log_odds(spark, sf_dir):
+    """X4 — the learned quality classifier's TRAINING pass
+    (operators/selection.py:nb_log_odds): closed-form Naive-Bayes
+    log-odds over hashed unigram+bigram features, weak-labeled by
+    the curated-sources provenance split. ONE corpus scan — both
+    class counts are conditional sums in the same vocab-sized
+    groupBy — and the output is the 128-row broadcastable
+    fixed-point weight table (the artifact nb_classify serves).
+    Oracle-exact under the corpus ln→1e-6 fixed-point rule; same
+    add-half-smoothed expression tree as the DSIR ratio table,
+    reused verbatim."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.nb_log_odds(d, _nb_pos_pred())
+
+
+@q(
+    "x4_nb_quality_gate",
+    f"""
+    WITH {_nb_cte("documents")}
+    SELECT doc_id, n_feats, evidence_fp, margin_fp,
+           margin_fp >= 0 AS keep
+    FROM nmargins
+    """,
+)
+def x4_nb_quality_gate(spark, sf_dir):
+    """X4 — learned-classifier INFERENCE over every document
+    (operators/selection.py:nb_classify): margin_fp = prior_fp +
+    Σ w_fp(bucket(feature)) as an exact BIGINT (any summation
+    order), plus the prior-free evidence_fp and the threshold gate —
+    the DCLM/FineWeb-Edu quality-classifier rung between the
+    heuristic gates (x4_perplexity_buckets) and selection
+    (x6_dsir_weights). The learned artifacts broadcast (128-row
+    weights + 1-row prior), so inference is one map-side-combinable
+    groupBy over the feature stream — the same shape at 100 TB."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.nb_classify(d, _nb_pos_pred())
+
+
 @q(
     "x1_soft_dedup",
     """
@@ -4399,8 +4527,8 @@ def x5_image_ahash(spark, sf_dir):
     "flagship_curation_select",
     f"""
     WITH dd AS (
-      SELECT doc_id, lang, text FROM (
-        SELECT doc_id, lang, text,
+      SELECT doc_id, lang, source, text FROM (
+        SELECT doc_id, lang, source, text,
                row_number() OVER (PARTITION BY text
                                   ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
@@ -4424,25 +4552,35 @@ def x5_image_ahash(spark, sf_dir):
       FROM lkept GROUP BY doc_id
     ),
     cdocs AS (
-      SELECT d.doc_id, d.lang, r.clean AS text
+      SELECT d.doc_id, d.lang, d.source, r.clean AS text
       FROM dd d JOIN lrebuilt r ON d.doc_id = r.doc_id
       WHERE r.clean != ''
     ),
-    {_dsir_fb("cdocs")}
+    {_nb_cte("cdocs")},
+    gkept AS (
+      SELECT c.doc_id, c.lang, c.text
+      FROM cdocs c JOIN nmargins m USING (doc_id)
+      WHERE m.evidence_fp >= 0
+    ),
+    {_dsir_fb("gkept")}
     SELECT w.doc_id, c.lang, w.weight_fp,
            CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens
-    FROM weights w JOIN cdocs c ON w.doc_id = c.doc_id
+    FROM weights w JOIN gkept c ON w.doc_id = c.doc_id
     ORDER BY w.weight_fp DESC, w.doc_id ASC LIMIT 100
     """,
 )
 def flagship_curation_select(spark, sf_dir):
     """Flagship #6 — the composed CURATION-SELECTION pipeline
     (plans/curation.py): exact dedup → CCNet keep-first line dedup →
-    DSIR importance top-100 over the CLEANED text, end-to-end
-    oracle-checked. Dedup runs before the LM on purpose — duplicated
-    boilerplate would otherwise drag every weight toward the
-    boilerplate distribution (the CCNet ordering). Output manifest
-    feeds flagship_training_export's rebalance/split stage."""
+    learned NB quality gate (trained on the cleaned text, evidence ≥
+    0 — VERDICT r08 item 2) → DSIR importance top-100 over the gated
+    text, end-to-end oracle-checked. Dedup runs before any LM on
+    purpose — duplicated boilerplate would otherwise drag every
+    classifier and selection weight toward the boilerplate
+    distribution (the CCNet ordering); the classifier gates before
+    DSIR so the importance model fits the quality-passing pool.
+    Output manifest feeds flagship_training_export's rebalance/split
+    stage."""
     from eco_pulse_lakehouse_spark.plans.curation import (
         flagship_curation,
     )

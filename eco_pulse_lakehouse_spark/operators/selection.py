@@ -334,3 +334,134 @@ def canonical_per_cluster(
         .filter(F.col("__rn") == 1)
         .select("comp", id_col, "weight_fp", "n_members")
     )
+
+
+# =====================================================================
+# Learned quality classifier — closed-form Naive-Bayes log-odds
+# =====================================================================
+
+
+def nb_log_odds(
+    docs: DataFrame,
+    label_pred: Column,
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Closed-form Naive-Bayes log-odds TRAINING pass — the learned
+    quality-classifier rung the DCLM / FineWeb-Edu recipes put
+    between the heuristic gates and selection (fastText-style binary
+    quality model; Li et al. 2024, Penedo et al. 2024), trained
+    entirely in-engine by ONE corpus scan: hashed unigram+bigram
+    features (the DSIR feature stream, :func:`_hashed_features`),
+    per-bucket positive/negative counts as a conditional sum inside
+    the same vocab-sized map-side-combinable groupBy, and per-bucket
+
+        w(b) = ln( p̂(b | pos) / p̂(b | neg) )
+
+    with add-half smoothing as the SAME fixed expression tree as
+    :func:`ratio_table` (reused verbatim — NB log-odds IS the DSIR
+    ratio with the pool split into the two classes), ln rounded to a
+    1e-6 fixed-point BIGINT per BUCKET so every per-document sum
+    downstream is exact integer addition in any order (the corpus ln
+    rule). Returns (bucket, c_pos, c_neg, w_fp) — at most
+    ``n_buckets`` rows, broadcastable at any corpus size. The
+    fixed-weight counterpart (weights as plan constants) is
+    quality.hashed_linear_score; this is the TRAINED form."""
+    feat = docs.select(
+        label_pred.alias("__is_p"),
+        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.sum(F.when(F.col("__is_p"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c_raw"),
+    )
+    return ratio_table(counts, n_buckets, fp_scale).select(
+        "bucket",
+        F.col("c_target").alias("c_pos"),
+        F.col("c_raw").alias("c_neg"),
+        "w_fp",
+    )
+
+
+def nb_prior(
+    docs: DataFrame, label_pred: Column, fp_scale: int = FP_SCALE
+) -> DataFrame:
+    """Document-level class prior ln(P̂(pos)/P̂(neg)) as a 1-row
+    (n_pos, n_neg, prior_fp) table — add-half smoothed via the
+    doubling trick ((2·n_pos+1)/(2·n_neg+1), one division of exact
+    integers), ln rounded to the fixed point per the corpus ln
+    rule. Broadcast-joined onto every margin."""
+    agg = docs.agg(
+        F.sum(F.when(label_pred, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(label_pred, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    pr = (2 * F.col("n_pos") + 1).cast("double") / (
+        2 * F.col("n_neg") + 1
+    ).cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.log(pr) * fp_scale, 0).cast("bigint").alias("prior_fp"),
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+    threshold_fp: int = 0,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """NB inference over every document: margin_fp = prior_fp +
+    Σ_features w_fp(bucket(f)) — an exact BIGINT — and the threshold
+    gate ``keep = margin_fp >= threshold_fp``. ``train`` defaults to
+    ``docs`` (weak-label self-training, the DCLM shape: the label
+    predicate encodes the curated-vs-crawl split); pass a labeled
+    sample to train small and score everything — either way the
+    learned artifacts are one ≤``n_buckets``-row table plus one
+    1-row prior, both broadcast, so the only document-keyed shuffle
+    carries (id, two longs). Returns (id_col, n_feats, evidence_fp,
+    margin_fp, keep) — ``evidence_fp`` is the prior-free Σ w_fp
+    (≥ 0 ⇔ the document's tokens lean positive regardless of the
+    class base rate; the gate composed pipelines want when the
+    positive class is a minority)."""
+    tr = docs if train is None else train
+    w = nb_log_odds(tr, label_pred, text_col, n_buckets, fp_scale)
+    pri = nb_prior(tr, label_pred, fp_scale)
+    feat = docs.select(
+        F.col(id_col),
+        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    margin = F.col("__sw") + F.col("prior_fp")
+    return (
+        feat.join(F.broadcast(w.select("bucket", "w_fp")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w_fp").alias("__sw"),
+        )
+        .crossJoin(F.broadcast(pri.select("prior_fp")))
+        .select(
+            id_col,
+            "n_feats",
+            F.col("__sw").cast("bigint").alias("evidence_fp"),
+            margin.cast("bigint").alias("margin_fp"),
+            (margin >= F.lit(int(threshold_fp))).alias("keep"),
+        )
+    )

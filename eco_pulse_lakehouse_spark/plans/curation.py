@@ -9,21 +9,33 @@ flagship_curation_select):
   2. LINE DEDUP       — CCNet keep-first over 3-token lines; docs
                         reduced to nothing are dropped
                         (dedup.py:line_dedup_keep_first)
-  3. DSIR SELECTION   — hashed-n-gram importance weights over the
-                        CLEANED text (target = lang='en'), top-k
+  3. NB QUALITY GATE  — learned Naive-Bayes log-odds classifier
+                        (selection.py:nb_classify), weak-labeled by
+                        the curated-sources provenance split and
+                        TRAINED ON THE CLEANED TEXT of this very
+                        pipeline (training upstream of dedup would
+                        let boilerplate dominate the class counts);
+                        keep docs with non-negative evidence —
+                        margin net of the class prior (VERDICT r08
+                        item 2, the DCLM/FineWeb-Edu rung)
+  4. DSIR SELECTION   — hashed-n-gram importance weights over the
+                        GATED text (target = lang='en'), top-k
                         manifest (operators/selection.py)
 
-Ordering matters and is the production order: dedup before the LM —
+Ordering matters and is the production order: dedup before any LM —
 duplicated boilerplate would otherwise dominate the raw bucket
-counts and drag every selection weight toward the boilerplate
-distribution (the same reason CCNet dedups before its perplexity
-filter). The output manifest (doc_id, lang, weight_fp, n_tokens) is
-the hand-off to the export recipe (flagship_training_export), which
-rebalances and splits whatever this stage selected.
+counts and drag every classifier weight and selection weight toward
+the boilerplate distribution (the same reason CCNet dedups before
+its perplexity filter); the classifier gates before DSIR so the
+importance model fits the quality-passing pool. The output manifest
+(doc_id, lang, weight_fp, n_tokens) is the hand-off to the export
+recipe (flagship_training_export), which rebalances and splits
+whatever this stage selected.
 
-Scale: stages 1-2 are the dedup family's bounded shuffles, stage 3
-is one scan + a broadcast 128-row table + TakeOrderedAndProject —
-nothing here re-scans text more than the stage that owns it.
+Scale: stages 1-2 are the dedup family's bounded shuffles, stages
+3-4 are each one scan + broadcast vocab-sized tables (128-row
+weights, 1-row prior) + TakeOrderedAndProject — nothing here
+re-scans text more than the stage that owns it.
 Reference parity: raulJD13/eco-pulse-lakehouse's curate step
 (fire_risk_processor.py) is filter-only; this flagship is the
 engine's superset curation path.
@@ -40,7 +52,10 @@ from eco_pulse_lakehouse_spark.operators.dedup import (
     exact_dedup,
     line_dedup_keep_first,
 )
-from eco_pulse_lakehouse_spark.operators.selection import dsir_weights
+from eco_pulse_lakehouse_spark.operators.selection import (
+    dsir_weights,
+    nb_classify,
+)
 
 
 def curation_select(
@@ -49,24 +64,32 @@ def curation_select(
     chunk_tokens: int = 3,
     n_buckets: int = 128,
 ) -> DataFrame:
-    """Dedup → line-dedup → DSIR top-k manifest. Returns
-    (doc_id, lang, weight_fp, n_tokens) for the k selected docs,
-    ordered deterministically (weight desc, doc_id asc)."""
+    """Dedup → line-dedup → NB quality gate → DSIR top-k manifest.
+    Returns (doc_id, lang, weight_fp, n_tokens) for the k selected
+    docs, ordered deterministically (weight desc, doc_id asc)."""
     dd = exact_dedup(docs, ["text"], "doc_id").select(
-        "doc_id", "lang", "text"
+        "doc_id", "lang", "source", "text"
     )
     ld = line_dedup_keep_first(dd, "doc_id", "text", chunk_tokens)
     cleaned = (
-        dd.select("doc_id", "lang")
+        dd.select("doc_id", "lang", "source")
         .join(ld.select("doc_id", "text_clean"), "doc_id")
         .filter(F.col("text_clean") != "")
-        .select("doc_id", "lang", F.col("text_clean").alias("text"))
+        .select("doc_id", "lang", "source", F.col("text_clean").alias("text"))
+    )
+    gated = nb_classify(
+        cleaned,
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        n_buckets=n_buckets,
+    )
+    kept = cleaned.join(
+        gated.filter(F.col("evidence_fp") >= 0).select("doc_id"), "doc_id"
     )
     w = dsir_weights(
-        cleaned, F.col("lang") == "en", n_buckets=n_buckets
+        kept, F.col("lang") == "en", n_buckets=n_buckets
     )
     return (
-        w.join(cleaned, "doc_id")
+        w.join(kept, "doc_id")
         .select(
             "doc_id",
             "lang",

@@ -1949,3 +1949,100 @@ def test_k_anonymize_groups(spark):
     assert all(not by_id[i].suppressed and by_id[i].lang == "en" for i in range(6))
     assert all(by_id[i].suppressed and by_id[i].lang == "*" for i in (10, 11, 20))
     assert by_id[10].group_n == 2 and by_id[20].group_n == 1
+
+
+def _py_nb_classifier(rows, pos_ids, n_buckets=128):
+    """Pure-Python NB log-odds reference: same poly char-fold hash,
+    same add-half smoothing, same ln→1e-6 fixed point (HALF_UP),
+    same doc-count prior. rows = (id, text); pos_ids = labeled
+    positive ids."""
+    import math
+    from collections import Counter
+
+    def poly(tok):
+        h = 0
+        for c in tok:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    def feats(text):
+        w = text.split(" ")
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def fp(x):
+        x *= 1_000_000
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    c_p, c_n = Counter(), Counter()
+    for _id, text in rows:
+        for f in feats(text):
+            b = poly(f) % n_buckets
+            (c_p if _id in pos_ids else c_n)[b] += 1
+    np_, nn = sum(c_p.values()), sum(c_n.values())
+    w_fp = {}
+    for b in set(c_p) | set(c_n):
+        r = ((2 * c_p[b] + 1) / (2 * np_ + n_buckets)) / (
+            (2 * c_n[b] + 1) / (2 * nn + n_buckets)
+        )
+        w_fp[b] = fp(math.log(r))
+    dp = sum(1 for _id, _ in rows if _id in pos_ids)
+    dn = len(rows) - dp
+    prior_fp = fp(math.log((2 * dp + 1) / (2 * dn + 1)))
+    out = {}
+    for _id, text in rows:
+        fs = feats(text)
+        ev = sum(w_fp[poly(f) % n_buckets] for f in fs)
+        out[_id] = (len(fs), ev, ev + prior_fp)
+    return out
+
+
+def test_nb_classifier_matches_python_reference(spark):
+    """operators/selection.py:nb_classify vs an independent pure-
+    Python NB on a crafted two-class corpus (bucket collisions
+    guaranteed: 128 buckets, >128 distinct features; positives a
+    minority so the prior is decisively negative)."""
+    from eco_pulse_lakehouse_spark.operators.selection import nb_classify
+
+    rows = [
+        (i, " ".join(f"good{(i * 7 + j) % 50}" for j in range(12)))
+        for i in range(8)
+    ] + [
+        (100 + i, " ".join(f"junk{(i * 5 + j) % 90}" for j in range(9)))
+        for i in range(24)
+    ]
+    pos_ids = set(range(8))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_feats, r.evidence_fp, r.margin_fp)
+        for r in nb_classify(df, F.col("doc_id") < 8).collect()
+    }
+    assert got == _py_nb_classifier(rows, pos_ids)
+
+
+def test_nb_classifier_separates_and_gates(spark):
+    """The point of the rung: docs made of positive-class tokens get
+    positive evidence, negative-class docs negative; a held-out doc
+    (not in the training frame) is scored by the learned weights via
+    the train= split; and the margin gate honors threshold_fp."""
+    from eco_pulse_lakehouse_spark.operators.selection import nb_classify
+
+    train_rows = [
+        (i, " ".join(f"good{j}" for j in range(10))) for i in range(5)
+    ] + [
+        (10 + i, " ".join(f"junk{j}" for j in range(10))) for i in range(5)
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id LONG, text STRING")
+    score_rows = train_rows + [(99, "good0 good1 good2 good3")]
+    sc = spark.createDataFrame(score_rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r
+        for r in nb_classify(
+            sc, F.col("doc_id") < 10, train=tr
+        ).collect()
+    }
+    assert all(got[i].evidence_fp > 0 for i in range(5))
+    assert all(got[10 + i].evidence_fp < 0 for i in range(5))
+    # held-out doc of positive tokens scores positive
+    assert got[99].evidence_fp > 0
+    # balanced classes → prior ~ ln(11/11)=0 → keep == evidence sign
+    assert got[99].keep and not got[10].keep

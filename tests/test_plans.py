@@ -693,3 +693,14 @@ def test_curation_flagship_plan_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_nb_classifier_plan_broadcasts_learned_artifacts(spark):
+    """x4_nb_quality_gate: the 128-row learned weight table must
+    broadcast onto the exploded feature stream (BroadcastHashJoin)
+    and the only cross products are the 1-row totals/prior
+    broadcasts — never a data-sized cartesian."""
+    df = northstar.QUERIES["x4_nb_quality_gate"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
