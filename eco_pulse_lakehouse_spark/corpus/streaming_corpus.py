@@ -2622,6 +2622,89 @@ def t39_stream_wordpiece(spark, sf_dir):
 
 
 @q(
+    "t40_stream_wordpiece_infer",
+    _ns._wp_sql(_ns._BPE_MERGES, final="token_counts"),
+)
+def t40_stream_wordpiece_infer(spark, sf_dir):
+    """T40 — STREAMING tokenizer INFERENCE (the serve side completing
+    t36/t39's train side, VERDICT r08 item 3): a WordPiece merge
+    table learned batch-side (the shipped tokenizer artifact) is
+    applied to a document STREAM, one file per trigger; each batch
+    lands its documents' EXACT per-doc token counts as an idempotent
+    epoch-keyed parquet partial. Inference is stateless and
+    batch-local — the merge folds (bpe.py:apply_merge) are row-local
+    over the batch's own vocab-sized distinct-word table, broadcast
+    onto the batch's token stream — so unseen future words segment
+    correctly and no vocabulary state is carried between batches.
+    Every document lives in exactly ONE source file, so the per-doc
+    partials are disjoint and their union IS the batch-mode result:
+    streamed ≡ batch bit-identically, and this entry carries
+    x4_wordpiece_token_count's oracle verbatim (per-batch work:
+    O(batch tokens) + vocab-sized folds — linear at 100 TB)."""
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_wordpiece_merges,
+        segment_words,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_wordpiece_merges(
+            docs, "text", n_merges=_ns._BPE_MERGES
+        )
+        .orderBy("merge_round")
+        .collect()
+    ]
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t40_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t40_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_counts(batch_df, batch_id: int) -> None:
+        seg = segment_words(batch_df, merges)
+        tok = batch_df.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        ).filter(F.length("w") > 0)
+        (
+            tok.join(F.broadcast(seg), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.size("seg")).cast("bigint").alias("n_wp_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_counts)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    return spark.read.parquet(os.path.join(sink, "batch=*")).select(
+        "doc_id", "n_words", "n_wp_tokens"
+    )
+
+
+@q(
     "t37_stream_dsir",
     f"WITH {_ns._DSIR_FB}\n"
     "    SELECT doc_id, n_feats, weight_fp FROM weights",

@@ -218,3 +218,48 @@ def test_stream_line_dedup_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_wordpiece_infer_equals_batch(spark):
+    """t40: per-batch stateless inference partials (each doc lives
+    in exactly one source file) must union to EXACTLY the batch
+    x4-style per-doc counts under the same learned merges — the
+    merge folds depend only on the word, so streamed ≡ batch is an
+    equality."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.bpe import (
+        learn_wordpiece_merges,
+        segment_words,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: (r.n_words, r.n_wp_tokens)
+        for r in QUERIES["t40_stream_wordpiece_infer"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in learn_wordpiece_merges(docs, "text", n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    seg = segment_words(docs, merges)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") > 0)
+    batch = {
+        r.doc_id: (r.n_words, r.n_wp_tokens)
+        for r in tok.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("seg")).cast("bigint").alias("n_wp_tokens"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
