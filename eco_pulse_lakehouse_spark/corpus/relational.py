@@ -35,9 +35,7 @@ _TMP = os.path.join(tempfile.gettempdir(), "eco_pulse_corpus")
 # =====================================================================
 
 
-@q(
-    "flagship_gold_risk",
-    """
+_GOLD_SQL = """
     WITH stations AS (
       SELECT user_id AS station_id, value AS station_value
       FROM (
@@ -65,12 +63,44 @@ _TMP = os.path.join(tempfile.gettempdir(), "eco_pulse_corpus")
                 ELSE 'LOW' END AS risk_level
     FROM fires JOIN stations
       ON abs(fire_value - station_value) < 5.0
-    """,
-)
+    """
+
+
+@q("flagship_gold_risk", _GOLD_SQL)
 def flagship_gold_risk(spark, sf_dir):
     from eco_pulse_lakehouse_spark.plans.gold import gold_risk_events
 
     return gold_risk_events(spark, sf_dir)
+
+
+@q(
+    "flagship_gold_risk_topk",
+    f"""
+    SELECT * FROM (
+      SELECT g.*,
+             CAST(row_number() OVER (
+               PARTITION BY fire_id
+               ORDER BY distance_val ASC, station_id ASC)
+             AS INTEGER) AS k_rank
+      FROM ({_GOLD_SQL}) g
+    ) WHERE k_rank <= 3
+    """,
+)
+def flagship_gold_risk_topk(spark, sf_dir):
+    """Flagship variant — k-NEAREST-stations gold (VERDICT r08 item
+    6): the reference-exact ε-join emits every station within the
+    radius, which is OUTPUT-bound at scale (197M rows at sf1, exp
+    0.83 — dense-ε semantics, not a plan defect); this variant keeps
+    only each fire's k=3 nearest stations under the deterministic
+    (distance, station_id) order — the form a downstream consumer
+    can actually read at 100 TB: output is k·|fires| no matter how
+    dense stations get. Same grid-bucketed join; the ranking window
+    partitions by fire_id (high-cardinality → fully parallel, never
+    a single-task sort). Oracle: DuckDB row_number replay over the
+    shared gold SQL."""
+    from eco_pulse_lakehouse_spark.plans.gold import gold_risk_events_topk
+
+    return gold_risk_events_topk(spark, sf_dir, k=3)
 
 
 # =====================================================================

@@ -704,3 +704,15 @@ def test_nb_classifier_plan_broadcasts_learned_artifacts(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gold_topk_no_single_partition_window_no_cartesian(spark):
+    """flagship_gold_risk_topk: the k-nearest ranking window must
+    partition by fire_id (parallel across fires — never a
+    SinglePartition global sort) over the same grid-bucketed
+    equi-join as the reference-exact form."""
+    df = relational.QUERIES["flagship_gold_risk_topk"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "windowspecdefinition(fire_id" in plan.lower(), plan
