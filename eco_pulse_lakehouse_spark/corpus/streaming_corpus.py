@@ -2705,6 +2705,148 @@ def t40_stream_wordpiece_infer(spark, sf_dir):
 
 
 @q(
+    "t41_stream_nb_gate",
+    f"""
+    WITH {_ns._nb_cte("documents")}
+    SELECT doc_id, n_feats, evidence_fp, margin_fp,
+           margin_fp >= 0 AS keep
+    FROM nmargins
+    """,
+)
+def t41_stream_nb_gate(spark, sf_dir):
+    """T41 — STREAMING quality-classifier maintenance (the
+    incremental twin of x4_nb_quality_gate, completing the learned
+    NB rung the way t37 completes DSIR): documents stream one file
+    per trigger; each batch lands THREE linear partials as
+    idempotent epoch-keyed parquet — (bucket, c_pos, c_neg) feature
+    class counts, a 1-row (n_pos, n_neg) document label count, and
+    (doc_id, bucket, n) per-doc feature-bucket counts — all pure
+    SUMs, so partials merge to exactly the one-pass tables. Serving
+    re-derives the 128-row fixed-point log-odds table and the 1-row
+    prior from the merged counts through the IDENTICAL expression
+    trees (selection.py:ratio_table / prior_counts_to_fp) and
+    broadcasts both onto the merged doc-bucket counts:
+    Σ_bucket n·w_fp ≡ Σ_features w_fp, so streamed margins are
+    BIT-IDENTICAL to the batch run and this entry carries
+    x4_nb_quality_gate's oracle verbatim. The 100 TB shape: ingest
+    updates vocab-sized + per-doc-linear tables, history is never
+    re-featurized, and re-gating the whole corpus after the model
+    drifts is a broadcast join — not a re-scan of the text."""
+    from eco_pulse_lakehouse_spark.corpus.northstar import _nb_pos_pred
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        _hashed_features,
+        prior_counts_to_fp,
+        ratio_table,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t41_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t41_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partials(batch_df, batch_id: int) -> None:
+        lab = batch_df.select(
+            "doc_id", _nb_pos_pred().alias("__is_p"), "text"
+        )
+        feat = lab.select(
+            "doc_id",
+            "__is_p",
+            F.explode(_hashed_features(F.col("text"), 128)).alias("bucket"),
+        )
+        (
+            feat.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("__is_p"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("c_pos"),
+                F.sum(F.when(F.col("__is_p"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("c_neg"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"counts/batch={batch_id}"))
+        )
+        (
+            lab.agg(
+                F.sum(F.when(F.col("__is_p"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pos"),
+                F.sum(F.when(F.col("__is_p"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("n_neg"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"labels/batch={batch_id}"))
+        )
+        (
+            feat.groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"docbuckets/batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partials)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    counts = (
+        spark.read.parquet(os.path.join(sink, "counts/batch=*"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("c_pos").cast("bigint").alias("c_target"),
+            F.sum("c_neg").cast("bigint").alias("c_raw"),
+        )
+    )
+    ratios = ratio_table(counts, n_buckets=128)
+    pri = prior_counts_to_fp(
+        spark.read.parquet(os.path.join(sink, "labels/batch=*")).agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+        )
+    )
+    docbuckets = (
+        spark.read.parquet(os.path.join(sink, "docbuckets/batch=*"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    margin = F.col("__sw") + F.col("prior_fp")
+    return (
+        docbuckets.join(
+            F.broadcast(ratios.select("bucket", "w_fp")), "bucket"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("w_fp")).alias("__sw"),
+        )
+        .crossJoin(F.broadcast(pri.select("prior_fp")))
+        .select(
+            "doc_id",
+            "n_feats",
+            F.col("__sw").cast("bigint").alias("evidence_fp"),
+            margin.cast("bigint").alias("margin_fp"),
+            (margin >= F.lit(0)).alias("keep"),
+        )
+    )
+
+
+@q(
     "t37_stream_dsir",
     f"WITH {_ns._DSIR_FB}\n"
     "    SELECT doc_id, n_feats, weight_fp FROM weights",

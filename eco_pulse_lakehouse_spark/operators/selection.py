@@ -406,6 +406,17 @@ def nb_prior(
         .cast("bigint")
         .alias("n_neg"),
     )
+    return prior_counts_to_fp(agg, fp_scale)
+
+
+def prior_counts_to_fp(
+    agg: DataFrame, fp_scale: int = FP_SCALE
+) -> DataFrame:
+    """The counts→prior stage of :func:`nb_prior`, split out so an
+    INCREMENTAL pipeline (t41: per-batch 1-row label-count partials,
+    SUM-merged) feeds the identical fixed expression tree — one
+    division of exact integers, ln to the fixed point. Input:
+    1 row of (n_pos, n_neg)."""
     pr = (2 * F.col("n_pos") + 1).cast("double") / (
         2 * F.col("n_neg") + 1
     ).cast("double")

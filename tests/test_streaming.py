@@ -263,3 +263,28 @@ def test_stream_wordpiece_infer_equals_batch(spark):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_nb_gate_equals_batch(spark):
+    """t41: per-batch (bucket class counts, 1-row label counts,
+    doc-bucket counts) partials merged at serving time must
+    reproduce the one-pass NB margins BIT-identically (count
+    linearity + the shared ratio_table / prior_counts_to_fp
+    expression trees)."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.northstar import _nb_pos_pred
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.selection import nb_classify
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: (r.n_feats, r.evidence_fp, r.margin_fp, r.keep)
+        for r in QUERIES["t41_stream_nb_gate"](spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_feats, r.evidence_fp, r.margin_fp, r.keep)
+        for r in nb_classify(
+            load_table(spark, sf, "documents"), _nb_pos_pred()
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
