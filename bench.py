@@ -76,6 +76,11 @@ HEADLINE = [
     "x2_prefix_filter_jaccard",  # PPJoin: rarest-prefix index, lossless
     "x6_budget_select",        # distributed-cumsum token-budget prefix
     "x6_k_anonymity",          # quasi-identifier suppression window
+    # round-8 families (outside the floor subset)
+    "x4_perplexity_buckets",   # CCNet per-lang terciles, distributed rank
+    # round-9 families (outside the floor subset)
+    "x4_nb_quality_gate",      # learned NB classifier train+score pass
+    "flagship_gold_risk_topk",  # k-nearest gold: bounded-output variant
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -105,6 +110,8 @@ ONEOFF = [
     "t37_stream_dsir",         # incremental importance-model drain (r07)
     "t38_stream_line_dedup",   # incremental keep-first line dedup drain
     "x2_canonical_per_cluster",  # CC + DSIR keep-best composition
+    "t40_stream_wordpiece_infer",  # serve-side tokenizer stream drain (r09)
+    "t41_stream_nb_gate",      # incremental NB classifier drain (r09)
 ]
 
 
