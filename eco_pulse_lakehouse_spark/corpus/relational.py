@@ -94,10 +94,14 @@ def flagship_gold_risk_topk(spark, sf_dir):
     only each fire's k=3 nearest stations under the deterministic
     (distance, station_id) order — the form a downstream consumer
     can actually read at 100 TB: output is k·|fires| no matter how
-    dense stations get. Same grid-bucketed join; the ranking window
-    partitions by fire_id (high-cardinality → fully parallel, never
-    a single-task sort). Oracle: DuckDB row_number replay over the
-    shared gold SQL."""
+    dense stations get. The ranking INPUT is bounded too, via exact
+    progressive-radius refinement (plans/gold.py:
+    gold_risk_events_topk — join at ε/8 first, fires with ≥k strict
+    candidates are provably resolved, only sparse fires rejoin at
+    full ε); the ranking window partitions by fire_id
+    (high-cardinality → fully parallel, never a single-task sort).
+    Oracle: DuckDB row_number replay over the shared gold SQL —
+    identical to ranking the full dense join."""
     from eco_pulse_lakehouse_spark.plans.gold import gold_risk_events_topk
 
     return gold_risk_events_topk(spark, sf_dir, k=3)

@@ -167,23 +167,16 @@ def run_gold_cycle(
     )
 
 
-def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFrame:
-    """The same DAG phrased over the synthetic ``events`` table.
+EVENTS_EPSILON = 5.0  # 1-D analogue of the 20° spatial predicate
 
-    * "weather" side: events with event_type in (view, click) — latest
-      reading per user_id (tiebreak event_id) supplies ``value`` as a
-      wind-speed-like measure.
-    * "fire" side: events with event_type = 'error'; confidence 'h'
-      when value >= 100.
-    * range join on |fire.value - station.value| < 5 (1-D analogue of
-      the 20-degree spatial predicate, bucketed identically).
-    * CASE classify on the joined measures, 30/20-style thresholds.
-    """
+
+def _gold_event_sides(spark, sf_dir: str):
+    """(fires, stations) from the synthetic events table — the two
+    join sides shared by the dense (reference-exact) and k-nearest
+    gold phrasings."""
     from eco_pulse_lakehouse_spark.catalog import load_table
-    from eco_pulse_lakehouse_spark.operators.joins import value_range_join
 
     events = load_table(spark, sf_dir, "events")
-
     stations = latest_per_key(
         events.filter(F.col("event_type").isin("view", "click")),
         ["user_id"],
@@ -194,23 +187,20 @@ def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFram
         F.col("value").alias("station_value"),
         F.col("ts").alias("station_ts"),
     )
-
     fires = events.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("fire_id"),
         F.col("user_id").alias("fire_user"),
         F.col("value").alias("fire_value"),
-        F.when(F.col("value") >= 100.0, "h").otherwise("n").alias("confidence"),
+        F.when(F.col("value") >= 100.0, "h").otherwise("n").alias(
+            "confidence"
+        ),
     )
+    return fires, stations
 
-    if use_grid_join:
-        paired = value_range_join(
-            fires, stations, "fire_value", "station_value", epsilon=5.0
-        )
-    else:
-        paired = fires.crossJoin(stations).filter(
-            F.abs(F.col("fire_value") - F.col("station_value")) < 5.0
-        )
 
+def _gold_classify(paired: DataFrame) -> DataFrame:
+    """CASE classify + the 7-col projection shared by both event
+    phrasings (30/20-style thresholds over the joined measures)."""
     classified = paired.withColumn(
         "risk_level",
         risk_level(
@@ -233,26 +223,100 @@ def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFram
     )
 
 
+def gold_risk_events(spark, sf_dir: str, use_grid_join: bool = True) -> DataFrame:
+    """The same DAG phrased over the synthetic ``events`` table.
+
+    * "weather" side: events with event_type in (view, click) — latest
+      reading per user_id (tiebreak event_id) supplies ``value`` as a
+      wind-speed-like measure.
+    * "fire" side: events with event_type = 'error'; confidence 'h'
+      when value >= 100.
+    * range join on |fire.value - station.value| < 5 (1-D analogue of
+      the 20-degree spatial predicate, bucketed identically).
+    * CASE classify on the joined measures, 30/20-style thresholds.
+    """
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.operators.joins import value_range_join
+
+    fires, stations = _gold_event_sides(spark, sf_dir)
+
+    if use_grid_join:
+        paired = value_range_join(
+            fires, stations, "fire_value", "station_value",
+            epsilon=EVENTS_EPSILON,
+        )
+    else:
+        paired = fires.crossJoin(stations).filter(
+            F.abs(F.col("fire_value") - F.col("station_value"))
+            < EVENTS_EPSILON
+        )
+
+    return _gold_classify(paired)
+
+
 def gold_risk_events_topk(
-    spark, sf_dir: str, k: int = 3, use_grid_join: bool = True
+    spark, sf_dir: str, k: int = 3, narrow_frac: int = 8
 ) -> DataFrame:
     """k-nearest-stations gold — the 100 TB-consumable variant of
     :func:`gold_risk_events` (VERDICT r08 item 6). The
     reference-exact ε-predicate keeps EVERY station in the radius,
     so its output grows with station density (197M rows at sf1);
-    this form ranks each fire's matches by the deterministic
-    (distance_val asc, station_id asc) order and keeps the first
-    ``k``, bounding output at k·|fires| regardless of density. The
-    ranking window partitions by fire_id — high-cardinality, so the
-    sort parallelizes across fires and no single task ever sees more
-    than one fire's ε-neighborhood. The reference-exact form stays
-    as-is for parity; this is the consumable companion."""
+    this form keeps each fire's ``k`` nearest under the deterministic
+    (distance_val asc, station_id asc) order — output k·|fires|
+    regardless of density.
+
+    The ranking input is bounded too, not just the output (the first
+    draft ranked the full dense-ε pair stream and rehearsed at
+    exponent 1.19 — output-bounded but candidate-bound): EXACT
+    PROGRESSIVE-RADIUS REFINEMENT. Join first at the narrow radius
+    ε₁ = ε/``narrow_frac``; any fire with ≥ k candidates strictly
+    inside ε₁ − 10⁻⁶ is RESOLVED — its true k nearest all lie below
+    ε₁ (anything outside is farther than k closer candidates), and
+    the 10⁻⁶ margin (= the distance_val rounding quantum, error
+    ≤ 5·10⁻⁷ per side) guarantees no outside candidate can tie the
+    k-th rounded distance and steal a slot by station_id tiebreak.
+    Only the unresolved fires (sparse neighborhoods) rejoin at the
+    full ε. Candidate volume drops ~narrow_frac× exactly where
+    density makes the dense join explode — the denser the stations,
+    the larger the resolved fraction. Both passes are the same
+    bucketed equi-join; the ranking window partitions by
+    high-cardinality fire_id (never a single-task sort). The
+    reference-exact dense form stays as-is for parity; results are
+    identical to ranking the full ε join (shared row_number oracle).
+    """
     from pyspark.sql import Window
 
-    g = gold_risk_events(spark, sf_dir, use_grid_join=use_grid_join)
+    from eco_pulse_lakehouse_spark.operators.joins import value_range_join
+
+    fires, stations = _gold_event_sides(spark, sf_dir)
+    eps1 = EVENTS_EPSILON / float(narrow_frac)
+
+    narrow = value_range_join(
+        fires, stations, "fire_value", "station_value", epsilon=eps1
+    )
+    raw_dist = F.abs(F.col("fire_value") - F.col("station_value"))
+    resolved_ids = (
+        narrow.filter(raw_dist < eps1 - 1e-6)
+        .groupBy("fire_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= k)
+        .select("fire_id")
+    )
+    resolved_pairs = narrow.join(resolved_ids, "fire_id")
+    unresolved_fires = fires.join(resolved_ids, "fire_id", "left_anti")
+    fallback_pairs = value_range_join(
+        unresolved_fires, stations, "fire_value", "station_value",
+        epsilon=EVENTS_EPSILON,
+    )
+    paired = resolved_pairs.select(*fallback_pairs.columns).unionByName(
+        fallback_pairs
+    )
+
     w = Window.partitionBy("fire_id").orderBy(
         F.col("distance_val").asc(), F.col("station_id").asc()
     )
-    return g.withColumn(
-        "k_rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("k_rank") <= k)
+    return (
+        _gold_classify(paired)
+        .withColumn("k_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("k_rank") <= k)
+    )
