@@ -87,3 +87,37 @@ def test_risk_rank_ordering(spark):
     )
     out = df.select(risk_rank(F.col("risk")).alias("rk")).collect()
     assert [r.rk for r in out] == [0, 1, 2, 3, 4, 5]
+
+
+def test_gold_topk_refinement_equals_naive_ranking(spark):
+    """The progressive-radius lemma: gold_risk_events_topk (narrow
+    pass + strict-count resolution + fallback) must equal ranking
+    the full dense ε-join directly — at BOTH a narrow_frac that
+    resolves most fires and one that forces most through the
+    fallback, so both code paths are pinned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.plans.gold import (
+        gold_risk_events,
+        gold_risk_events_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    w = Window.partitionBy("fire_id").orderBy(
+        F.col("distance_val").asc(), F.col("station_id").asc()
+    )
+    naive = {
+        tuple(r)
+        for r in gold_risk_events(spark, sf)
+        .withColumn("k_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("k_rank") <= 3)
+        .collect()
+    }
+    for frac in (2, 8, 64):
+        got = {
+            tuple(r)
+            for r in gold_risk_events_topk(spark, sf, k=3, narrow_frac=frac)
+            .collect()
+        }
+        assert got == naive and len(naive) > 0, frac
