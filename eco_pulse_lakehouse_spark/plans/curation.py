@@ -53,8 +53,8 @@ from eco_pulse_lakehouse_spark.operators.dedup import (
     line_dedup_keep_first,
 )
 from eco_pulse_lakehouse_spark.operators.selection import (
-    dsir_weights,
-    nb_classify,
+    _hashed_features,
+    ratio_table,
 )
 
 
@@ -66,7 +66,22 @@ def curation_select(
 ) -> DataFrame:
     """Dedup → line-dedup → NB quality gate → DSIR top-k manifest.
     Returns (doc_id, lang, weight_fp, n_tokens) for the k selected
-    docs, ordered deterministically (weight desc, doc_id asc)."""
+    docs, ordered deterministically (weight desc, doc_id asc).
+
+    The two LM stages (NB classifier + DSIR) share ONE
+    feature-explode pass: the cleaned text is featurized once into a
+    pinned (doc_id, bucket, n) doc-bucket table — the SAME artifact
+    the streaming twins (t37/t41) maintain incrementally — and both
+    the classifier's class counts and DSIR's target counts are then
+    doc-bucket-sized joins against doc metadata, never a re-scan of
+    text. Σ_bucket n·w_fp ≡ Σ_features w_fp (exact integers), so
+    results are bit-identical to the per-operator forms
+    (nb_classify / dsir_weights — pinned in tests). Naively
+    composing the operators re-featurized the corpus three times:
+    measured 8.4 s naive vs 5.2-6.3 s shared-featurize at sf0.1
+    (raw layout). persist() replaces localCheckpoint on a
+    cluster."""
+    is_pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     dd = exact_dedup(docs, ["text"], "doc_id").select(
         "doc_id", "lang", "source", "text"
     )
@@ -76,20 +91,66 @@ def curation_select(
         .join(ld.select("doc_id", "text_clean"), "doc_id")
         .filter(F.col("text_clean") != "")
         .select("doc_id", "lang", "source", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=True)  # 3 consumers: dbc, meta, manifest
     )
-    gated = nb_classify(
-        cleaned,
-        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
-        n_buckets=n_buckets,
+    meta = cleaned.select("doc_id", "lang", is_pos.alias("__is_p"))
+    dbc = (
+        cleaned.select(
+            "doc_id",
+            F.explode(_hashed_features(F.col("text"), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # the one featurize pass
     )
-    kept = cleaned.join(
-        gated.filter(F.col("evidence_fp") >= 0).select("doc_id"), "doc_id"
+
+    # NB gate: class counts + evidence from the doc-bucket table
+    # (evidence is prior-free, so the gate needs no prior row).
+    jb = dbc.join(meta.select("doc_id", "__is_p"), "doc_id")
+    nb_counts = jb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_p"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.sum("n").cast("bigint").alias("c_raw"),
     )
-    w = dsir_weights(
-        kept, F.col("lang") == "en", n_buckets=n_buckets
+    # nb_log_odds semantics: c_neg = c_raw - c_pos; ratio_table wants
+    # (pos, neg) so rebuild the two-class split before the shared tree
+    nb_wts = ratio_table(
+        nb_counts.select(
+            "bucket",
+            F.col("c_target"),
+            (F.col("c_raw") - F.col("c_target")).alias("c_raw"),
+        ),
+        n_buckets,
+    )
+    kept_ids = (
+        jb.join(F.broadcast(nb_wts.select("bucket", "w_fp")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("__ev"))
+        .filter(F.col("__ev") >= 0)
+        .select("doc_id")
+    )
+
+    # DSIR over the gated pool: same dbc, target = lang='en'
+    jk = dbc.join(kept_ids, "doc_id").join(
+        meta.select("doc_id", "lang"), "doc_id"
+    )
+    ds_counts = jk.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.sum("n").cast("bigint").alias("c_raw"),
+    )
+    ds_wts = ratio_table(ds_counts, n_buckets)
+    w = (
+        jk.join(F.broadcast(ds_wts.select("bucket", "w_fp")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"))
     )
     return (
-        w.join(kept, "doc_id")
+        w.join(cleaned, "doc_id")
         .select(
             "doc_id",
             "lang",

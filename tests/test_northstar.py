@@ -2046,3 +2046,60 @@ def test_nb_classifier_separates_and_gates(spark):
     assert got[99].evidence_fp > 0
     # balanced classes → prior ~ ln(11/11)=0 → keep == evidence sign
     assert got[99].keep and not got[10].keep
+
+
+def test_curation_shared_featurize_equals_operator_composition(spark):
+    """plans/curation.py's shared doc-bucket featurize must be
+    BIT-identical to naively composing the per-operator forms
+    (exact_dedup → line_dedup → nb_classify evidence gate →
+    dsir_weights) — Σ_bucket n·w_fp ≡ Σ_features w_fp on both LM
+    stages (the t37/t41 linearity argument, pinned batch-side)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        exact_dedup,
+        line_dedup_keep_first,
+    )
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        dsir_weights,
+        nb_classify,
+    )
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+    from eco_pulse_lakehouse_spark.plans.curation import curation_select
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    got = {tuple(r) for r in curation_select(docs, k=100).collect()}
+
+    dd = exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "text"
+    )
+    ld = line_dedup_keep_first(dd, "doc_id", "text", 3)
+    cleaned = (
+        dd.select("doc_id", "lang", "source")
+        .join(ld.select("doc_id", "text_clean"), "doc_id")
+        .filter(F.col("text_clean") != "")
+        .select(
+            "doc_id", "lang", "source", F.col("text_clean").alias("text")
+        )
+    )
+    gated = nb_classify(
+        cleaned,
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+    )
+    kept = cleaned.join(
+        gated.filter(F.col("evidence_fp") >= 0).select("doc_id"), "doc_id"
+    )
+    w = dsir_weights(kept, F.col("lang") == "en")
+    want = {
+        tuple(r)
+        for r in w.join(kept, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "weight_fp",
+            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy(F.col("weight_fp").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .collect()
+    }
+    assert got == want and len(got) > 0
