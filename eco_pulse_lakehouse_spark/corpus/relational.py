@@ -73,9 +73,7 @@ def flagship_gold_risk(spark, sf_dir):
     return gold_risk_events(spark, sf_dir)
 
 
-@q(
-    "flagship_gold_risk_topk",
-    f"""
+_GOLD_TOPK_SQL = f"""
     SELECT * FROM (
       SELECT g.*,
              CAST(row_number() OVER (
@@ -84,8 +82,10 @@ def flagship_gold_risk(spark, sf_dir):
              AS INTEGER) AS k_rank
       FROM ({_GOLD_SQL}) g
     ) WHERE k_rank <= 3
-    """,
-)
+    """
+
+
+@q("flagship_gold_risk_topk", _GOLD_TOPK_SQL)
 def flagship_gold_risk_topk(spark, sf_dir):
     """Flagship variant — k-NEAREST-stations gold (VERDICT r08 item
     6): the reference-exact ε-join emits every station within the

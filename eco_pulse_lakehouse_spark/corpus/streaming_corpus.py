@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.corpus import extended as _ext
 from eco_pulse_lakehouse_spark.corpus import northstar as _ns
+from eco_pulse_lakehouse_spark.corpus import relational as _rel
 from eco_pulse_lakehouse_spark.corpus._registry import T, make_registry
 from eco_pulse_lakehouse_spark.streaming import pipeline as sp
 
@@ -2844,6 +2845,67 @@ def t41_stream_nb_gate(spark, sf_dir):
             (margin >= F.lit(0)).alias("keep"),
         )
     )
+
+
+@q("t42_stream_gold_topk", _rel._GOLD_TOPK_SQL)
+def t42_stream_gold_topk(spark, sf_dir):
+    """T42 — STREAMING k-nearest gold (the serve twin of
+    flagship_gold_risk_topk): fire events stream one file per
+    trigger against the STATIC station dimension (latest reading per
+    station, computed once and pinned — the t8 stream-static shape);
+    each micro-batch runs the identical progressive-radius k-NN DAG
+    (plans/gold.py:gold_topk_for_fires — narrow ε/8 join, strict-
+    count resolution, sparse-fire fallback, per-fire ranking) and
+    lands its fires' top-k rows as an idempotent epoch-keyed parquet
+    partial. A fire's k nearest depend only on that fire and the
+    station table, and every fire lives in exactly ONE source file,
+    so the partials are disjoint and their union IS the one-shot
+    result: streamed ≡ batch bit-identically, and this entry carries
+    flagship_gold_risk_topk's oracle verbatim. The 100 TB shape:
+    per-batch work is O(batch fires · resolved-neighborhood), output
+    k·|batch fires| — the alerting pipeline the reference's 60 s
+    full-recompute loop (gold_batch_job.py:81-101) wants to be."""
+    from eco_pulse_lakehouse_spark.plans.gold import (
+        _gold_event_sides,
+        gold_topk_for_fires,
+    )
+
+    fires, stations = _gold_event_sides(spark, sf_dir)
+    stations = stations.localCheckpoint(eager=True)  # static dim, pinned
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t42_{uuid.uuid4().hex}"
+    )
+    fires.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t42_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    fire_schema = fires.schema
+    stream = (
+        spark.readStream.schema(fire_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_topk(batch_df, batch_id: int) -> None:
+        (
+            gold_topk_for_fires(batch_df, stations, k=3)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_topk)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    return spark.read.parquet(os.path.join(sink, "batch=*"))
 
 
 @q(

@@ -284,11 +284,27 @@ def gold_risk_events_topk(
     reference-exact dense form stays as-is for parity; results are
     identical to ranking the full ε join (shared row_number oracle).
     """
+    fires, stations = _gold_event_sides(spark, sf_dir)
+    return gold_topk_for_fires(fires, stations, k, narrow_frac)
+
+
+def gold_topk_for_fires(
+    fires: DataFrame,
+    stations: DataFrame,
+    k: int = 3,
+    narrow_frac: int = 8,
+) -> DataFrame:
+    """The progressive-refinement k-NN core of
+    :func:`gold_risk_events_topk`, split out so the STREAMING twin
+    (t42: fires arrive in batches, stations are the static dim) can
+    run the identical narrow/resolve/fallback/classify/rank DAG per
+    micro-batch — each fire's k-nearest depends only on that fire
+    and the station table, so per-batch results are disjoint and
+    union to exactly the one-shot output."""
     from pyspark.sql import Window
 
     from eco_pulse_lakehouse_spark.operators.joins import value_range_join
 
-    fires, stations = _gold_event_sides(spark, sf_dir)
     eps1 = EVENTS_EPSILON / float(narrow_frac)
 
     narrow = value_range_join(

@@ -288,3 +288,20 @@ def test_stream_nb_gate_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_gold_topk_equals_batch(spark):
+    """t42: per-batch progressive-refinement k-NN partials (each
+    fire lives in one source file; stations are the static dim) must
+    union to EXACTLY the one-shot gold_risk_events_topk output."""
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.plans.gold import gold_risk_events_topk
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r) for r in QUERIES["t42_stream_gold_topk"](spark, sf).collect()
+    }
+    batch = {
+        tuple(r) for r in gold_risk_events_topk(spark, sf, k=3).collect()
+    }
+    assert streamed == batch and len(batch) > 0
