@@ -4248,6 +4248,100 @@ def x4_nb_quality_gate(spark, sf_dir):
 
 
 @q(
+    "x4_nb_lang_id",
+    f"""
+    WITH ltw AS (
+      SELECT doc_id, lang,
+             (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+              / 4294967296.0) < 0.5 AS tr,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    lfeats AS (
+      SELECT doc_id, lang, tr, u.f
+      FROM ltw, unnest(list_concat(w,
+        list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' ')))) AS u(f)
+    ),
+    lfb AS (SELECT doc_id, lang, tr,
+                   {_poly_th_sql('f')} % 128 AS bucket
+            FROM lfeats),
+    lcc AS (
+      SELECT lang AS cls, bucket, CAST(COUNT(*) AS BIGINT) AS c_bc
+      FROM lfb WHERE tr GROUP BY lang, bucket
+    ),
+    lnc AS (SELECT cls, CAST(SUM(c_bc) AS BIGINT) AS n_c
+            FROM lcc GROUP BY cls),
+    lgrid AS (
+      SELECT lnc.cls, lnc.n_c, CAST(r.range AS BIGINT) AS bucket
+      FROM lnc CROSS JOIN range(0, 128) r
+    ),
+    ldense AS (
+      SELECT g.cls, g.bucket,
+             CAST(COALESCE(lcc.c_bc, 0) AS BIGINT) AS c_bc, g.n_c
+      FROM lgrid g
+      LEFT JOIN lcc ON g.cls = lcc.cls AND g.bucket = lcc.bucket
+    ),
+    lwts AS (
+      SELECT cls, bucket,
+             CAST(round(ln(CAST(2 * c_bc + 1 AS DOUBLE)
+                           / CAST(2 * n_c + 128 AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS w_fp
+      FROM ldense
+    ),
+    ldc AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS d_c
+            FROM ltw WHERE tr GROUP BY lang),
+    ldt AS (SELECT CAST(SUM(d_c) AS BIGINT) AS d_tot,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM ldc),
+    lpri AS (
+      SELECT cls,
+             CAST(round(ln(CAST(2 * d_c + 1 AS DOUBLE)
+                           / CAST(2 * d_tot + k AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS prior_fp
+      FROM ldc, ldt
+    ),
+    ldbc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+             FROM lfb GROUP BY doc_id, bucket),
+    lsc AS (
+      SELECT d.doc_id, w.cls,
+             CAST(SUM(d.n * w.w_fp) AS BIGINT) AS s,
+             CAST(SUM(d.n) AS BIGINT) AS n_feats
+      FROM ldbc d JOIN lwts w USING (bucket)
+      GROUP BY d.doc_id, w.cls
+    ),
+    lscored AS (
+      SELECT lsc.doc_id, lsc.cls, lsc.n_feats,
+             CAST(lsc.s + p.prior_fp AS BIGINT) AS score_fp
+      FROM lsc JOIN lpri p ON lsc.cls = p.cls
+    )
+    SELECT doc_id, cls AS pred_lang, score_fp, n_feats FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_fp DESC, cls ASC) AS rn
+      FROM lscored
+    ) WHERE rn = 1
+    """,
+)
+def x4_nb_lang_id(spark, sf_dir):
+    """X4 — LEARNED language-ID (operators/selection.py:
+    nb_multiclass_classify): multiclass Naive Bayes over the hashed
+    unigram+bigram stream, trained on the unit-hash half (held-out
+    docs are genuinely predicted) and scoring every document — the
+    trained counterpart of the heuristic x4_lang_id, completing the
+    classifier rung multiclass-side. Dense class×bucket weight grid
+    (unseen buckets contribute their zero-count penalty), smoothed
+    doc-count priors, exact BIGINT per-(doc, class) scores, (score
+    desc, class asc) argmax — 5 rows per doc through the ranking
+    window. Weights + priors broadcast at any corpus size."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.nb_multiclass_classify(
+        d, train_pred=unit_hash(F.col("doc_id")) < 0.5
+    )
+
+
+@q(
     "x1_soft_dedup",
     """
     SELECT doc_id,

@@ -476,3 +476,117 @@ def nb_classify(
             (margin >= F.lit(int(threshold_fp))).alias("keep"),
         )
     )
+
+
+def nb_multiclass_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+    train_pred: Column | None = None,
+) -> DataFrame:
+    """LEARNED language-ID — multiclass Naive Bayes over the hashed
+    unigram+bigram feature stream (the trained counterpart of the
+    heuristic x4_lang_id, and the multiclass sibling of
+    :func:`nb_classify`): per-class per-bucket log-likelihoods
+
+        w(b, c) = ln( (2·count(b|c)+1) / (2·N_c + B) )
+
+    with add-half smoothing over the DENSE class×bucket grid (a
+    feature bucket UNSEEN in class c must still contribute its
+    zero-count penalty — the grid is |classes|·n_buckets rows, so
+    densifying is free and the whole weight table broadcasts), plus
+    a smoothed document-count class prior; every per-(doc, class)
+    score is an exact BIGINT Σ n·w_fp + prior_fp under the corpus
+    ln→fixed-point rule, and the prediction is the (score desc,
+    class asc) argmax — 5 rows per document through the ranking
+    window, never a global sort. Trains on the ``train_pred`` rows
+    (unit-hash half in the corpus entry, so held-out docs are
+    genuinely predicted, not memorized), scores ALL docs. Returns
+    (id_col, pred_<label>, score_fp, n_feats)."""
+    spark = docs.sparkSession
+    tr = docs.filter(train_pred) if train_pred is not None else docs
+    feat_t = tr.select(
+        F.col(label_col).alias("__cls"),
+        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    cc = feat_t.groupBy("__cls", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_bc")
+    )
+    nc = cc.groupBy("__cls").agg(F.sum("c_bc").cast("bigint").alias("__nc"))
+    grid = nc.crossJoin(
+        spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    )
+    dense = grid.join(cc, ["__cls", "bucket"], "left").select(
+        "__cls",
+        "bucket",
+        F.coalesce(F.col("c_bc"), F.lit(0)).cast("bigint").alias("c_bc"),
+        "__nc",
+    )
+    b = F.lit(int(n_buckets)).cast("bigint")
+    p = (2 * F.col("c_bc") + 1).cast("double") / (
+        2 * F.col("__nc") + b
+    ).cast("double")
+    wts = dense.select(
+        "__cls",
+        "bucket",
+        F.round(F.log(p) * fp_scale, 0).cast("bigint").alias("w_fp"),
+    )
+    dcounts = tr.groupBy(F.col(label_col).alias("__cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dc")
+    )
+    dtot = dcounts.agg(
+        F.sum("__dc").cast("bigint").alias("__dt"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    pp = (2 * F.col("__dc") + 1).cast("double") / (
+        2 * F.col("__dt") + F.col("__k")
+    ).cast("double")
+    priors = dcounts.crossJoin(F.broadcast(dtot)).select(
+        "__cls",
+        F.round(F.log(pp) * fp_scale, 0).cast("bigint").alias("prior_fp"),
+    )
+    dbc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    scores = (
+        dbc.join(F.broadcast(wts), "bucket")
+        .groupBy(id_col, "__cls")
+        .agg(
+            F.sum(F.col("n") * F.col("w_fp")).alias("__s"),
+            F.sum("n").cast("bigint").alias("n_feats"),
+        )
+        .join(F.broadcast(priors), "__cls")
+        .select(
+            id_col,
+            "__cls",
+            "n_feats",
+            (F.col("__s") + F.col("prior_fp")).cast("bigint").alias(
+                "score_fp"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("__cls").asc()
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__cls").alias(f"pred_{label_col}"),
+            "score_fp",
+            "n_feats",
+        )
+    )

@@ -2103,3 +2103,96 @@ def test_curation_shared_featurize_equals_operator_composition(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def _py_nb_multiclass(rows, train_ids, n_buckets=128):
+    """Pure-Python multiclass NB reference: dense class×bucket grid,
+    add-half smoothing, ln→1e-6 HALF_UP fixed point, doc-count
+    priors, (score desc, class asc) argmax. rows = (id, text, cls)."""
+    import math
+    from collections import Counter, defaultdict
+
+    def poly(tok):
+        h = 0
+        for c in tok:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    def feats(text):
+        w = text.split(" ")
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def fp(x):
+        x *= 1_000_000
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    cc = defaultdict(Counter)
+    dcount = Counter()
+    for _id, text, cls in rows:
+        if _id not in train_ids:
+            continue
+        dcount[cls] += 1
+        for f in feats(text):
+            cc[cls][poly(f) % n_buckets] += 1
+    classes = sorted(cc)
+    n_c = {c: sum(cc[c].values()) for c in classes}
+    w_fp = {
+        (c, b): fp(
+            math.log((2 * cc[c][b] + 1) / (2 * n_c[c] + n_buckets))
+        )
+        for c in classes
+        for b in range(n_buckets)
+    }
+    d_tot, kcls = sum(dcount.values()), len(classes)
+    pri = {
+        c: fp(math.log((2 * dcount[c] + 1) / (2 * d_tot + kcls)))
+        for c in classes
+    }
+    out = {}
+    for _id, text, _cls in rows:
+        fs = feats(text)
+        best = max(
+            classes,
+            key=lambda c: (
+                pri[c] + sum(w_fp[(c, poly(f) % n_buckets)] for f in fs),
+                [-ord(ch) for ch in c],
+            ),
+        )
+        score = pri[best] + sum(
+            w_fp[(best, poly(f) % n_buckets)] for f in fs
+        )
+        out[_id] = (best, score, len(fs))
+    return out
+
+
+def test_nb_multiclass_matches_python_and_separates(spark):
+    """nb_multiclass_classify vs the pure-Python reference on a
+    crafted 3-language corpus with held-out docs (train on even ids
+    only): exact scores AND the semantics — held-out docs of each
+    class-specific vocabulary are predicted as their class."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        nb_multiclass_classify,
+    )
+
+    rows = []
+    vocab = {"aa": "alpha", "bb": "beta", "cc": "gamma"}
+    i = 0
+    for pre, cls in vocab.items():
+        for j in range(8):
+            rows.append(
+                (i, " ".join(f"{pre}{(j + t) % 6}" for t in range(9)), cls)
+            )
+            i += 1
+    train_ids = {r[0] for r in rows if r[0] % 2 == 0}
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    got = {
+        r.doc_id: (r.pred_lang, r.score_fp, r.n_feats)
+        for r in nb_multiclass_classify(
+            df, train_pred=F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    assert got == _py_nb_multiclass(rows, train_ids)
+    # semantics: every held-out doc lands in its own class
+    truth = {r[0]: r[2] for r in rows}
+    held_out = [i for i in truth if i % 2 == 1]
+    assert held_out and all(got[i][0] == truth[i] for i in held_out)
