@@ -80,6 +80,7 @@ HEADLINE = [
     "x4_perplexity_buckets",   # CCNet per-lang terciles, distributed rank
     # round-9 families (outside the floor subset)
     "x4_nb_quality_gate",      # learned NB classifier train+score pass
+    "x4_nb_lang_id",           # multiclass NB language-ID, held-out split
     "flagship_gold_risk_topk",  # k-nearest gold: bounded-output variant
 ]
 
@@ -112,6 +113,7 @@ ONEOFF = [
     "x2_canonical_per_cluster",  # CC + DSIR keep-best composition
     "t40_stream_wordpiece_infer",  # serve-side tokenizer stream drain (r09)
     "t41_stream_nb_gate",      # incremental NB classifier drain (r09)
+    "t42_stream_gold_topk",    # per-batch k-NN gold alert drain (r09)
 ]
 
 

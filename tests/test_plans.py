@@ -716,3 +716,18 @@ def test_gold_topk_no_single_partition_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "windowspecdefinition(fire_id" in plan.lower(), plan
+
+
+def test_nb_lang_id_plan_broadcasts_weight_grid(spark):
+    """x4_nb_lang_id: the dense class×bucket weight grid and the
+    class priors broadcast onto the doc-bucket stream; the per-doc
+    argmax window partitions by doc_id (never a partition-less
+    global window) — no data-sized cartesian. (The 1-row
+    class-total aggregates legitimately use a SinglePartition
+    EXCHANGE over ≤|classes| rows; the guard here is on windows.)"""
+    df = northstar.QUERIES["x4_nb_lang_id"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan.lower(), plan
+    assert "windowspecdefinition()" not in plan.lower(), plan
