@@ -262,6 +262,106 @@ def x3_cosine_topk(spark, sf_dir):
     return xs.cosine_topk_bruteforce(qs, cs, k=10)
 
 
+def _mmr_sql(
+    k_pool: int = 20, k_sel: int = 5, lam_num: int = 7, mu: int = 3
+) -> str:
+    """Unrolled MMR oracle (the _wp_sql discipline: one MATERIALIZED
+    CTE per greedy round, argmax chosen inside SQL via row_number,
+    the selected-set union re-stated per round)."""
+    head = f"""
+    WITH mq AS (SELECT vec_id AS q_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 10),
+    mc AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+    mscored AS (
+      SELECT q_id, c_id, round({_cos('qv', 'cv')}, 6) AS sim
+      FROM mq CROSS JOIN mc WHERE q_id != c_id
+    ),
+    mpool AS MATERIALIZED (
+      SELECT q_id, c_id,
+             CAST(round(sim * 1000000, 0) AS BIGINT) AS rel_fp
+      FROM (SELECT q_id, c_id, sim, row_number() OVER (
+              PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rk
+            FROM mscored)
+      WHERE rk <= {k_pool}
+    ),
+    mpv AS (SELECT p.q_id, p.c_id, c.cv
+            FROM mpool p JOIN mc c USING (c_id)),
+    mpairs AS MATERIALIZED (
+      SELECT a.q_id, a.c_id AS id_a, b.c_id AS id_b,
+             CAST(round(round({_cos('a.cv', 'b.cv')}, 6) * 1000000, 0)
+                  AS BIGINT) AS sim_fp
+      FROM mpv a JOIN mpv b ON a.q_id = b.q_id AND a.c_id != b.c_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT q_id, c_id, CAST(1 AS INTEGER) AS mmr_rank, rel_fp,
+             CAST({lam_num} * rel_fp AS BIGINT) AS score_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY {lam_num} * rel_fp DESC, c_id ASC) AS rn
+            FROM mpool)
+      WHERE rn = 1
+    )"""
+    parts = [head]
+    for r in range(2, k_sel + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT q_id, c_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(f""",
+    rem{r} AS (
+      SELECT p.* FROM mpool p
+      LEFT JOIN ({prev}) s ON p.q_id = s.q_id AND p.c_id = s.c_id
+      WHERE s.c_id IS NULL
+    ),
+    ms{r} AS (
+      SELECT r.q_id, r.c_id, r.rel_fp, MAX(pr.sim_fp) AS max_sim_fp
+      FROM rem{r} r
+      JOIN ({prev}) s ON r.q_id = s.q_id
+      JOIN mpairs pr ON pr.q_id = r.q_id AND pr.id_a = r.c_id
+                    AND pr.id_b = s.c_id
+      GROUP BY r.q_id, r.c_id, r.rel_fp
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT q_id, c_id, CAST({r} AS INTEGER) AS mmr_rank, rel_fp,
+             score_fp
+      FROM (SELECT q_id, c_id, rel_fp,
+                   CAST({lam_num} * rel_fp - {mu} * max_sim_fp
+                        AS BIGINT) AS score_fp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY {lam_num} * rel_fp - {mu} * max_sim_fp
+                              DESC, c_id ASC) AS rn
+            FROM ms{r})
+      WHERE rn = 1
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, k_sel + 1)
+    )
+    parts.append(f"\n    {final}")
+    return "".join(parts)
+
+
+@q("x3_mmr_rerank", _mmr_sql())
+def x3_mmr_rerank(spark, sf_dir):
+    """X3/X4 retrieval — MMR diversified re-ranking (Carbonell &
+    Goldstein SIGIR'98; operators/similarity.py:mmr_rerank): each
+    query's 20-candidate cosine pool greedily re-ranked by
+    λ·relevance − (1−λ)·max-similarity-to-selected (λ = 0.7 as the
+    exact integer 7/10 split), 5 picks per query — the diversity
+    stage between ANN retrieval (x3_cosine_topk) and RAG context
+    assembly (flagship_rag_context) that stops near-duplicate
+    passages crowding the context window. Pool-sized pairwise sims
+    (never corpus-sized), exact BIGINT greedy scores, argmax per
+    round via a query-partitioned window; oracle unrolls the 5
+    greedy rounds as MATERIALIZED CTEs with the argmax inside SQL
+    (the _wp_sql discipline)."""
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return xs.mmr_rerank(qs, cs, k_pool=20, k_select=5)
+
+
 @q(
     "x3_cosine_neardup",
     f"""

@@ -1903,3 +1903,134 @@ def binary_hamming_topk(
         .filter(F.col("rk") <= k)
         .select(q_id, c_id, "hamming", "sim", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k_pool: int = 20,
+    k_select: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell
+    & Goldstein, SIGIR 1998) — the diversity stage between ANN
+    retrieval and RAG context assembly: from each query's ``k_pool``
+    cosine candidates, greedily select ``k_select`` by
+
+        argmax_d  λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)
+
+    so near-duplicate passages stop crowding the context window.
+
+    Determinism/scale shape: relevance and the pool come from
+    :func:`cosine_topk_bruteforce` (6-dp-rounded sims, unique id
+    tiebreak); candidate-candidate sims are computed ONCE per query
+    over the pool (k_pool·(k_pool−1) rows per query — pool-sized,
+    never corpus-sized) with the same fold; both round to 1e-6
+    fixed-point BIGINTs, and with λ = lam_num/lam_den the greedy
+    score is the EXACT integer lam_num·rel_fp − (lam_den−lam_num)·
+    max_sim_fp, so every round's (score desc, id asc) argmax is
+    engine- and partitioning-independent. The loop is ``k_select``
+    driver-side plan compositions (no collects); each round is one
+    per-query max + one per-query ranking window over ≤ k_pool rows
+    per query — high-cardinality query partitions, never a global
+    sort. Pool and pair tables are pinned (persist on a cluster).
+    Returns (q_id, c_id, mmr_rank, rel_fp, score_fp)."""
+    pool = (
+        cosine_topk_bruteforce(
+            queries, candidates, k=k_pool,
+            q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+        )
+        .withColumn(
+            "rel_fp",
+            F.round(F.col("sim") * 1_000_000, 0).cast("bigint"),
+        )
+        .select(q_id, c_id, "rel_fp")
+        .localCheckpoint(eager=True)
+    )
+    cv = candidates.select(c_id, c_vec)
+    a = (
+        pool.select(q_id, F.col(c_id).alias("__ia"))
+        .join(
+            cv.select(
+                F.col(c_id).alias("__ia"), F.col(c_vec).alias("__va")
+            ),
+            "__ia",
+        )
+    )
+    b = (
+        pool.select(q_id, F.col(c_id).alias("__ib"))
+        .join(
+            cv.select(
+                F.col(c_id).alias("__ib"), F.col(c_vec).alias("__vb")
+            ),
+            "__ib",
+        )
+    )
+    sim_ab = dot(F.col("__va"), F.col("__vb")) / (
+        norm2(F.col("__va")) * norm2(F.col("__vb"))
+    )
+    pairs = (
+        a.join(b, q_id)
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            q_id,
+            "__ia",
+            "__ib",
+            F.round(F.round(sim_ab, 6) * 1_000_000, 0)
+            .cast("bigint")
+            .alias("__sim_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mu = int(lam_den - lam_num)
+    selected: DataFrame | None = None
+    remaining = pool
+    for r in range(1, k_select + 1):
+        if selected is None:
+            scored = remaining.withColumn(
+                "score_fp",
+                (F.lit(int(lam_num)) * F.col("rel_fp")).cast("bigint"),
+            )
+        else:
+            ms = (
+                remaining.select(q_id, F.col(c_id).alias("__ia"))
+                .join(
+                    selected.select(q_id, F.col(c_id).alias("__ib")), q_id
+                )
+                .join(pairs, [q_id, "__ia", "__ib"])
+                .groupBy(q_id, "__ia")
+                .agg(F.max("__sim_fp").alias("__ms"))
+                .select(q_id, F.col("__ia").alias(c_id), "__ms")
+            )
+            scored = remaining.join(ms, [q_id, c_id]).withColumn(
+                "score_fp",
+                (
+                    F.lit(int(lam_num)) * F.col("rel_fp")
+                    - F.lit(mu) * F.col("__ms")
+                ).cast("bigint"),
+            )
+        w = Window.partitionBy(q_id).orderBy(
+            F.col("score_fp").desc(), F.col(c_id).asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                q_id,
+                c_id,
+                F.lit(r).alias("mmr_rank"),
+                "rel_fp",
+                "score_fp",
+            )
+            .localCheckpoint(eager=True)
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select(q_id, c_id), [q_id, c_id], "left_anti"
+        )
+    return selected

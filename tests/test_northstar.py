@@ -2196,3 +2196,66 @@ def test_nb_multiclass_matches_python_and_separates(spark):
     truth = {r[0]: r[2] for r in rows}
     held_out = [i for i in truth if i % 2 == 1]
     assert held_out and all(got[i][0] == truth[i] for i in held_out)
+
+
+def test_mmr_rerank_diversifies_and_matches_python(spark):
+    """mmr_rerank semantics on a crafted pool: the round-1 pick c2
+    has a near-copy c1 whose relevance beats the diverse c3, so
+    plain relevance ranks the copy second but MMR's round-2 penalty
+    λ·rel − (1−λ)·max-sim must skip it and pick c3 — plus an exact
+    replay against an independent pure-Python MMR."""
+    import math
+
+    from eco_pulse_lakehouse_spark.operators.similarity import mmr_rerank
+
+    qrows = [(0, [1.0, 0.0, 0.0])]
+    crows = [
+        (1, [0.9, 0.436, 0.0]),       # rel .90, near-copy of c2
+        (2, [0.91, 0.4146, 0.0]),     # rel .91 — round-1 pick
+        (3, [0.9, -0.436, 0.0]),      # rel .90, diverse from c2
+        (4, [0.2, 0.98, 0.0]),        # filler
+    ]
+    qs = spark.createDataFrame(qrows, "q_id LONG, q_vec ARRAY<DOUBLE>")
+    cs = spark.createDataFrame(crows, "c_id LONG, c_vec ARRAY<DOUBLE>")
+    got = [
+        (r.mmr_rank, r.c_id, r.rel_fp, r.score_fp)
+        for r in mmr_rerank(qs, cs, k_pool=4, k_select=3)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+
+    def hu(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def cos_fp(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        s = dot / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+        return hu(hu(s * 1e6))  # round(.,6) then ×1e6 round(.,0)
+
+    q = qrows[0][1]
+    rel = {cid: cos_fp(q, v) for cid, v in crows}
+    vecs = dict(crows)
+    sel, remaining = [], [c for c, _ in crows]
+    expected = []
+    for rank in range(1, 4):
+        best = None
+        for c in remaining:
+            pen = max((cos_fp(vecs[c], vecs[s]) for s in sel), default=0)
+            score = 7 * rel[c] - (3 * pen if sel else 0)
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        expected.append((rank, best[1], rel[best[1]], best[2]))
+        sel.append(best[1])
+        remaining.remove(best[1])
+    assert got == expected, (got, expected)
+    # the flip actually happened: relevance alone would rank c2
+    # second (rel .91 > .90), MMR picks the diverse c3
+    assert rel[2] > rel[3]
+    assert [c for _, c, _, _ in expected[:2]] == [2, 3] or [
+        c for _, c, _, _ in expected[:2]
+    ] == [1, 3]
+    assert got[1][1] == 3
