@@ -114,6 +114,7 @@ ONEOFF = [
     "t40_stream_wordpiece_infer",  # serve-side tokenizer stream drain (r09)
     "t41_stream_nb_gate",      # incremental NB classifier drain (r09)
     "t42_stream_gold_topk",    # per-batch k-NN gold alert drain (r09)
+    "x3_mmr_rerank",           # 5-round greedy MMR re-rank (iterative, r09)
 ]
 
 
