@@ -583,3 +583,41 @@ class TestUnigramViterbiReference:
             for r in unigram_viterbi_segment(df, em_rounds=em).collect()
         }
         assert got == want, (got, want)
+
+
+class TestNBClassifierReference:
+    """nb_classify vs the pure-Python NB reference on RANDOM
+    small-alphabet corpora — generalizes the crafted two-class pin
+    in test_northstar.py: shared vocabulary between classes, empty
+    class counts in some buckets, one-class-absent labelings, tied
+    evidence around zero."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "ab", "ba", "bb", "xy", "z"]),
+                min_size=1,
+                max_size=7,
+            ).map(" ".join),
+            min_size=2,
+            max_size=10,
+        ),
+        pos_mod=st.sampled_from([2, 3]),
+    )
+    def test_matches_python(self, spark, docs, pos_mod):
+        from pyspark.sql import functions as F
+
+        from eco_pulse_lakehouse_spark.operators.selection import nb_classify
+        from tests.test_northstar import _py_nb_classifier
+
+        rows = [(i, t) for i, t in enumerate(docs)]
+        pos_ids = {i for i, _ in rows if i % pos_mod == 0}
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {
+            r.doc_id: (r.n_feats, r.evidence_fp, r.margin_fp)
+            for r in nb_classify(
+                df, F.col("doc_id") % pos_mod == 0
+            ).collect()
+        }
+        assert got == _py_nb_classifier(rows, pos_ids)
