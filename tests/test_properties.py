@@ -621,3 +621,53 @@ class TestNBClassifierReference:
             ).collect()
         }
         assert got == _py_nb_classifier(rows, pos_ids)
+
+
+class TestNBMulticlassReference:
+    """nb_multiclass_classify vs the pure-Python multiclass NB on
+    RANDOM small-alphabet corpora with random class labelings —
+    generalizes the crafted 3-language pin: classes sharing
+    vocabulary, singleton classes, all-train and half-train splits."""
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "ab", "ba", "xy", "z"]),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        n_cls=st.sampled_from([2, 3]),
+        train_mod=st.sampled_from([1, 2]),
+    )
+    def test_matches_python(self, spark, docs, n_cls, train_mod):
+        from pyspark.sql import functions as F
+
+        from eco_pulse_lakehouse_spark.operators.selection import (
+            nb_multiclass_classify,
+        )
+        from tests.test_northstar import _py_nb_multiclass
+
+        rows = [
+            (i, t, f"cls{i % n_cls}") for i, t in enumerate(docs)
+        ]
+        train_ids = {i for i, _, _ in rows if i % train_mod == 0}
+        # every class must appear in the training half, or the class
+        # simply can't be predicted — filter the draw accordingly
+        if {c for i, _, c in rows if i in train_ids} != {
+            c for _, _, c in rows
+        }:
+            return
+        df = spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING"
+        )
+        got = {
+            r.doc_id: (r.pred_lang, r.score_fp, r.n_feats)
+            for r in nb_multiclass_classify(
+                df, train_pred=F.col("doc_id") % train_mod == 0
+            ).collect()
+        }
+        assert got == _py_nb_multiclass(rows, train_ids)
