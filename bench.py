@@ -82,6 +82,7 @@ HEADLINE = [
     "x4_nb_quality_gate",      # learned NB classifier train+score pass
     "x4_nb_lang_id",           # multiclass NB language-ID, held-out split
     "flagship_gold_risk_topk",  # k-nearest gold: bounded-output variant
+    "flagship_data_factory",   # flagship #8: the full quality ladder
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -2549,11 +2549,13 @@ def x4_unigram_logprob(spark, sf_dir):
     return unigram_logprob_score(d, "doc_id", "text")
 
 
-# CCNet perplexity-bucket CTE chain — shared by x4_perplexity_buckets
-# and flagship_tokenizer_pipeline (which composes it with the WP
-# rounds over the kept head+middle docs).
-_PPX_CTES = """tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+# CCNet perplexity-bucket CTE chain — shared by x4_perplexity_buckets,
+# flagship_tokenizer_pipeline (which composes it with the WP rounds
+# over the kept head+middle docs) and flagship_data_factory (which
+# runs it over the CLEANED document set, hence the src parameter).
+def _ppx_ctes(src: str = "documents") -> str:
+    return f"""tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {src}
     ),
     lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
     nt AS (SELECT sum(c) AS n FROM lm),
@@ -2575,8 +2577,11 @@ _PPX_CTES = """tok AS (
                PARTITION BY d.lang
                ORDER BY sc.avg_surprisal ASC, d.doc_id ASC) AS INT)
                AS ppx_bucket
-      FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+      FROM {src} d JOIN sc ON d.doc_id = sc.doc_id
     )"""
+
+
+_PPX_CTES = _ppx_ctes("documents")
 
 
 @q(
@@ -4780,6 +4785,92 @@ def flagship_curation_select(spark, sf_dir):
     )
 
     return flagship_curation(spark, sf_dir)
+
+
+@q(
+    "flagship_data_factory",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, lang, source, text FROM (
+        SELECT doc_id, lang, source, text,
+               row_number() OVER (PARTITION BY text
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    ltw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+    lch AS (
+      SELECT doc_id, i AS cid,
+             array_to_string(w[3*i+1 : 3*i+3], ' ') AS chunk
+      FROM ltw, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)))
+             AS u(i)
+    ),
+    lranked AS (
+      SELECT doc_id, cid, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, cid) AS rn
+      FROM lch
+    ),
+    lkept AS (SELECT doc_id, cid, chunk FROM lranked WHERE rn = 1),
+    lrebuilt AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY cid) AS clean
+      FROM lkept GROUP BY doc_id
+    ),
+    cdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.source, r.clean AS text
+      FROM dd d JOIN lrebuilt r ON d.doc_id = r.doc_id
+      WHERE r.clean != ''
+    ),
+    {_ppx_ctes("cdocs")},
+    pkept AS MATERIALIZED (
+      SELECT c.* FROM cdocs c JOIN bucketed b USING (doc_id)
+      WHERE b.ppx_bucket <= 2
+    ),
+    {_nb_cte("pkept")},
+    gkept AS (
+      SELECT c.doc_id, c.lang, c.text
+      FROM pkept c JOIN nmargins m USING (doc_id)
+      WHERE m.evidence_fp >= 0
+    ),
+    {_dsir_fb("gkept")},
+    ftok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM gkept
+    ),
+    fr AS (
+      SELECT w.doc_id, g.lang, w.weight_fp, t.n_tokens,
+             SUM(t.n_tokens) OVER (
+               ORDER BY w.weight_fp DESC, w.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_tokens
+      FROM weights w
+      JOIN ftok t USING (doc_id)
+      JOIN gkept g USING (doc_id)
+    )
+    SELECT doc_id, lang, weight_fp, n_tokens,
+           CAST(run_tokens AS BIGINT) AS run_tokens
+    FROM fr WHERE run_tokens <= 4000
+    """,
+)
+def flagship_data_factory(spark, sf_dir):
+    """Flagship #8 — the complete PRETRAINING DATA FACTORY
+    (plans/data_factory.py): exact dedup → CCNet line dedup →
+    perplexity gate (heuristic-LM rung, per-language terciles over
+    the CLEANED text) → learned NB quality gate (trained on the
+    perplexity-passing pool) → DSIR importance weights → greedy
+    token-BUDGET prefix, end-to-end under ONE composed oracle — the
+    production order (CCNet/DCLM): dedup before any LM, cheap gate
+    before learned gate, selection last, tokens (not rows) as the
+    stopping rule. Stages 4-5 share one pinned doc-bucket featurize
+    pass (the t37/t41 artifact); the budget cumsum is the
+    distributed global_running_sum — no single-partition window, no
+    per-language single-task sort, no text re-scan."""
+    from eco_pulse_lakehouse_spark.plans.data_factory import (
+        data_factory_manifest,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return data_factory_manifest(d, token_budget=4000)
 
 
 @q(

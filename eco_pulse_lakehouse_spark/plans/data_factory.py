@@ -1,0 +1,170 @@
+"""Flagship #8 — the complete PRETRAINING DATA FACTORY chain.
+
+The full quality ladder a pre-training corpus actually runs, in
+production order, every rung individually certified and the
+composition carrying its own end-to-end oracle
+(corpus/northstar.py:flagship_data_factory):
+
+  1. EXACT DEDUP      — keep the lowest-id row per text
+                        (operators/dedup.py:exact_dedup)
+  2. LINE DEDUP       — CCNet keep-first over 3-token lines
+                        (dedup.py:line_dedup_keep_first)
+  3. PERPLEXITY GATE  — CCNet head/middle/tail terciles per language
+                        over the CLEANED text, drop the tail
+                        (retrieval.py:perplexity_buckets — the
+                        heuristic-LM rung)
+  4. NB QUALITY GATE  — learned Naive-Bayes log-odds classifier,
+                        weak-labeled by curated-source provenance,
+                        TRAINED on the perplexity-passing pool; keep
+                        non-negative evidence (selection.py — the
+                        learned-classifier rung)
+  5. DSIR WEIGHTS     — hashed-n-gram importance vs the lang='en'
+                        target over the doubly-gated pool
+  6. TOKEN BUDGET     — greedy weight-order prefix until the token
+                        budget, cumulative sum DISTRIBUTED
+                        (rank.py:global_running_sum)
+
+Ordering is the CCNet/DCLM production order: dedup before any LM
+(boilerplate would drag every model toward itself), the cheap
+heuristic gate before the learned one (the classifier trains on a
+cleaner pool and scores fewer docs), selection last, and the budget
+— not a row count — as the stopping rule, because training runs
+consume tokens.
+
+Scale: stages 1–2 are the dedup family's bounded shuffles; stage 3
+is the distributed-rank tercile (no per-language single-task sort);
+stages 4–5 share ONE feature-explode pass — the pinned
+(doc_id, bucket, n) doc-bucket table, the same artifact the
+streaming twins (t37/t41) maintain incrementally — so the gated
+text is featurized exactly once; stage 6 is the range-partitioned
+running sum. Nothing re-scans text beyond the stage that owns it.
+
+Reference parity: raulJD13/eco-pulse-lakehouse's curate step
+(fire_risk_processor.py) is filter-only; this flagship is the
+engine's end-to-end superset, composing flagships #6/#7's rungs
+into the full factory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eco_pulse_lakehouse_spark.catalog import load_table
+from eco_pulse_lakehouse_spark.functions.text import token_count
+from eco_pulse_lakehouse_spark.operators.dedup import (
+    exact_dedup,
+    line_dedup_keep_first,
+)
+from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+from eco_pulse_lakehouse_spark.operators.retrieval import perplexity_buckets
+from eco_pulse_lakehouse_spark.operators.selection import (
+    _hashed_features,
+    ratio_table,
+)
+
+
+def data_factory_manifest(
+    docs: DataFrame,
+    token_budget: int = 4000,
+    chunk_tokens: int = 3,
+    n_buckets: int = 128,
+    keep_buckets: int = 2,
+) -> DataFrame:
+    """Dedup → line-dedup → perplexity gate → NB gate → DSIR →
+    token-budget manifest. Returns (doc_id, lang, weight_fp,
+    n_tokens, run_tokens) for the selected prefix in weight order."""
+    is_pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    dd = exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "text"
+    )
+    ld = line_dedup_keep_first(dd, "doc_id", "text", chunk_tokens)
+    cleaned = (
+        dd.select("doc_id", "lang", "source")
+        .join(ld.select("doc_id", "text_clean"), "doc_id")
+        .filter(F.col("text_clean") != "")
+        .select("doc_id", "lang", "source", F.col("text_clean").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    ppx = perplexity_buckets(cleaned, "doc_id", "text", "lang", n_buckets=3)
+    pool = cleaned.join(
+        ppx.filter(F.col("ppx_bucket") <= keep_buckets).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    meta = pool.select("doc_id", "lang", is_pos.alias("__is_p"))
+    dbc = (
+        pool.select(
+            "doc_id",
+            F.explode(_hashed_features(F.col("text"), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # the one featurize pass
+    )
+
+    jb = dbc.join(meta.select("doc_id", "__is_p"), "doc_id")
+    nb_counts = jb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_p"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.sum("n").cast("bigint").alias("c_raw"),
+    )
+    nb_wts = ratio_table(
+        nb_counts.select(
+            "bucket",
+            F.col("c_target"),
+            (F.col("c_raw") - F.col("c_target")).alias("c_raw"),
+        ),
+        n_buckets,
+    )
+    kept_ids = (
+        jb.join(F.broadcast(nb_wts.select("bucket", "w_fp")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("__ev"))
+        .filter(F.col("__ev") >= 0)
+        .select("doc_id")
+    )
+
+    jk = dbc.join(kept_ids, "doc_id").join(
+        meta.select("doc_id", "lang"), "doc_id"
+    )
+    ds_counts = jk.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.sum("n").cast("bigint").alias("c_raw"),
+    )
+    ds_wts = ratio_table(ds_counts, n_buckets)
+    w = (
+        jk.join(F.broadcast(ds_wts.select("bucket", "w_fp")), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"))
+    )
+
+    joined = w.join(
+        pool.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    run = global_running_sum(
+        joined,
+        [F.col("weight_fp").desc(), F.col("doc_id").asc()],
+        ["n_tokens"],
+    )
+    return run.filter(F.col("run_n_tokens") <= token_budget).select(
+        "doc_id",
+        "lang",
+        "weight_fp",
+        "n_tokens",
+        F.col("run_n_tokens").alias("run_tokens"),
+    )
+
+
+def flagship_data_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return data_factory_manifest(load_table(spark, sf_dir, "documents"))

@@ -731,3 +731,16 @@ def test_nb_lang_id_plan_broadcasts_weight_grid(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "windowspecdefinition(doc_id" in plan.lower(), plan
     assert "windowspecdefinition()" not in plan.lower(), plan
+
+
+def test_data_factory_flagship_plan_shape(spark):
+    """flagship #8: every join keyed (content, line, bucket, doc),
+    learned artifacts broadcast, no data-sized cartesian, no ntile
+    (the perplexity gate is the distributed-rank form), and no
+    partition-less ranking window (the budget cumsum is the
+    range-partitioned global_running_sum)."""
+    df = northstar.QUERIES["flagship_data_factory"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ntile" not in plan.lower(), plan
