@@ -82,7 +82,6 @@ HEADLINE = [
     "x4_nb_quality_gate",      # learned NB classifier train+score pass
     "x4_nb_lang_id",           # multiclass NB language-ID, held-out split
     "flagship_gold_risk_topk",  # k-nearest gold: bounded-output variant
-    "flagship_data_factory",   # flagship #8: the full quality ladder
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -116,6 +115,7 @@ ONEOFF = [
     "t41_stream_nb_gate",      # incremental NB classifier drain (r09)
     "t42_stream_gold_topk",    # per-batch k-NN gold alert drain (r09)
     "x3_mmr_rerank",           # 5-round greedy MMR re-rank (iterative, r09)
+    "flagship_data_factory",   # flagship #8: the full quality ladder (r09)
 ]
 
 
