@@ -4259,11 +4259,20 @@ def _nb_cte(src: str = "documents") -> str:
     nfb AS (SELECT doc_id, is_p,
                    {_poly_th_sql('f')} % 128 AS bucket
             FROM nfeats),
-    ncounts AS (
+    ncounts0 AS (
       SELECT bucket,
              SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS c_pos,
              SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS c_neg
       FROM nfb GROUP BY bucket
+    ),
+    -- densified to the full bucket range (zero counts smooth to the
+    -- unseen-bucket log-odds), mirroring nb_log_odds' dense grid
+    ncounts AS (
+      SELECT g.bucket,
+             CAST(COALESCE(c.c_pos, 0) AS BIGINT) AS c_pos,
+             CAST(COALESCE(c.c_neg, 0) AS BIGINT) AS c_neg
+      FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(128)) g
+      LEFT JOIN ncounts0 c USING (bucket)
     ),
     ntot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn FROM ncounts),
     nlo AS (

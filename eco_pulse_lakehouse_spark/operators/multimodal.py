@@ -498,6 +498,8 @@ def ahash_block_overflow(
             "bv",
             "n_rows",
             (n - max_block).alias("n_dropped_rows"),
-            (n * (n - 1) / 2).cast("bigint").alias("uncapped_pairs"),
+            F.expr("n_rows * (n_rows - 1) div 2")
+            .cast("bigint")
+            .alias("uncapped_pairs"),
         )
     )

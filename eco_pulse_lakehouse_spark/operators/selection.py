@@ -364,10 +364,17 @@ def nb_log_odds(
     ratio with the pool split into the two classes), ln rounded to a
     1e-6 fixed-point BIGINT per BUCKET so every per-document sum
     downstream is exact integer addition in any order (the corpus ln
-    rule). Returns (bucket, c_pos, c_neg, w_fp) — at most
-    ``n_buckets`` rows, broadcastable at any corpus size. The
-    fixed-weight counterpart (weights as plan constants) is
-    quality.hashed_linear_score; this is the TRAINED form."""
+    rule). Returns (bucket, c_pos, c_neg, w_fp) — exactly
+    ``n_buckets`` rows (the count table is densified to the full
+    bucket range with zero counts before smoothing, like the
+    multiclass class×bucket grid, so a held-out ``train=`` sample in
+    :func:`nb_classify` still scores every feature of the wider
+    pool: an unseen bucket contributes its smoothed zero-count
+    log-odds instead of being dropped by the weight join),
+    broadcastable at any corpus size. The fixed-weight counterpart
+    (weights as plan constants) is quality.hashed_linear_score; this
+    is the TRAINED form."""
+    spark = docs.sparkSession
     feat = docs.select(
         label_pred.alias("__is_p"),
         F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
@@ -382,7 +389,17 @@ def nb_log_odds(
         .cast("bigint")
         .alias("c_raw"),
     )
-    return ratio_table(counts, n_buckets, fp_scale).select(
+    grid = spark.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    dense = grid.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("c_target"), F.lit(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.coalesce(F.col("c_raw"), F.lit(0)).cast("bigint").alias("c_raw"),
+    )
+    return ratio_table(dense, n_buckets, fp_scale).select(
         "bucket",
         F.col("c_target").alias("c_pos"),
         F.col("c_raw").alias("c_neg"),

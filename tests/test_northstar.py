@@ -1951,11 +1951,13 @@ def test_k_anonymize_groups(spark):
     assert by_id[10].group_n == 2 and by_id[20].group_n == 1
 
 
-def _py_nb_classifier(rows, pos_ids, n_buckets=128):
+def _py_nb_classifier(rows, pos_ids, n_buckets=128, score_rows=None):
     """Pure-Python NB log-odds reference: same poly char-fold hash,
-    same add-half smoothing, same ln→1e-6 fixed point (HALF_UP),
-    same doc-count prior. rows = (id, text); pos_ids = labeled
-    positive ids."""
+    same add-half smoothing over the DENSE bucket grid (an unseen
+    bucket carries its smoothed zero-count log-odds), same ln→1e-6
+    fixed point (HALF_UP), same doc-count prior. rows = (id, text)
+    training set; pos_ids = labeled positive ids; score_rows
+    defaults to the training set (self-training)."""
     import math
     from collections import Counter
 
@@ -1980,7 +1982,7 @@ def _py_nb_classifier(rows, pos_ids, n_buckets=128):
             (c_p if _id in pos_ids else c_n)[b] += 1
     np_, nn = sum(c_p.values()), sum(c_n.values())
     w_fp = {}
-    for b in set(c_p) | set(c_n):
+    for b in range(n_buckets):
         r = ((2 * c_p[b] + 1) / (2 * np_ + n_buckets)) / (
             (2 * c_n[b] + 1) / (2 * nn + n_buckets)
         )
@@ -1989,7 +1991,7 @@ def _py_nb_classifier(rows, pos_ids, n_buckets=128):
     dn = len(rows) - dp
     prior_fp = fp(math.log((2 * dp + 1) / (2 * dn + 1)))
     out = {}
-    for _id, text in rows:
+    for _id, text in rows if score_rows is None else score_rows:
         fs = feats(text)
         ev = sum(w_fp[poly(f) % n_buckets] for f in fs)
         out[_id] = (len(fs), ev, ev + prior_fp)
@@ -2046,6 +2048,56 @@ def test_nb_classifier_separates_and_gates(spark):
     assert got[99].evidence_fp > 0
     # balanced classes → prior ~ ln(11/11)=0 → keep == evidence sign
     assert got[99].keep and not got[10].keep
+
+
+def test_nb_classifier_unseen_buckets_scored_exactly(spark):
+    """Regression for the sparse-train drop (ADVICE r09 medium): a
+    held-out ``train=`` sample leaves feature buckets untrained; the
+    densified weight table must score them with the smoothed
+    zero-count log-odds instead of the weight join silently dropping
+    those feature rows (which corrupted n_feats / evidence_fp /
+    margin_fp). Pinned exactly against the dense pure-Python
+    reference, with the craft guarded: the scored tail doc must
+    actually hit ≥1 bucket absent from training."""
+    from eco_pulse_lakehouse_spark.operators.selection import nb_classify
+
+    train_rows = [
+        (0, "alpha beta alpha"),
+        (1, "gamma delta"),
+        (2, "epsilon zeta eta"),
+    ]
+    pos_ids = {0}
+    score_rows = train_rows + [
+        (50, "zzqx wwvu alpha"),
+        (51, "qqpp rrss"),
+    ]
+
+    def poly(tok):
+        h = 0
+        for c in tok:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    def buckets(text):
+        w = text.split(" ")
+        fs = w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return {poly(f) % 128 for f in fs}
+
+    trained = set().union(*(buckets(t) for _, t in train_rows))
+    assert buckets("zzqx wwvu alpha") - trained, "craft lost its point"
+
+    tr = spark.createDataFrame(train_rows, "doc_id LONG, text STRING")
+    sc = spark.createDataFrame(score_rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: (r.n_feats, r.evidence_fp, r.margin_fp)
+        for r in nb_classify(sc, F.col("doc_id") == 0, train=tr).collect()
+    }
+    assert got == _py_nb_classifier(
+        train_rows, pos_ids, score_rows=score_rows
+    )
+    # the old inner join dropped unseen-bucket rows: n_feats must
+    # count EVERY feature of the scored doc (5 = 3 unigrams + 2 bigrams)
+    assert got[50][0] == 5 and got[51][0] == 3
 
 
 def test_curation_shared_featurize_equals_operator_composition(spark):

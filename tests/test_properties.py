@@ -656,11 +656,14 @@ class TestNBMulticlassReference:
         ]
         train_ids = {i for i, _, _ in rows if i % train_mod == 0}
         # every class must appear in the training half, or the class
-        # simply can't be predicted — filter the draw accordingly
-        if {c for i, _, c in rows if i in train_ids} != {
-            c for _, _, c in rows
-        }:
-            return
+        # simply can't be predicted — reject the draw so hypothesis
+        # redraws (a bare return would count as a silent pass)
+        from hypothesis import assume
+
+        assume(
+            {c for i, _, c in rows if i in train_ids}
+            == {c for _, _, c in rows}
+        )
         df = spark.createDataFrame(
             rows, "doc_id LONG, text STRING, lang STRING"
         )
