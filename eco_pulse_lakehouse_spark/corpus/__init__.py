@@ -101,6 +101,33 @@ _R08_GREEN: frozenset[str] = frozenset(
     }
 )
 
+# Round-9 driver window: 50/50 green on the full rows+schema+hash
+# triple (CORRECTNESS_r09.json — the first zero-err window).
+_R09_GREEN: frozenset[str] = frozenset(
+    {
+        "a10_quantiles", "a11_grouping_sets", "a13_collect_set",
+        "a9_pivot", "f_map_lookup", "flagship_curation_select",
+        "flagship_data_factory", "flagship_gold_risk_topk",
+        "flagship_tokenizer_pipeline", "j4_asof_join", "m1_merge_upsert",
+        "m4_versioned_merge", "s11_partitioned_scan", "s12_orc_roundtrip",
+        "s13_schema_evolution", "s14_python_datasource", "s15_compaction",
+        "s16_versioned_table", "s17_versioned_changes",
+        "s18_versioned_vacuum", "s19_versioned_restore", "s8_json_source",
+        "t10_stream_stream_join", "t11_stream_stream_left_join",
+        "t12_python_stream_source", "t13_chained_windows",
+        "t14_sliding_windows", "t15_stream_reassembly",
+        "t16_stream_fanout", "t17_stream_countmin", "t19_stream_ann_ingest",
+        "t20_stream_versioned_gold", "t3_stream_append_silver",
+        "t40_stream_wordpiece_infer", "t41_stream_nb_gate",
+        "t42_stream_gold_topk", "t5_stream_dedup",
+        "t6_stream_windowed_counts", "t8_stream_static_join",
+        "t9_session_window", "u1_pandas_running_max", "u2_pandas_normalize",
+        "w10_null_ordering", "w8_range_frame", "w9_rank_family",
+        "x3_mmr_rerank", "x4_nb_lang_id", "x4_nb_log_odds",
+        "x4_nb_quality_gate", "x4_wordpiece_merges",
+    }
+)
+
 # Entries a past driver round already CORRECTNESS-checked green
 # (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
 # the registry from the front, so never-checked entries must lead;
@@ -197,6 +224,8 @@ _DRIVER_GREEN = frozenset(
     # --- round 8 greens (CORRECTNESS_r08.json: 48/48 oracle-backed
     # hash_match; the 2 rows-only entries ran clean) ---
     | _R08_GREEN
+    # --- round 9 greens (CORRECTNESS_r09.json: 50/50, zero errs) ---
+    | _R09_GREEN
     # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
     # 6 rows-only-by-design sketch/DTW/block entries) ---
     | {
@@ -245,46 +274,69 @@ _R01_GREEN: frozenset[str] = frozenset(
     }
 )
 
-# Round-9 front tier: entries whose CODE or ORACLE changed this
-# round — changed code/oracle needs a fresh green row even though a
-# (now-stale) earlier row exists.
-_NEW_R09: frozenset[str] = frozenset(
+# Round-4 driver window greens (CORRECTNESS_r04.json): after round 9
+# refreshed the r03 body, these are the oldest-standing
+# certifications (6 rounds stale) — the round-10 staleness tranche.
+# Listed explicitly so the rotation can target exactly the rows
+# still standing on their r04 evidence (everything here absent from
+# every CORRECTNESS_r05..r09 window).
+_R04_STALE: frozenset[str] = frozenset(
     {
-        # flagship #6 gained the learned NB quality gate between the
-        # line-dedup and DSIR stages (VERDICT r08 item 2) — oracle
-        # composition changed.
-        "flagship_curation_select",
-        # flagship #7: explicit F.broadcast pin on the vocab-sized
-        # segment join (VERDICT r08 item 5) — plan changed.
-        "flagship_tokenizer_pipeline",
-        # WordPiece training: loud fixed-point overflow guard on
-        # score_fp (ADVICE r08) — code path changed.
-        "x4_wordpiece_merges",
+        "a30_spacesaving", "f_param_sql", "f_pipe_syntax",
+        "flagship_rag_context", "flagship_training_export",
+        "g3_recursive_bfs", "j3_anti_join", "j5_lateral_topk",
+        "q12_psi_drift", "s22_xml_roundtrip", "s23_binary_file",
+        "s4_scan_pushdown", "set_except", "skew4_hot_key_count",
+        "skew5_hot_key_join", "t27_stream_patterns",
+        "t29_stream_dataset_card", "tpch_q10", "tpch_q11", "tpch_q12",
+        "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+        "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21",
+        "tpch_q22", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9", "tpch_scalar_subquery", "u3_python_udtf",
+        "w23_twap", "w24_match_recognize", "w25_twap_gap_days",
+        "w26_rolling_median", "w7_sessionize", "x2_dup_ngram_frac",
+        "x3_mrl_sweep", "x6_temperature_mixture", "x7_dataset_card",
     }
 )
 
-# r01-era greens whose re-certification did not fit round 8's window
-# (NEXT.md: tail of the r01 tranche in registration order).
-_R09_CARRYOVER: frozenset[str] = frozenset(
-    {"j4_asof_join", "m1_merge_upsert"}
+# Round-10 front tier: entries whose CODE or ORACLE changed this
+# round — changed code/oracle needs a fresh green row even though a
+# (now-stale) earlier row exists.
+_NEW_R10: frozenset[str] = frozenset(
+    {
+        # ADVICE r09 medium: the binary NB weight table is now
+        # densified to the full bucket range on BOTH engines
+        # (selection.py:nb_log_odds + the oracle _nb_cte) — every
+        # consumer of the shared fragment needs a fresh row.
+        "x4_nb_log_odds",
+        "x4_nb_quality_gate",
+        "t41_stream_nb_gate",
+        "flagship_curation_select",
+        "flagship_data_factory",
+        # VERDICT r09 item 3: the RAG flagship gained the MMR
+        # diversification stage between retrieval and dedup —
+        # code + oracle composition changed.
+        "flagship_rag_context",
+    }
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 9 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 10 rotation).
 
-    VERDICT r08 item 1: fold the r08 greens into _DRIVER_GREEN and
-    front-load the window with the r03 tranche — after round 8
-    refreshed the r01-era remainder, the r03 rows are the oldest
-    standing certifications (5 rounds stale). Order: (0) entries
-    whose code or oracle changed this round (a fresh row per change
-    = most information per slot); (1) anything never driver-checked
-    (new entries built this round); (2) the two r01 carryovers that
-    fell off round 8's window edge, then the 42 r03-era greens not
-    refreshed since; (9) recently-certified entries last.
-    Registration order within a tier."""
-    refreshed = _R07_GREEN | _R08_GREEN
-    if name in _NEW_R09:
+    VERDICT r09 item 1: fold the r09 greens into _DRIVER_GREEN and
+    front-load the r03 tail that missed round 9's window edge
+    (t21..t26), then the r04 tranche — after round 9 refreshed the
+    r03 body, the r04 rows are the oldest standing certifications
+    (6 rounds stale). Order: (0) entries whose code or oracle
+    changed this round (a fresh row per change = most information
+    per slot); (1) anything never driver-checked (new entries built
+    this round); (2) the six r03-era stream twins that carried over
+    round 9's window edge, then the r04-era greens not refreshed
+    since; (9) recently-certified entries last. Registration order
+    within a tier."""
+    refreshed = _R07_GREEN | _R08_GREEN | _R09_GREEN
+    if name in _NEW_R10:
         return (0, 0, 0)
     if name not in _DRIVER_GREEN:
         fam = (
@@ -293,9 +345,9 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
             else 2
         )
         return (1, 0 if has_oracle else 1, fam)
-    if name in _R09_CARRYOVER and name not in refreshed:
-        return (2, 0, 0)
     if name in _R03_GREEN and name not in refreshed:
+        return (2, 0, 0)
+    if name in _R04_STALE and name not in refreshed:
         return (2, 1, 0)
     return (9, 0, 0)
 
