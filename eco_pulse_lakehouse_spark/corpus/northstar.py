@@ -262,12 +262,68 @@ def x3_cosine_topk(spark, sf_dir):
     return xs.cosine_topk_bruteforce(qs, cs, k=10)
 
 
+def _mmr_rounds_sql(
+    k_sel: int = 5,
+    lam_num: int = 7,
+    mu: int = 3,
+    pool: str = "mpool",
+    pairs: str = "mpairs",
+) -> str:
+    """The unrolled MMR greedy rounds as composable CTE text (the
+    _wp_sql discipline: one MATERIALIZED CTE per round, argmax
+    chosen inside SQL via row_number, the selected-set union
+    re-stated per round). Parameterized on the pool
+    (q_id, c_id, rel_fp) and pairs (q_id, id_a, id_b, sim_fp) CTE
+    names so flagship_rag_context composes the IDENTICAL rounds over
+    its int8 retrieval pool. Emits ', sel1 AS ..., sel{k} AS ...';
+    the caller unions sel1..sel{k}."""
+    parts = [f""",
+    sel1 AS MATERIALIZED (
+      SELECT q_id, c_id, CAST(1 AS INTEGER) AS mmr_rank, rel_fp,
+             CAST({lam_num} * rel_fp AS BIGINT) AS score_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY {lam_num} * rel_fp DESC, c_id ASC) AS rn
+            FROM {pool})
+      WHERE rn = 1
+    )"""]
+    for r in range(2, k_sel + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT q_id, c_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(f""",
+    rem{r} AS (
+      SELECT p.* FROM {pool} p
+      LEFT JOIN ({prev}) s ON p.q_id = s.q_id AND p.c_id = s.c_id
+      WHERE s.c_id IS NULL
+    ),
+    ms{r} AS (
+      SELECT r.q_id, r.c_id, r.rel_fp, MAX(pr.sim_fp) AS max_sim_fp
+      FROM rem{r} r
+      JOIN ({prev}) s ON r.q_id = s.q_id
+      JOIN {pairs} pr ON pr.q_id = r.q_id AND pr.id_a = r.c_id
+                    AND pr.id_b = s.c_id
+      GROUP BY r.q_id, r.c_id, r.rel_fp
+    ),
+    sel{r} AS MATERIALIZED (
+      SELECT q_id, c_id, CAST({r} AS INTEGER) AS mmr_rank, rel_fp,
+             score_fp
+      FROM (SELECT q_id, c_id, rel_fp,
+                   CAST({lam_num} * rel_fp - {mu} * max_sim_fp
+                        AS BIGINT) AS score_fp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY {lam_num} * rel_fp - {mu} * max_sim_fp
+                              DESC, c_id ASC) AS rn
+            FROM ms{r})
+      WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
 def _mmr_sql(
     k_pool: int = 20, k_sel: int = 5, lam_num: int = 7, mu: int = 3
 ) -> str:
-    """Unrolled MMR oracle (the _wp_sql discipline: one MATERIALIZED
-    CTE per greedy round, argmax chosen inside SQL via row_number,
-    the selected-set union re-stated per round)."""
+    """Unrolled MMR oracle over the float-cosine brute-force pool
+    (x3_mmr_rerank): head CTEs + the shared greedy rounds."""
     head = f"""
     WITH mq AS (SELECT vec_id AS q_id, embedding AS qv
                 FROM embeddings WHERE vec_id < 10),
@@ -291,51 +347,15 @@ def _mmr_sql(
              CAST(round(round({_cos('a.cv', 'b.cv')}, 6) * 1000000, 0)
                   AS BIGINT) AS sim_fp
       FROM mpv a JOIN mpv b ON a.q_id = b.q_id AND a.c_id != b.c_id
-    ),
-    sel1 AS MATERIALIZED (
-      SELECT q_id, c_id, CAST(1 AS INTEGER) AS mmr_rank, rel_fp,
-             CAST({lam_num} * rel_fp AS BIGINT) AS score_fp
-      FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-              ORDER BY {lam_num} * rel_fp DESC, c_id ASC) AS rn
-            FROM mpool)
-      WHERE rn = 1
     )"""
-    parts = [head]
-    for r in range(2, k_sel + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT q_id, c_id FROM sel{i}" for i in range(1, r)
-        )
-        parts.append(f""",
-    rem{r} AS (
-      SELECT p.* FROM mpool p
-      LEFT JOIN ({prev}) s ON p.q_id = s.q_id AND p.c_id = s.c_id
-      WHERE s.c_id IS NULL
-    ),
-    ms{r} AS (
-      SELECT r.q_id, r.c_id, r.rel_fp, MAX(pr.sim_fp) AS max_sim_fp
-      FROM rem{r} r
-      JOIN ({prev}) s ON r.q_id = s.q_id
-      JOIN mpairs pr ON pr.q_id = r.q_id AND pr.id_a = r.c_id
-                    AND pr.id_b = s.c_id
-      GROUP BY r.q_id, r.c_id, r.rel_fp
-    ),
-    sel{r} AS MATERIALIZED (
-      SELECT q_id, c_id, CAST({r} AS INTEGER) AS mmr_rank, rel_fp,
-             score_fp
-      FROM (SELECT q_id, c_id, rel_fp,
-                   CAST({lam_num} * rel_fp - {mu} * max_sim_fp
-                        AS BIGINT) AS score_fp,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY {lam_num} * rel_fp - {mu} * max_sim_fp
-                              DESC, c_id ASC) AS rn
-            FROM ms{r})
-      WHERE rn = 1
-    )""")
     final = " UNION ALL ".join(
         f"SELECT * FROM sel{i}" for i in range(1, k_sel + 1)
     )
-    parts.append(f"\n    {final}")
-    return "".join(parts)
+    return (
+        head
+        + _mmr_rounds_sql(k_sel, lam_num, mu)
+        + f"\n    {final}"
+    )
 
 
 @q("x3_mmr_rerank", _mmr_sql())
@@ -3867,22 +3887,47 @@ def x2_containment(spark, sf_dir):
     "flagship_rag_context",
     f"""
     WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
-    q AS (SELECT vec_id AS q_id, qv AS qa FROM e WHERE q_id < 5),
-    c AS (SELECT vec_id AS c_id, qv AS qb FROM e),
-    scored AS (
-      SELECT q_id, c_id,
+    en AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_sum(list_transform(qv,
+               x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS n8
+      FROM e
+    ),
+    rq AS (SELECT vec_id AS q_id, qv AS qa, n8 AS na
+           FROM en WHERE vec_id < 5),
+    rc AS (SELECT vec_id AS c_id, qv AS qb, n8 AS nb FROM en),
+    rscored AS (
+      SELECT q_id, c_id, na, nb,
              CAST(list_sum(list_transform(range(1, len(qa) + 1),
                i -> CAST(qa[i] AS BIGINT) * qb[i])) AS BIGINT) AS qdot
-      FROM q CROSS JOIN c WHERE q_id != c_id
+      FROM rq CROSS JOIN rc WHERE q_id != c_id
     ),
-    topk AS (
-      SELECT q_id, c_id, rk FROM (
-        SELECT q_id, c_id, row_number() OVER (
-          PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rk
-        FROM scored) WHERE rk <= 10
+    mpool AS MATERIALIZED (
+      SELECT q_id, c_id,
+             CAST(round(round(CAST(qdot AS DOUBLE) / (na * nb), 6)
+                  * 1000000, 0) AS BIGINT) AS rel_fp
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS rk
+            FROM rscored)
+      WHERE rk <= 10
+    ),
+    mpv AS (SELECT p.q_id, p.c_id, c.qb, c.nb
+            FROM mpool p JOIN rc c USING (c_id)),
+    mpairs AS MATERIALIZED (
+      SELECT a.q_id, a.c_id AS id_a, b.c_id AS id_b,
+             CAST(round(round(
+               CAST(list_sum(list_transform(range(1, len(a.qb) + 1),
+                 i -> CAST(a.qb[i] AS BIGINT) * b.qb[i])) AS DOUBLE)
+               / (a.nb * b.nb), 6) * 1000000, 0) AS BIGINT) AS sim_fp
+      FROM mpv a JOIN mpv b ON a.q_id = b.q_id AND a.c_id != b.c_id
+    ){_mmr_rounds_sql(5, 7, 3)},
+    mmrsel AS (
+      SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+      UNION ALL SELECT * FROM sel5
     ),
     sh AS (
-      SELECT t.q_id, t.c_id, t.rk,
+      SELECT t.q_id, t.c_id, t.mmr_rank, t.rel_fp,
              list_distinct(CASE
                WHEN len(string_split(d.text, ' ')) >= 2 THEN
                  list_transform(range(1, len(string_split(d.text, ' '))),
@@ -3890,51 +3935,63 @@ def x2_containment(spark, sf_dir):
                      (string_split(d.text, ' '))[i:i+1], ' '))
                ELSE [] END) AS s,
              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-      FROM topk t JOIN documents d ON t.c_id = d.doc_id
+      FROM mmrsel t JOIN documents d ON t.c_id = d.doc_id
     ),
     dups AS (
       SELECT DISTINCT b.q_id, b.c_id
-      FROM sh a JOIN sh b ON a.q_id = b.q_id AND a.rk < b.rk
+      FROM sh a JOIN sh b
+        ON a.q_id = b.q_id AND a.mmr_rank < b.mmr_rank
       WHERE least(len(a.s), len(b.s)) > 0
         AND 20 * len(list_intersect(a.s, b.s))
             >= 3 * least(len(a.s), len(b.s))
     ),
     kept AS (
-      SELECT sh.q_id, sh.c_id, sh.rk, sh.n_tokens
+      SELECT sh.q_id, sh.c_id, sh.mmr_rank, sh.rel_fp, sh.n_tokens
       FROM sh LEFT JOIN dups
         ON sh.q_id = dups.q_id AND sh.c_id = dups.c_id
       WHERE dups.c_id IS NULL
     ),
     budgeted AS (
-      SELECT q_id, rk, c_id AS doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (PARTITION BY q_id ORDER BY rk
+      SELECT q_id, mmr_rank, c_id AS doc_id, rel_fp, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY q_id
+               ORDER BY mmr_rank
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cum_tokens
       FROM kept
     )
-    SELECT q_id, CAST(rk AS INT) AS rk, doc_id, n_tokens, cum_tokens
-    FROM budgeted WHERE cum_tokens <= 400
+    SELECT q_id, CAST(mmr_rank AS INT) AS mmr_rank, doc_id, rel_fp,
+           n_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens <= 250
     """,
 )
 def flagship_rag_context(spark, sf_dir):
-    """Flagship #4 — the COMPOSED RAG context-builder
-    (plans/rag_context.py:rag_context): int8-exact top-10 retrieval
-    per query → 2-gram-containment dedup of the retrieved set (drop
-    a doc ≥0.15-contained in ANY higher-ranked retrieved doc — the
-    integer-rational comparison 20·|∩| ≥ 3·min, never a float
-    boundary; thresholds tuned so BOTH stages genuinely drop rows
-    at every test sf) → whitespace-token running budget (≤400) over rank
-    order. The serving-side twin of flagship_training_export's
-    curation recipe, end-to-end oracle-checked; per-query cost is
-    k² containment pairs after candidate-bounded retrieval — nothing
-    corpus-quadratic."""
-    from eco_pulse_lakehouse_spark.plans.rag_context import rag_context
+    """Flagship #4 — the COMPOSED RAG context-builder, now with the
+    MMR diversification stage the r09 round certified standalone
+    (plans/rag_context.py:rag_context_mmr): int8-exact top-10
+    retrieval pool per query (relevance = int8 cosine at a 1e-6
+    fixed point — the BIGINT dot divided by the norm product, one
+    correctly-rounded IEEE op) → MMR greedy diversify to 5 picks
+    per query (λ = 7/10 as exact integers; candidate-candidate
+    metric = the SAME int8 cosine via mmr_rerank's pair_sim hook, so
+    the whole stage stays on the quantized store) → 2-gram
+    containment dedup vs any higher-MMR-ranked doc (the integer
+    comparison 20·|∩| ≥ 3·min, never a float boundary) →
+    whitespace-token running budget (≤250, trims at every test sf) over MMR rank order. The
+    serving-side counterpart of flagship #8's curation factory,
+    end-to-end oracle-checked; per-query cost after candidate-
+    bounded retrieval is pool² pair sims + k² containment pairs —
+    nothing corpus-quadratic, and the greedy loop is 5 driver-side
+    plan compositions with no collects."""
+    from eco_pulse_lakehouse_spark.plans.rag_context import (
+        rag_context_mmr,
+    )
 
     e = T(spark, sf_dir, "embeddings")
     d = T(spark, sf_dir, "documents")
-    return rag_context(
-        e, d, n_queries=5, k=10, shingle_n=2,
-        containment_num=3, containment_den=20, token_budget=400,
+    return rag_context_mmr(
+        e, d, n_queries=5, k_pool=10, k_select=5, lam_num=7,
+        lam_den=10, shingle_n=2, containment_num=3,
+        containment_den=20, token_budget=250,
     )
 
 

@@ -1906,7 +1906,7 @@ def binary_hamming_topk(
 
 
 def mmr_rerank(
-    queries: DataFrame,
+    queries: DataFrame | None,
     candidates: DataFrame,
     k_pool: int = 20,
     k_select: int = 5,
@@ -1916,6 +1916,8 @@ def mmr_rerank(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    pool: DataFrame | None = None,
+    pair_sim=None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified re-ranking (Carbonell
     & Goldstein, SIGIR 1998) — the diversity stage between ANN
@@ -1939,19 +1941,34 @@ def mmr_rerank(
     per-query max + one per-query ranking window over ≤ k_pool rows
     per query — high-cardinality query partitions, never a global
     sort. Pool and pair tables are pinned (persist on a cluster).
-    Returns (q_id, c_id, mmr_rank, rel_fp, score_fp)."""
-    pool = (
-        cosine_topk_bruteforce(
-            queries, candidates, k=k_pool,
-            q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+    Returns (q_id, c_id, mmr_rank, rel_fp, score_fp).
+
+    Composition hooks (the flagship_rag_context path): ``pool`` — a
+    precomputed relevance pool (q_id, c_id, rel_fp BIGINT) from any
+    certified retrieval stage (e.g. int8 quantized_dot_topk), which
+    skips the brute-force cosine stage (``queries`` may then be
+    None); ``pair_sim`` — a callable (va, vb) -> similarity Column
+    (pre-rounding) replacing the float-cosine candidate-candidate
+    metric, so an int8-store pipeline can keep the WHOLE stage on
+    quantized vectors. Defaults preserve the certified
+    x3_mmr_rerank behavior bit-for-bit."""
+    if pool is None:
+        pool = (
+            cosine_topk_bruteforce(
+                queries, candidates, k=k_pool,
+                q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+            )
+            .withColumn(
+                "rel_fp",
+                F.round(F.col("sim") * 1_000_000, 0).cast("bigint"),
+            )
+            .select(q_id, c_id, "rel_fp")
+            .localCheckpoint(eager=True)
         )
-        .withColumn(
-            "rel_fp",
-            F.round(F.col("sim") * 1_000_000, 0).cast("bigint"),
+    else:
+        pool = pool.select(q_id, c_id, "rel_fp").localCheckpoint(
+            eager=True
         )
-        .select(q_id, c_id, "rel_fp")
-        .localCheckpoint(eager=True)
-    )
     cv = candidates.select(c_id, c_vec)
     a = (
         pool.select(q_id, F.col(c_id).alias("__ia"))
@@ -1971,9 +1988,12 @@ def mmr_rerank(
             "__ib",
         )
     )
-    sim_ab = dot(F.col("__va"), F.col("__vb")) / (
-        norm2(F.col("__va")) * norm2(F.col("__vb"))
-    )
+    if pair_sim is None:
+        sim_ab = dot(F.col("__va"), F.col("__vb")) / (
+            norm2(F.col("__va")) * norm2(F.col("__vb"))
+        )
+    else:
+        sim_ab = pair_sim(F.col("__va"), F.col("__vb"))
     pairs = (
         a.join(b, q_id)
         .filter(F.col("__ia") != F.col("__ib"))

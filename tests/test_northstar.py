@@ -2250,6 +2250,47 @@ def test_nb_multiclass_matches_python_and_separates(spark):
     assert held_out and all(got[i][0] == truth[i] for i in held_out)
 
 
+def test_rag_context_mmr_diversity_flip_and_stages(spark):
+    """Flagship-level MMR pin (VERDICT r09 item 3): with the
+    diversity penalty active (λ = 7/10) the MMR-extended RAG
+    flagship selects a different doc set than the λ = 1
+    pure-relevance run (mu = 0 makes the greedy degenerate to
+    relevance order) for at least one query on the real sf0.001
+    corpus — i.e. the diversification stage genuinely changes the
+    served context, not just its order. Also pins stage activity:
+    the containment dedup and the token budget each drop at least
+    one row end-to-end."""
+    from eco_pulse_lakehouse_spark.plans.rag_context import rag_context_mmr
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    kwargs = dict(
+        n_queries=5, k_pool=10, k_select=5, shingle_n=2,
+        containment_num=3, containment_den=20, token_budget=250,
+    )
+    mmr = rag_context_mmr(emb, docs, lam_num=7, lam_den=10, **kwargs)
+    rel = rag_context_mmr(emb, docs, lam_num=10, lam_den=10, **kwargs)
+    mmr_sel = {(r.q_id, r.doc_id) for r in mmr.collect()}
+    rel_sel = {(r.q_id, r.doc_id) for r in rel.collect()}
+    assert mmr_sel != rel_sel, "diversity penalty never flipped a pick"
+    rows = mmr.collect()
+    # containment dedup left a rank gap (a selected doc was dropped)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.mmr_rank)
+    assert any(
+        sorted(rks) != list(range(1, len(rks) + 1)) or len(rks) < 5
+        for rks in by_q.values()
+    )
+    # budget trims: an unbounded-budget run keeps strictly more rows
+    unb = dict(kwargs, token_budget=10**9)
+    n_unbounded = rag_context_mmr(
+        emb, docs, lam_num=7, lam_den=10, **unb
+    ).count()
+    assert len(rows) < n_unbounded
+    assert all(r.cum_tokens <= 250 for r in rows)
+
+
 def test_mmr_rerank_diversifies_and_matches_python(spark):
     """mmr_rerank semantics on a crafted pool: the round-1 pick c2
     has a near-copy c1 whose relevance beats the diverse c3, so
