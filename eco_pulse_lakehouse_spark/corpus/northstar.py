@@ -4513,6 +4513,125 @@ def x4_nb_lang_id(spark, sf_dir):
 
 
 @q(
+    "x4_nb_gate_sweep",
+    f"""
+    WITH ctw AS (
+      SELECT doc_id, {_NB_POS_SQL} AS is_p,
+             {_UNIT_HASH_SQL} < 0.5 AS tr,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    cfeats AS (
+      SELECT doc_id, is_p, tr, u.f
+      FROM ctw, unnest(list_concat(w,
+        list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' ')))) AS u(f)
+    ),
+    cfb AS (SELECT doc_id, is_p, tr,
+                   {_poly_th_sql('f')} % 128 AS bucket
+            FROM cfeats),
+    cc0 AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS c_neg
+      FROM cfb WHERE tr GROUP BY bucket
+    ),
+    ccd AS (
+      SELECT g.bucket,
+             CAST(COALESCE(c.c_pos, 0) AS BIGINT) AS c_pos,
+             CAST(COALESCE(c.c_neg, 0) AS BIGINT) AS c_neg
+      FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(128)) g
+      LEFT JOIN cc0 c USING (bucket)
+    ),
+    ctt AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn FROM ccd),
+    clo AS (
+      SELECT bucket,
+             CAST(round(ln(
+               (CAST(2 * c_pos + 1 AS DOUBLE)
+                  / CAST(2 * np + 128 AS DOUBLE))
+               / (CAST(2 * c_neg + 1 AS DOUBLE)
+                  / CAST(2 * nn + 128 AS DOUBLE))
+             ) * 1000000, 0) AS BIGINT) AS w_fp
+      FROM ccd, ctt
+    ),
+    cdoc AS (
+      SELECT SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS dp,
+             SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS dn
+      FROM ctw WHERE tr
+    ),
+    cpri AS (
+      SELECT CAST(round(ln(CAST(2 * dp + 1 AS DOUBLE)
+                           / CAST(2 * dn + 1 AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS prior_fp
+      FROM cdoc
+    ),
+    cmg AS (
+      SELECT doc_id, is_p,
+             CAST(CAST(SUM(w_fp) AS BIGINT) + prior_fp AS BIGINT)
+               AS margin_fp
+      FROM cfb JOIN clo USING (bucket) CROSS JOIN cpri
+      WHERE NOT tr
+      GROUP BY doc_id, is_p, prior_fp
+    ),
+    cgrid AS (
+      SELECT CAST(u.t AS BIGINT) AS threshold_fp
+      FROM unnest([-4000000, -3000000, -2000000, -1000000,
+                   0, 1000000, 2000000]) AS u(t)
+    ),
+    cagg AS (
+      SELECT threshold_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(SUM(CASE WHEN margin_fp >= threshold_fp
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN margin_fp >= threshold_fp AND is_p
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN margin_fp >= threshold_fp
+                           AND NOT is_p
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN margin_fp < threshold_fp AND is_p
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN margin_fp < threshold_fp
+                           AND NOT is_p
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM cgrid CROSS JOIN cmg
+      GROUP BY threshold_fp
+    )
+    SELECT threshold_fp, n_scored, n_pos, n_kept, tp, fp, fn, tn,
+           CAST(CASE WHEN n_kept > 0 THEN (1000000 * tp) // n_kept
+                ELSE -1 END AS BIGINT) AS precision_ppm,
+           CAST(CASE WHEN n_pos > 0 THEN (1000000 * tp) // n_pos
+                ELSE -1 END AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN n_scored > 0
+                THEN (1000000 * n_kept) // n_scored
+                ELSE -1 END AS BIGINT) AS kept_ppm
+    FROM cagg
+    """,
+)
+def x4_nb_gate_sweep(spark, sf_dir):
+    """X4 — threshold CALIBRATION SWEEP for the learned NB quality
+    gate (operators/selection.py:nb_gate_sweep; VERDICT r09 item 6 —
+    the x3_pq_distortion_sweep pattern applied to the classifier
+    rung): train on the unit-hash half, score the genuinely held-out
+    complement (the densified weight table makes unseen held-out
+    buckets score exactly — the ADVICE r09 fix exercised on a
+    certified path), and report exact integer confusion counts +
+    ppm rates (integer division, −1 sentinel at zero denominators)
+    for seven candidate thresholds spanning the margin distribution
+    — the θ=2e6 row keeps ZERO docs at some SFs, pinning the
+    sentinel path. One plan: margins computed once, a 7-row grid
+    replicated over them, map-side-combinable confusion sums."""
+    from eco_pulse_lakehouse_spark.operators import selection as xsel
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    d = T(spark, sf_dir, "documents")
+    return xsel.nb_gate_sweep(
+        d, _nb_pos_pred(), train_pred=unit_hash(F.col("doc_id")) < 0.5
+    )
+
+
+@q(
     "x1_soft_dedup",
     """
     SELECT doc_id,

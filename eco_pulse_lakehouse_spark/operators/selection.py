@@ -51,6 +51,8 @@ the X6 sampling family the way a pre-training pipeline needs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -606,4 +608,86 @@ def nb_multiclass_classify(
             "score_fp",
             "n_feats",
         )
+    )
+
+
+def nb_gate_sweep(
+    docs: DataFrame,
+    label_pred: Column,
+    train_pred: Column,
+    thresholds_fp: Sequence[int] = (
+        -4_000_000, -3_000_000, -2_000_000, -1_000_000,
+        0, 1_000_000, 2_000_000,
+    ),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 128,
+    fp_scale: int = FP_SCALE,
+) -> DataFrame:
+    """Threshold CALIBRATION SWEEP for the learned NB quality gate —
+    the tuning table a curation run reads before picking
+    ``threshold_fp`` (the x3_pq_distortion_sweep pattern applied to
+    the classifier rung): train :func:`nb_classify` on the
+    ``train_pred`` rows, score the HELD-OUT complement (genuinely
+    predicted, not memorized — and, with the densified weight table,
+    held-out feature buckets unseen in training score exactly), and
+    for every candidate threshold report the exact integer confusion
+    counts against the weak label plus parts-per-million rates from
+    exact integer division (−1 sentinel where the denominator is 0 —
+    never a float boundary, never a NULL-dtype wobble).
+
+    One plan: margins are computed ONCE; the ≤len(thresholds)-row
+    grid replicates each margin row (linear in the held-out count,
+    map-side combinable down to one row per threshold per partition),
+    so the sweep costs one extra narrow shuffle over the single-gate
+    entry regardless of corpus size. Returns one row per threshold:
+    (threshold_fp, n_scored, n_pos, n_kept, tp, fp, fn, tn,
+    precision_ppm, recall_ppm, kept_ppm)."""
+    tr = docs.filter(train_pred)
+    heldout = docs.filter(~train_pred)
+    labels = heldout.select(F.col(id_col), label_pred.alias("__is_p"))
+    margins = nb_classify(
+        heldout, label_pred, id_col, text_col, n_buckets, fp_scale,
+        train=tr,
+    ).select(id_col, "margin_fp")
+    grid = F.explode(
+        F.array(
+            *[F.lit(int(t)).cast("bigint") for t in thresholds_fp]
+        )
+    ).alias("threshold_fp")
+    rep = margins.join(labels, id_col).select(
+        "margin_fp", "__is_p", grid
+    )
+    keep = F.col("margin_fp") >= F.col("threshold_fp")
+    pos = F.col("__is_p")
+
+    def _n(pred) -> Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+
+    agg = rep.groupBy("threshold_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        _n(pos).alias("n_pos"),
+        _n(keep).alias("n_kept"),
+        _n(keep & pos).alias("tp"),
+        _n(keep & ~pos).alias("fp"),
+        _n(~keep & pos).alias("fn"),
+        _n(~keep & ~pos).alias("tn"),
+    )
+
+    def _ppm(num: str, den: str) -> Column:
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.expr(f"(1000000 * {num}) div {den}"),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+        )
+
+    return agg.select(
+        "threshold_fp", "n_scored", "n_pos", "n_kept",
+        "tp", "fp", "fn", "tn",
+        _ppm("tp", "n_kept").alias("precision_ppm"),
+        _ppm("tp", "n_pos").alias("recall_ppm"),
+        _ppm("n_kept", "n_scored").alias("kept_ppm"),
     )

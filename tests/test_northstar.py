@@ -2250,6 +2250,49 @@ def test_nb_multiclass_matches_python_and_separates(spark):
     assert held_out and all(got[i][0] == truth[i] for i in held_out)
 
 
+def test_nb_gate_sweep_monotone_and_consistent(spark):
+    """Calibration-sweep invariants (VERDICT r09 item 6): as the
+    threshold rises the gate only tightens — n_kept, tp and
+    recall_ppm are non-increasing, fn non-decreasing — and the
+    confusion counts satisfy their exact identities at every
+    threshold (tp+fp = n_kept, tp+fn = n_pos, all four quadrants sum
+    to n_scored, n_scored/n_pos constant across rows since the
+    held-out split doesn't depend on the threshold). ppm rates use
+    the −1 sentinel exactly when their denominator is zero."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+    from eco_pulse_lakehouse_spark.operators.selection import nb_gate_sweep
+
+    docs = load_table(spark, SF, "documents")
+    pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    rows = sorted(
+        nb_gate_sweep(
+            docs, pos, train_pred=unit_hash(F.col("doc_id")) < 0.5
+        ).collect(),
+        key=lambda r: r.threshold_fp,
+    )
+    assert len(rows) == 7
+    assert len({r.n_scored for r in rows}) == 1
+    assert len({r.n_pos for r in rows}) == 1
+    for r in rows:
+        assert r.tp + r.fp == r.n_kept
+        assert r.tp + r.fn == r.n_pos
+        assert r.tp + r.fp + r.fn + r.tn == r.n_scored
+        assert (r.precision_ppm == -1) == (r.n_kept == 0)
+        if r.n_kept > 0:
+            assert r.precision_ppm == (1_000_000 * r.tp) // r.n_kept
+            assert r.recall_ppm == (1_000_000 * r.tp) // r.n_pos
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_kept <= a.n_kept
+        assert b.tp <= a.tp
+        assert b.fn >= a.fn
+        if a.recall_ppm >= 0 and b.recall_ppm >= 0:
+            assert b.recall_ppm <= a.recall_ppm
+    # the sweep genuinely sweeps: the gate moves between extremes
+    assert rows[0].n_kept > rows[-1].n_kept
+
+
 def test_rag_context_mmr_diversity_flip_and_stages(spark):
     """Flagship-level MMR pin (VERDICT r09 item 3): with the
     diversity penalty active (λ = 7/10) the MMR-extended RAG
