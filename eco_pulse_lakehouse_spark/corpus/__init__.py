@@ -317,6 +317,13 @@ _NEW_R10: frozenset[str] = frozenset(
         # diversification stage between retrieval and dedup —
         # code + oracle composition changed.
         "flagship_rag_context",
+        # VERDICT r09 item 5 (sf1 audit): MERGE(lineitem) pins the
+        # fact-fact join to sort-merge in the three queries where
+        # the A/B won at both scales — query text changed (the hint
+        # is a comment to DuckDB, so each oracle is the same string).
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q12",
     }
 )
 

@@ -64,7 +64,7 @@ def tpch_q6(spark, sf_dir):
 
 
 _Q3 = """
-    SELECT l_orderkey,
+    SELECT /*+ MERGE(lineitem) */ l_orderkey,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
              AS revenue,
            o_orderdate, o_orderpriority
@@ -83,7 +83,13 @@ _Q3 = """
 def tpch_q3(spark, sf_dir):
     """Q3-style shipping-priority top-k — selective dim filter,
     two shuffle joins, decimal-exact revenue so the top-10 ordering
-    is engine-independent (tiebreak on l_orderkey)."""
+    is engine-independent (tiebreak on l_orderkey). MERGE(lineitem)
+    pins the fact-fact join to sort-merge: the auto plan broadcast
+    the column-pruned lineitem under the 64 MB threshold, and the
+    SINGLE-THREADED broadcast hash-relation build dominated (r10
+    sf1 audit: 3.9x faster hinted at 10x, 1.2x at sf0.1; a fact-side
+    broadcast is never the 100 TB plan anyway — DuckDB reads the
+    hint as a comment, so the oracle string is shared unchanged)."""
     return _sql(spark, sf_dir, _Q3)
 
 
@@ -148,7 +154,7 @@ def tpch_q10(spark, sf_dir):
 
 
 _Q12 = """
-    SELECT o_orderpriority,
+    SELECT /*+ MERGE(lineitem) */ o_orderpriority,
            CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              AS BIGINT) AS returned_count,
            CAST(SUM(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END)
@@ -163,7 +169,9 @@ _Q12 = """
 @q("tpch_q12", _Q12)
 def tpch_q12(spark, sf_dir):
     """Q12-style bucketed counts — CASE aggregation over a join
-    (conditional counting pivots without a pivot)."""
+    (conditional counting pivots without a pivot). MERGE(lineitem)
+    pins the orders⋈lineitem join to sort-merge (r10 sf1 audit:
+    1.2-1.3x at both scales; see tpch_q3)."""
     return _sql(spark, sf_dir, _Q12)
 
 
@@ -189,7 +197,7 @@ def tpch_q18(spark, sf_dir):
 
 
 _Q5 = """
-    SELECT r_name, n_name,
+    SELECT /*+ MERGE(lineitem) */ r_name, n_name,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
              AS revenue,
            COUNT(DISTINCT o_orderkey) AS n_orders
@@ -204,9 +212,15 @@ _Q5 = """
 
 @q("tpch_q5", _Q5)
 def tpch_q5(spark, sf_dir):
-    """Q5-style regional revenue — 5-way star join: two broadcast dims
-    (region, nation), shuffle joins on the fact chain, rollup by
-    geography."""
+    """Q5-style regional revenue — 5-way star join: the dims
+    (region, nation, customer) broadcast, the fact-fact
+    orders⋈lineitem edge is pinned to sort-merge with
+    MERGE(lineitem) — the r10 sf1 audit (VERDICT r09 item 5) found
+    the auto plan broadcasting the column-pruned lineitem under the
+    64 MB threshold, and the single-threaded hash-relation build
+    made it 5.2x slower at 10x (2.5x slower even at sf0.1). Date
+    filter stays pushed to the orders scan; plan-asserted in
+    tests/test_plans.py."""
     return _sql(spark, sf_dir, _Q5)
 
 

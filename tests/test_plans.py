@@ -744,3 +744,39 @@ def test_data_factory_flagship_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "ntile" not in plan.lower(), plan
+
+
+def test_tpch_q5_plan_dims_broadcast_fact_join_sortmerge(spark):
+    """VERDICT r09 item 5 (sf1 audit outcome): Q5's dims broadcast,
+    the date filter reaches the orders scan, and the fact-fact
+    orders⋈lineitem edge is SORT-MERGE — the auto plan's broadcast
+    of the column-pruned lineitem built its hash relation
+    single-threaded and was 5.2x slower at the 10x rehearsal (2.5x
+    at sf0.1); MERGE(lineitem) pins the scalable shape at every
+    layout."""
+    from eco_pulse_lakehouse_spark.corpus import tpch
+
+    df = tpch.QUERIES["tpch_q5"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # region/nation/customer dims
+    assert "SortMergeJoin" in plan      # orders ⋈ lineitem
+    assert "CartesianProduct" not in plan
+    fmt = _formatted(df)
+    # lineitem is never a broadcast build side
+    assert "GreaterThanOrEqual(o_orderdate" in fmt  # pushed date filter
+    for block in fmt.split("\n\n"):
+        if "BroadcastExchange" in block:
+            assert "lineitem.parquet" not in block
+
+
+def test_tpch_q3_q12_fact_join_sortmerge(spark):
+    """The same fact-fact pin for the other two queries where the
+    r10 A/B measured an unambiguous win at BOTH scales (q3 3.9x/1.2x,
+    q12 1.2x/1.3x); queries where the hint lost or was ambiguous
+    (q4/q7/q10/q18/q21) stay on the auto plan."""
+    from eco_pulse_lakehouse_spark.corpus import tpch
+
+    for name in ("tpch_q3", "tpch_q12"):
+        plan = _plan(tpch.QUERIES[name](spark, SF))
+        assert "SortMergeJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
