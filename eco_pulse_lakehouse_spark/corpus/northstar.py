@@ -3883,9 +3883,8 @@ def x2_containment(spark, sf_dir):
     )
 
 
-@q(
-    "flagship_rag_context",
-    f"""
+# Named so the t43 streaming serve twin carries it verbatim.
+_RAG_MMR_SQL = f"""
     WITH e AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
     en AS (
       SELECT vec_id, qv,
@@ -3962,8 +3961,10 @@ def x2_containment(spark, sf_dir):
     SELECT q_id, CAST(mmr_rank AS INT) AS mmr_rank, doc_id, rel_fp,
            n_tokens, cum_tokens
     FROM budgeted WHERE cum_tokens <= 250
-    """,
-)
+    """
+
+
+@q("flagship_rag_context", _RAG_MMR_SQL)
 def flagship_rag_context(spark, sf_dir):
     """Flagship #4 — the COMPOSED RAG context-builder, now with the
     MMR diversification stage the r09 round certified standalone

@@ -2908,6 +2908,83 @@ def t42_stream_gold_topk(spark, sf_dir):
     return spark.read.parquet(os.path.join(sink, "batch=*"))
 
 
+@q("t43_stream_rag_context", _ns._RAG_MMR_SQL)
+def t43_stream_rag_context(spark, sf_dir):
+    """T43 — STREAMING RAG context serving (the serve twin of the
+    MMR-extended flagship_rag_context, completing the retrieval
+    family's serve side the way t42 completes gold's): QUERY
+    requests stream in (the 5 demo query vectors, split across
+    files, one file per trigger — a request workload, not a corpus
+    ingest) against the STATIC int8 store, built ONCE by the
+    flagship's own expression tree (plans/rag_context.py:int8_store)
+    and pinned — the maintained serving artifact, so no batch ever
+    re-reads the float vectors. Each micro-batch runs the identical
+    serve DAG (rag_context_mmr with query_ids = the batch's vec_ids
+    and quantized = the pinned store: int8 top-k_pool retrieval →
+    MMR diversify → containment dedup → token budget) and lands its
+    queries' context rows as an idempotent epoch-keyed parquet
+    partial. Every stage is per-q_id independent and every query
+    lives in exactly ONE source file, so the partials are disjoint
+    and their union IS the one-shot flagship result: streamed ≡
+    batch bit-identically, and this entry carries
+    flagship_rag_context's oracle verbatim. The 100 TB shape:
+    per-request-batch work is pool-sized per query (k_pool² pair
+    sims + k² containment pairs) after candidate-bounded retrieval
+    against the int8 store — independent of corpus size."""
+    from eco_pulse_lakehouse_spark.plans.rag_context import (
+        int8_store,
+        rag_context_mmr,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    docs = T(spark, sf_dir, "documents")
+    store = int8_store(emb).localCheckpoint(eager=True)  # pinned
+
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", "embedding"
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t43_{uuid.uuid4().hex}"
+    )
+    queries_df.repartition(2).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t43_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(queries_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def serve_contexts(batch_df, batch_id: int) -> None:
+        (
+            rag_context_mmr(
+                emb, docs, n_queries=5, k_pool=10, k_select=5,
+                lam_num=7, lam_den=10, shingle_n=2, containment_num=3,
+                containment_den=20, token_budget=250,
+                query_ids=batch_df.select("vec_id"),
+                quantized=store,
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(serve_contexts)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    return spark.read.parquet(os.path.join(sink, "batch=*")).select(
+        "q_id", "mmr_rank", "doc_id", "rel_fp", "n_tokens", "cum_tokens"
+    )
+
+
 @q(
     "t37_stream_dsir",
     f"WITH {_ns._DSIR_FB}\n"

@@ -290,6 +290,34 @@ def test_stream_nb_gate_equals_batch(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_rag_context_equals_batch(spark):
+    """t43: per-request-batch RAG context partials (each query lives
+    in one source file; the int8 store is the pinned static
+    artifact) must union to EXACTLY the one-shot MMR-extended
+    flagship output — every stage is per-q_id independent, so
+    disjoint query batches compose losslessly."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.plans.rag_context import rag_context_mmr
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t43_stream_rag_context"](spark, sf).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in rag_context_mmr(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "documents"),
+            n_queries=5, k_pool=10, k_select=5, lam_num=7, lam_den=10,
+            shingle_n=2, containment_num=3, containment_den=20,
+            token_budget=250,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stream_gold_topk_equals_batch(spark):
     """t42: per-batch progressive-refinement k-NN partials (each
     fire lives in one source file; stations are the static dim) must
