@@ -82,6 +82,8 @@ HEADLINE = [
     "x4_nb_quality_gate",      # learned NB classifier train+score pass
     "x4_nb_lang_id",           # multiclass NB language-ID, held-out split
     "flagship_gold_risk_topk",  # k-nearest gold: bounded-output variant
+    # round-10 families (outside the floor subset)
+    "x4_nb_gate_sweep",        # NB threshold calibration table, one plan
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -116,6 +118,8 @@ ONEOFF = [
     "t42_stream_gold_topk",    # per-batch k-NN gold alert drain (r09)
     "x3_mmr_rerank",           # 5-round greedy MMR re-rank (iterative, r09)
     "flagship_data_factory",   # flagship #8: the full quality ladder (r09)
+    "flagship_rag_context",    # flagship #4 + MMR stage (iterative, r10)
+    "t43_stream_rag_context",  # per-request-batch RAG serve drain (r10)
 ]
 
 
