@@ -120,6 +120,7 @@ ONEOFF = [
     "flagship_data_factory",   # flagship #8: the full quality ladder (r09)
     "flagship_rag_context",    # flagship #4 + MMR stage (iterative, r10)
     "t43_stream_rag_context",  # per-request-batch RAG serve drain (r10)
+    "t44_stream_nb_gate_sweep",  # incremental calibration drain (r10)
 ]
 
 

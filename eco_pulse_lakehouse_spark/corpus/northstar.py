@@ -4513,9 +4513,8 @@ def x4_nb_lang_id(spark, sf_dir):
     )
 
 
-@q(
-    "x4_nb_gate_sweep",
-    f"""
+# Named so the t44 streaming calibration twin carries it verbatim.
+_NB_SWEEP_SQL = f"""
     WITH ctw AS (
       SELECT doc_id, {_NB_POS_SQL} AS is_p,
              {_UNIT_HASH_SQL} < 0.5 AS tr,
@@ -4608,8 +4607,10 @@ def x4_nb_lang_id(spark, sf_dir):
                 THEN (1000000 * n_kept) // n_scored
                 ELSE -1 END AS BIGINT) AS kept_ppm
     FROM cagg
-    """,
-)
+    """
+
+
+@q("x4_nb_gate_sweep", _NB_SWEEP_SQL)
 def x4_nb_gate_sweep(spark, sf_dir):
     """X4 — threshold CALIBRATION SWEEP for the learned NB quality
     gate (operators/selection.py:nb_gate_sweep; VERDICT r09 item 6 —

@@ -2985,6 +2985,159 @@ def t43_stream_rag_context(spark, sf_dir):
     )
 
 
+@q("t44_stream_nb_gate_sweep", _ns._NB_SWEEP_SQL)
+def t44_stream_nb_gate_sweep(spark, sf_dir):
+    """T44 — STREAMING calibration maintenance (the incremental twin
+    of x4_nb_gate_sweep, completing the learned-classifier rung's
+    train/serve/CALIBRATE triangle the way t41 completes serve):
+    documents stream one file per trigger; each batch lands FOUR
+    linear partials as idempotent epoch-keyed parquet — TRAIN-half
+    (unit-hash < 0.5) (bucket, c_pos, c_neg) class counts and a
+    1-row (n_pos, n_neg) label count, plus HELD-OUT (doc_id, bucket,
+    n) feature counts and (doc_id, is_p) labels — all pure SUMs /
+    disjoint per-doc rows, so partials merge to exactly the one-pass
+    tables. Serving re-derives the DENSIFIED 128-row log-odds table
+    and the 1-row prior through the identical expression trees
+    (selection.py:densify_counts / ratio_table /
+    prior_counts_to_fp), broadcasts both onto the merged held-out
+    doc-bucket counts (Σ n·w_fp ≡ Σ w_fp), and feeds the margins to
+    the SHARED grid-replication + confusion stage
+    (selection.py:gate_sweep_from_margins): the streamed tuning
+    table is BIT-IDENTICAL to the batch sweep and this entry carries
+    x4_nb_gate_sweep's oracle verbatim. The 100 TB shape: ingest
+    updates vocab-sized + per-heldout-doc-linear tables; re-sweeping
+    every candidate threshold after the model drifts is a broadcast
+    join + a 7-row-grid aggregation — never a re-scan of the text."""
+    from eco_pulse_lakehouse_spark.corpus.northstar import _nb_pos_pred
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        _hashed_features,
+        densify_counts,
+        gate_sweep_from_margins,
+        prior_counts_to_fp,
+        ratio_table,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t44_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t44_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_partials(batch_df, batch_id: int) -> None:
+        lab = batch_df.select(
+            "doc_id",
+            _nb_pos_pred().alias("__is_p"),
+            (unit_hash(F.col("doc_id")) < 0.5).alias("__tr"),
+            "text",
+        )
+        tr_feat = lab.filter(F.col("__tr")).select(
+            "__is_p",
+            F.explode(_hashed_features(F.col("text"), 128)).alias("bucket"),
+        )
+        (
+            tr_feat.groupBy("bucket")
+            .agg(
+                F.sum(F.when(F.col("__is_p"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("c_pos"),
+                F.sum(F.when(F.col("__is_p"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("c_neg"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"counts/batch={batch_id}"))
+        )
+        (
+            lab.filter(F.col("__tr"))
+            .agg(
+                F.sum(F.when(F.col("__is_p"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pos"),
+                F.sum(F.when(F.col("__is_p"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("n_neg"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"labels/batch={batch_id}"))
+        )
+        ho = lab.filter(~F.col("__tr"))
+        (
+            ho.select(
+                "doc_id",
+                F.explode(_hashed_features(F.col("text"), 128)).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"hobuckets/batch={batch_id}"))
+        )
+        (
+            ho.select("doc_id", "__is_p")
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"holabels/batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_partials)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    counts = (
+        spark.read.parquet(os.path.join(sink, "counts/batch=*"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("c_pos").cast("bigint").alias("c_target"),
+            F.sum("c_neg").cast("bigint").alias("c_raw"),
+        )
+    )
+    ratios = ratio_table(densify_counts(counts, 128, spark), n_buckets=128)
+    pri = prior_counts_to_fp(
+        spark.read.parquet(os.path.join(sink, "labels/batch=*")).agg(
+            F.sum("n_pos").cast("bigint").alias("n_pos"),
+            F.sum("n_neg").cast("bigint").alias("n_neg"),
+        )
+    )
+    hobuckets = (
+        spark.read.parquet(os.path.join(sink, "hobuckets/batch=*"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    holabels = spark.read.parquet(os.path.join(sink, "holabels/batch=*"))
+    margins = (
+        hobuckets.join(
+            F.broadcast(ratios.select("bucket", "w_fp")), "bucket"
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("__sw"))
+        .crossJoin(F.broadcast(pri.select("prior_fp")))
+        .select(
+            "doc_id",
+            (F.col("__sw") + F.col("prior_fp"))
+            .cast("bigint")
+            .alias("margin_fp"),
+        )
+    )
+    scored = margins.join(holabels, "doc_id").select("margin_fp", "__is_p")
+    return gate_sweep_from_margins(scored)
+
+
 @q(
     "t37_stream_dsir",
     f"WITH {_ns._DSIR_FB}\n"

@@ -391,21 +391,33 @@ def nb_log_odds(
         .cast("bigint")
         .alias("c_raw"),
     )
-    grid = spark.range(n_buckets).select(
-        F.col("id").cast("bigint").alias("bucket")
-    )
-    dense = grid.join(counts, "bucket", "left").select(
-        "bucket",
-        F.coalesce(F.col("c_target"), F.lit(0))
-        .cast("bigint")
-        .alias("c_target"),
-        F.coalesce(F.col("c_raw"), F.lit(0)).cast("bigint").alias("c_raw"),
-    )
+    dense = densify_counts(counts, n_buckets, spark)
     return ratio_table(dense, n_buckets, fp_scale).select(
         "bucket",
         F.col("c_target").alias("c_pos"),
         F.col("c_raw").alias("c_neg"),
         "w_fp",
+    )
+
+
+def densify_counts(
+    counts: DataFrame, n_buckets: int, spark=None
+) -> DataFrame:
+    """Densify a (bucket, c_target, c_raw) count table to the full
+    bucket range with zero counts (which smooth to the unseen-bucket
+    weight in :func:`ratio_table`'s fixed tree) — the stage of
+    :func:`nb_log_odds` an incremental pipeline (t44: SUM-merged
+    train-half partials) replays on merged counts."""
+    spark = spark or counts.sparkSession
+    grid = spark.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    return grid.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("c_target"), F.lit(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.coalesce(F.col("c_raw"), F.lit(0)).cast("bigint").alias("c_raw"),
     )
 
 
@@ -650,14 +662,30 @@ def nb_gate_sweep(
         heldout, label_pred, id_col, text_col, n_buckets, fp_scale,
         train=tr,
     ).select(id_col, "margin_fp")
+    return gate_sweep_from_margins(
+        margins.join(labels, id_col), thresholds_fp
+    )
+
+
+def gate_sweep_from_margins(
+    scored: DataFrame,
+    thresholds_fp: Sequence[int] = (
+        -4_000_000, -3_000_000, -2_000_000, -1_000_000,
+        0, 1_000_000, 2_000_000,
+    ),
+) -> DataFrame:
+    """The margins→table stage of :func:`nb_gate_sweep`, split out so
+    an INCREMENTAL pipeline (t44: SUM-merged train-half class/label
+    partials serve margins through the shared ratio_table /
+    prior_counts_to_fp trees) feeds the IDENTICAL grid-replication +
+    confusion aggregation. Input: (margin_fp, __is_p) rows — one per
+    held-out document."""
     grid = F.explode(
         F.array(
             *[F.lit(int(t)).cast("bigint") for t in thresholds_fp]
         )
     ).alias("threshold_fp")
-    rep = margins.join(labels, id_col).select(
-        "margin_fp", "__is_p", grid
-    )
+    rep = scored.select("margin_fp", "__is_p", grid)
     keep = F.col("margin_fp") >= F.col("threshold_fp")
     pos = F.col("__is_p")
 

@@ -290,6 +290,35 @@ def test_stream_nb_gate_equals_batch(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_nb_gate_sweep_equals_batch(spark):
+    """t44: SUM-merged train-half class/label partials + held-out
+    doc-bucket counts, served through the shared densify/ratio/prior
+    trees and the shared grid-confusion stage, must reproduce the
+    one-shot calibration table EXACTLY — the linearity argument
+    (Σ n·w_fp ≡ Σ w_fp) extended through the sweep."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.northstar import _nb_pos_pred
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+    from eco_pulse_lakehouse_spark.operators.selection import nb_gate_sweep
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t44_stream_nb_gate_sweep"](spark, sf).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in nb_gate_sweep(
+            load_table(spark, sf, "documents"),
+            _nb_pos_pred(),
+            train_pred=unit_hash(F.col("doc_id")) < 0.5,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 7
+
+
 def test_stream_rag_context_equals_batch(spark):
     """t43: per-request-batch RAG context partials (each query lives
     in one source file; the int8 store is the pinned static
