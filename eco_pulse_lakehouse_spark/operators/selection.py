@@ -623,14 +623,20 @@ def nb_multiclass_classify(
     )
 
 
+# Default calibration grid spanning the NB margin distribution at the
+# test SFs; the top rows keep nothing, deliberately pinning the
+# zero-denominator sentinel path.
+DEFAULT_GATE_THRESHOLDS: tuple[int, ...] = (
+    -4_000_000, -3_000_000, -2_000_000, -1_000_000,
+    0, 1_000_000, 2_000_000,
+)
+
+
 def nb_gate_sweep(
     docs: DataFrame,
     label_pred: Column,
     train_pred: Column,
-    thresholds_fp: Sequence[int] = (
-        -4_000_000, -3_000_000, -2_000_000, -1_000_000,
-        0, 1_000_000, 2_000_000,
-    ),
+    thresholds_fp: Sequence[int] = DEFAULT_GATE_THRESHOLDS,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 128,
@@ -669,10 +675,7 @@ def nb_gate_sweep(
 
 def gate_sweep_from_margins(
     scored: DataFrame,
-    thresholds_fp: Sequence[int] = (
-        -4_000_000, -3_000_000, -2_000_000, -1_000_000,
-        0, 1_000_000, 2_000_000,
-    ),
+    thresholds_fp: Sequence[int] = DEFAULT_GATE_THRESHOLDS,
 ) -> DataFrame:
     """The margins→table stage of :func:`nb_gate_sweep`, split out so
     an INCREMENTAL pipeline (t44: SUM-merged train-half class/label

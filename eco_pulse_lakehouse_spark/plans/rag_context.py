@@ -71,7 +71,6 @@ def _int8_norm(a):
 
 def int8_store(
     embeddings: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The pinned serving artifact: (id_col, ..., q_vec, __n8) —
@@ -136,7 +135,7 @@ def rag_context_mmr(
         quantized_dot_topk,
     )
 
-    qz = int8_store(embeddings, id_col, vec_col) if quantized is None else quantized
+    qz = int8_store(embeddings, vec_col) if quantized is None else quantized
     qbase = (
         qz.join(query_ids.select(id_col), id_col, "left_semi")
         if query_ids is not None
