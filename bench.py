@@ -121,6 +121,7 @@ ONEOFF = [
     "flagship_rag_context",    # flagship #4 + MMR stage (iterative, r10)
     "t43_stream_rag_context",  # per-request-batch RAG serve drain (r10)
     "t44_stream_nb_gate_sweep",  # incremental calibration drain (r10)
+    "t45_stream_decontaminate",  # ingest-screen decontamination drain (r10)
 ]
 
 

@@ -2026,9 +2026,8 @@ def x4_rrf_fusion(spark, sf_dir):
 # =====================================================================
 
 
-@q(
-    "x6_decontaminate",
-    f"""
+# Named so the t45 streaming ingest-screen twin carries it verbatim.
+_DECON_SQL = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t,
              {_UNIT_HASH_SQL} AS u
@@ -2050,8 +2049,10 @@ def x4_rrf_fusion(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_overlap
     FROM tr JOIN ev USING (shingle)
     GROUP BY tr.doc_id
-    """,
-)
+    """
+
+
+@q("x6_decontaminate", _DECON_SQL)
 def x6_decontaminate(spark, sf_dir):
     """X6 — benchmark decontamination: flag train-split documents
     sharing any distinct word 4-gram with the held-out split

@@ -2985,6 +2985,81 @@ def t43_stream_rag_context(spark, sf_dir):
     )
 
 
+@q("t45_stream_decontaminate", _ns._DECON_SQL)
+def t45_stream_decontaminate(spark, sf_dir):
+    """T45 — STREAMING decontamination at INGEST (the serve twin of
+    x6_decontaminate): the benchmark's distinct 4-gram shingle set
+    is built ONCE by the batch operator's own stage
+    (operators/decontaminate.py:eval_shingle_set) and pinned — the
+    artifact a training-data platform maintains per eval suite —
+    and TRAIN documents stream in one file per trigger; each batch
+    screens its docs against the pinned set
+    (decontaminate.py:decontaminate_against — the identical
+    train-side stage: distinct per-doc shingles, equi-join on the
+    shingle key, per-doc distinct-match counts) and lands its
+    flagged (doc_id, n_overlap) rows as an idempotent epoch-keyed
+    parquet partial. A doc's overlap count depends only on that doc
+    and the eval set, and every doc lives in exactly ONE source
+    file, so the partials are disjoint and their union IS the
+    one-shot removal list: streamed ≡ batch bit-identically, and
+    this entry carries x6_decontaminate's oracle verbatim. The
+    100 TB shape: the eval shingle set is benchmark-sized (broadcast
+    at scale), per-batch work is O(batch shingles) through one
+    equi-join — leakage is caught at the door instead of by a
+    full-corpus re-scan before each training run."""
+    from eco_pulse_lakehouse_spark.operators.decontaminate import (
+        decontaminate_against,
+        eval_shingle_set,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    u = unit_hash(F.col("doc_id"))
+    ev = eval_shingle_set(
+        d.filter(u >= 0.9), "doc_id", "text", shingle_n=4
+    ).localCheckpoint(eager=True)  # the pinned per-benchmark artifact
+    train = d.filter(u < 0.9)
+
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t45_{uuid.uuid4().hex}"
+    )
+    train.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t45_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "partials"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def screen_batch(batch_df, batch_id: int) -> None:
+        (
+            decontaminate_against(
+                batch_df, ev, "doc_id", "text", shingle_n=4
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    return spark.read.parquet(os.path.join(sink, "batch=*")).select(
+        "doc_id", "n_overlap"
+    )
+
+
 @q("t44_stream_nb_gate_sweep", _ns._NB_SWEEP_SQL)
 def t44_stream_nb_gate_sweep(spark, sf_dir):
     """T44 — STREAMING calibration maintenance (the incremental twin

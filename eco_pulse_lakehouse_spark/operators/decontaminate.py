@@ -41,6 +41,41 @@ def _shingle_rows(
     ).distinct()
 
 
+def eval_shingle_set(
+    eval_set: DataFrame, id_col: str, text_col: str, shingle_n: int = 5
+) -> DataFrame:
+    """The pinned decontamination artifact: the eval split's DISTINCT
+    word ``shingle_n``-gram set (one ``shingle`` column) — built once
+    and broadcast/pinned so an INGEST pipeline (t45) screens every
+    arriving batch against it without re-shingling the benchmark."""
+    return (
+        _shingle_rows(eval_set, id_col, text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+
+
+def decontaminate_against(
+    train: DataFrame,
+    eval_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """The train-side stage of :func:`decontaminate`, split out so a
+    streaming twin screens each batch against a PREBUILT
+    :func:`eval_shingle_set` — per-doc results depend only on that
+    doc and the eval set, so disjoint batches union losslessly."""
+    train_shingles = _shingle_rows(train, id_col, text_col, shingle_n)
+    return (
+        train_shingles.join(eval_shingles, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_set: DataFrame,
@@ -56,17 +91,13 @@ def decontaminate(
     The distinct() on each side bounds the join fan-out: a shingle
     repeated inside one document contributes one posting row.
     """
-    eval_shingles = (
-        _shingle_rows(eval_set, id_col, text_col, shingle_n)
-        .select("shingle")
-        .distinct()
-    )
-    train_shingles = _shingle_rows(train, id_col, text_col, shingle_n)
-    return (
-        train_shingles.join(eval_shingles, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .filter(F.col("n_overlap") >= min_overlap)
+    return decontaminate_against(
+        train,
+        eval_shingle_set(eval_set, id_col, text_col, shingle_n),
+        id_col,
+        text_col,
+        shingle_n,
+        min_overlap,
     )
 
 

@@ -290,6 +290,39 @@ def test_stream_nb_gate_equals_batch(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_decontaminate_equals_batch(spark):
+    """t45: per-batch ingest screening against the pinned eval
+    shingle set must union to EXACTLY the one-shot removal list —
+    per-doc overlap counts depend only on the doc and the eval set,
+    so disjoint ingest batches compose losslessly."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from eco_pulse_lakehouse_spark.operators.sampling import unit_hash
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t45_stream_decontaminate"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    u = unit_hash(F.col("doc_id"))
+    batch = {
+        tuple(r)
+        for r in decontaminate(
+            d.filter(u < 0.9), d.filter(u >= 0.9),
+            "doc_id", "text", shingle_n=4,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stream_nb_gate_sweep_equals_batch(spark):
     """t44: SUM-merged train-half class/label partials + held-out
     doc-bucket counts, served through the shared densify/ratio/prior
