@@ -299,6 +299,46 @@ _R04_STALE: frozenset[str] = frozenset(
     }
 )
 
+# Entries whose LAST standing driver certification is round 2 —
+# discovered by a full-history staleness audit in round 10: the
+# r05-r09 rotations tracked the r01/r03/r04 tranches by name but the
+# r02 window's greens were only ever folded into _DRIVER_GREEN, so
+# these 39 are now the OLDEST standing rows in the corpus (8 rounds),
+# older than the r04 tranche the r09 verdict called next. They take
+# the staleness tier AHEAD of r03/r04.
+_R02_STALE: frozenset[str] = frozenset(
+    {
+        "flagship_text_pipeline", "q2_zscore_outliers",
+        "q3_iqr_outliers", "q5_expectations", "q6_seasonal_deviants",
+        "q7_winsorize", "q8_quantile_binning", "q9_cusum",
+        "x1_exact_dedup", "x1_hash_dedup_key", "x2_edit_distance",
+        "x2_ngram_jaccard", "x3_ivfpq_topk", "x3_pq_topk",
+        "x3_quantized_topk", "x4_chunk_documents", "x4_collocations",
+        "x4_fingerprint", "x4_lang_id", "x4_pii_scrub",
+        "x4_quality_classifier", "x4_quality_score",
+        "x4_repetition_signals", "x4_repetition_stats",
+        "x4_text_stats", "x4_tfidf_topk", "x4_unigram_logprob",
+        "x4_vocab_coverage", "x5_chunked_pages", "x5_multimodal_meta",
+        "x5_resize_plan", "x6_decontaminate",
+        "x6_deterministic_sample", "x6_domain_mixture",
+        "x6_hash_split", "x6_priority_sample", "x6_stratified_sample",
+        "x7_pack_documents", "x8_zorder_values",
+    }
+)
+
+# Last-certified-in-round-3 entries (the six t2x stream twins that
+# carried over round 9's window edge + the six entries fixed and
+# first certified in round 3) — the second-oldest standing rows.
+_R03_STALE: frozenset[str] = frozenset(
+    {
+        "q1_quality_gate", "q4_profile", "t21_cdf_incremental_agg",
+        "t22_stream_cdf", "t23_stream_psi", "t24_stream_ks",
+        "t25_stream_semdedup", "t26_stream_heavy_hitters",
+        "x3_embedding_pool", "x4_bm25", "x4_bm25_table",
+        "x4_token_estimate",
+    }
+)
+
 # Round-10 front tier: entries whose CODE or ORACLE changed this
 # round — changed code/oracle needs a fresh green row even though a
 # (now-stale) earlier row exists.
@@ -324,24 +364,31 @@ _NEW_R10: frozenset[str] = frozenset(
         "tpch_q3",
         "tpch_q5",
         "tpch_q12",
+        # r10: the operator body now routes through the split
+        # eval_shingle_set / decontaminate_against stages (t45's
+        # composition hooks) — code path changed, and its last green
+        # row is r02 anyway.
+        "x6_decontaminate",
     }
 )
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 10 rotation).
+    """Sort key for a windowed CORRECTNESS run (round 10 rotation,
+    reworked after the full-history staleness audit).
 
-    VERDICT r09 item 1: fold the r09 greens into _DRIVER_GREEN and
-    front-load the r03 tail that missed round 9's window edge
-    (t21..t26), then the r04 tranche — after round 9 refreshed the
-    r03 body, the r04 rows are the oldest standing certifications
-    (6 rounds stale). Order: (0) entries whose code or oracle
-    changed this round (a fresh row per change = most information
-    per slot); (1) anything never driver-checked (new entries built
-    this round); (2) the six r03-era stream twins that carried over
-    round 9's window edge, then the r04-era greens not refreshed
-    since; (9) recently-certified entries last. Registration order
-    within a tier."""
+    VERDICT r09 item 1 asked for the r03 tail then the r04 tranche —
+    but auditing every CORRECTNESS file end-to-end shows 39 entries
+    still standing on their ROUND-2 rows (the r02 greens were folded
+    into _DRIVER_GREEN without ever getting a named staleness tier),
+    making them the oldest certifications in the corpus. Order:
+    (0) entries whose code or oracle changed this round (a fresh row
+    per change = most information per slot); (1) anything never
+    driver-checked (new entries built this round); (2) stale tiers
+    strictly by evidence age — the 38 remaining r02-era rows, then
+    the 12 r03-era rows (the t2x tail + the fixed-in-r03 six), then
+    the r04 tranche (expected to carry to r11); (9) recently-
+    certified entries last. Registration order within a tier."""
     refreshed = _R07_GREEN | _R08_GREEN | _R09_GREEN
     if name in _NEW_R10:
         return (0, 0, 0)
@@ -352,10 +399,12 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
             else 2
         )
         return (1, 0 if has_oracle else 1, fam)
-    if name in _R03_GREEN and name not in refreshed:
+    if name in _R02_STALE and name not in refreshed:
         return (2, 0, 0)
-    if name in _R04_STALE and name not in refreshed:
+    if name in _R03_STALE and name not in refreshed:
         return (2, 1, 0)
+    if name in (_R03_GREEN | _R04_STALE) and name not in refreshed:
+        return (2, 2, 0)
     return (9, 0, 0)
 
 
