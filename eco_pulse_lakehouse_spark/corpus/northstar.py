@@ -3763,6 +3763,92 @@ def x6_temperature_mixture(spark, sf_dir):
     return temperature_mixture_sample(d, "doc_id", "lang", k=250, alpha=0.5)
 
 
+# Named so the t46 streaming quota-maintenance twin carries it
+# verbatim. B = (3·Σn) div 2 tokens, E = 2 epochs: on this corpus
+# the smallest languages cap at 2·n (repetition headroom) while the
+# largest split the remaining budget equally — both UniMax branches
+# fire at every scale factor, and at sf0.001 the capped→uncapped
+# transition lands mid-ladder (es/fr/en share, de/zh cap).
+_UNIMAX_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             {_UNIT_HASH_SQL} AS u
+      FROM documents
+    ), lt AS (
+      SELECT lang, CAST(SUM(nt) AS BIGINT) AS n FROM toks GROUP BY lang
+    ), bud AS (SELECT CAST((3 * SUM(n)) // 2 AS BIGINT) AS b FROM lt),
+    ord AS (
+      SELECT lang, n, 2 * n AS cap,
+             CAST(row_number() OVER (ORDER BY n ASC, lang ASC)
+                  AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS L,
+             CAST(COALESCE(SUM(2 * n) OVER (ORDER BY n ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumprev
+      FROM lt
+    ), flags AS (
+      SELECT lang, cap, b, i, L,
+             (cap * (L - i + 1) <= b - cumprev) AS capped
+      FROM ord CROSS JOIN bud
+    ), pool AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0)
+               AS BIGINT) AS capsum,
+             CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+               AS BIGINT) AS nunc
+      FROM flags
+    ), quota AS (
+      SELECT lang,
+             CAST(CASE WHEN capped THEN cap
+                  ELSE (b - capsum) // nunc
+                       + CASE WHEN i > L - (b - capsum) % nunc
+                              THEN 1 ELSE 0 END
+                  END AS BIGINT) AS lang_quota
+      FROM flags CROSS JOIN pool
+    ), run AS (
+      SELECT doc_id, lang, nt,
+             CAST(SUM(nt) OVER (PARTITION BY lang
+               ORDER BY u ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rt
+      FROM toks
+    )
+    SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.lang,
+           r.nt AS n_tokens, r.rt AS lang_run_tokens, q.lang_quota
+    FROM run r JOIN quota q USING (lang)
+    WHERE r.rt <= q.lang_quota
+    """
+
+
+@q("x6_unimax_mixture", _UNIMAX_SQL)
+def x6_unimax_mixture(spark, sf_dir):
+    """X6 — UniMax language-balanced selection
+    (operators/sampling.py:unimax_select; Chung et al. 2023): spread
+    a 1.5-corpus-worth token budget (the exact rational (3·Σn) div 2)
+    uniformly across languages with a 2-epoch per-language cap, then
+    keep each language's documents in deterministic Knuth-hash order
+    until its quota is hit — small languages cap at 2 epochs
+    (repetition headroom), large ones truncate at the shared fair
+    share. UniMax's
+    smallest-first greedy is replayed through its closed form (caps
+    ascend with language size, so capped-ness is a single
+    cross-multiplied BIGINT predicate and the uncapped fair share is
+    one integer div) — every comparison and the budget prefix are
+    exact integer arithmetic, so the oracle matches bit-for-bit. The
+    per-language running total runs through the distributed
+    global_running_sum (no single-task-per-language window); the
+    oracle's plain window is the single-node replay."""
+    from eco_pulse_lakehouse_spark.operators.sampling import unimax_select
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "lang", "text"
+    )
+    return unimax_select(
+        d, "doc_id", "lang", "text", token_budget=None, max_epochs=2,
+        budget_num=3, budget_den=2,
+    )
+
+
 @q(
     "x6_semantic_decontaminate",
     f"""

@@ -279,6 +279,197 @@ def temperature_mixture_sample(
     )
 
 
+def unimax_quotas(
+    lang_totals: DataFrame,
+    lang_col: str = "lang",
+    n_col: str = "n_tokens",
+    token_budget: int | None = None,
+    max_epochs: int = 2,
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> DataFrame:
+    """UniMax per-language token quotas (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread a total ``token_budget`` as
+    uniformly as possible across languages, capping every language at
+    ``max_epochs`` passes over its own data. UniMax's sequential
+    greedy (smallest language first: grant min(E·n_l, fair share of
+    what's left), recompute the fair share) has a CLOSED FORM because
+    caps are ascending with n: once one language takes the fair share
+    instead of its cap, every later (larger) language does too, and
+    the fair share stays constant from that point on. So with
+    languages ordered by (n asc, lang asc), cap_l = E·n_l:
+
+        capped_l  ⇔  cap_l · (L − i + 1) ≤ B − Σ_{j<i} cap_j
+        quota_l   =  cap_l                              if capped
+                  =  R div m  (+1 for the last R mod m  otherwise
+                               uncapped languages)
+        with R = B − Σ_capped cap_j and m = |uncapped|.
+
+    The cross-multiplied test equals the greedy's integer-div branch
+    test (cap ≤ ⌊R/m⌋ ⇔ cap·m ≤ R), and iterated integer fair
+    division over the uncapped suffix distributes R as evenly as
+    possible with the +1 remainders landing on the LAST ``R mod m``
+    languages — so this closed form reproduces the paper's
+    sequential loop EXACTLY, integer-division remainders rolled
+    forward and all (pinned against a literal greedy replay in
+    tests). Everything is BIGINT. At
+    advertised scale cap·L ≈ E·n_max·L needs E·L·n < 2⁶³ — safe past
+    10¹⁶ tokens per language. The table is language-sized (a handful
+    of rows), so the unpartitioned windows below cost nothing — the
+    temperature_mixture_sample precedent. ``token_budget=None``
+    derives B from the corpus itself as the exact rational
+    ``(budget_num · Σ n) div budget_den`` (default: one full
+    corpus-worth) — integer arithmetic, never a float of Σ n. Returns
+    (lang, n, cap, capped, lang_quota); a capped language's quota can
+    exceed its size (max_epochs > 1 grants repetition headroom — the
+    consumer's packing stage realizes the extra epochs)."""
+    from pyspark.sql import Window
+
+    lt = lang_totals.select(
+        F.col(lang_col),
+        F.col(n_col).cast("bigint").alias("n"),
+    ).withColumn("cap", F.lit(int(max_epochs)).cast("bigint") * F.col("n"))
+    if token_budget is None:
+        bud = lt.agg(
+            F.expr(
+                f"CAST(({int(budget_num)} * sum(n)) div {int(budget_den)}"
+                " AS BIGINT)"
+            ).alias("__b")
+        )
+        lt = lt.crossJoin(F.broadcast(bud))
+    else:
+        lt = lt.withColumn("__b", F.lit(int(token_budget)).cast("bigint"))
+    w_ord = Window.orderBy(F.col("n").asc(), F.col(lang_col).asc())
+    flags = (
+        lt.withColumn("__i", F.row_number().over(w_ord).cast("bigint"))
+        .withColumn(
+            "__L", F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint")
+        )
+        .withColumn(
+            "__cumprev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("__L") - F.col("__i") + 1)
+            <= F.col("__b") - F.col("__cumprev"),
+        )
+    )
+    pool = flags.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        ).cast("bigint").alias("__capsum"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("__nunc"),
+    )
+    # uncapped shares: base = R div m, +1 for the last (R mod m)
+    # languages in the (n asc, lang asc) order — the capped set is a
+    # contiguous prefix of that order, so "last r uncapped" is just
+    # __i > L − r
+    return (
+        flags.crossJoin(F.broadcast(pool))
+        .withColumn(
+            "lang_quota",
+            F.when(F.col("capped"), F.col("cap")).otherwise(
+                F.expr(
+                    "(__b - __capsum) div __nunc"
+                    " + CASE WHEN __i > __L - (__b - __capsum) % __nunc"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint"),
+        )
+        .select(lang_col, "n", "cap", "capped", "lang_quota")
+    )
+
+
+def unimax_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    token_budget: int | None = None,
+    max_epochs: int = 2,
+    mult: int = KNUTH,
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> DataFrame:
+    """Materialize a UniMax mixture (:func:`unimax_quotas`) as a
+    document manifest: within each language, documents are consumed
+    in deterministic pseudo-shuffled order (Knuth unit hash, id
+    tiebreak) until the language's running token total reaches its
+    quota — the per-language twin of selection.py:budget_select's
+    budget prefix. A capped language (quota ≥ its size) keeps every
+    document; uncapped (large) languages truncate at the shared fair
+    quota.
+
+    Scale shape: the naive per-language cumulative window sorts each
+    language in ONE task (a 40-TB-of-`en` task at corpus scale), so
+    the running total comes from rank.py:global_running_sum over the
+    TOTAL order (lang, hash, id) — languages are contiguous in that
+    order, so each row's within-language running total is the global
+    one minus its language's prefix offset, and the offsets are a
+    language-sized broadcast (exact BIGINT window over the totals
+    table). Returns (id, lang, n_tokens, lang_run_tokens, lang_quota)
+    for the kept rows."""
+    from pyspark.sql import Window
+
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        unit_hash(F.col(id_col), mult=mult).alias("__u"),
+    )
+    totals = toks.groupBy(lang_col).agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    quotas = unimax_quotas(
+        totals, lang_col, "n_tokens", token_budget, max_epochs,
+        budget_num, budget_den,
+    )
+    # per-language global-prefix offsets: tokens of all languages
+    # strictly before this one in the (lang asc) order — the totals
+    # table is language-sized, so the unpartitioned window is free
+    w_lang = Window.orderBy(F.col(lang_col).asc())
+    prefix = totals.select(
+        lang_col,
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w_lang.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("__prev"),
+    )
+    run = global_running_sum(
+        toks,
+        [F.col(lang_col).asc(), F.col("__u").asc(), F.col(id_col).asc()],
+        ["n_tokens"],
+    )
+    return (
+        run.join(F.broadcast(prefix), lang_col)
+        .withColumn(
+            "lang_run_tokens",
+            (F.col("run_n_tokens") - F.col("__prev")).cast("bigint"),
+        )
+        .join(
+            F.broadcast(quotas.select(lang_col, "lang_quota")), lang_col
+        )
+        .filter(F.col("lang_run_tokens") <= F.col("lang_quota"))
+        .select(
+            id_col, lang_col, "n_tokens", "lang_run_tokens", "lang_quota"
+        )
+    )
+
+
 def curriculum_order(
     docs: DataFrame,
     id_col: str,

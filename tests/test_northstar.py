@@ -1932,6 +1932,124 @@ def test_canonical_per_cluster_picks_argmax_weight(spark):
     assert any(doc != c for c, (doc, _, n) in got.items() if n > 1)
 
 
+def _unimax_greedy(lang_n: dict[str, int], budget: int, epochs: int):
+    """The PAPER's sequential greedy (UniMax Alg. 1, Chung et al.
+    2023), smallest language first: grant min(E·n, remaining budget /
+    remaining languages), subtract, recompute — integer div for the
+    fair share, matching the operator's contract."""
+    order = sorted(lang_n, key=lambda g: (lang_n[g], g))
+    remaining, quotas = budget, {}
+    for idx, g in enumerate(order):
+        fair = remaining // (len(order) - idx)
+        quotas[g] = min(epochs * lang_n[g], fair)
+        remaining -= quotas[g]
+    return quotas
+
+
+def test_unimax_closed_form_matches_sequential_greedy(spark):
+    """unimax_quotas' closed form ≡ the paper's sequential greedy on
+    the real corpus AND on crafted ladders that put the capped→
+    uncapped transition at every possible position (incl. all-capped
+    and none-capped)."""
+    from eco_pulse_lakehouse_spark.operators.sampling import unimax_quotas
+
+    cases = [
+        # (lang→tokens, budget, epochs)
+        ({"a": 10, "b": 20, "c": 400}, 300, 2),     # c uncapped
+        ({"a": 10, "b": 20, "c": 400}, 2000, 2),    # all capped
+        ({"a": 10, "b": 20, "c": 400}, 30, 2),      # all uncapped
+        ({"a": 10, "b": 20, "c": 400}, 75, 2),      # b,c uncapped
+        ({"a": 7}, 100, 3),                          # single language
+        ({"a": 5, "b": 5, "c": 5, "d": 1000}, 1015, 1),
+        ({"a": 5, "b": 5, "c": 6}, 16, 1),    # cap==fair boundary ties
+        ({"a": 3, "b": 4, "c": 5, "d": 6}, 17, 2),  # remainder spread
+    ]
+    docs = load_table(spark, SF, "documents")
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+
+    real = {
+        r.lang: r.n
+        for r in docs.groupBy("lang")
+        .agg(F.sum(token_count(F.col("text"))).alias("n"))
+        .collect()
+    }
+    cases.append((real, (3 * sum(real.values())) // 2, 2))
+    for lang_n, budget, epochs in cases:
+        lt = spark.createDataFrame(
+            list(lang_n.items()), "lang string, n_tokens long"
+        )
+        got = {
+            r.lang: r.lang_quota
+            for r in unimax_quotas(
+                lt, "lang", "n_tokens", budget, epochs
+            ).collect()
+        }
+        want = _unimax_greedy(lang_n, budget, epochs)
+        assert got == want, (lang_n, budget, epochs, got, want)
+
+
+def test_unimax_select_branches_and_prefix(spark):
+    """The manifest realizes the quotas: a capped language keeps ALL
+    its documents (quota ≥ size — repetition headroom), an uncapped
+    one truncates at the shared fair share with the correct greedy
+    prefix (adding the next doc in hash order would exceed the
+    quota), and both branches actually fire on this corpus."""
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        unimax_quotas,
+        unimax_select,
+        unit_hash,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    kept = unimax_select(
+        docs, "doc_id", "lang", "text",
+        max_epochs=2, budget_num=3, budget_den=2,
+    ).collect()
+    totals = docs.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    quotas = {
+        r.lang: r
+        for r in unimax_quotas(
+            totals, "lang", "n_tokens",
+            None, 2, budget_num=3, budget_den=2,
+        ).join(totals.select("lang", "n_docs"), "lang").collect()
+    }
+    assert any(q.capped for q in quotas.values())
+    assert any(not q.capped for q in quotas.values())
+    per_lang: dict[str, list] = {}
+    for r in kept:
+        per_lang.setdefault(r.lang, []).append(r)
+    rows = docs.select(
+        "doc_id", "lang",
+        token_count(F.col("text")).alias("nt"),
+        unit_hash(F.col("doc_id")).alias("u"),
+    ).collect()
+    for lang, q in quotas.items():
+        got_ids = {r.doc_id for r in per_lang.get(lang, [])}
+        if q.capped:
+            assert len(got_ids) == q.n_docs, f"{lang} capped but truncated"
+        else:
+            order = sorted(
+                (r for r in rows if r.lang == lang),
+                key=lambda r: (r.u, r.doc_id),
+            )
+            acc, want = 0, set()
+            for r in order:
+                if acc + r.nt > q.lang_quota:
+                    assert acc + r.nt > q.lang_quota  # next doc overflows
+                    break
+                acc += r.nt
+                want.add(r.doc_id)
+            assert got_ids == want, f"{lang} prefix mismatch"
+            # truncation only binds when the fair share is smaller
+            # than the language itself (quota in (n, 2n) keeps all)
+            if q.lang_quota < q.n:
+                assert len(got_ids) < q.n_docs, f"{lang} kept all"
+
+
 def test_k_anonymize_groups(spark):
     """Every released (non-redacted) quasi combination describes >= k
     rows; small groups are fully redacted; counts reflect the
