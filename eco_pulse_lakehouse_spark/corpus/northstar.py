@@ -2021,6 +2021,87 @@ def x4_rrf_fusion(spark, sf_dir):
     return rrf_fuse(a, b, k=10)
 
 
+# Second scoring pass for the PRF entry: the SAME contribution CTE
+# as `contrib`, re-pointed at the expanded term table `qt2`. Derived
+# MECHANICALLY from _BM25_CTES' own text (split at the contrib CTE,
+# rename the qt references) so the two passes can never drift apart —
+# the _BM25_CTES single-source discipline.
+_BM25_CONTRIB_BODY = _BM25_CTES.split("contrib AS (", 1)[1]
+_BM25_CONTRIB2 = "contrib2 AS (" + _BM25_CONTRIB_BODY.replace(
+    "qt.query_id", "qt2.query_id"
+).replace("JOIN qt USING (term)", "JOIN qt2 USING (term)")
+
+
+@q(
+    "x4_prf_expansion",
+    f"""{_BM25_CTES},
+    bmfb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY SUM(c_fp) DESC, doc_id ASC) AS r
+        FROM contrib GROUP BY query_id, doc_id
+      ) WHERE r <= 5
+    ),
+    cand AS (
+      SELECT f.query_id, t.term,
+             CAST(COUNT(*) AS BIGINT) AS fb_df,
+             CAST(SUM(t.tf) AS BIGINT) AS fb_tf
+      FROM bmfb f JOIN tf t USING (doc_id)
+      LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = t.term
+      WHERE qt.term IS NULL
+      GROUP BY f.query_id, t.term
+    ),
+    expt AS (
+      SELECT query_id, term FROM (
+        SELECT query_id, term,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY fb_df DESC, fb_tf DESC, term ASC) AS r
+        FROM cand
+      ) WHERE r <= 3
+    ),
+    qt2 AS (
+      SELECT query_id, term FROM qt
+      UNION ALL SELECT query_id, term FROM expt
+    ),
+    {_BM25_CONTRIB2}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           score_fp, n_terms_matched, rk
+    FROM (
+      SELECT query_id, doc_id,
+             CAST(SUM(c_fp) AS BIGINT) AS score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY SUM(c_fp) DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM contrib2 GROUP BY query_id, doc_id
+    ) WHERE rk <= 10
+    """,
+)
+def x4_prf_expansion(spark, sf_dir):
+    """X4 retrieval — two-pass BM25 with PSEUDO-RELEVANCE-FEEDBACK
+    query expansion (operators/retrieval.py:bm25_prf_topk; the RM3
+    family, Abdul-Jaleel et al. 2004): BM25 top-5 feedback docs per
+    query → 3 expansion terms per query chosen by integer
+    (feedback-df, feedback-tf, term) order, original terms excluded →
+    BM25 re-run over the widened term set, top-10. Both passes share
+    one postings/df/dl/stats build (the corpus shuffles once; the
+    second pass only swaps the broadcast term list). The oracle
+    composes _BM25_CTES and derives the second contribution CTE
+    mechanically from the first's text, so the passes cannot drift;
+    every ranking key is integer or 1e-6 fixed-point — exact."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import bm25_prf_topk
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return bm25_prf_topk(
+        d, "doc_id", "text", _BM25_QUERIES,
+        k1=1.2, b=0.75, fb_k=5, n_expand=3, k=10,
+    )
+
+
 # =====================================================================
 # X6 adjacency — train/eval decontamination
 # =====================================================================

@@ -321,6 +321,90 @@ def rrf_fuse(
     )
 
 
+def prf_expand_terms(
+    postings: DataFrame,
+    q_terms: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    fb_k: int = 5,
+    n_expand: int = 3,
+) -> DataFrame:
+    """Pseudo-relevance-feedback term selection (the RM3-family
+    expansion step, Lavrenko & Croft 2001 / Abdul-Jaleel et al.
+    2004): run BM25 once, take each query's top ``fb_k`` documents as
+    assumed-relevant FEEDBACK, and pick the ``n_expand`` terms most
+    characteristic of that feedback set — here by (feedback document
+    frequency desc, feedback tf desc, term asc), all integer counts so
+    the choice replays exactly in SQL. Original query terms are
+    excluded (expansion adds vocabulary, it never re-weights what the
+    user typed).
+
+    Scale shape: the feedback list is O(queries · fb_k) — broadcast
+    onto postings, so candidate generation touches only feedback
+    documents' postings rows; the per-query candidate pool is at most
+    fb_k document vocabularies, ranked by one window. Returns
+    (query_id, term) expansion rows."""
+    fb = bm25_from_postings(postings, id_col, q_terms, k1, b, fb_k).select(
+        "query_id", id_col
+    )
+    orig = q_terms.withColumn("__orig", F.lit(1))
+    cand = (
+        postings.join(F.broadcast(fb), id_col)
+        .join(F.broadcast(orig), ["query_id", "term"], "left")
+        .filter(F.col("__orig").isNull())
+        .groupBy("query_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("fb_df"),
+            F.sum("tf").cast("bigint").alias("fb_tf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("fb_df").desc(), F.col("fb_tf").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_expand)
+        .select("query_id", "term")
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[int, str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    fb_k: int = 5,
+    n_expand: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Two-pass BM25 with pseudo-relevance feedback: retrieve, expand
+    each query with :func:`prf_expand_terms`, retrieve again with the
+    widened term set — the classic recall lever when queries are
+    short (a 3-word query can't name every phrasing of its topic;
+    its top documents can). Both passes share ONE postings table and
+    the same df/dl/stats — the corpus shuffles into postings once;
+    pass two only changes the broadcast query-term list. The final
+    ranking is the plain BM25 fixed-point contract, so the whole
+    two-pass pipeline is oracle-exact."""
+    q_terms = (
+        docs.sparkSession.createDataFrame(
+            [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
+            "query_id long, term string",
+        ).distinct()
+    )
+    postings = term_postings(docs, id_col, text_col)
+    expansion = prf_expand_terms(
+        postings, q_terms, id_col, k1, b, fb_k, n_expand
+    )
+    # no distinct needed: q_terms is already distinct and expansion
+    # rows are disjoint from it by construction (originals excluded)
+    q2 = q_terms.union(expansion)
+    return bm25_from_postings(postings, id_col, q2, k1, b, k)
+
+
 def vocab_coverage(
     docs: DataFrame,
     id_col: str,

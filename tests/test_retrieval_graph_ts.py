@@ -109,6 +109,57 @@ def test_bm25_shorter_doc_wins_at_equal_tf(spark):
     assert rows[0].score_fp > rows[1].score_fp
 
 
+def test_prf_expansion_widens_recall_and_flips_ranking(spark):
+    """PRF on a crafted corpus: the query names a topic one way
+    ('vector search'); a relevant document uses a synonym phrasing
+    ('embedding retrieval') and shares NO query term, so plain BM25
+    cannot see it — but the feedback docs bridge the vocabularies.
+    Expansion must (a) pick bridge terms not in the original query,
+    (b) respect n_expand, (c) surface the synonym doc in pass two."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_prf_topk,
+        bm25_topk,
+        prf_expand_terms,
+        term_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # feedback bridge docs: match the query AND carry the
+            # synonym vocabulary
+            (1, "vector search uses embedding retrieval"),
+            (2, "vector search embedding index"),
+            (3, "vector search embedding recall"),
+            # the target: synonym phrasing only — zero query terms
+            (4, "embedding retrieval embedding index embedding recall"),
+            # distractors
+            (5, "relational join planner"),
+            (6, "stream window watermark"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = [(1, "vector search")]
+    plain = {r.doc_id for r in bm25_topk(docs, "doc_id", "text", queries, k=6).collect()}
+    assert 4 not in plain  # invisible to the literal query
+    q_terms = spark.createDataFrame(
+        [(1, "vector"), (1, "search")], "query_id long, term string"
+    )
+    exp = prf_expand_terms(
+        term_postings(docs, "doc_id", "text"), q_terms, "doc_id",
+        fb_k=3, n_expand=2,
+    ).collect()
+    terms = {r.term for r in exp}
+    assert len(exp) == 2 and not terms & {"vector", "search"}
+    assert "embedding" in terms  # the bridge term dominates feedback
+    prf = {
+        r.doc_id: r.rk
+        for r in bm25_prf_topk(
+            docs, "doc_id", "text", queries, fb_k=3, n_expand=2, k=6
+        ).collect()
+    }
+    assert 4 in prf  # recall widened by the expansion pass
+
+
 # --- decontamination ------------------------------------------------------
 
 
