@@ -3412,3 +3412,72 @@ def t38_stream_line_dedup(spark, sf_dir):
         ).cast("bigint").alias("n_removed"),
         F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
     )
+
+
+@q("t46_stream_unimax", _ns._UNIMAX_SQL)
+def t46_stream_unimax(spark, sf_dir):
+    """T46 — STREAMING mixture maintenance (the incremental twin of
+    x6_unimax_mixture): documents stream one file per trigger; each
+    batch featurizes its docs ONCE into (doc_id, lang, n_tokens)
+    manifest rows — the identical token_count expression the batch
+    operator uses — and lands them as an idempotent epoch-keyed
+    parquet partial. Each doc's row is complete within its batch, so
+    the merged manifest is a plain union ≡ the one-pass token table
+    (the t37 linear-partials discipline). Re-balancing then runs the
+    batch operator's own selection tree over the merged manifest
+    (sampling.py:unimax_select_from_tokens — quota closed form +
+    distributed per-language budget prefix): streamed ≡ batch
+    bit-identically, and this entry carries x6_unimax_mixture's
+    oracle verbatim. The 100 TB shape: ingest featurizes each doc
+    once; when the corpus grows (or the budget/epoch knobs change)
+    the recomputation touches ONLY the id/lang/count manifest — a
+    language-sized quota table plus one range-partitioned running
+    sum — never the text."""
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+    from eco_pulse_lakehouse_spark.operators.sampling import (
+        unimax_select_from_tokens,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "text"
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t46_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t46_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "manifest"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_manifest(batch_df, batch_id: int) -> None:
+        (
+            batch_df.select(
+                "doc_id",
+                "lang",
+                token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_manifest)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    manifest = spark.read.parquet(os.path.join(sink, "batch=*"))
+    return unimax_select_from_tokens(
+        manifest, "doc_id", "lang", token_budget=None, max_epochs=2,
+        budget_num=3, budget_den=2,
+    )

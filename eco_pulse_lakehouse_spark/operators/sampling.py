@@ -418,15 +418,45 @@ def unimax_select(
     language-sized broadcast (exact BIGINT window over the totals
     table). Returns (id, lang, n_tokens, lang_run_tokens, lang_quota)
     for the kept rows."""
-    from pyspark.sql import Window
-
     from eco_pulse_lakehouse_spark.functions.text import token_count
-    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
 
     toks = docs.select(
         F.col(id_col),
         F.col(lang_col),
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return unimax_select_from_tokens(
+        toks, id_col, lang_col, token_budget, max_epochs, mult,
+        budget_num, budget_den,
+    )
+
+
+def unimax_select_from_tokens(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    token_budget: int | None = None,
+    max_epochs: int = 2,
+    mult: int = KNUTH,
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> DataFrame:
+    """:func:`unimax_select` from a pre-featurized
+    ``(id, lang, n_tokens)`` manifest — split out because the
+    manifest rows are LINEAR partials when documents partition across
+    batches (each doc's row is complete within its batch, so the
+    manifest is a plain union): a streaming ingest maintains it
+    incrementally and re-balancing after corpus growth re-runs ONLY
+    this selection over the manifest, never a re-scan of the text
+    (t46_stream_unimax). Same output contract as unimax_select."""
+    from pyspark.sql import Window
+
+    from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
+
+    toks = toks.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
         unit_hash(F.col(id_col), mult=mult).alias("__u"),
     )
     totals = toks.groupBy(lang_col).agg(

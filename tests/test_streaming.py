@@ -352,6 +352,35 @@ def test_stream_nb_gate_sweep_equals_batch(spark):
     assert streamed == batch and len(batch) == 7
 
 
+def test_stream_unimax_equals_batch(spark):
+    """t46: per-batch featurized (doc_id, lang, n_tokens) manifest
+    partials — each doc's row complete within its batch, so the
+    merged manifest is a plain union — re-selected through the batch
+    operator's own quota + budget-prefix tree, must reproduce the
+    one-shot UniMax manifest EXACTLY."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.sampling import unimax_select
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r) for r in QUERIES["t46_stream_unimax"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "text"
+    )
+    batch = {
+        tuple(r)
+        for r in unimax_select(
+            d, "doc_id", "lang", "text", max_epochs=2,
+            budget_num=3, budget_den=2,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stream_rag_context_equals_batch(spark):
     """t43: per-request-batch RAG context partials (each query lives
     in one source file; the int8 store is the pinned static
