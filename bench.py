@@ -84,6 +84,9 @@ HEADLINE = [
     "flagship_gold_risk_topk",  # k-nearest gold: bounded-output variant
     # round-10 families (outside the floor subset)
     "x4_nb_gate_sweep",        # NB threshold calibration table, one plan
+    "x6_unimax_mixture",       # UniMax quota closed form + budget prefix
+    "x4_prf_expansion",        # two-pass BM25 with PRF query expansion
+    "x2_winnowing_pairs",      # MOSS local-min fingerprint equi-join
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -122,6 +125,7 @@ ONEOFF = [
     "t43_stream_rag_context",  # per-request-batch RAG serve drain (r10)
     "t44_stream_nb_gate_sweep",  # incremental calibration drain (r10)
     "t45_stream_decontaminate",  # ingest-screen decontamination drain (r10)
+    "t46_stream_unimax",       # incremental mixture-manifest drain (r10)
 ]
 
 

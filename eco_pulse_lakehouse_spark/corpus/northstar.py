@@ -174,6 +174,57 @@ def x2_minhash_lsh(spark, sf_dir):
     )
 
 
+@q(
+    "x2_winnowing_pairs",
+    f"""
+    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_transform(w, tok -> {_poly_th_sql('tok')}) AS th,
+             len(w) AS nw
+      FROM tw
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, nw - 1),
+               i -> (((th[i] * 67 + th[i+1]) % 2147483647) * 67
+                     + th[i+2]) % 2147483647) AS gh,
+             nw - 2 AS m
+      FROM t WHERE nw >= 3
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(m - 3, 1) + 1),
+                 j -> list_min(gh[j:j+3])))) AS fp
+      FROM g
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def x2_winnowing_pairs(spark, sf_dir):
+    """X2 — winnowing fingerprint pairs (Schleimer et al. SIGMOD'03,
+    the MOSS algorithm; operators/dedup.py:winnowing_pairs, k=3 w=4):
+    per-window MINIMUM of the rolling 3-gram hashes — same
+    SQL-replayable gram pipeline as x2_minhash_lsh (poly char-fold
+    token hash + zip_with rolling combine), then one array transform
+    of window minima, distinct, and a fingerprint-keyed equi-join
+    counting shared prints per pair (≥ 2). The deterministic tier of
+    the near-dup ladder: any shared run of ≥ w+k−1 = 6 tokens is
+    GUARANTEED a shared fingerprint (pytest-pinned), where LSH is
+    only probabilistic. Index is ~2/(w+1) of the gram stream; the
+    join is blocked on the fingerprint key, never all-pairs."""
+    d = T(spark, sf_dir, "documents")
+    return xd.winnowing_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2,
+        token_hash=xd.poly_token_hash,
+    )
+
+
 _SIMHASH_SUMS = ",\n             ".join(
     f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
     for j in range(61)

@@ -785,6 +785,79 @@ def ngram_containment_pairs(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    token_hash=None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every word
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes, and
+    keep each window's MINIMUM as a fingerprint. The winnowing
+    guarantee: any shared run of at least ``w + k − 1`` tokens
+    between two documents yields at least one shared fingerprint —
+    a DETERMINISTIC detection floor, unlike MinHash's probabilistic
+    recall — while storing only ~2/(w+1) of the gram hashes.
+
+    Entirely row-local after tokenization: gram hashes come from
+    :func:`shingle_hashes` (integer zip_with rolling combine — the
+    minhash entries' SQL-replayable form when ``token_hash=
+    poly_token_hash``), window minima are one array transform over
+    slices. Documents with fewer than ``k`` tokens produce no
+    fingerprints; with fewer than ``w`` grams, the single window is
+    the whole gram list (the standard short-document convention).
+    Returns exploded DISTINCT (id, fp) rows."""
+    g = shingle_hashes(F.col(text_col), n=k, token_hash=token_hash)
+    base = docs.select(F.col(id_col), g.alias("__g")).filter(
+        F.size("__g") >= 1
+    )
+    n_win = F.greatest(F.size("__g") - F.lit(w - 1), F.lit(1))
+    fps = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(F.col("__g"), j, w)),
+    )
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    token_hash=None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    equi-join the (id, fp) index on the fingerprint value, count
+    distinct shared fingerprints per pair, keep pairs with at least
+    ``min_shared`` — the plagiarism-detection shape (MOSS) next to
+    MinHash-LSH in the dedup ladder, with the deterministic
+    ≥ w+k−1-token detection guarantee LSH can't give.
+
+    Scale: the join is blocked on the fingerprint key (never
+    all-pairs); fingerprint blocks are selective by construction
+    (window minima), but a boilerplate k-gram shared corpus-wide
+    still makes a hot block — the Σ|block|² hazard; cap with the
+    w19/bounded_phonetic pattern if profiles show it. Returns
+    (id_a < id_b, n_shared)."""
+    fp = winnowing_fingerprints(docs, id_col, text_col, k, w, token_hash)
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def phonetic_code(name: Column) -> Column:
     """Simplified Soundex-style phonetic code of a name's FIRST
     token: initial letter + first 3 consonant-class digits

@@ -1932,6 +1932,70 @@ def test_canonical_per_cluster_picks_argmax_weight(spark):
     assert any(doc != c for c, (doc, _, n) in got.items() if n > 1)
 
 
+def test_winnowing_guarantee_and_python_replay(spark):
+    """Winnowing's detection floor (Schleimer et al. Thm 1): two
+    documents sharing a run of ≥ w+k−1 = 6 tokens MUST share a
+    fingerprint, however different the rest is; and the fingerprint
+    sets match a literal python replay (poly token hash → rolling
+    3-gram combine → window-of-4 minima → distinct)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "totally unrelated words in this document stream"),
+            (4, "ab"),  # < k tokens: no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnowing_fingerprints(
+        docs, "doc_id", "text", k=3, w=4, token_hash=poly_token_hash
+    ).collect()
+    got = {}
+    for r in fp:
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert 4 not in got  # too short for a single 3-gram
+
+    def pth(tok: str) -> int:
+        h = 0
+        for c in tok:
+            h = (h * 131 + ord(c)) % 1_000_000_007
+        return h
+
+    def replay(text: str) -> set[int]:
+        th = [pth(t) for t in text.split(" ")]
+        gh = [
+            (((th[i] * 67 + th[i + 1]) % 2147483647) * 67 + th[i + 2])
+            % 2147483647
+            for i in range(len(th) - 2)
+        ]
+        if not gh:
+            return set()
+        n_win = max(len(gh) - 3, 1)
+        return {min(gh[j:j + 4]) for j in range(n_win)}
+
+    for r in docs.collect():
+        assert got.get(r.doc_id, set()) == replay(r.text), r.doc_id
+    # the guarantee: docs 1 and 2 share the 6-token run → ≥1 shared
+    # fingerprint, and winnowing_pairs(min_shared=1) surfaces the pair
+    assert got[1] & got[2]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnowing_pairs(
+            docs, "doc_id", "text", min_shared=1,
+            token_hash=poly_token_hash,
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def _unimax_greedy(lang_n: dict[str, int], budget: int, epochs: int):
     """The PAPER's sequential greedy (UniMax Alg. 1, Chung et al.
     2023), smallest language first: grant min(E·n, remaining budget /
