@@ -87,6 +87,7 @@ HEADLINE = [
     "x6_unimax_mixture",       # UniMax quota closed form + budget prefix
     "x4_prf_expansion",        # two-pass BM25 with PRF query expansion
     "x2_winnowing_pairs",      # MOSS local-min fingerprint equi-join
+    "x8_hilbert_values",       # unrolled Hilbert xy->d projections
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

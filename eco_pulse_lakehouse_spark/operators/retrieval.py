@@ -388,14 +388,22 @@ def bm25_prf_topk(
     the same df/dl/stats — the corpus shuffles into postings once;
     pass two only changes the broadcast query-term list. The final
     ranking is the plain BM25 fixed-point contract, so the whole
-    two-pass pipeline is oracle-exact."""
+    two-pass pipeline is oracle-exact.
+
+    The postings table feeds ~7 plan consumers across the two passes
+    (dl/df/contrib twice + the feedback join); without pinning, each
+    re-derives it from the text scan. localCheckpoint pins it once
+    (the curation-flagship shared-featurize precedent — measured
+    25-30% at sf0.1; persist() on a real cluster)."""
     q_terms = (
         docs.sparkSession.createDataFrame(
             [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
             "query_id long, term string",
         ).distinct()
     )
-    postings = term_postings(docs, id_col, text_col)
+    postings = term_postings(docs, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     expansion = prf_expand_terms(
         postings, q_terms, id_col, k1, b, fb_k, n_expand
     )

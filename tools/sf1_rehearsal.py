@@ -20,7 +20,12 @@ sf0.1 — never used for correctness:
   linearly (10 verbatim copies would make every pair-emitting
   operator's OUTPUT quadratic by construction — that would measure
   the data artifact, not the operator; within-copy duplicates
-  remain, so exact-dedup still finds 10x the dups).
+  remain, so exact-dedup still finds 10x the dups). FLIP SIDE: the
+  suffixing makes LITERAL query terms match nothing at sf1, so the
+  keyword-retrieval entries (x4_bm25 / x4_rrf_fusion / bm25_table)
+  are not rehearsed here; x4_prf_expansion keeps a row because its
+  timing still exercises the corpus-scaled postings/df/dl/stats
+  build, with rows_sf1=0 annotated as this artifact.
 
 * events additionally get a per-copy deterministic VALUE jitter
   (copy 0 untouched): identical per-user series would degenerate
