@@ -88,6 +88,7 @@ HEADLINE = [
     "x4_prf_expansion",        # two-pass BM25 with PRF query expansion
     "x2_winnowing_pairs",      # MOSS local-min fingerprint equi-join
     "x8_hilbert_values",       # unrolled Hilbert xy->d projections
+    "a32_ams_f2",              # 16 signed-sum sketches, one pass
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -1146,6 +1146,56 @@ ORACLES["x8_hilbert_values"] = _x8_hilbert_oracle()
 
 
 @q(
+    "a32_ams_f2",
+    None,  # oracle generated below (identical 16 signed sums)
+)
+def a32_ams_f2(spark, sf_dir):
+    """A-extra — AMS F2 / self-join-size sketch
+    (operators/sketches.py:ams_f2_estimates; Alon-Matias-Szegedy
+    1996): 16 ±1-signed counters over events.user_id in ONE narrow
+    pass, est_f2 = sketch² — completing the frequency-moment trio
+    next to F0 (a17 HLL rollup) and F∞ (a30 spacesaving). The sign
+    family is the exact-integer affine-parity hash, so the entire
+    sketch replays bit-for-bit in SQL; linearity (per-half sketches
+    ADD to the full sketch) and estimate accuracy vs exact Σ f_k²
+    are pinned in pytest."""
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        ams_f2_estimates,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    return ams_f2_estimates(ev, F.col("user_id"), n_sketches=16)
+
+
+def _a32_oracle() -> str:
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        AMS_HASH_A,
+        AMS_HASH_STEP,
+    )
+    from eco_pulse_lakehouse_spark.functions.text import TOKEN_HASH_MOD
+
+    p = TOKEN_HASH_MOD
+    sums = ", ".join(
+        f"CAST(SUM(1 - 2 * (((h * {AMS_HASH_A + j * AMS_HASH_STEP})"
+        f" % {p}) % 2)) AS BIGINT) AS s{j}"
+        for j in range(16)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {j} AS j, s{j} AS sketch FROM agg" for j in range(16)
+    )
+    return f"""
+    WITH base AS (SELECT (user_id % {p}) AS h FROM events),
+    agg AS (SELECT {sums} FROM base)
+    SELECT CAST(j AS INT) AS j, sketch,
+           CAST(sketch * sketch AS BIGINT) AS est_f2
+    FROM ({arms})
+    """
+
+
+ORACLES["a32_ams_f2"] = _a32_oracle()
+
+
+@q(
     "a15_cube",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

@@ -406,3 +406,67 @@ def spacesaving_topk(
         .orderBy(F.col(out_count).desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+# --- AMS F2 (second frequency moment / self-join size) ---------------------
+
+AMS_HASH_A = 2_654_435_761  # Knuth multiplicative constant (CMS family)
+AMS_HASH_STEP = 99_991      # odd prime step decorrelates the sketches
+
+
+def ams_sign(h: Column, j: int, mod: int = TOKEN_HASH_MOD) -> Column:
+    """±1 sign of pre-hashed key ``h`` under sketch ``j``: the parity
+    of the affine multiplicative hash ``(h·(A + j·STEP)) mod P``
+    (P odd prime ⇒ parities near-balanced). h < P ≈ 1e6 and
+    A + 15·STEP < 2^32 keep the product < 2^52 — exact BIGINT.
+    Like the CMS depth family, the affine family is not formally
+    4-wise independent (which the AMS variance bound assumes); swap
+    in a universal family for the guarantee — plan shape unchanged."""
+    a = F.lit(int(AMS_HASH_A + j * AMS_HASH_STEP))
+    return (
+        F.lit(1)
+        - F.lit(2) * F.pmod(F.pmod(h * a, F.lit(mod)), F.lit(2))
+    ).cast("bigint")
+
+
+def ams_f2_estimates(
+    df: DataFrame,
+    key: Column,
+    n_sketches: int = 16,
+    mod: int = TOKEN_HASH_MOD,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC 1996): F2 = Σ_k f_k² — the SELF-JOIN SIZE of the key column,
+    the quantity a join planner estimates before picking a strategy,
+    and the tail-heaviness moment between F0 (distinct count — the
+    HLL rollup) and F∞ (heavy hitters — spacesaving). Each sketch is
+    one ±1-signed counter ``S_j = Σ_rows s_j(key)`` with
+    E[S_j²] = F2 exactly; averaging over sketches concentrates it.
+
+    Spark-first shape: all ``n_sketches`` counters are plain SUM
+    aggregates in ONE narrow pass (map-side combinable to one row
+    per task — the same maintenance shape as the CMS/HLL rollups),
+    then `stack` unpivots the single row. Sketches are LINEAR:
+    per-partition/per-day sketch vectors merge by plain addition
+    and merged == direct exactly (pinned) — the mergeable-summary
+    contract that lets 100 TB maintain per-shard sketches and
+    estimate any union's self-join size without rescans. S_j ≤ N
+    so est = S_j² needs N < 2^31 per merged scope; shard the scope
+    (and merge) past that. Returns (j, sketch, est_f2)."""
+    h = F.pmod(key.cast("bigint"), F.lit(mod))
+    agg = df.agg(
+        *[
+            F.sum(ams_sign(h, j, mod)).cast("bigint").alias(f"__s{j}")
+            for j in range(n_sketches)
+        ]
+    )
+    stacked = agg.selectExpr(
+        f"stack({n_sketches}, "
+        + ", ".join(f"{j}, __s{j}" for j in range(n_sketches))
+        + ") as (j, sketch)"
+    )
+    return stacked.select(
+        F.col("j").cast("int").alias("j"),
+        F.col("sketch"),
+        (F.col("sketch") * F.col("sketch")).cast("bigint").alias("est_f2"),
+    )

@@ -264,3 +264,44 @@ def test_spacesaving_strict_raises_without_exactness_certificate(spark):
         df, "key", "unit", k=2, per_unit_k=1, strict=False
     ).collect()
     assert len(got) == 2
+
+
+def test_ams_f2_linear_and_concentrated(spark):
+    """AMS F2 sketch: (a) LINEARITY — per-half sketch vectors ADD to
+    the full-scan sketch exactly (the mergeable-summary contract);
+    (b) the mean of the 16 estimates lands in a fixed band around
+    the exact self-join size Σ f_k² (everything is deterministic —
+    hashes and data are fixed — so the band is a measured pin, not a
+    probabilistic tolerance: ratio 1.59 at sf0.001 with 16 single
+    sketches of χ²-skewed spread; swap in a 4-wise family and
+    median-of-means for guaranteed bounds)."""
+    from eco_pulse_lakehouse_spark.operators.sketches import (
+        ams_f2_estimates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    full = {
+        r.j: r.sketch for r in ams_f2_estimates(ev, F.col("user_id")).collect()
+    }
+    lo = {
+        r.j: r.sketch
+        for r in ams_f2_estimates(
+            ev.filter(F.col("event_id") % 2 == 0), F.col("user_id")
+        ).collect()
+    }
+    hi = {
+        r.j: r.sketch
+        for r in ams_f2_estimates(
+            ev.filter(F.col("event_id") % 2 == 1), F.col("user_id")
+        ).collect()
+    }
+    assert {j: lo[j] + hi[j] for j in full} == full
+    exact = sum(
+        r.c * r.c
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    )
+    mean_est = sum(
+        r.est_f2 for r in ams_f2_estimates(ev, F.col("user_id")).collect()
+    ) / 16.0
+    assert 0.5 * exact <= mean_est <= 2.5 * exact, (mean_est, exact)
