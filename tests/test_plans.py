@@ -780,3 +780,42 @@ def test_tpch_q3_q12_fact_join_sortmerge(spark):
         plan = _plan(tpch.QUERIES[name](spark, SF))
         assert "SortMergeJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_winnowing_pairs_plan_no_cartesian(spark):
+    """x2_winnowing_pairs: candidate generation must be an equi-join
+    on the fingerprint value (hash join), never a cross product —
+    the blocked-family contract."""
+    df = northstar.QUERIES["x2_winnowing_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_prf_expansion_plan_broadcasts_terms_no_cartesian(spark):
+    """x4_prf_expansion: both scoring passes broadcast their
+    (query, term) lists and stats onto postings (BroadcastHashJoin);
+    the feedback list joins broadcast too; the only cross products
+    are 1-row corpus-stats broadcasts — never a data-sized
+    cartesian."""
+    df = northstar.QUERIES["x4_prf_expansion"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unimax_select_plan_no_doc_scale_global_window(spark):
+    """x6_unimax_mixture: the per-language running total must come
+    from the range-partitioned composition (partition-local window
+    over __pid), NEVER a partition-less window over the document
+    stream; the quota/prefix tables join broadcast. The language-
+    sized quota table legitimately uses unpartitioned windows over
+    ~5 rows — the guard is that every window spec partitions on
+    something or its input is the language-sized aggregate."""
+    df = northstar.QUERIES["x6_unimax_mixture"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the doc-scale cumulative sum runs partitioned by the range pid
+    assert "windowspecdefinition(__wgpid" in plan.lower() or \
+        "windowspecdefinition(__pid" in plan.lower(), plan

@@ -674,3 +674,39 @@ class TestNBMulticlassReference:
             ).collect()
         }
         assert got == _py_nb_multiclass(rows, train_ids)
+
+
+class TestUniMaxClosedForm:
+    """unimax_quotas' closed form vs the paper's literal sequential
+    greedy on RANDOM language ladders — hypothesis hunts the
+    boundary cases the crafted pins might miss: cap == fair-share
+    ties, remainder spread over the uncapped suffix, budgets
+    straddling every transition point."""
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=60),
+            min_size=1,
+            max_size=6,
+        ),
+        budget=st.integers(min_value=1, max_value=400),
+        epochs=st.sampled_from([1, 2, 3]),
+    )
+    def test_matches_greedy(self, spark, sizes, budget, epochs):
+        from eco_pulse_lakehouse_spark.operators.sampling import (
+            unimax_quotas,
+        )
+        from tests.test_northstar import _unimax_greedy
+
+        lang_n = {f"l{i}": n for i, n in enumerate(sizes)}
+        lt = spark.createDataFrame(
+            list(lang_n.items()), "lang string, n_tokens long"
+        )
+        got = {
+            r.lang: r.lang_quota
+            for r in unimax_quotas(
+                lt, "lang", "n_tokens", budget, epochs
+            ).collect()
+        }
+        assert got == _unimax_greedy(lang_n, budget, epochs)
