@@ -89,6 +89,7 @@ HEADLINE = [
     "x2_winnowing_pairs",      # MOSS local-min fingerprint equi-join
     "x8_hilbert_values",       # unrolled Hilbert xy->d projections
     "a32_ams_f2",              # 16 signed-sum sketches, one pass
+    "flagship_search_serving",  # flagship #9: PRF -> RRF -> budget
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -2082,11 +2082,10 @@ _BM25_CONTRIB2 = "contrib2 AS (" + _BM25_CONTRIB_BODY.replace(
     "qt.query_id", "qt2.query_id"
 ).replace("JOIN qt USING (term)", "JOIN qt2 USING (term)")
 
-
-@q(
-    "x4_prf_expansion",
-    f"""{_BM25_CTES},
-    bmfb AS (
+# The full PRF expansion chain (feedback → expansion terms → widened
+# term table → second scoring pass) as a named fragment — shared
+# verbatim by x4_prf_expansion and the search-serving flagship.
+_PRF_CTES = f"""bmfb AS (
       SELECT query_id, doc_id FROM (
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id
@@ -2115,7 +2114,13 @@ _BM25_CONTRIB2 = "contrib2 AS (" + _BM25_CONTRIB_BODY.replace(
       SELECT query_id, term FROM qt
       UNION ALL SELECT query_id, term FROM expt
     ),
-    {_BM25_CONTRIB2}
+    {_BM25_CONTRIB2}"""
+
+
+@q(
+    "x4_prf_expansion",
+    f"""{_BM25_CTES},
+    {_PRF_CTES}
     SELECT CAST(query_id AS BIGINT) AS query_id,
            CAST(doc_id AS BIGINT) AS doc_id,
            score_fp, n_terms_matched, rk
@@ -2151,6 +2156,93 @@ def x4_prf_expansion(spark, sf_dir):
         d, "doc_id", "text", _BM25_QUERIES,
         k1=1.2, b=0.75, fb_k=5, n_expand=3, k=10,
     )
+
+
+@q(
+    "flagship_search_serving",
+    f"""{_BM25_CTES},
+    {_PRF_CTES},
+    bmc2 AS (
+      SELECT query_id, doc_id, SUM(c_fp) AS s
+      FROM contrib2 GROUP BY query_id, doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS r
+      FROM bmc2
+    ),
+    ovc AS (
+      SELECT qt.query_id, tf.doc_id,
+             COUNT(*) AS nm, SUM(tf.tf) AS ttf
+      FROM tf JOIN qt USING (term)
+      GROUP BY qt.query_id, tf.doc_id
+    ),
+    ov AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY nm DESC, ttf DESC, doc_id ASC) AS r
+      FROM ovc
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, o.query_id) AS query_id,
+             COALESCE(b.doc_id, o.doc_id) AS doc_id,
+             round(
+               (CASE WHEN b.r IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + CAST(b.r AS DOUBLE)) END)
+               + (CASE WHEN o.r IS NULL THEN 0.0
+                       ELSE 1.0 / (60.0 + CAST(o.r AS DOUBLE)) END),
+               9) AS rrf_score
+      FROM (SELECT * FROM bm WHERE r <= 20) b
+      FULL OUTER JOIN (SELECT * FROM ov WHERE r <= 20) o
+        ON b.query_id = o.query_id AND b.doc_id = o.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM fused
+    ),
+    cut AS (SELECT * FROM ranked WHERE rk <= 10),
+    dtok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    budgeted AS (
+      SELECT c.query_id, c.doc_id, c.rrf_score, c.rk, d.n_tokens,
+             CAST(SUM(d.n_tokens) OVER (PARTITION BY c.query_id
+               ORDER BY c.rk ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM cut c JOIN dtok d USING (doc_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           rrf_score, rk, n_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens <= 300
+    """,
+)
+def flagship_search_serving(spark, sf_dir):
+    """Flagship #9 — keyword SEARCH SERVING
+    (plans/search_serving.py): ONE pinned postings build → PRF-
+    expanded BM25 top-20 (the widened recall pass) → term-overlap
+    top-20 over the ORIGINAL terms (the rank-divergent second
+    retriever) → Reciprocal Rank Fusion → top-10 → per-query
+    300-token budget cut in fused-rank order — the dense twin is
+    flagship_rag_context, completing both halves of a hybrid serving
+    stack from already-certified stages. The oracle composes
+    _BM25_CTES + _PRF_CTES (shared verbatim with x4_bm25 /
+    x4_prf_expansion) with x4_rrf_fusion's fusion text — none of the
+    retriever definitions can drift. Every stage after the one
+    corpus shuffle works on O(queries·k) rows."""
+    from eco_pulse_lakehouse_spark.plans.search_serving import (
+        search_serving,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return search_serving(d, _BM25_QUERIES)
 
 
 # =====================================================================

@@ -246,6 +246,18 @@ def term_overlap_topk(
         "query_id long, term string",
     ).distinct()
     postings = term_postings(docs, id_col, text_col)
+    return term_overlap_from_postings(postings, id_col, q_terms, k)
+
+
+def term_overlap_from_postings(
+    postings: DataFrame,
+    id_col: str,
+    q_terms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`term_overlap_topk` from a ``(id, term, tf)`` POSTINGS
+    table — the bm25_from_postings split, so a serving pipeline can
+    run both retrievers off ONE shared postings build."""
     scored = (
         postings.join(F.broadcast(q_terms), "term")
         .groupBy("query_id", id_col)
