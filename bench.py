@@ -129,6 +129,7 @@ ONEOFF = [
     "t44_stream_nb_gate_sweep",  # incremental calibration drain (r10)
     "t45_stream_decontaminate",  # ingest-screen decontamination drain (r10)
     "t46_stream_unimax",       # incremental mixture-manifest drain (r10)
+    "t47_stream_search_serving",  # per-request keyword serve drain (r10)
 ]
 
 

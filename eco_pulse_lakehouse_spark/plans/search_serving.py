@@ -46,22 +46,30 @@ def search_serving(
     retriever_k: int = 20,
     k: int = 10,
     token_budget: int = 300,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full serving DAG for a literal query batch. Returns
     (query_id, doc_id, rrf_score, rk, n_tokens, cum_tokens) — the
     fused rank order per query, cut at the first ``token_budget``
     tokens (inclusive running sum in rank order, the rag_context
-    budget convention)."""
+    budget convention).
+
+    Serving hook (the t47 streaming twin): ``postings`` — a
+    pre-built (id, term, tf) index (the maintained artifact) so a
+    request stream never re-tokenizes the corpus; every stage is
+    per-query independent, so disjoint request batches union to the
+    one-shot batch result verbatim."""
     q_terms = (
         docs.sparkSession.createDataFrame(
             [(qid, t) for qid, qtext in queries for t in qtext.split(" ")],
             "query_id long, term string",
         ).distinct()
     )
-    # the maintained index artifact: ~8 plan consumers downstream
-    postings = term_postings(docs, id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    if postings is None:
+        # the maintained index artifact: ~8 plan consumers downstream
+        postings = term_postings(docs, id_col, text_col).localCheckpoint(
+            eager=True
+        )
     expansion = prf_expand_terms(
         postings, q_terms, id_col, k1, b, fb_k, n_expand
     )
