@@ -90,6 +90,7 @@ HEADLINE = [
     "x8_hilbert_values",       # unrolled Hilbert xy->d projections
     "a32_ams_f2",              # 16 signed-sum sketches, one pass
     "flagship_search_serving",  # flagship #9: PRF -> RRF -> budget
+    "x2_winnowing_bounded",    # hot-fingerprint capped winnowing
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -225,6 +225,66 @@ def x2_winnowing_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "x2_winnowing_bounded",
+    f"""
+    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_transform(w, tok -> {_poly_th_sql('tok')}) AS th,
+             len(w) AS nw
+      FROM tw
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, nw - 1),
+               i -> (((th[i] * 67 + th[i+1]) % 2147483647) * 67
+                     + th[i+2]) % 2147483647) AS gh,
+             nw - 2 AS m
+      FROM t WHERE nw >= 3
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(m - 3, 1) + 1),
+                 j -> list_min(gh[j:j+3])))) AS fp
+      FROM g
+    ),
+    capped AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp
+                 ORDER BY doc_id ASC) AS rw
+        FROM fp
+      ) WHERE rw <= 5
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def x2_winnowing_bounded(spark, sf_dir):
+    """X2 — winnowing pairs with per-fingerprint block caps
+    (operators/dedup.py:bounded_winnowing_pairs, max_block=5 — the
+    cap BINDS at every test sf: max block 9/7/25): overflowing
+    fingerprint blocks keep their first 5 rows under the
+    deterministic (fp, id) order, so the capped result is itself
+    oracle-exact (w19/x2_phonetic_bounded precedent), and
+    winnowing_block_overflow surfaces what the cap dropped
+    (pytest-pinned — no silent caps). The 100 TB mechanics: hot
+    fingerprints are identified first (a tiny table), cold rows pass
+    untouched, and only the hot subset runs the distributed global
+    rank — its offsets broadcast is one row per HOT fingerprint,
+    never index-sized."""
+    d = T(spark, sf_dir, "documents")
+    return xd.bounded_winnowing_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2, max_block=5,
+        token_hash=xd.poly_token_hash,
+    )
+
+
 _SIMHASH_SUMS = ",\n             ".join(
     f"SUM(CASE WHEN (h // {2 ** j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
     for j in range(61)

@@ -858,6 +858,96 @@ def winnowing_pairs(
     )
 
 
+def bounded_winnowing_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_block: int = 5,
+    token_hash=None,
+) -> DataFrame:
+    """:func:`winnowing_pairs` with per-fingerprint block caps — the
+    100 TB form when a boilerplate k-gram survives as a window
+    minimum corpus-wide (the Σ|block|² hazard the plain form
+    documents). Each overflowing fingerprint block keeps its first
+    ``max_block`` rows under the deterministic (fp, id) total order;
+    :func:`winnowing_block_overflow` surfaces exactly what the cap
+    dropped (the no-silent-caps contract).
+
+    Cap mechanics differ from bounded_phonetic_pairs on purpose: the
+    fingerprint alphabet is INDEX-sized (one key per distinct
+    fingerprint — a _cap_blocks offsets broadcast would be
+    index-sized too), so the cap first identifies the overflowing
+    fingerprints (a tiny table — hot blocks are the exception), lets
+    every cold-block row pass untouched, and runs the distributed
+    global rank only over the HOT subset, whose per-block offsets
+    table is one row per hot fingerprint — always broadcastable.
+    Deterministic, so the capped result is itself oracle-exact (the
+    w19/x2_phonetic_bounded precedent)."""
+    from eco_pulse_lakehouse_spark.operators.rank import global_row_number
+
+    fp = winnowing_fingerprints(docs, id_col, text_col, k, w, token_hash)
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_block)
+        .select("fp")
+    )
+    cold = fp.join(F.broadcast(hot), "fp", "left_anti")
+    hot_rows = fp.join(F.broadcast(hot), "fp", "left_semi")
+    ranked = global_row_number(
+        hot_rows,
+        [F.col("fp").asc(), F.col(id_col).asc()],
+        out_col="__gpos",
+    )
+    firsts = ranked.groupBy("fp").agg(F.min("__gpos").alias("__first"))
+    capped_hot = (
+        ranked.join(F.broadcast(firsts), "fp")
+        .filter(F.col("__gpos") - F.col("__first") < max_block)
+        .select(id_col, "fp")
+    )
+    capped = cold.select(id_col, "fp").unionByName(capped_hot)
+    a = capped.select(F.col(id_col).alias("id_a"), "fp")
+    b = capped.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_block_overflow(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_block: int = 5,
+    token_hash=None,
+) -> DataFrame:
+    """No-silent-caps companion to :func:`bounded_winnowing_pairs`
+    (the phonetic_block_overflow contract): per overflowing
+    fingerprint, the rows dropped and the candidate pairs the full
+    block would have cost — emit next to any capped run."""
+    fp = winnowing_fingerprints(docs, id_col, text_col, k, w, token_hash)
+    n = F.col("n_rows")
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(n > max_block)
+        .select(
+            "fp",
+            "n_rows",
+            (n - max_block).alias("n_dropped_rows"),
+            F.expr("n_rows * (n_rows - 1) div 2").alias("uncapped_pairs"),
+        )
+    )
+
+
 def phonetic_code(name: Column) -> Column:
     """Simplified Soundex-style phonetic code of a name's FIRST
     token: initial letter + first 3 consonant-class digits
@@ -1080,7 +1170,10 @@ def phonetic_block_overflow(
             "block_key",
             "n_rows",
             (n - max_block).alias("n_dropped_rows"),
-            (n * (n - 1) / 2).cast("bigint").alias("uncapped_pairs"),
+            # integer div: the double-division form loses exactness
+            # past 2^53 pairs — exactly the hot-block regime this
+            # reports on (the ahash_block_overflow ADVICE fix)
+            F.expr("n_rows * (n_rows - 1) div 2").alias("uncapped_pairs"),
         )
     )
 

@@ -1996,6 +1996,54 @@ def test_winnowing_guarantee_and_python_replay(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_bounded_winnowing_cap_deterministic_with_overflow(spark):
+    """bounded_winnowing_pairs: capped pairs are a SUBSET of the
+    unbounded pairs, pairs among cold (≤ cap) blocks are untouched,
+    and winnowing_block_overflow accounts exactly for what the cap
+    dropped (no silent caps) — checked on the real corpus where the
+    cap genuinely binds."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        bounded_winnowing_pairs,
+        poly_token_hash,
+        winnowing_block_overflow,
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    kw = dict(k=3, w=4, token_hash=poly_token_hash)
+    full = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_pairs(
+            docs, "doc_id", "text", min_shared=2, **kw
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in bounded_winnowing_pairs(
+            docs, "doc_id", "text", min_shared=2, max_block=5, **kw
+        ).collect()
+    }
+    assert capped.keys() <= full.keys()
+    assert all(capped[p] <= full[p] for p in capped)
+    assert len(capped) < len(full)  # the cap binds on this corpus
+    over = {
+        r.fp: r
+        for r in winnowing_block_overflow(
+            docs, "doc_id", "text", max_block=5, **kw
+        ).collect()
+    }
+    assert over  # binding cap ⇒ non-empty overflow report
+    sizes: dict[int, int] = {}
+    for r in winnowing_fingerprints(docs, "doc_id", "text", **kw).collect():
+        sizes[r.fp] = sizes.get(r.fp, 0) + 1
+    assert set(over) == {f for f, n in sizes.items() if n > 5}
+    for f, r in over.items():
+        assert r.n_rows == sizes[f]
+        assert r.n_dropped_rows == sizes[f] - 5
+        assert r.uncapped_pairs == sizes[f] * (sizes[f] - 1) // 2
+
+
 def _unimax_greedy(lang_n: dict[str, int], budget: int, epochs: int):
     """The PAPER's sequential greedy (UniMax Alg. 1, Chung et al.
     2023), smallest language first: grant min(E·n, remaining budget /

@@ -710,3 +710,110 @@ class TestUniMaxClosedForm:
             ).collect()
         }
         assert got == _unimax_greedy(lang_n, budget, epochs)
+
+
+class TestWinnowingReference:
+    """winnowing_fingerprints vs a literal python replay on RANDOM
+    small-alphabet documents — hunts boundary cases beyond the
+    crafted pin (docs shorter than k, exactly k, fewer grams than
+    the window, all-identical tokens collapsing every gram hash)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "ab", "ba", "xy", "z"]),
+                min_size=1,
+                max_size=12,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_matches_python(self, spark, docs):
+        from eco_pulse_lakehouse_spark.operators.dedup import (
+            poly_token_hash,
+            winnowing_fingerprints,
+        )
+
+        def pth(tok: str) -> int:
+            h = 0
+            for c in tok:
+                h = (h * 131 + ord(c)) % 1_000_000_007
+            return h
+
+        def replay(text: str) -> set[int]:
+            th = [pth(t) for t in text.split(" ")]
+            gh = [
+                (((th[i] * 67 + th[i + 1]) % 2147483647) * 67
+                 + th[i + 2]) % 2147483647
+                for i in range(len(th) - 2)
+            ]
+            if not gh:
+                return set()
+            n_win = max(len(gh) - 3, 1)
+            return {min(gh[j:j + 4]) for j in range(n_win)}
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got: dict[int, set] = {}
+        for r in winnowing_fingerprints(
+            df, "doc_id", "text", k=3, w=4, token_hash=poly_token_hash
+        ).collect():
+            got.setdefault(r.doc_id, set()).add(r.fp)
+        want = {i: replay(t) for i, t in enumerate(docs) if replay(t)}
+        assert got == want
+
+
+class TestHilbertReference:
+    """hilbert_values vs the literal python xy→d loop on random
+    coordinates and bit widths — plus the d-uniqueness invariant."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=1,
+            max_size=24,
+            unique=True,
+        ),
+        bits=st.sampled_from([4, 8]),
+    )
+    def test_matches_python(self, spark, pts, bits):
+        from pyspark.sql import functions as F
+
+        from eco_pulse_lakehouse_spark.operators.layout import (
+            hilbert_values,
+        )
+        from hypothesis import assume
+
+        n = 1 << bits
+        assume(all(x < n and y < n for x, y in pts))
+
+        def xy2d(x: int, y: int) -> int:
+            d = 0
+            s = n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = {
+            (r.x, r.y): r.h
+            for r in hilbert_values(
+                df, F.col("x"), F.col("y"), bits=bits
+            ).collect()
+        }
+        assert got == {(x, y): xy2d(x, y) for x, y in pts}
+        assert len(set(got.values())) == len(got)  # injective
