@@ -91,6 +91,7 @@ HEADLINE = [
     "a32_ams_f2",              # 16 signed-sum sketches, one pass
     "flagship_search_serving",  # flagship #9: PRF -> RRF -> budget
     "x2_winnowing_bounded",    # hot-fingerprint capped winnowing
+    "x4_rake_keyphrases",      # stopword-split degree/freq phrases
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -2305,6 +2305,74 @@ def flagship_search_serving(spark, sf_dir):
     return search_serving(d, _BM25_QUERIES)
 
 
+@q(
+    "x4_rake_keyphrases",
+    """
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, ws[i] AS wd,
+             ws[i] IN ('the', 'a', 'of', 'and', 'to') AS is_stop
+      FROM ts, unnest(range(1, n + 1)) AS u(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, wd, is_stop,
+             SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM tok
+    ),
+    words AS (
+      SELECT doc_id, pos, wd, pid FROM marked WHERE NOT is_stop
+    ),
+    plen AS (
+      SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+      FROM words GROUP BY doc_id, pid
+    ),
+    wstats AS (
+      SELECT wd,
+             CAST((SUM(plen) * 1000000) // COUNT(*) AS BIGINT) AS wscore
+      FROM words JOIN plen USING (doc_id, pid)
+      GROUP BY wd
+    ),
+    phrases AS (
+      SELECT doc_id, pid,
+             string_agg(wd, ' ' ORDER BY pos) AS phrase,
+             CAST(SUM(wscore) AS BIGINT) AS score_fp
+      FROM words JOIN wstats USING (wd)
+      GROUP BY doc_id, pid
+    )
+    SELECT phrase, score_fp, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM phrases
+    GROUP BY phrase, score_fp
+    ORDER BY score_fp DESC, phrase ASC
+    LIMIT 20
+    """,
+)
+def x4_rake_keyphrases(spark, sf_dir):
+    """X4 — RAKE keyphrase extraction
+    (operators/retrieval.py:rake_keyphrases; Rose et al. 2010):
+    stopword-delimited candidate phrases, word score = degree/freq
+    over all candidates as an integer-div 1e-6 fixed point, phrase
+    score = exact BIGINT sum of its words — multi-word domain
+    phrases outrank isolated frequent words, the zero-model
+    keyphrase miner. One per-doc running-count window (parallel
+    across docs), one vocabulary-sized stats aggregation broadcast
+    back, TakeOrderedAndProject top-20 — every ranking key integer,
+    ties on the phrase string, oracle-exact."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        rake_keyphrases,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return rake_keyphrases(d, "doc_id", "text", top_k=20)
+
+
 # =====================================================================
 # X6 adjacency — train/eval decontamination
 # =====================================================================

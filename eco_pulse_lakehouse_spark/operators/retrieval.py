@@ -425,6 +425,88 @@ def bm25_prf_topk(
     return bm25_from_postings(postings, id_col, q2, k1, b, k)
 
 
+def rake_keyphrases(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+    "Automatic Keyword Extraction from Individual Documents"): split
+    text into candidate phrases at stopwords, score each word by
+    degree/frequency over all candidates (degree = Σ length of the
+    phrases it occurs in — words that co-occur in long multi-word
+    phrases outrank isolated frequent words), then score each phrase
+    as the sum of its words' scores — the zero-model keyphrase miner
+    a corpus-exploration pass runs before committing to embeddings.
+
+    Shape: phrase segmentation is one per-document running count
+    (window partitioned by the doc id — fully parallel across docs),
+    word stats are one vocabulary-sized aggregation, scores join
+    back broadcast, and the corpus-level top-k is orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort). Determinism: word scores are integer-div fixed point
+    ``(deg·fp_scale) div freq`` and phrase scores are exact BIGINT
+    sums — order-independent, oracle-exact; ties break on the phrase
+    string. Returns top-k (phrase, score_fp, n_occurrences) over
+    distinct phrase texts (identical text ⇒ identical score by
+    construction)."""
+    from eco_pulse_lakehouse_spark.functions.text import STOPWORDS
+
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
+    ).withColumn("__stop", F.col("__w").isin(*STOPWORDS))
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    words = (
+        tok.withColumn(
+            "__pid", F.sum(F.col("__stop").cast("int")).over(w_run)
+        )
+        .filter(~F.col("__stop"))
+        .select(id_col, "__pos", "__w", "__pid")
+    )
+    plen = words.groupBy(id_col, "__pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__plen")
+    )
+    wstats = (
+        words.join(plen, [id_col, "__pid"])
+        .groupBy("__w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__freq"),
+            F.sum("__plen").cast("bigint").alias("__deg"),
+        )
+        .withColumn(
+            "__wscore",
+            F.expr(f"(__deg * {int(fp_scale)}) div __freq"),
+        )
+    )
+    phrases = (
+        words.join(F.broadcast(wstats.select("__w", "__wscore")), "__w")
+        .groupBy(id_col, "__pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                    lambda s: s["__w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("__wscore").cast("bigint").alias("score_fp"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase", "score_fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("score_fp").desc(), F.col("phrase").asc())
+        .limit(top_k)
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     id_col: str,

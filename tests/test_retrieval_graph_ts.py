@@ -198,6 +198,63 @@ def test_search_serving_flagship_stages_all_bind(spark):
     assert fused_differs
 
 
+def test_rake_multiword_phrases_outrank_frequent_singletons(spark):
+    """RAKE's signature (Rose et al. 2010, Table 1 behavior): words
+    that co-occur in long candidate phrases get high degree/freq
+    scores, so a multi-word domain phrase outranks an isolated word
+    that is individually more frequent; phrase segmentation splits
+    exactly at stopwords; scores replay in python."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        rake_keyphrases,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "linear diophantine equations and strict inequations"),
+            (2, "linear diophantine equations of minimal scope"),
+            (3, "criteria criteria criteria and criteria"),  # frequent singleton
+            (4, "the criteria to criteria"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = rake_keyphrases(docs, "doc_id", "text", top_k=10).collect()
+    by_phrase = {r.phrase: r for r in out}
+    # segmentation: 'and'/'of'/'the'/'to' never appear inside phrases
+    assert all(
+        not set(p.split()) & {"the", "a", "of", "and", "to"}
+        for p in by_phrase
+    )
+    top = max(out, key=lambda r: (r.score_fp, r.phrase))
+    assert top.phrase == "linear diophantine equations"
+    # deg/freq: 'criteria' is the most frequent word but lives in
+    # short phrases — every multi-word phrase above outranks it
+    assert by_phrase["linear diophantine equations"].score_fp > by_phrase[
+        "criteria criteria criteria"
+    ].score_fp
+    assert by_phrase["linear diophantine equations"].n_occurrences == 2
+    # python replay of the scoring on this corpus
+    phrases = [
+        ["linear", "diophantine", "equations"],
+        ["strict", "inequations"],
+        ["linear", "diophantine", "equations"],
+        ["minimal", "scope"],
+        ["criteria", "criteria", "criteria"],
+        ["criteria"],
+        ["criteria"],
+        ["criteria"],
+    ]
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for wd in ph:
+            freq[wd] = freq.get(wd, 0) + 1
+            deg[wd] = deg.get(wd, 0) + len(ph)
+    score = {wd: (deg[wd] * 1_000_000) // freq[wd] for wd in freq}
+    for ph in {tuple(p) for p in phrases}:
+        want = sum(score[wd] for wd in ph)
+        assert by_phrase[" ".join(ph)].score_fp == want, ph
+
+
 # --- decontamination ------------------------------------------------------
 
 
