@@ -132,6 +132,7 @@ ONEOFF = [
     "t45_stream_decontaminate",  # ingest-screen decontamination drain (r10)
     "t46_stream_unimax",       # incremental mixture-manifest drain (r10)
     "t47_stream_search_serving",  # per-request keyword serve drain (r10)
+    "x4_textrank_keywords",    # pagerank over word co-occurrence (r10)
 ]
 
 

@@ -1250,10 +1250,11 @@ def j5_lateral_topk(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iterations: int = 3) -> str:
-    """Chained-CTE replay of operators/components.py:pagerank on the
-    supplier<->part bipartite graph (one CTE per iteration; identical
-    fixed-point arithmetic)."""
+def _pagerank_iter_ctes(iterations: int = 3) -> list[str]:
+    """One chained CTE per PageRank iteration (identical fixed-point
+    arithmetic to operators/components.py:pagerank) — shared by the
+    g1 graph entry and the TextRank keyword entry, parameterized
+    only by the upstream ``edges``/``nodes``/``deg``/``r0`` CTEs."""
     iters = []
     for k in range(1, iterations + 1):
         iters.append(f"""
@@ -1270,6 +1271,14 @@ def _pagerank_oracle(iterations: int = 3) -> str:
                      JOIN deg d ON e.src = d.src
         GROUP BY e.dst
       ) s ON n.id = s.id)""")
+    return iters
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Chained-CTE replay of operators/components.py:pagerank on the
+    supplier<->part bipartite graph (one CTE per iteration; identical
+    fixed-point arithmetic)."""
+    iters = _pagerank_iter_ctes(iterations)
     return (
         """
     WITH pairs AS (
@@ -1310,6 +1319,76 @@ def g1_pagerank(spark, sf_dir):
     )
     return pagerank(edges, iterations=3).select(
         F.col("id").cast("bigint"), F.col("rank").alias("pr")
+    )
+
+
+def _textrank_oracle(iterations: int = 3) -> str:
+    """TextRank = the g1 PageRank iteration CTEs (shared verbatim via
+    _pagerank_iter_ctes) over the word co-occurrence graph."""
+    iters = _pagerank_iter_ctes(iterations)
+    return (
+        """
+    WITH ts AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i AS pos, ws[i] AS wd
+      FROM ts, unnest(range(1, n + 1)) AS u(i)
+      WHERE ws[i] NOT IN ('the', 'a', 'of', 'and', 'to')
+    ),
+    led AS (
+      SELECT doc_id, pos, wd,
+             lead(pos, 1) OVER w AS p1, lead(wd, 1) OVER w AS w1,
+             lead(pos, 2) OVER w AS p2, lead(wd, 2) OVER w AS w2
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    half AS (
+      SELECT wd AS src, w1 AS dst FROM led
+      WHERE p1 - pos <= 2 AND w1 <> wd
+      UNION ALL
+      SELECT wd AS src, w2 AS dst FROM led
+      WHERE p2 - pos <= 2 AND w2 <> wd
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM half
+        UNION ALL SELECT dst AS src, src AS dst FROM half
+      )
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes),"""
+        + ",".join(iters)
+        + f"""
+    SELECT id AS word, pr FROM r{iterations}
+    ORDER BY pr DESC, word ASC LIMIT 20
+    """
+    )
+
+
+@q("x4_textrank_keywords", _textrank_oracle())
+def x4_textrank_keywords(spark, sf_dir):
+    """X4 — TextRank keyword extraction
+    (operators/retrieval.py:textrank_keywords; Mihalcea & Tarau
+    2004): PageRank over the word co-occurrence graph (undirected
+    edges between non-stopwords within 2 original positions), top-20
+    by centrality — the graph counterpart to x4_rake_keyphrases'
+    degree/freq statistics. Co-occurrence pairs via per-doc lead()
+    windows (parallel across docs), edge list one distinct, ranking
+    reuses components.py:pagerank verbatim (1e-12 fixed-point
+    contributions, exact BIGINT sums) with the g1 iteration CTEs
+    shared verbatim in the oracle."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        textrank_keywords,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    return textrank_keywords(
+        d, "doc_id", "text", window=2, iterations=3, top_k=20
     )
 
 

@@ -507,6 +507,76 @@ def rake_keyphrases(
     )
 
 
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    build the word co-occurrence graph — an undirected edge between
+    non-stopword tokens whose ORIGINAL positions lie within
+    ``window`` of each other — and rank words by PageRank over it;
+    the graph-centrality counterpart to :func:`rake_keyphrases`'s
+    degree/frequency statistics (RAKE rewards words in long phrases,
+    TextRank rewards words that bridge many contexts).
+
+    Shape: co-occurrence pairs come from ``lead()`` windows
+    partitioned by document (fully parallel across docs — never a
+    self-join on position), the corpus-level edge list is one
+    distinct, and the ranking reuses operators/components.py:pagerank
+    verbatim (joins+aggregations, 1e-12 fixed-point contributions —
+    bit-exact in any engine, same chained-CTE oracle discipline as
+    g1_pagerank). Returns top-k (word, pr) by (pr desc, word asc)
+    via TakeOrderedAndProject."""
+    from eco_pulse_lakehouse_spark.functions.text import STOPWORDS
+    from eco_pulse_lakehouse_spark.operators.components import pagerank
+
+    cand = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
+        )
+        .filter(~F.col("__w").isin(*STOPWORDS))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("__pos")
+    with_leads = cand.select(
+        "__pos",
+        "__w",
+        *[
+            c
+            for off in range(1, window + 1)
+            for c in (
+                F.lead("__pos", off).over(w_doc).alias(f"__p{off}"),
+                F.lead("__w", off).over(w_doc).alias(f"__w{off}"),
+            )
+        ],
+    )
+    pair_parts = [
+        with_leads.filter(
+            (F.col(f"__p{off}") - F.col("__pos") <= window)
+            & (F.col(f"__w{off}") != F.col("__w"))
+        ).select(
+            F.col("__w").alias("src"), F.col(f"__w{off}").alias("dst")
+        )
+        for off in range(1, window + 1)
+    ]
+    half = pair_parts[0]
+    for p in pair_parts[1:]:
+        half = half.unionByName(p)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank(edges, iterations=iterations)
+    return (
+        ranks.select(F.col("id").alias("word"), F.col("rank").alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("word").asc())
+        .limit(top_k)
+    )
+
+
 def vocab_coverage(
     docs: DataFrame,
     id_col: str,

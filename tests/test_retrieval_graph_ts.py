@@ -255,6 +255,40 @@ def test_rake_multiword_phrases_outrank_frequent_singletons(spark):
         assert by_phrase[" ".join(ph)].score_fp == want, ph
 
 
+def test_textrank_window_semantics_and_centrality(spark):
+    """TextRank: (a) window semantics — non-stop words separated by
+    ONE stopword (original-position distance 2) are linked, distance
+    3 is not; (b) centrality — the word bridging every context
+    outranks a word that is merely frequent inside one clique."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        textrank_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 'hub' co-occurs with everything; 'loop' repeats but
+            # only ever next to itself and 'end'
+            (1, "alpha hub beta"),
+            (2, "gamma hub delta"),
+            (3, "epsilon hub zeta"),
+            (4, "loop loop loop loop end"),
+            # distance-2 across a stopword: north~south linked
+            (5, "north the south"),
+            # distance-3 across two stopwords: east!~west NOT linked
+            (6, "east the a west"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = textrank_keywords(docs, "doc_id", "text", top_k=50).collect()
+    pr = {r.word: r.pr for r in out}
+    assert pr["hub"] == max(pr.values())  # the bridge dominates
+    assert pr["hub"] > pr["loop"]
+    # window semantics: north/south present (linked via distance 2);
+    # east/west have NO edges at distance 3 → absent from the graph
+    assert "north" in pr and "south" in pr
+    assert "east" not in pr and "west" not in pr
+
+
 # --- decontamination ------------------------------------------------------
 
 
