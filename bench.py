@@ -133,6 +133,7 @@ ONEOFF = [
     "t46_stream_unimax",       # incremental mixture-manifest drain (r10)
     "t47_stream_search_serving",  # per-request keyword serve drain (r10)
     "x4_textrank_keywords",    # pagerank over word co-occurrence (r10)
+    "flagship_data_factory_nb",  # factory #8b: learned DSIR target
 ]
 
 

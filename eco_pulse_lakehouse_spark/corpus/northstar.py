@@ -4602,6 +4602,52 @@ def _dsir_fb(src: str = "documents") -> str:
 _DSIR_FB = _dsir_fb("documents")
 
 
+def _dsir_fb_flagged(src: str) -> str:
+    """:func:`_dsir_fb` with a LEARNED target: ``src`` must provide
+    (doc_id, text, is_t); counts come from the whole source with the
+    flag as the target split, weights score only flagged docs. Same
+    feature stream, hash, smoothing and fixed-point as _dsir_fb —
+    only the target predicate and the scoring restriction differ."""
+    return f"""
+    tw AS (SELECT doc_id, is_t, string_split(text, ' ') AS w
+           FROM {src}),
+    feats AS (
+      SELECT doc_id, is_t, u.f
+      FROM tw, unnest(list_concat(w,
+        list_transform(range(1, len(w)),
+                       i -> array_to_string(w[i:i+1], ' ')))) AS u(f)
+    ),
+    fb AS (SELECT doc_id, is_t,
+                  {_poly_th_sql('f')} % 128 AS bucket
+           FROM feats),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_target,
+             COUNT(*) AS c_raw
+      FROM fb GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(c_target) AS nt, SUM(c_raw) AS nr FROM counts),
+    ratios AS (
+      SELECT bucket,
+             CAST(round(ln(
+               (CAST(2 * c_target + 1 AS DOUBLE)
+                  / CAST(2 * nt + 128 AS DOUBLE))
+               / (CAST(2 * c_raw + 1 AS DOUBLE)
+                  / CAST(2 * nr + 128 AS DOUBLE))
+             ) * 1000000, 0) AS BIGINT) AS w_fp
+      FROM counts, tot
+    ),
+    weights AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w_fp) AS BIGINT) AS weight_fp
+      FROM fb JOIN ratios USING (bucket)
+      WHERE is_t
+      GROUP BY doc_id
+    )
+"""
+
+
 @q(
     "x6_dsir_weights",
     f"""
@@ -5497,6 +5543,94 @@ def flagship_data_factory(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents")
     return data_factory_manifest(d, token_budget=4000)
+
+
+@q(
+    "flagship_data_factory_nb",
+    f"""
+    WITH dd AS (
+      SELECT doc_id, lang, source, text FROM (
+        SELECT doc_id, lang, source, text,
+               row_number() OVER (PARTITION BY text
+                                  ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+    ),
+    ltw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dd),
+    lch AS (
+      SELECT doc_id, i AS cid,
+             array_to_string(w[3*i+1 : 3*i+3], ' ') AS chunk
+      FROM ltw, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT)))
+             AS u(i)
+    ),
+    lranked AS (
+      SELECT doc_id, cid, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, cid) AS rn
+      FROM lch
+    ),
+    lkept AS (SELECT doc_id, cid, chunk FROM lranked WHERE rn = 1),
+    lrebuilt AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY cid) AS clean
+      FROM lkept GROUP BY doc_id
+    ),
+    cdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.source, r.clean AS text
+      FROM dd d JOIN lrebuilt r ON d.doc_id = r.doc_id
+      WHERE r.clean != ''
+    ),
+    {_ppx_ctes("cdocs")},
+    pkept AS MATERIALIZED (
+      SELECT c.* FROM cdocs c JOIN bucketed b USING (doc_id)
+      WHERE b.ppx_bucket <= 2
+    ),
+    {_nb_cte("pkept")},
+    pflag AS MATERIALIZED (
+      SELECT c.doc_id, c.lang, c.text,
+             (m.evidence_fp >= 0) AS is_t
+      FROM pkept c JOIN nmargins m USING (doc_id)
+    ),
+    {_dsir_fb_flagged("pflag")},
+    ftok AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM pflag WHERE is_t
+    ),
+    fr AS (
+      SELECT w.doc_id, g.lang, w.weight_fp, t.n_tokens,
+             SUM(t.n_tokens) OVER (
+               ORDER BY w.weight_fp DESC, w.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_tokens
+      FROM weights w
+      JOIN ftok t USING (doc_id)
+      JOIN pflag g USING (doc_id)
+    )
+    SELECT doc_id, lang, weight_fp, n_tokens,
+           CAST(run_tokens AS BIGINT) AS run_tokens
+    FROM fr WHERE run_tokens <= 4000
+    """,
+)
+def flagship_data_factory_nb(spark, sf_dir):
+    """Flagship #8b — the data factory with a LEARNED DSIR target
+    (plans/data_factory.py:data_factory_manifest(dsir_target=
+    'nb_kept'); the DCLM-style feedback loop): stage 5's importance
+    model is trained with the NB classifier's OWN kept pool as the
+    target distribution against the full perplexity-passing pool —
+    so selection up-weights documents resembling what the learned
+    gate approves, instead of the fixed lang='en' slice flagship #8
+    uses. Same pinned doc-bucket featurize pass feeds the gate AND
+    the flagged DSIR counts (only the flag differs — no re-scan);
+    oracle composes the identical dedup/ppx/NB fragments with the
+    flagged _dsir_fb variant. The two recipes provably diverge on
+    this corpus (pytest: selected manifests differ)."""
+    from eco_pulse_lakehouse_spark.plans.data_factory import (
+        data_factory_manifest,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    return data_factory_manifest(
+        d, token_budget=4000, dsir_target="nb_kept"
+    )
 
 
 @q(

@@ -70,10 +70,23 @@ def data_factory_manifest(
     chunk_tokens: int = 3,
     n_buckets: int = 128,
     keep_buckets: int = 2,
+    dsir_target: str = "en",
 ) -> DataFrame:
     """Dedup → line-dedup → perplexity gate → NB gate → DSIR →
     token-budget manifest. Returns (doc_id, lang, weight_fp,
-    n_tokens, run_tokens) for the selected prefix in weight order."""
+    n_tokens, run_tokens) for the selected prefix in weight order.
+
+    ``dsir_target`` picks stage 5's target distribution:
+      * ``"en"`` — the flagship #8 recipe: importance vs the
+        lang='en' target over the doubly-gated pool.
+      * ``"nb_kept"`` — the LEARNED-target variant (the DCLM-style
+        feedback loop): the target distribution is the NB
+        classifier's own kept pool, the raw distribution is the full
+        perplexity-passing pool — so DSIR up-weights documents that
+        look like what the learned gate approves rather than like a
+        fixed language slice. Counts come from the SAME pinned
+        doc-bucket featurize pass (only the flag differs); scoring
+        still runs over the kept docs."""
     is_pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     dd = exact_dedup(docs, ["text"], "doc_id").select(
         "doc_id", "lang", "source", "text"
@@ -128,15 +141,32 @@ def data_factory_manifest(
         .select("doc_id")
     )
 
-    jk = dbc.join(kept_ids, "doc_id").join(
-        meta.select("doc_id", "lang"), "doc_id"
-    )
-    ds_counts = jk.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("c_target"),
-        F.sum("n").cast("bigint").alias("c_raw"),
-    )
+    if dsir_target == "en":
+        jk = dbc.join(kept_ids, "doc_id").join(
+            meta.select("doc_id", "lang"), "doc_id"
+        )
+        ds_counts = jk.groupBy("bucket").agg(
+            F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("c_target"),
+            F.sum("n").cast("bigint").alias("c_raw"),
+        )
+    elif dsir_target == "nb_kept":
+        # learned target: count over the FULL perplexity pool with
+        # the kept flag (same pinned dbc — no re-featurize), score
+        # the kept docs below
+        flagged = dbc.join(
+            kept_ids.withColumn("__kept", F.lit(True)), "doc_id", "left"
+        ).withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(False)))
+        ds_counts = flagged.groupBy("bucket").agg(
+            F.sum(F.when(F.col("__kept"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("c_target"),
+            F.sum("n").cast("bigint").alias("c_raw"),
+        )
+        jk = dbc.join(kept_ids, "doc_id")
+    else:
+        raise ValueError(f"unknown dsir_target {dsir_target!r}")
     ds_wts = ratio_table(ds_counts, n_buckets)
     w = (
         jk.join(F.broadcast(ds_wts.select("bucket", "w_fp")), "bucket")

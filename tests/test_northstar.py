@@ -1996,6 +1996,33 @@ def test_winnowing_guarantee_and_python_replay(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_factory_learned_dsir_target_diverges_from_en_target(spark):
+    """flagship_data_factory_nb: the learned-target recipe must (a)
+    select only NB-kept docs (its scoring pool), (b) genuinely
+    diverge from the lang='en'-target manifest — different selected
+    sets AND different weights for shared docs (if the two targets
+    produced the same ordering the variant would be decorative)."""
+    from eco_pulse_lakehouse_spark.plans.data_factory import (
+        data_factory_manifest,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    v1 = {
+        r.doc_id: r.weight_fp
+        for r in data_factory_manifest(docs, token_budget=4000).collect()
+    }
+    v2 = {
+        r.doc_id: r.weight_fp
+        for r in data_factory_manifest(
+            docs, token_budget=4000, dsir_target="nb_kept"
+        ).collect()
+    }
+    assert v1 and v2
+    assert set(v1) != set(v2)  # different selections
+    shared = set(v1) & set(v2)
+    assert shared and any(v1[d] != v2[d] for d in shared)
+
+
 def test_bounded_winnowing_cap_deterministic_with_overflow(spark):
     """bounded_winnowing_pairs: capped pairs are a SUBSET of the
     unbounded pairs, pairs among cold (≤ cap) blocks are untouched,
