@@ -92,6 +92,7 @@ HEADLINE = [
     "flagship_search_serving",  # flagship #9: PRF -> RRF -> budget
     "x2_winnowing_bounded",    # hot-fingerprint capped winnowing
     "x4_rake_keyphrases",      # stopword-split degree/freq phrases
+    "x5_image_phash",          # separable integer DCT perceptual hash
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per

@@ -5394,6 +5394,99 @@ def x5_image_ahash(spark, sf_dir):
     return xm.perceptual_ahash(mm)
 
 
+def _phash_oracle() -> str:
+    from eco_pulse_lakehouse_spark.operators.multimodal import PHASH_DCT
+
+    basis_vals = ", ".join(
+        f"({u}, {x}, {PHASH_DCT[u][x]})"
+        for u in range(8)
+        for x in range(8)
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents
+    ),
+    codes AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0 THEN
+               list_transform(string_split(text, ''),
+                              c -> CAST(greatest(unicode(c), 0) AS BIGINT))
+             ELSE [] END AS cd
+      FROM p
+    ),
+    cells AS (
+      SELECT doc_id, n, j,
+             CAST(j % 8 AS INT) AS x, CAST(j // 8 AS INT) AS y,
+             CASE WHEN e - s > 0
+                  THEN (COALESCE(list_sum(cd[s + 1 : e]), 0) * 100)
+                       // (e - s)
+                  ELSE 0 END AS gray
+      FROM (
+        SELECT doc_id, n, cd, j,
+               CAST(floor(j * n / 64.0) AS BIGINT) AS s,
+               CAST(floor((j + 1) * n / 64.0) AS BIGINT) AS e
+        FROM codes, unnest(range(0, 64)) AS u(j)
+      )
+    ),
+    basis AS (SELECT * FROM (VALUES {basis_vals}) AS t(u, x, c)),
+    stage1 AS (
+      SELECT doc_id, u, y, SUM(c * gray) AS s1
+      FROM cells JOIN basis USING (x)
+      GROUP BY 1, 2, 3
+    ),
+    coefs AS (
+      SELECT doc_id, u, v, SUM(c2 * s1) AS coef
+      FROM stage1 JOIN (SELECT u AS v, x AS y, c AS c2 FROM basis) b
+        USING (y)
+      GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT doc_id, coef AS m FROM (
+        SELECT doc_id, coef,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY coef ASC, u ASC, v ASC) AS rn
+        FROM coefs WHERE NOT (u = 0 AND v = 0)
+      ) WHERE rn = 32
+    ),
+    bits AS (
+      SELECT c.doc_id, u * 8 + v AS bit,
+             CASE WHEN coef > m THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS b
+      FROM coefs c JOIN med USING (doc_id)
+    )
+    SELECT b.doc_id, p.n AS n_bytes,
+           CAST(SUM(CASE WHEN bit < 32
+                    THEN b * (CAST(1 AS BIGINT) << bit)
+                    ELSE 0 END) AS BIGINT) AS b_lo,
+           CAST(SUM(CASE WHEN bit >= 32
+                    THEN b * (CAST(1 AS BIGINT) << (bit - 32))
+                    ELSE 0 END) AS BIGINT) AS b_hi
+    FROM bits b JOIN p USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@q("x5_image_phash", _phash_oracle())
+def x5_image_phash(spark, sf_dir):
+    """X5 — perceptual DCT hash (pHash;
+    operators/multimodal.py:perceptual_phash): the frequency-domain
+    tier next to x5_image_ahash's spatial mean bits — 8×8 gray grid
+    → separable 2-D DCT-II over the integer 1e4 fixed-point cosine
+    basis (PHASH_DCT, compile-time literals shared with the oracle)
+    → bit = coefficient > the exact integer median of the 63 non-DC
+    coefficients. Grays are 1e2 fixed-point cell means (integer
+    div); the DCT stages are broadcast joins against the 64-row
+    basis + partial aggregations; the median is one per-doc rank.
+    Same two-word layout as aHash, so ahash_neardup_pairs pairs
+    pHashes unchanged. Real decode = the documented env-gated
+    stub."""
+    d = T(spark, sf_dir, "documents")
+    mm = xm.to_multimodal(d)
+    return xm.perceptual_phash(mm)
+
+
 @q(
     "flagship_curation_select",
     f"""

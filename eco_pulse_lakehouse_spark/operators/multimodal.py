@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
@@ -337,6 +337,139 @@ def perceptual_ahash(mm: DataFrame) -> DataFrame:
         F.col("__n").alias("n_bytes"),
         pack(0).alias("b_lo"),
         pack(32).alias("b_hi"),
+    )
+
+
+# Integer DCT-II basis for the 8-point transform, rounded to a 1e4
+# fixed point: C[u][x] = round(cos((2x+1)·u·π/16) · 10000). Plain
+# compile-time literals baked into BOTH the operator and the oracle
+# generator from this one table (the minhash-constants discipline),
+# so the transform is exact BIGINT arithmetic in every engine.
+import math as _math
+
+PHASH_DCT = tuple(
+    tuple(
+        int(round(_math.cos((2 * x + 1) * u * _math.pi / 16) * 10_000))
+        for x in range(8)
+    )
+    for u in range(8)
+)
+
+
+def perceptual_phash(mm: DataFrame) -> DataFrame:
+    """Perceptual DCT HASH (pHash) over the payload bytes — the
+    frequency-domain tier next to :func:`perceptual_ahash`'s spatial
+    mean bits: the 8×8 gray grid goes through a separable 2-D DCT-II
+    (integer 1e4 fixed-point cosine table — PHASH_DCT), and bit (u,v)
+    = coefficient > the exact integer MEDIAN of the 63 non-DC
+    coefficients (the classic pHash threshold; aHash sees only
+    per-cell brightness, the DCT sees gradients and structure).
+    Same stand-in decode as aHash: cell gray = 1e2 fixed-point mean
+    of the cell's byte slice (integer div — the real decode is the
+    documented env-gated integration point); same two-32-bit-word
+    output layout, so ahash_neardup_pairs' XOR+popcount machinery
+    pairs pHashes unchanged.
+
+    Shape: grays explode to 64 rows/doc; the two DCT stages are
+    equi-joins against the BROADCAST 64-row basis table + partial
+    aggregations (never a 4096-term expression); the median is one
+    per-doc rank over 63 rows. All BIGINT (|coef| ≤ 64·10⁸·grays —
+    safe under 2⁶³ for any payload ≤ ~100 MB/cell). Returns
+    (doc_id, n_bytes, b_lo, b_hi)."""
+    txt = F.decode(F.col("payload"), "UTF-8")
+    codes = F.when(
+        F.length(txt) > 0,
+        F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = mm.select(
+        "doc_id",
+        codes.alias("__cd"),
+        F.size(codes).cast("bigint").alias("__n"),
+    )
+
+    def cell_gray(j: int) -> Column:
+        n = F.col("__n")
+        start = F.floor((F.lit(j) * n) / F.lit(64.0)).cast("int")
+        end = F.floor((F.lit(j + 1) * n) / F.lit(64.0)).cast("int")
+        s = F.aggregate(
+            F.slice(F.col("__cd"), start + 1, end - start),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        ln = (end - start).cast("bigint")
+        # 1e2 fixed-point cell mean; empty cells are gray 0
+        return F.when(
+            ln > 0, F.expr(f"(__g{j}_s * 100) div __g{j}_l")
+        ).otherwise(F.lit(0).cast("bigint")), s, ln
+
+    grays = base
+    gcols = []
+    for j in range(64):
+        g, s, ln = cell_gray(j)
+        grays = grays.withColumn(f"__g{j}_s", s).withColumn(
+            f"__g{j}_l", ln
+        ).withColumn(f"__g{j}", g)
+        gcols.append(f"__g{j}")
+    cells = grays.selectExpr(
+        "doc_id",
+        "__n as n_bytes",
+        "stack(64, "
+        + ", ".join(f"{j}, __g{j}" for j in range(64))
+        + ") as (j, gray)",
+    ).select(
+        "doc_id",
+        "n_bytes",
+        (F.col("j") % 8).alias("x"),
+        (F.col("j") / 8).cast("int").alias("y"),
+        "gray",
+    )
+    basis = mm.sparkSession.createDataFrame(
+        [(u, x, PHASH_DCT[u][x]) for u in range(8) for x in range(8)],
+        "u int, x int, c long",
+    )
+    stage1 = (
+        cells.join(F.broadcast(basis), "x")
+        .groupBy("doc_id", "n_bytes", "u", "y")
+        .agg(F.sum(F.col("c") * F.col("gray")).alias("__s1"))
+    )
+    basis_v = basis.select(
+        F.col("u").alias("v"), F.col("x").alias("y"), F.col("c")
+    )
+    coefs = (
+        stage1.join(F.broadcast(basis_v), "y")
+        .groupBy("doc_id", "n_bytes", "u", "v")
+        .agg(F.sum(F.col("c") * F.col("__s1")).alias("coef"))
+    )
+    w_med = Window.partitionBy("doc_id").orderBy(
+        F.col("coef").asc(), F.col("u").asc(), F.col("v").asc()
+    )
+    med = (
+        coefs.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+        .withColumn("__rn", F.row_number().over(w_med))
+        .filter(F.col("__rn") == 32)
+        .select("doc_id", F.col("coef").alias("__med"))
+    )
+    bits = coefs.join(med, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        (F.col("u") * 8 + F.col("v")).alias("__bit"),
+        F.when(F.col("coef") > F.col("__med"), 1).otherwise(0).alias("__b"),
+    )
+    return (
+        bits.groupBy("doc_id", "n_bytes")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN __bit < 32 THEN __b * shiftleft("
+                "CAST(1 AS BIGINT), CAST(__bit AS INT)) ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("b_lo"),
+            F.expr(
+                "CAST(SUM(CASE WHEN __bit >= 32 THEN __b * shiftleft("
+                "CAST(1 AS BIGINT), CAST(__bit - 32 AS INT)) ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("b_hi"),
+        )
+        .select("doc_id", "n_bytes", "b_lo", "b_hi")
     )
 
 

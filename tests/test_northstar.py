@@ -1996,6 +1996,76 @@ def test_winnowing_guarantee_and_python_replay(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_phash_matches_python_replay_and_sees_structure(spark):
+    """pHash vs a literal python replay (grays → integer DCT →
+    non-DC median → bits) on crafted payloads; a CONSTANT payload
+    has zero non-DC energy (all bits 0), while a structured payload
+    lights low-frequency bits — the frequency sensitivity aHash
+    lacks (its constant-payload hash equals its gradient hash iff
+    cell means straddle identically)."""
+    from eco_pulse_lakehouse_spark.operators.multimodal import (
+        PHASH_DCT,
+        perceptual_phash,
+        to_multimodal,
+    )
+
+    flat = "m" * 128
+    grad = "".join(chr(33 + (i * 90) // 128) for i in range(128))
+    mixed = ("abcz" * 40)[:128]
+    docs = spark.createDataFrame(
+        [(1, flat), (2, grad), (3, mixed), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_bytes, r.b_lo, r.b_hi)
+        for r in perceptual_phash(to_multimodal(docs)).collect()
+    }
+
+    def replay(text: str):
+        n = len(text)
+        grays = []
+        for j in range(64):
+            s, e = (j * n) // 64, ((j + 1) * n) // 64
+            # python floor((j*n)/64.0) == integer div for these sizes
+            seg = [ord(c) for c in text[s:e]]
+            grays.append((sum(seg) * 100) // (e - s) if e > s else 0)
+        s1 = {
+            (u, y): sum(
+                PHASH_DCT[u][x] * grays[8 * y + x] for x in range(8)
+            )
+            for u in range(8)
+            for y in range(8)
+        }
+        coefs = {
+            (u, v): sum(PHASH_DCT[v][y] * s1[(u, y)] for y in range(8))
+            for u in range(8)
+            for v in range(8)
+        }
+        ranked = sorted(
+            ((c, u, v) for (u, v), c in coefs.items() if (u, v) != (0, 0))
+        )
+        med = ranked[31][0]
+        lo = sum(
+            1 << (u * 8 + v)
+            for (u, v), c in coefs.items()
+            if c > med and u * 8 + v < 32
+        )
+        hi = sum(
+            1 << (u * 8 + v - 32)
+            for (u, v), c in coefs.items()
+            if c > med and u * 8 + v >= 32
+        )
+        return (n, lo, hi)
+
+    for did, text in ((1, flat), (2, grad), (3, mixed), (4, "")):
+        assert got[did] == replay(text), did
+    # constant payload: zero non-DC energy — ONLY the DC bit (bit 0,
+    # excluded from the median but packed) survives
+    assert got[1][1:] == (1, 0)
+    assert got[2][1] & ~1 or got[2][2]  # gradient lights frequency bits
+    assert got[2][1:] != got[3][1:]  # distinct structure, distinct hash
+
+
 def test_factory_learned_dsir_target_diverges_from_en_target(spark):
     """flagship_data_factory_nb: the learned-target recipe must (a)
     select only NB-kept docs (its scoring pool), (b) genuinely
