@@ -135,6 +135,7 @@ ONEOFF = [
     "t47_stream_search_serving",  # per-request keyword serve drain (r10)
     "x4_textrank_keywords",    # pagerank over word co-occurrence (r10)
     "flagship_data_factory_nb",  # factory #8b: learned DSIR target
+    "t48_stream_winnowing",    # incremental fingerprint-index drain
 ]
 
 

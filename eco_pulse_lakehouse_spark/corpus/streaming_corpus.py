@@ -3562,3 +3562,75 @@ def t47_stream_search_serving(spark, sf_dir):
     return spark.read.parquet(os.path.join(sink, "batch=*")).select(
         "query_id", "doc_id", "rrf_score", "rk", "n_tokens", "cum_tokens"
     )
+
+
+@q(
+    "t48_stream_winnowing",
+    _ns.ORACLES["x2_winnowing_pairs"],
+)
+def t48_stream_winnowing(spark, sf_dir):
+    """T48 — STREAMING winnowing-index maintenance (the ingest twin
+    of x2_winnowing_pairs, the t45 discipline): documents stream one
+    file per trigger; each batch computes its docs' fingerprints with
+    the batch operator's own stage (dedup.py:winnowing_fingerprints —
+    fingerprints are row-local, complete per doc) and lands them as
+    idempotent epoch-keyed parquet partials, so the merged index is a
+    plain union ≡ the one-shot index. Pairing then runs the identical
+    fingerprint-keyed equi-join + shared-count stage over the merged
+    index: streamed ≡ batch bit-identically, and this entry carries
+    x2_winnowing_pairs' oracle verbatim. The 100 TB shape: ingest
+    fingerprints each doc once (~2/(w+1) of its gram hashes stored);
+    re-screening after growth joins the index, never re-tokenizes
+    history."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_fingerprints,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t48_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t48_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "index"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_fingerprints(batch_df, batch_id: int) -> None:
+        (
+            winnowing_fingerprints(
+                batch_df, "doc_id", "text", k=3, w=4,
+                token_hash=poly_token_hash,
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_fingerprints)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    fp = spark.read.parquet(os.path.join(sink, "batch=*"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -381,6 +381,36 @@ def test_stream_unimax_equals_batch(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_winnowing_equals_batch(spark):
+    """t48: per-batch fingerprint partials (row-local, complete per
+    doc — the merged index is a plain union) paired through the
+    identical equi-join stage must reproduce the one-shot winnowing
+    pairs EXACTLY."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r) for r in QUERIES["t48_stream_winnowing"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    batch = {
+        tuple(r)
+        for r in winnowing_pairs(
+            d, "doc_id", "text", min_shared=2, token_hash=poly_token_hash
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stream_search_serving_equals_batch(spark):
     """t47: per-request-batch serving against the pinned postings
     index must union to EXACTLY the one-shot flagship output — every
