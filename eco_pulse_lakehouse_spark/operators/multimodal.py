@@ -386,42 +386,46 @@ def perceptual_phash(mm: DataFrame) -> DataFrame:
         codes.alias("__cd"),
         F.size(codes).cast("bigint").alias("__n"),
     )
-
-    def cell_gray(j: int) -> Column:
-        n = F.col("__n")
-        start = F.floor((F.lit(j) * n) / F.lit(64.0)).cast("int")
-        end = F.floor((F.lit(j + 1) * n) / F.lit(64.0)).cast("int")
-        s = F.aggregate(
-            F.slice(F.col("__cd"), start + 1, end - start),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
+    # cell assignment INVERTED: byte at 0-based position p belongs to
+    # cell j = (64·(p+1) − 1) div n — the exact inverse of the slice
+    # boundaries floor(j·n/64) ≤ p < floor((j+1)·n/64), so ONE
+    # explode + one map-side-combinable groupBy replaces 64
+    # interpreted slice-folds (first draft benched 10.3 s at sf0.1;
+    # this shape is the explode→partial-agg discipline the minhash
+    # rewrite established). The dense 0..63 grid is restored with a
+    # sequence cross so empty cells (short payloads) keep gray 0.
+    bytes_ = base.select(
+        "doc_id",
+        F.col("__n"),
+        F.posexplode_outer(F.col("__cd")).alias("__p", "__c"),
+    )
+    cell_sums = (
+        bytes_.filter(F.col("__c").isNotNull())
+        .withColumn(
+            "j", F.expr("CAST((64 * (__p + 1) - 1) div __n AS INT)")
         )
-        ln = (end - start).cast("bigint")
-        # 1e2 fixed-point cell mean; empty cells are gray 0
-        return F.when(
-            ln > 0, F.expr(f"(__g{j}_s * 100) div __g{j}_l")
-        ).otherwise(F.lit(0).cast("bigint")), s, ln
-
-    grays = base
-    gcols = []
-    for j in range(64):
-        g, s, ln = cell_gray(j)
-        grays = grays.withColumn(f"__g{j}_s", s).withColumn(
-            f"__g{j}_l", ln
-        ).withColumn(f"__g{j}", g)
-        gcols.append(f"__g{j}")
-    cells = grays.selectExpr(
+        .groupBy("doc_id", "__n", "j")
+        .agg(
+            F.sum("__c").alias("__s"),
+            F.count(F.lit(1)).cast("bigint").alias("__l"),
+        )
+    )
+    grid = base.select(
         "doc_id",
-        "__n as n_bytes",
-        "stack(64, "
-        + ", ".join(f"{j}, __g{j}" for j in range(64))
-        + ") as (j, gray)",
-    ).select(
-        "doc_id",
-        "n_bytes",
-        (F.col("j") % 8).alias("x"),
-        (F.col("j") / 8).cast("int").alias("y"),
-        "gray",
+        F.col("__n"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+    )
+    cells = (
+        grid.join(cell_sums, ["doc_id", "__n", "j"], "left")
+        .select(
+            "doc_id",
+            F.col("__n").alias("n_bytes"),
+            (F.col("j") % 8).alias("x"),
+            (F.col("j") / 8).cast("int").alias("y"),
+            F.when(
+                F.col("__l") > 0, F.expr("(__s * 100) div __l")
+            ).otherwise(F.lit(0).cast("bigint")).alias("gray"),
+        )
     )
     basis = mm.sparkSession.createDataFrame(
         [(u, x, PHASH_DCT[u][x]) for u in range(8) for x in range(8)],
