@@ -128,6 +128,33 @@ _R09_GREEN: frozenset[str] = frozenset(
     }
 )
 
+# Round-10 driver window: 50/50 green on the full rows+schema+hash
+# triple (CORRECTNESS_r10.json — the second consecutive zero-err
+# window; covers the 14 changed/new r10 entries + 23 of the r02-stale
+# tranche + the 15 late-session-17 families).
+_R10_GREEN: frozenset[str] = frozenset(
+    {
+        "a32_ams_f2", "flagship_curation_select", "flagship_data_factory",
+        "flagship_data_factory_nb", "flagship_rag_context",
+        "flagship_search_serving", "flagship_text_pipeline",
+        "q2_zscore_outliers", "q3_iqr_outliers", "q5_expectations",
+        "q6_seasonal_deviants", "q7_winsorize", "q8_quantile_binning",
+        "q9_cusum", "t41_stream_nb_gate", "t43_stream_rag_context",
+        "t44_stream_nb_gate_sweep", "t45_stream_decontaminate",
+        "t46_stream_unimax", "t47_stream_search_serving",
+        "t48_stream_winnowing", "tpch_q12", "tpch_q3", "tpch_q5",
+        "x1_exact_dedup", "x1_hash_dedup_key", "x2_ngram_jaccard",
+        "x2_winnowing_bounded", "x2_winnowing_pairs", "x3_pq_topk",
+        "x3_quantized_topk", "x4_fingerprint", "x4_lang_id",
+        "x4_nb_gate_sweep", "x4_nb_log_odds", "x4_nb_quality_gate",
+        "x4_prf_expansion", "x4_quality_score", "x4_rake_keyphrases",
+        "x4_text_stats", "x4_textrank_keywords", "x5_image_phash",
+        "x5_multimodal_meta", "x5_resize_plan", "x6_decontaminate",
+        "x6_hash_split", "x6_priority_sample", "x6_unimax_mixture",
+        "x8_hilbert_values", "x8_zorder_values",
+    }
+)
+
 # Entries a past driver round already CORRECTNESS-checked green
 # (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
 # the registry from the front, so never-checked entries must lead;
@@ -226,6 +253,8 @@ _DRIVER_GREEN = frozenset(
     | _R08_GREEN
     # --- round 9 greens (CORRECTNESS_r09.json: 50/50, zero errs) ---
     | _R09_GREEN
+    # --- round 10 greens (CORRECTNESS_r10.json: 50/50, zero errs) ---
+    | _R10_GREEN
     # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
     # 6 rows-only-by-design sketch/DTW/block entries) ---
     | {
@@ -339,9 +368,32 @@ _R03_STALE: frozenset[str] = frozenset(
     }
 )
 
-# Round-10 front tier: entries whose CODE or ORACLE changed this
+# Round-11 front tier: entries whose CODE or ORACLE changed this
 # round — changed code/oracle needs a fresh green row even though a
-# (now-stale) earlier row exists.
+# recent one exists (ADVICE r10 fixes, all four lows):
+#   - search_serving budget stage now derives n_tokens from the
+#     pinned postings (no corpus re-tokenize per request batch) —
+#     flagship #9 + the t47 twin;
+#   - bounded_winnowing_pairs pins its fingerprint index
+#     (localCheckpoint) before the hot/cold fan-out;
+#   - the RAKE/TextRank oracles interpolate the single-sourced
+#     STOPWORDS_SQL instead of re-hardcoding the list;
+#   - the aHash/pHash oracles use integer floor-division for cell
+#     boundaries (float floor diverges past 2^53).
+_NEW_R11: frozenset[str] = frozenset(
+    {
+        "flagship_search_serving",
+        "t47_stream_search_serving",
+        "x2_winnowing_bounded",
+        "x4_rake_keyphrases",
+        "x4_textrank_keywords",
+        "x5_image_ahash",
+        "x5_image_phash",
+    }
+)
+
+# Round-10 front tier (kept for the history audit): entries whose
+# code or oracle changed in round 10 — all 10 got fresh r10 greens.
 _NEW_R10: frozenset[str] = frozenset(
     {
         # ADVICE r09 medium: the binary NB weight table is now
@@ -374,23 +426,22 @@ _NEW_R10: frozenset[str] = frozenset(
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 10 rotation,
-    reworked after the full-history staleness audit).
+    """Sort key for a windowed CORRECTNESS run (round 11 rotation,
+    VERDICT r10 item 1).
 
-    VERDICT r09 item 1 asked for the r03 tail then the r04 tranche —
-    but auditing every CORRECTNESS file end-to-end shows 39 entries
-    still standing on their ROUND-2 rows (the r02 greens were folded
-    into _DRIVER_GREEN without ever getting a named staleness tier),
-    making them the oldest certifications in the corpus. Order:
+    The r10 window emptied the front tier and refreshed 23 of the 39
+    r02-era rows; the remaining staleness debt, strictly by evidence
+    age: 16 r02-era rows, then the 12 r03-era rows (the t2x tail +
+    the fixed-in-r03 six), then the 45-entry r04 tranche (the TPC-H
+    block — 7 rounds old, the oldest headline queries). Order:
     (0) entries whose code or oracle changed this round (a fresh row
     per change = most information per slot); (1) anything never
     driver-checked (new entries built this round); (2) stale tiers
-    strictly by evidence age — the 38 remaining r02-era rows, then
-    the 12 r03-era rows (the t2x tail + the fixed-in-r03 six), then
-    the r04 tranche (expected to carry to r11); (9) recently-
-    certified entries last. Registration order within a tier."""
-    refreshed = _R07_GREEN | _R08_GREEN | _R09_GREEN
-    if name in _NEW_R10:
+    strictly by evidence age; (9) recently-certified entries last.
+    Registration order within a tier. Keep auditing staleness against
+    ALL CORRECTNESS files, not the previous round's note."""
+    refreshed = _R07_GREEN | _R08_GREEN | _R09_GREEN | _R10_GREEN
+    if name in _NEW_R11:
         return (0, 0, 0)
     if name not in _DRIVER_GREEN:
         fam = (

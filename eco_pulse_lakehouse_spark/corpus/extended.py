@@ -1326,8 +1326,10 @@ def _textrank_oracle(iterations: int = 3) -> str:
     """TextRank = the g1 PageRank iteration CTEs (shared verbatim via
     _pagerank_iter_ctes) over the word co-occurrence graph."""
     iters = _pagerank_iter_ctes(iterations)
+    from eco_pulse_lakehouse_spark.functions.text import STOPWORDS_SQL
+
     return (
-        """
+        f"""
     WITH ts AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
              len(string_split(text, ' ')) AS n
@@ -1336,7 +1338,7 @@ def _textrank_oracle(iterations: int = 3) -> str:
     tok AS (
       SELECT doc_id, i AS pos, ws[i] AS wd
       FROM ts, unnest(range(1, n + 1)) AS u(i)
-      WHERE ws[i] NOT IN ('the', 'a', 'of', 'and', 'to')
+      WHERE ws[i] NOT IN {STOPWORDS_SQL}
     ),
     led AS (
       SELECT doc_id, pos, wd,

@@ -20,7 +20,10 @@ from eco_pulse_lakehouse_spark.operators import similarity as xs
 
 QUERIES, ORACLES, q = make_registry()
 
-_STOPS_SQL = "('the', 'a', 'of', 'and', 'to')"
+# Single-sourced from the operators' stopword list (functions/
+# text.py:STOPWORDS) so the oracles can never drift from the Spark
+# side (ADVICE r10 — the RAKE/TextRank oracles had re-hardcoded it).
+_STOPS_SQL = xt.STOPWORDS_SQL
 
 # dot(a,b) in DuckDB SQL, mirroring functions/vector.py exactly
 def _dot(a: str, b: str) -> str:
@@ -2307,7 +2310,7 @@ def flagship_search_serving(spark, sf_dir):
 
 @q(
     "x4_rake_keyphrases",
-    """
+    f"""
     WITH ts AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
              len(string_split(text, ' ')) AS n
@@ -2315,7 +2318,7 @@ def flagship_search_serving(spark, sf_dir):
     ),
     tok AS (
       SELECT doc_id, i AS pos, ws[i] AS wd,
-             ws[i] IN ('the', 'a', 'of', 'and', 'to') AS is_stop
+             ws[i] IN {_STOPS_SQL} AS is_stop
       FROM ts, unnest(range(1, n + 1)) AS u(i)
     ),
     marked AS (
@@ -5348,8 +5351,11 @@ def x4_distinct_ngrams(spark, sf_dir):
 # =====================================================================
 
 def _ah_cell(j: int) -> str:
-    lo = f"CAST(floor({j} * n / 64.0) AS BIGINT)"
-    hi = f"CAST(floor({j + 1} * n / 64.0) AS BIGINT)"
+    # Integer floor-division — float floor(j*n/64.0) diverges from
+    # the operator's exact integer form once j*n exceeds 2^53
+    # (ADVICE r10; same fix as the pHash oracle below).
+    lo = f"CAST(({j} * n) // 64 AS BIGINT)"
+    hi = f"CAST(({j + 1} * n) // 64 AS BIGINT)"
     return (
         f"(CASE WHEN COALESCE(list_sum(cd[{lo} + 1 : {hi}]), 0) * n"
         f" > tot * ({hi} - {lo})"
@@ -5425,8 +5431,8 @@ def _phash_oracle() -> str:
                   ELSE 0 END AS gray
       FROM (
         SELECT doc_id, n, cd, j,
-               CAST(floor(j * n / 64.0) AS BIGINT) AS s,
-               CAST(floor((j + 1) * n / 64.0) AS BIGINT) AS e
+               CAST((j * n) // 64 AS BIGINT) AS s,
+               CAST(((j + 1) * n) // 64 AS BIGINT) AS e
         FROM codes, unnest(range(0, 64)) AS u(j)
       )
     ),

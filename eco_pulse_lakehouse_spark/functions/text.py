@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 # A small deterministic stopword list over the corpus vocabulary.
 STOPWORDS = ("the", "a", "of", "and", "to")
 
+# The same list as an ANSI-SQL IN-tuple — the ONLY sanctioned way for
+# an oracle to spell the stopword set (interpolate, never re-type:
+# a hardcoded copy silently drifts if STOPWORDS changes).
+STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
 # Marker words per language for the n-gram/stopword lang-id heuristic.
 # Deterministic and domain-synthetic: real lang-id would use char
 # n-gram profiles; the Spark plumbing (score -> argmax) is identical.

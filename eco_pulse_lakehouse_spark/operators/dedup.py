@@ -888,7 +888,14 @@ def bounded_winnowing_pairs(
     w19/x2_phonetic_bounded precedent)."""
     from eco_pulse_lakehouse_spark.operators.rank import global_row_number
 
-    fp = winnowing_fingerprints(docs, id_col, text_col, k, w, token_hash)
+    # Pin the fingerprint index before fanning out: three subplans
+    # consume it (hot aggregation, left_anti cold pass, left_semi hot
+    # pass) and would each recompute the tokenize + gram-hash +
+    # explode pipeline otherwise (the postings/dbc pin discipline;
+    # persist() on a real cluster).
+    fp = winnowing_fingerprints(
+        docs, id_col, text_col, k, w, token_hash
+    ).localCheckpoint(eager=True)
     hot = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n"))

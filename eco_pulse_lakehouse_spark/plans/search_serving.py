@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from eco_pulse_lakehouse_spark.functions.text import token_count
 from eco_pulse_lakehouse_spark.operators.retrieval import (
     bm25_from_postings,
     prf_expand_terms,
@@ -77,10 +76,14 @@ def search_serving(
     bm = bm25_from_postings(postings, id_col, qt2, k1, b, retriever_k)
     ov = term_overlap_from_postings(postings, id_col, q_terms, retriever_k)
     fused = rrf_fuse(bm, ov, id_col=id_col, k=k)
-    toks = docs.select(
-        F.col(id_col), token_count(F.col(text_col)).cast("bigint").alias(
-            "n_tokens"
-        )
+    # Token counts come from the PINNED index, not a corpus rescan:
+    # sum(tf) per doc over term_postings equals token_count(text)
+    # under the shared tokens() tokenizer, and every fused doc has
+    # >= 1 postings row (it matched a query term), so the inner join
+    # below is row-identical to the docs-derived form. This keeps the
+    # t47 request stream's per-batch work index-only.
+    toks = postings.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens")
     )
     w = (
         Window.partitionBy("query_id")
