@@ -2221,6 +2221,58 @@ def x4_prf_expansion(spark, sf_dir):
     )
 
 
+def _rrf_budget_tail(
+    list_b: str, list_o: str, k: int = 10, budget: int = 300
+) -> str:
+    """Fusion + budget tail shared VERBATIM by flagship_search_serving
+    and flagship_hybrid_serving (and through them the t47/t49
+    streaming twins): RRF over two (query_id, doc_id, r) ranklist
+    relations, top-``k`` re-rank, per-query token budget cut. Token
+    counts come from the postings tf sums (requires the _BM25_CTES
+    ``tf`` CTE in scope) — matching the Spark side, which reads the
+    PINNED index instead of re-tokenizing the corpus (ADVICE r10);
+    sum(tf) per doc equals len(string_split(text, ' ')) under the
+    shared single-space tokenizer."""
+    return f""",
+    fused AS (
+      SELECT COALESCE(b.query_id, o.query_id) AS query_id,
+             COALESCE(b.doc_id, o.doc_id) AS doc_id,
+             round(
+               (CASE WHEN b.r IS NULL THEN 0.0
+                     ELSE 1.0 / (60.0 + CAST(b.r AS DOUBLE)) END)
+               + (CASE WHEN o.r IS NULL THEN 0.0
+                       ELSE 1.0 / (60.0 + CAST(o.r AS DOUBLE)) END),
+               9) AS rrf_score
+      FROM {list_b} b
+      FULL OUTER JOIN {list_o} o
+        ON b.query_id = o.query_id AND b.doc_id = o.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, rrf_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rk
+      FROM fused
+    ),
+    cut AS (SELECT * FROM ranked WHERE rk <= {k}),
+    dtok AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens
+      FROM tf GROUP BY doc_id
+    ),
+    budgeted AS (
+      SELECT c.query_id, c.doc_id, c.rrf_score, c.rk, d.n_tokens,
+             CAST(SUM(d.n_tokens) OVER (PARTITION BY c.query_id
+               ORDER BY c.rk ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM cut c JOIN dtok d USING (doc_id)
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           rrf_score, rk, n_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens <= {budget}
+    """
+
+
 @q(
     "flagship_search_serving",
     f"""{_BM25_CTES},
@@ -2245,45 +2297,11 @@ def x4_prf_expansion(spark, sf_dir):
         PARTITION BY query_id
         ORDER BY nm DESC, ttf DESC, doc_id ASC) AS r
       FROM ovc
+    )"""
+    + _rrf_budget_tail(
+        "(SELECT * FROM bm WHERE r <= 20)",
+        "(SELECT * FROM ov WHERE r <= 20)",
     ),
-    fused AS (
-      SELECT COALESCE(b.query_id, o.query_id) AS query_id,
-             COALESCE(b.doc_id, o.doc_id) AS doc_id,
-             round(
-               (CASE WHEN b.r IS NULL THEN 0.0
-                     ELSE 1.0 / (60.0 + CAST(b.r AS DOUBLE)) END)
-               + (CASE WHEN o.r IS NULL THEN 0.0
-                       ELSE 1.0 / (60.0 + CAST(o.r AS DOUBLE)) END),
-               9) AS rrf_score
-      FROM (SELECT * FROM bm WHERE r <= 20) b
-      FULL OUTER JOIN (SELECT * FROM ov WHERE r <= 20) o
-        ON b.query_id = o.query_id AND b.doc_id = o.doc_id
-    ),
-    ranked AS (
-      SELECT query_id, doc_id, rrf_score,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rk
-      FROM fused
-    ),
-    cut AS (SELECT * FROM ranked WHERE rk <= 10),
-    dtok AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
-               AS n_tokens
-      FROM documents
-    ),
-    budgeted AS (
-      SELECT c.query_id, c.doc_id, c.rrf_score, c.rk, d.n_tokens,
-             CAST(SUM(d.n_tokens) OVER (PARTITION BY c.query_id
-               ORDER BY c.rk ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum_tokens
-      FROM cut c JOIN dtok d USING (doc_id)
-    )
-    SELECT CAST(query_id AS BIGINT) AS query_id,
-           CAST(doc_id AS BIGINT) AS doc_id,
-           rrf_score, rk, n_tokens, cum_tokens
-    FROM budgeted WHERE cum_tokens <= 300
-    """,
 )
 def flagship_search_serving(spark, sf_dir):
     """Flagship #9 — keyword SEARCH SERVING
@@ -2306,6 +2324,69 @@ def flagship_search_serving(spark, sf_dir):
         F.col("doc_id").cast("bigint"), "text"
     )
     return search_serving(d, _BM25_QUERIES)
+
+
+_HYBRID_QIDS = ", ".join(str(qid) for qid, _ in _BM25_QUERIES)
+
+
+@q(
+    "flagship_hybrid_serving",
+    f"""{_BM25_CTES},
+    {_PRF_CTES},
+    bmc2 AS (
+      SELECT query_id, doc_id, SUM(c_fp) AS s
+      FROM contrib2 GROUP BY query_id, doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS r
+      FROM bmc2
+    ),
+    de AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
+    dq AS (SELECT vec_id AS q_id, qv AS qa FROM de
+           WHERE vec_id IN ({_HYBRID_QIDS})),
+    dc AS (SELECT vec_id AS c_id, qv AS qb FROM de),
+    dsc AS (
+      SELECT q_id, c_id,
+             CAST(list_sum(list_transform(range(1, len(qa)+1),
+               i -> CAST(qa[i] AS BIGINT) * qb[i])) AS BIGINT) AS qdot
+      FROM dq CROSS JOIN dc WHERE q_id != c_id
+    ),
+    dv AS (
+      SELECT q_id AS query_id, c_id AS doc_id, r FROM (
+        SELECT q_id, c_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY qdot DESC, c_id ASC) AS r
+        FROM dsc) WHERE r <= 20
+    )"""
+    + _rrf_budget_tail("(SELECT * FROM bm WHERE r <= 20)", "dv"),
+)
+def flagship_hybrid_serving(spark, sf_dir):
+    """Flagship #10 — HYBRID keyword + dense SEARCH SERVING
+    (plans/hybrid_serving.py): the two certified serving halves fused
+    per request — PRF-expanded BM25 top-20 off the pinned postings
+    (flagship #9's recall pass, _BM25_CTES + _PRF_CTES shared
+    verbatim) and exact-BIGINT int8-dot top-20 off the pinned store
+    (x3_quantized_topk's scoring text, _QVEC shared verbatim) —
+    through Reciprocal Rank Fusion (x4_rrf_fusion's combiner, here
+    ACROSS modalities) into a per-query 300-token budget cut (token
+    counts from the pinned postings; _rrf_budget_tail shared verbatim
+    with flagship #9). RRF is the right combiner because BM25
+    fixed-point sums and int8 dots live on incomparable scales —
+    ranks need no calibration. The recall flip (a doc invisible to
+    the literal query surfaces through the dense list) is pinned in
+    tests/test_northstar.py. Scale: corpus shuffles ONCE per index;
+    every post-index stage is O(queries·k) — corpus-size-independent
+    serving (the t49 twin streams request batches against both
+    pinned artifacts)."""
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    e = T(spark, sf_dir, "embeddings")
+    return hybrid_serving(d, e, _BM25_QUERIES)
 
 
 @q(

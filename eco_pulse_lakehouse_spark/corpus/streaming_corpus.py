@@ -3634,3 +3634,89 @@ def t48_stream_winnowing(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@q(
+    "t49_stream_hybrid_serving",
+    _ns.ORACLES["flagship_hybrid_serving"],
+)
+def t49_stream_hybrid_serving(spark, sf_dir):
+    """T49 — STREAMING hybrid keyword+dense serving (the request
+    twin of flagship_hybrid_serving, completing the serve family
+    next to t43/dense and t47/keyword): BOTH maintained artifacts —
+    the postings index (retrieval.py:term_postings) and the int8
+    vector store (plans/rag_context.py:int8_store) — are built ONCE
+    by the flagship's own stages and pinned; query REQUESTS stream
+    in, one file per trigger. Each micro-batch runs the identical
+    hybrid DAG (plans/hybrid_serving.py with the batch's queries and
+    both pinned stores: PRF-BM25 + int8-dot → cross-modality RRF →
+    token budget) and lands its queries' rows as an idempotent
+    epoch-keyed parquet partial. Every stage is per-query
+    independent and each query lives in exactly ONE source file, so
+    the partials are disjoint and union to the one-shot flagship
+    result verbatim — this entry carries its oracle verbatim.
+    100 TB shape: per-request work is O(queries·k) against two
+    pinned indexes; neither the corpus nor the vector store is
+    rebuilt per request."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        term_postings,
+    )
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+    from eco_pulse_lakehouse_spark.plans.rag_context import int8_store
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    e = T(spark, sf_dir, "embeddings")
+    postings = term_postings(d, "doc_id", "text").localCheckpoint(
+        eager=True
+    )  # pinned keyword index
+    store = int8_store(e).localCheckpoint(eager=True)  # pinned vectors
+
+    req = spark.createDataFrame(
+        [(qid, qtext) for qid, qtext in _ns._BM25_QUERIES],
+        "query_id long, query_text string",
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t49_{uuid.uuid4().hex}"
+    )
+    req.repartition(2).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t49_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "results"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(req.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def serve_requests(batch_df, batch_id: int) -> None:
+        batch_queries = [
+            (r.query_id, r.query_text) for r in batch_df.collect()
+        ]
+        if not batch_queries:
+            return
+        (
+            hybrid_serving(
+                d, e, batch_queries, postings=postings, quantized=store
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(serve_requests)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    return spark.read.parquet(os.path.join(sink, "batch=*")).select(
+        "query_id", "doc_id", "rrf_score", "rk", "n_tokens", "cum_tokens"
+    )

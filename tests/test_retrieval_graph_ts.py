@@ -198,6 +198,59 @@ def test_search_serving_flagship_stages_all_bind(spark):
     assert fused_differs
 
 
+def test_hybrid_serving_recall_flip_vs_keyword_only(spark):
+    """Flagship #10 on the real corpus: the hybrid fusion surfaces
+    documents the keyword half CANNOT — at least one budget-kept doc
+    per run is absent from both keyword ranklists (PRF-expanded BM25
+    top-20 is the keyword recall ceiling inside the flagship, and the
+    term-overlap list can only contain literal-term matches), so it
+    arrived through the dense list — while keyword-retrieved docs
+    still appear, i.e. fusion adds recall without discarding the
+    keyword side. Also re-pins the budget running sum on the fused
+    rank order."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.northstar import _BM25_QUERIES
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_prf_topk,
+        term_overlap_topk,
+    )
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint"), "text"
+    )
+    e = load_table(spark, sf, "embeddings")
+    out = hybrid_serving(d, e, _BM25_QUERIES).collect()
+    assert out
+    kw = {
+        (r.query_id, r.doc_id)
+        for r in bm25_prf_topk(
+            d, "doc_id", "text", _BM25_QUERIES, fb_k=5, n_expand=3, k=20
+        ).collect()
+    } | {
+        (r.query_id, r.doc_id)
+        for r in term_overlap_topk(
+            d, "doc_id", "text", _BM25_QUERIES, k=20
+        ).collect()
+    }
+    kept = {(r.query_id, r.doc_id) for r in out}
+    dense_only = kept - kw
+    assert dense_only, "hybrid output identical to keyword-only"
+    assert kept & kw, "fusion discarded the keyword side entirely"
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r.rk)
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run <= 300
+
+
 def test_rake_multiword_phrases_outrank_frequent_singletons(spark):
     """RAKE's signature (Rose et al. 2010, Table 1 behavior): words
     that co-occur in long candidate phrases get high degree/freq
