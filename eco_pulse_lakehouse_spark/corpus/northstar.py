@@ -177,32 +177,43 @@ def x2_minhash_lsh(spark, sf_dir):
     )
 
 
-@q(
-    "x2_winnowing_pairs",
-    f"""
-    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
+def _winnow_fp_ctes(p: str = "") -> str:
+    """The winnowing fingerprint-index CTE chain (token hashes →
+    rolling 3-gram combine → window-of-4 minima → exploded distinct
+    (doc_id, fp)) — shared VERBATIM by x2_winnowing_pairs,
+    x2_winnowing_bounded and x2_winnowing_clusters so the index
+    definition cannot drift. ``p`` prefixes the CTE names for
+    compositions whose other fragments already bind ``tw`` (the
+    clusters entry composes with _dsir_fb)."""
+    return f"""{p}tw AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents),
-    t AS (
+    {p}t AS (
       SELECT doc_id,
              list_transform(w, tok -> {_poly_th_sql('tok')}) AS th,
              len(w) AS nw
-      FROM tw
+      FROM {p}tw
     ),
-    g AS (
+    {p}g AS (
       SELECT doc_id,
              list_transform(range(1, nw - 1),
                i -> (((th[i] * 67 + th[i+1]) % 2147483647) * 67
                      + th[i+2]) % 2147483647) AS gh,
              nw - 2 AS m
-      FROM t WHERE nw >= 3
+      FROM {p}t WHERE nw >= 3
     ),
-    fp AS (
+    {p}fp AS (
       SELECT doc_id,
              unnest(list_distinct(
                list_transform(range(1, greatest(m - 3, 1) + 1),
                  j -> list_min(gh[j:j+3])))) AS fp
-      FROM g
-    )
+      FROM {p}g
+    )"""
+
+
+@q(
+    "x2_winnowing_pairs",
+    f"""
+    WITH {_winnow_fp_ctes()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -231,29 +242,7 @@ def x2_winnowing_pairs(spark, sf_dir):
 @q(
     "x2_winnowing_bounded",
     f"""
-    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w
-                FROM documents),
-    t AS (
-      SELECT doc_id,
-             list_transform(w, tok -> {_poly_th_sql('tok')}) AS th,
-             len(w) AS nw
-      FROM tw
-    ),
-    g AS (
-      SELECT doc_id,
-             list_transform(range(1, nw - 1),
-               i -> (((th[i] * 67 + th[i+1]) % 2147483647) * 67
-                     + th[i+2]) % 2147483647) AS gh,
-             nw - 2 AS m
-      FROM t WHERE nw >= 3
-    ),
-    fp AS (
-      SELECT doc_id,
-             unnest(list_distinct(
-               list_transform(range(1, greatest(m - 3, 1) + 1),
-                 j -> list_min(gh[j:j+3])))) AS fp
-      FROM g
-    ),
+    WITH {_winnow_fp_ctes()},
     capped AS (
       SELECT doc_id, fp FROM (
         SELECT doc_id, fp,
@@ -5940,6 +5929,61 @@ def x2_canonical_per_cluster(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     pairs = xd.ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.2
+    )
+    return canonical_per_cluster(d, pairs, F.col("lang") == "en")
+
+
+@q(
+    "x2_winnowing_clusters",
+    f"""
+    WITH {_winnow_fp_ctes("w")},
+    wpairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM wpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM wpairs
+    ){_cc_label_prop_sql()}, {_dsir_fb("documents")},
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT comp, doc_id, weight_fp, n_members FROM (
+      SELECT f.comp, f.doc_id, w.weight_fp,
+             CAST(COUNT(*) OVER (PARTITION BY f.comp) AS BIGINT)
+               AS n_members,
+             row_number() OVER (PARTITION BY f.comp
+               ORDER BY w.weight_fp DESC, f.doc_id ASC) AS rn
+      FROM alldocs f JOIN weights w ON f.doc_id = w.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def x2_winnowing_clusters(spark, sf_dir):
+    """X2 end-game — the MOSS pipeline's actual END STATE: winnowing
+    fingerprint pairs (x2_winnowing_pairs' index, _winnow_fp_ctes
+    shared verbatim) resolved into duplicate GROUPS via
+    pointer-jumping connected components, each group keeping its
+    best-by-DSIR-weight member, singletons keeping themselves
+    (operators/selection.py:canonical_per_cluster — the same
+    composed stage as x2_canonical_per_cluster, fed by the
+    DETERMINISTIC pair tier instead of Jaccard: any shared
+    ≥ w+k−1 = 6-token run is guaranteed to land both docs in one
+    cluster). Oracle composes the winnowing index + the CC
+    label-propagation fixpoint (with the poison certificate) + the
+    DSIR weight CTEs in one statement. Scale: fingerprint-keyed
+    equi-join pairs (~2/(w+1) index), node-sized CC rounds, one
+    per-cluster ranking window — no all-pairs stage anywhere."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    pairs = xd.winnowing_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2,
+        token_hash=xd.poly_token_hash,
     )
     return canonical_per_cluster(d, pairs, F.col("lang") == "en")
 

@@ -2141,6 +2141,84 @@ def test_bounded_winnowing_cap_deterministic_with_overflow(spark):
         assert r.uncapped_pairs == sizes[f] * (sizes[f] - 1) // 2
 
 
+def test_winnowing_clusters_consistency_vs_dedup_clusters(spark):
+    """x2_winnowing_clusters composition consistency on the real
+    corpus: (a) every winnowing PAIR ends in the same component of
+    the cluster map its canonical output is built from; (b) exact
+    duplicates (identical text, ≥ 6 tokens — inside the winnowing
+    detection guarantee) are same-component in BOTH the winnowing
+    clusters AND the Jaccard-pair clusters (x2_dedup_clusters'
+    composition) — the dedup-ladder tiers agree wherever both have a
+    guarantee; (c) the canonical table keeps exactly one row per
+    component and covers every document."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        poly_token_hash,
+        winnowing_pairs,
+    )
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pairs = winnowing_pairs(
+        docs, "doc_id", "text", k=3, w=4, min_shared=2,
+        token_hash=poly_token_hash,
+    )
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pair_rows
+    comp = {
+        r.id: r.comp for r in connected_components(pairs).collect()
+    }
+    for a, b in pair_rows:  # (a) pairs never split across clusters
+        assert comp[a] == comp[b]
+
+    # (b) exact duplicates (identical ≥ 6-token text — inside the
+    # winnowing guarantee) planted among the real docs must be
+    # same-component under BOTH tiers. sf0.001 carries no identical
+    # texts, so the group is crafted; the real corpus still supplies
+    # the surrounding fingerprint/shingle blocks.
+    dup_text = (
+        "planted duplicate paragraph with plenty of distinct tokens "
+        "so the winnowing index keeps several fingerprints per copy"
+    )
+    spike = docs.sparkSession.createDataFrame(
+        [(900001, dup_text), (900002, dup_text), (900003, dup_text)],
+        "doc_id long, text string",
+    )
+    aug = docs.select("doc_id", "text").unionByName(spike)
+    wcomp2 = {
+        r.id: r.comp
+        for r in connected_components(
+            winnowing_pairs(
+                aug, "doc_id", "text", k=3, w=4, min_shared=2,
+                token_hash=poly_token_hash,
+            )
+        ).collect()
+    }
+    jcomp2 = {
+        r.id: r.comp
+        for r in connected_components(
+            ngram_jaccard_pairs(
+                aug, "doc_id", "text", shingle_n=3, threshold=0.2
+            )
+        ).collect()
+    }
+    planted = [900001, 900002, 900003]
+    assert len({wcomp2[i] for i in planted}) == 1
+    assert len({jcomp2[i] for i in planted}) == 1
+
+    canon = canonical_per_cluster(
+        docs, pairs, F.col("lang") == "en"
+    ).collect()
+    comps_seen = [r.comp for r in canon]
+    assert len(comps_seen) == len(set(comps_seen))  # (c) one per comp
+    assert sum(r.n_members for r in canon) == docs.count()
+
+
 def _unimax_greedy(lang_n: dict[str, int], budget: int, epochs: int):
     """The PAPER's sequential greedy (UniMax Alg. 1, Chung et al.
     2023), smallest language first: grant min(E·n, remaining budget /
