@@ -392,8 +392,14 @@ def perceptual_phash(mm: DataFrame) -> DataFrame:
     # explode + one map-side-combinable groupBy replaces 64
     # interpreted slice-folds (first draft benched 10.3 s at sf0.1;
     # this shape is the explode→partial-agg discipline the minhash
-    # rewrite established). The dense 0..63 grid is restored with a
-    # sequence cross so empty cells (short payloads) keep gray 0.
+    # rewrite established). The dense 0..63 grid is restored
+    # MAP-SIDE (VERDICT r10 item 4): the populated cells collapse to
+    # one per-doc 64-entry map (a second, doc-sized groupBy) and a
+    # transform over sequence(0,63) fills the gaps with gray 0 — no
+    # 64·N-row grid join anywhere (the join restore measured 1.16×
+    # slower at sf0.1 AND at the 10× rehearsal corpus,
+    # BENCH_DETAIL.phash_grid_restore_probe). Zero-byte docs carry no
+    # cell rows at all and re-enter as an all-zero dense grid.
     bytes_ = base.select(
         "doc_id",
         F.col("__n"),
@@ -410,22 +416,41 @@ def perceptual_phash(mm: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("__l"),
         )
     )
-    grid = base.select(
+    cells_map = (
+        cell_sums.withColumn("gray", F.expr("(__s * 100) div __l"))
+        .groupBy("doc_id", "__n")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("j", "gray"))
+            ).alias("__m")
+        )
+    )
+    dense = cells_map.select(
         "doc_id",
         F.col("__n"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("__m"), j.cast("int")),
+                    F.lit(0).cast("bigint"),
+                ),
+            )
+        ).alias("j", "gray"),
     )
-    cells = (
-        grid.join(cell_sums, ["doc_id", "__n", "j"], "left")
-        .select(
-            "doc_id",
-            F.col("__n").alias("n_bytes"),
-            (F.col("j") % 8).alias("x"),
-            (F.col("j") / 8).cast("int").alias("y"),
-            F.when(
-                F.col("__l") > 0, F.expr("(__s * 100) div __l")
-            ).otherwise(F.lit(0).cast("bigint")).alias("gray"),
-        )
+    empty = base.filter(F.col("__n") == 0).select(
+        "doc_id",
+        F.col("__n"),
+        F.posexplode(
+            F.array_repeat(F.lit(0).cast("bigint"), 64)
+        ).alias("j", "gray"),
+    )
+    cells = dense.unionByName(empty).select(
+        "doc_id",
+        F.col("__n").alias("n_bytes"),
+        (F.col("j") % 8).alias("x"),
+        (F.col("j") / 8).cast("int").alias("y"),
+        "gray",
     )
     basis = mm.sparkSession.createDataFrame(
         [(u, x, PHASH_DCT[u][x]) for u in range(8) for x in range(8)],

@@ -21,11 +21,15 @@ counts (statusTracker job groups) + the measured trivial-job floor
 quantify the irreducible local-mode driver overhead, like
 t35_batch_cost_split.
 
-Results merge into BENCH_DETAIL.json under "t40_cost_split" and
-"t41_cost_split".
+Round 11 adds t48 (the winnowing-index ingest twin, rehearsal
+exponent 0.75 — the only r10 family above the 0.5 line): its
+foreachBatch body is one row-local fingerprint pass per batch, so
+the same fixed+slope decomposition applies.
 
-Run: python tools/t4x_cost_split.py [sf_dir]   (never alongside
-another Spark JVM)
+Results merge into BENCH_DETAIL.json under "<twin>_cost_split".
+
+Run: python tools/t4x_cost_split.py [sf_dir] [twin ...]   (never
+alongside another Spark JVM; twins default to all of t40/t41/t48)
 """
 
 from __future__ import annotations
@@ -175,7 +179,26 @@ def main() -> None:
             .parquet(os.path.join(sink, "docbuckets"))
         )
 
-    twins = {"t40": t40_batch, "t41": t41_batch}
+    # ---- t48: one row-local fingerprint pass per batch ---------------
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_fingerprints,
+    )
+
+    def t48_batch(batch_df, sink):
+        (
+            winnowing_fingerprints(
+                batch_df, "doc_id", "text", k=3, w=4,
+                token_hash=poly_token_hash,
+            )
+            .write.mode("overwrite")
+            .parquet(sink)
+        )
+
+    twins = {"t40": t40_batch, "t41": t41_batch, "t48": t48_batch}
+    wanted = sys.argv[2:]
+    if wanted:
+        twins = {k: v for k, v in twins.items() if k in wanted}
     results = {name: {"points": [], "batches": []} for name in twins}
 
     for n_files in (4, 8):
