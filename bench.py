@@ -93,6 +93,8 @@ HEADLINE = [
     "x2_winnowing_bounded",    # hot-fingerprint capped winnowing
     "x4_rake_keyphrases",      # stopword-split degree/freq phrases
     "x5_image_phash",          # separable integer DCT perceptual hash
+    # round-11 families
+    "flagship_hybrid_serving",  # flagship #10: keyword+dense RRF serve
 ]
 
 # Heavy never-benched families (VERDICT r05 item 8): timed ONCE per
@@ -136,6 +138,9 @@ ONEOFF = [
     "x4_textrank_keywords",    # pagerank over word co-occurrence (r10)
     "flagship_data_factory_nb",  # factory #8b: learned DSIR target
     "t48_stream_winnowing",    # incremental fingerprint-index drain
+    "t49_stream_hybrid_serving",  # per-request hybrid serve drain (r11)
+    "x2_winnowing_clusters",   # MOSS pairs -> CC -> keep-canonical (r11,
+    # iterative CC loop — the x2_canonical_per_cluster convention)
 ]
 
 

@@ -804,6 +804,34 @@ def test_prf_expansion_plan_broadcasts_terms_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_hybrid_serving_plan_shape(spark):
+    """flagship_hybrid_serving: the keyword half broadcasts its
+    (query, term) lists onto postings (BroadcastHashJoin); the dense
+    half's only cross products are the bounded query batch against
+    the store (quantized_dot_topk's deliberate 3-row-side
+    BroadcastNestedLoopJoin) and 1-row corpus-stats broadcasts —
+    never a data×data CartesianProduct; the fusion itself is the
+    tiny FullOuter equi-join of two top-N lists."""
+    df = northstar.QUERIES["flagship_hybrid_serving"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_winnowing_clusters_plan_no_cartesian(spark):
+    """x2_winnowing_clusters: the composed MOSS end state keeps the
+    blocked-family contract end-to-end — fingerprint-keyed equi-join
+    pair generation, node-sized CC joins, broadcast DSIR weight
+    table; no cartesian. (The one BroadcastNestedLoopJoin is the
+    DSIR ratio-table's deliberate 1-row totals broadcast cross —
+    the same pattern every dsir_weights consumer plans.)"""
+    df = northstar.QUERIES["x2_winnowing_clusters"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_unimax_select_plan_no_doc_scale_global_window(spark):
     """x6_unimax_mixture: the per-language running total must come
     from the range-partitioned composition (partition-local window
