@@ -141,6 +141,7 @@ ONEOFF = [
     "t49_stream_hybrid_serving",  # per-request hybrid serve drain (r11)
     "x2_winnowing_clusters",   # MOSS pairs -> CC -> keep-canonical (r11,
     # iterative CC loop — the x2_canonical_per_cluster convention)
+    "t50_stream_hybrid_index",  # dual-artifact ingest + serve drain (r11)
 ]
 
 

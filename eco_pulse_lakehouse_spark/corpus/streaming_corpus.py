@@ -3720,3 +3720,87 @@ def t49_stream_hybrid_serving(spark, sf_dir):
     return spark.read.parquet(os.path.join(sink, "batch=*")).select(
         "query_id", "doc_id", "rrf_score", "rk", "n_tokens", "cum_tokens"
     )
+
+
+@q(
+    "t50_stream_hybrid_index",
+    _ns.ORACLES["flagship_hybrid_serving"],
+)
+def t50_stream_hybrid_index(spark, sf_dir):
+    """T50 — STREAMING maintenance of BOTH hybrid-serving artifacts
+    (the ingest side of the loop t49 serves): documents stream one
+    file per trigger landing POSTINGS partials (doc_id, term, tf —
+    complete per doc, the t32 discipline), and embeddings stream one
+    file per trigger landing INT8-STORE partials (vec_id, q_vec,
+    __n8 — quantization + norm are row-local, the t19 discipline).
+    Each merged artifact is a plain union ≡ its one-shot build, so
+    running the identical hybrid DAG (plans/hybrid_serving.py with
+    both merged stores) answers the request batch EXACTLY like
+    flagship #10 — this entry carries its oracle verbatim. The
+    production loop closed: both indexes grow at ingest cost
+    O(batch), history is never re-tokenized or re-quantized, and
+    serving (t49) reads whatever version the two maintained
+    artifacts are at."""
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+    from eco_pulse_lakehouse_spark.plans.rag_context import int8_store
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        term_postings,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    e = T(spark, sf_dir, "embeddings")
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t50_{uuid.uuid4().hex}"
+    )
+
+    # --- ingest pipeline 1: the keyword index ---
+    d_stage = os.path.join(base, "docs_in")
+    d.repartition(4).write.parquet(d_stage)
+    d_sink = os.path.join(base, "postings")
+
+    def land_postings(batch_df, batch_id: int) -> None:
+        term_postings(batch_df, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d_sink, f"batch={batch_id}"))
+
+    q1 = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d_stage)
+        .writeStream.foreachBatch(land_postings)
+        .option("checkpointLocation", os.path.join(base, "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # --- ingest pipeline 2: the int8 vector store ---
+    e_stage = os.path.join(base, "vecs_in")
+    e.repartition(4).write.parquet(e_stage)
+    e_sink = os.path.join(base, "store")
+
+    def land_store(batch_df, batch_id: int) -> None:
+        int8_store(batch_df).select("vec_id", "q_vec", "__n8").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(e_sink, f"batch={batch_id}"))
+
+    q2 = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(e_stage)
+        .writeStream.foreachBatch(land_store)
+        .option("checkpointLocation", os.path.join(base, "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    postings = spark.read.parquet(os.path.join(d_sink, "batch=*"))
+    store = spark.read.parquet(os.path.join(e_sink, "batch=*"))
+    return hybrid_serving(
+        d, e, _ns._BM25_QUERIES, postings=postings, quantized=store
+    )

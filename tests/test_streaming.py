@@ -469,6 +469,35 @@ def test_stream_hybrid_serving_equals_batch(spark):
     assert streamed == batch and len(batch) > 0
 
 
+def test_stream_hybrid_index_equals_batch(spark):
+    """t50: the INGEST side of the hybrid loop — postings partials
+    (complete per doc) and int8-store partials (row-local) each
+    merge by plain union, so serving over the two streamed artifacts
+    must equal the one-shot flagship-#10 output exactly."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.northstar import _BM25_QUERIES
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t50_stream_hybrid_index"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    e = load_table(spark, sf, "embeddings")
+    batch = {
+        tuple(r) for r in hybrid_serving(d, e, _BM25_QUERIES).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stream_rag_context_equals_batch(spark):
     """t43: per-request-batch RAG context partials (each query lives
     in one source file; the int8 store is the pinned static
