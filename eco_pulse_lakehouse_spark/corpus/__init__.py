@@ -389,6 +389,18 @@ _NEW_R11: frozenset[str] = frozenset(
         "x4_textrank_keywords",
         "x5_image_ahash",
         "x5_image_phash",
+        # r11 perf work, output-identical but code-path changed (the
+        # shared-build pins + the pHash map-side grid restore —
+        # already above): _shingle_pair_counts and the PPJoin
+        # shingle table now localCheckpoint before their three-way
+        # fan-outs, touching every consumer below (all re-verified
+        # exact locally at all three SFs).
+        "x2_ngram_jaccard",
+        "x2_containment",
+        "x2_dedup_clusters",
+        "x2_canonical_per_cluster",
+        "x6_group_split",
+        "x2_prefix_filter_jaccard",
     }
 )
 

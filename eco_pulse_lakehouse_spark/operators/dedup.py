@@ -370,11 +370,18 @@ def _shingle_pair_counts(
     measures (Jaccard / containment): distinct shingle sets, per-doc
     set sizes, shingle equi-join, per-pair intersection counts joined
     back with both sizes. Returns (id_a < id_b, __inter, __sa, __sb);
-    pairs sharing zero shingles never materialize."""
+    pairs sharing zero shingles never materialize.
+
+    The shingle table is PINNED before fanning out (the
+    bounded_winnowing/PPJoin/postings discipline; persist() on a
+    real cluster): three subplans consume it — the inverted-index
+    explode and both per-doc size lookups — and each re-tokenized +
+    re-shingled the corpus unpinned. Measured at sf0.1 (cold noop
+    medians): 10.9 s → 3.8 s, identical output."""
     sh = docs.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sh.select("__id", F.size("sh").alias("__sz"))
     inv = sh.select("__id", F.explode("sh").alias("__s"))
     a = inv.select(F.col("__id").alias("id_a"), "__s")
@@ -1333,12 +1340,18 @@ def prefix_filter_jaccard_pairs(
     asc) — computed once, joined onto the per-doc shingle stream,
     per-doc prefix = array_sort + slice (row-local).
     """
+    # Pin the shingle table before fanning out: THREE subplans
+    # consume it (the index explode + both verification id lookups)
+    # and would each re-tokenize + re-shingle the corpus otherwise
+    # (the bounded_winnowing/postings pin discipline; persist() on a
+    # real cluster). Measured at sf0.1: 11.7 s → 5.0 s, identical
+    # output.
     sh = docs.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(
             word_shingles(F.col(text_col), shingle_n)
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     ex = sh.select("__id", F.explode("sh").alias("__s"))
     df_tab = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc shingles with their global order key, re-packed and
