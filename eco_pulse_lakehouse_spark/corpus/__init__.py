@@ -401,6 +401,11 @@ _NEW_R11: frozenset[str] = frozenset(
         "x2_canonical_per_cluster",
         "x6_group_split",
         "x2_prefix_filter_jaccard",
+        # same pin applied to the two alias-below-the-exchange
+        # self-joins Spark can't ReusedExchange (minhash band table,
+        # winnowing fingerprint index).
+        "x2_minhash_lsh",
+        "x2_winnowing_pairs",
     }
 )
 
