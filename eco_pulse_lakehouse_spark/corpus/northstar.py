@@ -2262,11 +2262,11 @@ def _rrf_budget_tail(
     """
 
 
-@q(
-    "flagship_search_serving",
-    f"""{_BM25_CTES},
-    {_PRF_CTES},
-    bmc2 AS (
+# The PRF-BM25 keyword RANKLIST head (contrib2 sum → per-query
+# row_number) — shared VERBATIM by flagship_search_serving and
+# flagship_hybrid_serving (the _rrf_budget_tail discipline: the two
+# flagships' keyword halves cannot drift).
+_BM_RANKLIST_CTES = """bmc2 AS (
       SELECT query_id, doc_id, SUM(c_fp) AS s
       FROM contrib2 GROUP BY query_id, doc_id
     ),
@@ -2274,7 +2274,14 @@ def _rrf_budget_tail(
       SELECT query_id, doc_id, row_number() OVER (
         PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS r
       FROM bmc2
-    ),
+    )"""
+
+
+@q(
+    "flagship_search_serving",
+    f"""{_BM25_CTES},
+    {_PRF_CTES},
+    {_BM_RANKLIST_CTES},
     ovc AS (
       SELECT qt.query_id, tf.doc_id,
              COUNT(*) AS nm, SUM(tf.tf) AS ttf
@@ -2322,15 +2329,7 @@ _HYBRID_QIDS = ", ".join(str(qid) for qid, _ in _BM25_QUERIES)
     "flagship_hybrid_serving",
     f"""{_BM25_CTES},
     {_PRF_CTES},
-    bmc2 AS (
-      SELECT query_id, doc_id, SUM(c_fp) AS s
-      FROM contrib2 GROUP BY query_id, doc_id
-    ),
-    bm AS (
-      SELECT query_id, doc_id, row_number() OVER (
-        PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS r
-      FROM bmc2
-    ),
+    {_BM_RANKLIST_CTES},
     de AS (SELECT vec_id, {_QVEC} AS qv FROM embeddings),
     dq AS (SELECT vec_id AS q_id, qv AS qa FROM de
            WHERE vec_id IN ({_HYBRID_QIDS})),

@@ -98,7 +98,13 @@ def hybrid_serving(
             eager=True
         )
     if quantized is None:
-        quantized = int8_store(embeddings, vec_col)
+        # pinned like postings above: the dq left-semi and dc
+        # full-scan subplans both consume the store, and the aliases
+        # below the exchange defeat ReusedExchange (the dedup-family
+        # pin discipline; persist() on a real cluster)
+        quantized = int8_store(embeddings, vec_col).localCheckpoint(
+            eager=True
+        )
 
     # --- keyword half: PRF-expanded BM25 (the flagship-#9 recall
     # pass — its expression tree verbatim) ---

@@ -68,7 +68,12 @@ def _fit(points):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = sys.argv[1:]
+    # convenience: `t4x_cost_split.py t48` (twin names only) keeps
+    # the default sf_dir instead of crashing in load_table
+    if args and args[0] in ("t40", "t41", "t48"):
+        args.insert(0, "")
+    sf_dir = args[0] if args and args[0] else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     spark = get_session("t4x-cost-split", shuffle_partitions=32)
@@ -110,14 +115,9 @@ def main() -> None:
     base = os.path.join(tempfile.gettempdir(), f"t4x_{uuid.uuid4().hex}")
 
     # ---- t40: batch-learned merges applied per batch -----------------
-    merges = [
-        (r.left_sym, r.right_sym)
-        for r in learn_wordpiece_merges(
-            docs, "text", n_merges=_ns._BPE_MERGES
-        )
-        .orderBy("merge_round")
-        .collect()
-    ]
+    # (the full-corpus merge learning is deferred until t40 is
+    # actually selected — a t48-only run must not pay it)
+    merges: list = []
 
     def t40_batch(batch_df, sink):
         seg = segment_words(batch_df, merges)
@@ -196,9 +196,24 @@ def main() -> None:
         )
 
     twins = {"t40": t40_batch, "t41": t41_batch, "t48": t48_batch}
-    wanted = sys.argv[2:]
+    wanted = args[1:]
     if wanted:
+        unknown = [w for w in wanted if w not in twins]
+        if unknown:
+            raise SystemExit(
+                f"unknown twin(s) {unknown}; choose from {sorted(twins)} "
+                "(usage: t4x_cost_split.py [sf_dir] [twin ...])"
+            )
         twins = {k: v for k, v in twins.items() if k in wanted}
+    if "t40" in twins:
+        merges.extend(
+            (r.left_sym, r.right_sym)
+            for r in learn_wordpiece_merges(
+                docs, "text", n_merges=_ns._BPE_MERGES
+            )
+            .orderBy("merge_round")
+            .collect()
+        )
     results = {name: {"points": [], "batches": []} for name in twins}
 
     for n_files in (4, 8):
