@@ -98,13 +98,14 @@ def hybrid_serving(
             eager=True
         )
     if quantized is None:
-        # pinned like postings above: the dq left-semi and dc
-        # full-scan subplans both consume the store, and the aliases
-        # below the exchange defeat ReusedExchange (the dedup-family
-        # pin discipline; persist() on a real cluster)
-        quantized = int8_store(embeddings, vec_col).localCheckpoint(
-            eager=True
-        )
+        # NOT pinned, measured (the SCALE.md pin rule): the store is
+        # a map-only quantize+norm projection over the embeddings
+        # scan — no shuffle in the subtree — and the pinned form
+        # benched 7% SLOWER at sf0.1 (4.98 vs 4.67 s; the simhash
+        # class, materialization exceeds recompute). Serving paths
+        # that reuse the store across requests pass a pinned
+        # ``quantized`` (t49/t50) — that is where pinning pays.
+        quantized = int8_store(embeddings, vec_col)
 
     # --- keyword half: PRF-expanded BM25 (the flagship-#9 recall
     # pass — its expression tree verbatim) ---
