@@ -22,6 +22,42 @@ from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.functions.text import word_shingles
 
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Shared-build pin for multi-consumer subtrees (minhash band
+    table, shingle tables, winnowing fingerprint indexes).
+
+    Pin contract — callers should know three things (ADVICE r11):
+
+    1. COST AT CONSTRUCTION, not at action: ``localCheckpoint
+       (eager=True)`` runs the pinned subtree's full job the moment
+       the operator function is CALLED, even if the caller only
+       inspects ``.explain()`` or applies further filters (which can
+       no longer push below the pin — the pinned frame is already
+       the right granularity for every shipped consumer).
+    2. NO AUTO-RELEASE: the blocks live until the session ends or
+       someone unpersists them. One-shot jobs don't care (the pin
+       dies with the job — the 100 TB posture); a LONG-LIVED session
+       calling pinned operators repeatedly must release between
+       calls: unpersist every persistent RDD via
+       ``spark.sparkContext._jsc.getPersistentRDDs()`` (see
+       bench.release_cached_state — the r11 bench inflation was
+       exactly this accumulation). Recompute of an unpersisted
+       localCheckpoint FAILS by design, so release only after the
+       consuming action finishes and the frame is dropped.
+    3. ON A REAL CLUSTER use ``persist(StorageLevel.MEMORY_AND_DISK)``
+       (+ checkpoint for lineage breaks): localCheckpoint blocks die
+       with an executor; local-mode has one executor, so here it is
+       the cheap exact stand-in.
+
+    When to pin at all: only when the shared subtree contains its own
+    shuffle or an interpreted explode pipeline — pinning a cheap
+    codegen'd map-only projection measured SLOWER (simhash probe,
+    SCALE.md r11 rule).
+    """
+    return df.localCheckpoint(eager=True)
+
+
 # --- exact ----------------------------------------------------------------
 
 
@@ -242,7 +278,7 @@ def minhash_lsh_pairs(
     # cluster).
     banded = minhash_bands(
         docs, id_col, text_col, num_hashes, bands, shingle_n, token_hash
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b_ = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
@@ -387,7 +423,7 @@ def _shingle_pair_counts(
     sh = docs.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     sizes = sh.select("__id", F.size("sh").alias("__sz"))
     inv = sh.select("__id", F.explode("sh").alias("__s"))
     a = inv.select(F.col("__id").alias("id_a"), "__s")
@@ -865,7 +901,7 @@ def winnowing_pairs(
     # measured 4.5 → 2.8 s at sf0.1, identical output).
     fp = winnowing_fingerprints(
         docs, id_col, text_col, k, w, token_hash
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -914,7 +950,7 @@ def bounded_winnowing_pairs(
     # persist() on a real cluster).
     fp = winnowing_fingerprints(
         docs, id_col, text_col, k, w, token_hash
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     hot = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -1363,7 +1399,7 @@ def prefix_filter_jaccard_pairs(
         F.array_distinct(
             word_shingles(F.col(text_col), shingle_n)
         ).alias("sh"),
-    ).localCheckpoint(eager=True)
+    ).transform(_pin)
     ex = sh.select("__id", F.explode("sh").alias("__s"))
     df_tab = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc shingles with their global order key, re-packed and

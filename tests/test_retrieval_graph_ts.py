@@ -160,6 +160,42 @@ def test_prf_expansion_widens_recall_and_flips_ranking(spark):
     assert 4 in prf  # recall widened by the expansion pass
 
 
+def test_postings_tf_sum_equals_token_count(spark):
+    """Pins the invariant the serving budget stage rests on (ADVICE
+    r11): sum(tf) over term_postings == token_count(text) per doc.
+    This holds ONLY because tokens() is a bare split that never drops
+    tokens — a tokenizer edit that filters empties or punctuation
+    would silently change budget cuts. Checked on the real corpus AND
+    a crafted doc whose double space yields an empty-string token
+    (kept by split, so the equality still holds — the trap case)."""
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.functions.text import token_count
+    from eco_pulse_lakehouse_spark.operators.retrieval import term_postings
+
+    crafted = spark.createDataFrame(
+        [(9_000_001, "alpha  beta gamma alpha"), (9_000_002, "x")],
+        ["doc_id", "text"],
+    )
+    d = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.col("doc_id").cast("bigint"), "text")
+        .unionByName(crafted)
+    )
+    mismatch = (
+        term_postings(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("tf_sum"))
+        .join(d.select("doc_id", token_count(F.col("text")).alias("n")), "doc_id", "full")
+        .filter(
+            F.col("tf_sum").isNull()
+            | F.col("n").isNull()
+            | (F.col("tf_sum") != F.col("n"))
+        )
+        .count()
+    )
+    assert mismatch == 0
+
+
 def test_search_serving_flagship_stages_all_bind(spark):
     """Flagship #9 on the real corpus: every stage must do real work
     — the budget cut drops fused candidates, the fused order differs

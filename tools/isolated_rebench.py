@@ -11,19 +11,19 @@ controls do), the swing was mixed-run/host state; if a suspect stays
 inflated while controls sit at their records, it's a real plan/code
 regression.
 
-Round 10 target set (VERDICT r09 item 2): the three >1.5x normalized
-r08->r09 swings — none had code changes in r09:
-  x4_rrf_fusion   2.133 -> 4.221 raw (1.71x normalized)
-  x1_soft_dedup   0.395 -> 0.905 raw (1.98x normalized; sub-second —
-                  the class the r07 notes say spikes 3x under a
-                  degraded probe)
-  w30_hw_seasonal 0.853 -> 1.611 raw (1.63x normalized)
-Controls (no code changes either; r09 swings all inside the band):
-  x4_bm25 (shares _BM25_CTES with rrf — if rrf lost the shared-CTE
-  reuse, bm25 would NOT show it, isolating a plan defect), tpch_q1,
-  tpch_q3, a7_summary.
+Round 12 target set (VERDICT r11 item 1): the five >1.5x normalized
+r10->r11 swings — none had code changes in r11. The r11 hypothesis
+under test: bench-process cache pressure (the r11 localCheckpoint
+pins were never released between entries, and all five suspects sit
+LATE in the headline order), not plan regressions. This run applies
+the same release_cached_state() hygiene bench.py now uses, so a
+clean verdict here + a clean full-bench re-run closes the question.
 
-Writes `isolated_rebench_r10` into BENCH_DETAIL.json (merge, never
+Records compared are HOST-NORMALIZED p50s (queries_norm from the
+shipped BENCH_r10/BENCH_r11 stdout tails), so the host-speed swing
+between those runs and this one cancels.
+
+Writes `isolated_rebench_r12` into BENCH_DETAIL.json (merge, never
 overwrite — the sidecar holds other tools' sections).
 
 Run:  python tools/isolated_rebench.py    (never alongside another
@@ -45,26 +45,27 @@ from bench import (  # noqa: E402
     REF_PY_LOOP,
     host_speed_probe,
     materialize,
+    release_cached_state,
     stage_silver,
 )
 
-# (name, is_suspect, r08 shipped p50, r09 shipped p50) — raw seconds
-# from the BENCH_r08/BENCH_r09 metric lines.
+# (name, is_suspect, r10 shipped NORM p50, r11 shipped NORM p50) —
+# from the BENCH_r10/BENCH_r11 queries_norm maps.
 QUERIES = [
-    ("x4_rrf_fusion", True, 2.133, 4.221),
-    ("x1_soft_dedup", True, 0.395, 0.905),
-    ("w30_hw_seasonal", True, 0.853, 1.611),
-    ("x4_bm25", False, 1.908, 2.101),
-    ("tpch_q1", False, 0.251, 0.312),
-    ("tpch_q3", False, 0.816, 0.864),
-    ("a7_summary", False, 0.357, 0.513),
+    ("a29_heavy_hitters", True, 1.752, 10.864),
+    ("x4_nb_lang_id", True, 2.138, 6.976),
+    ("x6_budget_select", True, 2.771, 7.663),
+    ("x2_prefix_filter_jaccard", True, 5.030, 8.286),
+    ("x4_perplexity_buckets", True, 1.942, 3.295),
+    ("tpch_q1", False, 0.238, 0.251),
+    ("a7_summary", False, 0.434, 0.457),
+    ("x4_bm25", False, 2.007, 1.910),
+    ("w16_sax_motif_pairs", False, 5.158, 5.216),
 ]
-# The recorded single-core probe means of those runs (their
-# "py_loop_sec" fields), for normalizing the shipped records.
-R08_PY_LOOP = 0.467
-R09_PY_LOOP = 0.541
 N_RUNS = 5
-SECTION = "isolated_rebench_r10"
+SECTION = "isolated_rebench_r12"
+PREV_KEY = "r10"  # the record band suspects must return to
+LAST_KEY = "r11"  # the inflated round under adjudication
 
 
 def main() -> None:
@@ -84,7 +85,7 @@ def main() -> None:
     ensure_silver_database(spark, sf_dir)
 
     rows: dict[str, dict] = {}
-    for name, suspect, r08_p50, r09_p50 in QUERIES:
+    for name, suspect, prev_norm, last_norm in QUERIES:
         fn = qs[name]
         materialize(fn(spark, sf_dir))  # warm-up (untimed)
         runs = []
@@ -92,12 +93,13 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+        release_cached_state(spark)
         rows[name] = {
             "suspect": suspect,
             "p50": round(statistics.median(runs), 3),
             "min": round(min(runs), 3),
-            "r08_p50": r08_p50,
-            "r09_p50": r09_p50,
+            f"{PREV_KEY}_norm": prev_norm,
+            f"{LAST_KEY}_norm": last_norm,
         }
     probe_mid = host_speed_probe()
 
@@ -110,6 +112,7 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
+        release_cached_state(spark)
         rows[name]["p50_pass2"] = round(statistics.median(runs), 3)
     probe_end = host_speed_probe()
 
@@ -124,25 +127,22 @@ def main() -> None:
     for name, row in rows.items():
         best_p50 = min(row["p50"], row["p50_pass2"])
         norm = best_p50 / host_ratio
-        r08_norm = row["r08_p50"] / (R08_PY_LOOP / REF_PY_LOOP)
-        r09_norm = row["r09_p50"] / (R09_PY_LOOP / REF_PY_LOOP)
         row["p50_norm"] = round(norm, 3)
-        row["r08_p50_norm"] = round(r08_norm, 3)
-        row["r09_p50_norm"] = round(r09_norm, 3)
-        row["vs_r08_norm"] = round(norm / r08_norm, 2)
-        row["vs_r09_norm"] = round(norm / r09_norm, 2)
+        row["vs_prev_norm"] = round(norm / row[f"{PREV_KEY}_norm"], 2)
+        row["vs_last_norm"] = round(norm / row[f"{LAST_KEY}_norm"], 2)
 
     ctrl_inflation = max(
-        row["vs_r08_norm"] for row in rows.values() if not row["suspect"]
+        row["vs_prev_norm"] for row in rows.values() if not row["suspect"]
     )
     for name, row in rows.items():
         if not row["suspect"]:
             row["verdict"] = "control"
-        elif row["vs_r08_norm"] <= 1.25:
+        elif row["vs_prev_norm"] <= 1.25:
             row["verdict"] = (
-                "back in r08 band — r09 swing was host/mixed-run noise"
+                f"back in {PREV_KEY} band — {LAST_KEY} swing was "
+                "bench-state/host noise"
             )
-        elif row["vs_r08_norm"] <= ctrl_inflation * 1.25:
+        elif row["vs_prev_norm"] <= ctrl_inflation * 1.25:
             row["verdict"] = (
                 "inflation bounded by simultaneously-measured control "
                 f"inflation ({ctrl_inflation}x) — host-state ruling"
@@ -152,11 +152,13 @@ def main() -> None:
 
     section = {
         "note": (
-            "clean-JVM isolated re-run of the three >1.5x r08->r09 "
-            f"normalized swings + 4 untouched controls ({N_RUNS} timed "
-            "runs x 2 interleaved passes each after warm-up; best-pass "
-            "p50, 3-probe mean normalization); suspect verdicts compare "
-            "to the r08 record band, bounded by control inflation"
+            f"clean-JVM isolated re-run of the five >1.5x {PREV_KEY}->"
+            f"{LAST_KEY} normalized swings + 4 untouched controls "
+            f"({N_RUNS} timed runs x 2 interleaved passes each after "
+            "warm-up; best-pass p50, 3-probe mean normalization; "
+            "release_cached_state between entries = the r12 bench "
+            f"hygiene); suspect verdicts compare to the {PREV_KEY} "
+            "record band, bounded by control inflation"
         ),
         "host_probe_start": probe_start,
         "host_probe_mid": probe_mid,

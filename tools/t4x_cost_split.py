@@ -67,15 +67,38 @@ def _fit(points):
     return fixed, slope, 1.0 - ss_res / ss_tot
 
 
+# Single source of truth for the twin registry keys: the CLI parser
+# below and the `twins` dict in main() are both checked against this
+# tuple, so adding a twin in one place but not the other fails loudly
+# instead of silently mis-parsing argv (ADVICE r11).
+TWIN_NAMES = ("t40", "t41", "t48")
+
+
+def _parse_args(argv: list[str]) -> tuple[str, list[str]]:
+    """Positional args in any order: twin names (from TWIN_NAMES)
+    filter the run; exactly one non-twin arg, which must be an
+    existing directory, overrides sf_dir. Anything else is an error —
+    no positional guessing (`t4x_cost_split.py t48 /path/to/sf` used
+    to drop the path silently)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    wanted: list[str] = []
+    seen_dir = False
+    for a in argv:
+        if a in TWIN_NAMES:
+            wanted.append(a)
+        elif os.path.isdir(a) and not seen_dir:
+            sf_dir, seen_dir = a, True
+        else:
+            raise SystemExit(
+                f"unrecognized arg {a!r}: not a twin name "
+                f"{sorted(TWIN_NAMES)} and not an existing sf_dir "
+                "(usage: t4x_cost_split.py [sf_dir] [twin ...])"
+            )
+    return sf_dir, wanted
+
+
 def main() -> None:
-    args = sys.argv[1:]
-    # convenience: `t4x_cost_split.py t48` (twin names only) keeps
-    # the default sf_dir instead of crashing in load_table
-    if args and args[0] in ("t40", "t41", "t48"):
-        args.insert(0, "")
-    sf_dir = args[0] if args and args[0] else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    sf_dir, wanted = _parse_args(sys.argv[1:])
     spark = get_session("t4x-cost-split", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -196,14 +219,10 @@ def main() -> None:
         )
 
     twins = {"t40": t40_batch, "t41": t41_batch, "t48": t48_batch}
-    wanted = args[1:]
+    assert set(twins) == set(TWIN_NAMES), (
+        "twins dict and TWIN_NAMES drifted — update both"
+    )
     if wanted:
-        unknown = [w for w in wanted if w not in twins]
-        if unknown:
-            raise SystemExit(
-                f"unknown twin(s) {unknown}; choose from {sorted(twins)} "
-                "(usage: t4x_cost_split.py [sf_dir] [twin ...])"
-            )
         twins = {k: v for k, v in twins.items() if k in wanted}
     if "t40" in twins:
         merges.extend(
