@@ -155,6 +155,89 @@ _R10_GREEN: frozenset[str] = frozenset(
     }
 )
 
+# Round-11 driver window: 50/50 green on the full rows+schema+hash
+# triple (CORRECTNESS_r11.json — the third consecutive zero-err
+# window; covers the four never-checked r11 additions, the 13
+# pin-touched entries, and the r02/r03 staleness tails).
+_R11_GREEN: frozenset[str] = frozenset(
+    {
+        "flagship_hybrid_serving", "flagship_search_serving",
+        "j3_anti_join", "q1_quality_gate", "q4_profile",
+        "s4_scan_pushdown", "set_except", "t21_cdf_incremental_agg",
+        "t22_stream_cdf", "t23_stream_psi", "t24_stream_ks",
+        "t25_stream_semdedup", "t26_stream_heavy_hitters",
+        "t47_stream_search_serving", "t49_stream_hybrid_serving",
+        "t50_stream_hybrid_index", "x2_canonical_per_cluster",
+        "x2_containment", "x2_dedup_clusters", "x2_edit_distance",
+        "x2_minhash_lsh", "x2_ngram_jaccard",
+        "x2_prefix_filter_jaccard", "x2_winnowing_bounded",
+        "x2_winnowing_clusters", "x2_winnowing_pairs",
+        "x3_embedding_pool", "x3_ivfpq_topk", "x4_bm25",
+        "x4_bm25_table", "x4_chunk_documents", "x4_collocations",
+        "x4_pii_scrub", "x4_quality_classifier", "x4_rake_keyphrases",
+        "x4_repetition_signals", "x4_repetition_stats",
+        "x4_textrank_keywords", "x4_tfidf_topk", "x4_token_estimate",
+        "x4_unigram_logprob", "x4_vocab_coverage", "x5_chunked_pages",
+        "x5_image_ahash", "x5_image_phash", "x6_deterministic_sample",
+        "x6_domain_mixture", "x6_group_split", "x6_stratified_sample",
+        "x7_pack_documents",
+    }
+)
+
+# Entries whose latest standing green row is round 4/round 5 — the
+# two oldest tranches after the r11 fold (full-history audit over
+# CORRECTNESS_r01..r11, recomputed r12; nothing older remains). The
+# r12 staleness tiers: r04 tail first (42 rows — the TPC-H block),
+# then the r05 tail head fills remaining slots.
+_R04_TAIL: frozenset[str] = frozenset(
+    {
+        "a30_spacesaving", "f_param_sql", "f_pipe_syntax",
+        "flagship_training_export", "g3_recursive_bfs",
+        "j5_lateral_topk", "q12_psi_drift", "s22_xml_roundtrip",
+        "s23_binary_file", "skew4_hot_key_count", "skew5_hot_key_join",
+        "t27_stream_patterns", "t29_stream_dataset_card", "tpch_q10",
+        "tpch_q11", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+        "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+        "tpch_q21", "tpch_q22", "tpch_q4", "tpch_q6", "tpch_q7",
+        "tpch_q8", "tpch_q9", "tpch_scalar_subquery", "u3_python_udtf",
+        "w23_twap", "w24_match_recognize", "w25_twap_gap_days",
+        "w26_rolling_median", "w7_sessionize", "x2_dup_ngram_frac",
+        "x3_mrl_sweep", "x6_temperature_mixture", "x7_dataset_card",
+    }
+)
+_R05_TAIL: frozenset[str] = frozenset(
+    {
+        "a12_exact_stats", "a14_histogram", "a15_cube", "a16_retention",
+        "a18_equidepth_hist", "a19_countmin", "a22_bitmap_distinct",
+        "a23_listagg", "a24_exact_corr", "a25_exact_skew_kurt",
+        "a26_mode", "a27_cohort_retention", "a28_arg_minmax",
+        "a29_heavy_hitters", "a31_weighted_median", "f_hof_array",
+        "f_string_extended", "flagship_sensor_health", "q15_chi2_drift",
+        "t31_stream_chi2", "t32_stream_bm25", "w11_gap_fill",
+        "w12_funnel", "w13_journey_pattern", "w14_ewma", "w15_sax_words",
+        "w16_sax_motif_pairs", "w17_trend_slope", "w18_window_distinct",
+        "w19_sax_motif_capped", "w20_capped_sessions", "w22_bollinger",
+        "w27_match_alternation", "w28_holt_linear", "w29_holt_mase",
+        "x2_dup_span_removal", "x2_phonetic_blocking", "x2_simhash",
+        "x4_rrf_fusion", "x5_frame_sampling", "x5_multimodal_features",
+    }
+)
+
+# Round-12 front tier: entries whose CODE changed this round. The
+# dedup shared-build pins were refactored through the _pin() helper
+# (.transform(_pin) — same localCheckpoint call, output-identical,
+# re-verified locally), so the five entries whose operator bodies
+# changed textually get fresh rows first.
+_NEW_R12: frozenset[str] = frozenset(
+    {
+        "x2_minhash_lsh",
+        "x2_winnowing_pairs",
+        "x2_winnowing_bounded",
+        "x2_prefix_filter_jaccard",
+        "x2_ngram_jaccard",
+    }
+)
+
 # Entries a past driver round already CORRECTNESS-checked green
 # (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
 # the registry from the front, so never-checked entries must lead;
@@ -255,6 +338,8 @@ _DRIVER_GREEN = frozenset(
     | _R09_GREEN
     # --- round 10 greens (CORRECTNESS_r10.json: 50/50, zero errs) ---
     | _R10_GREEN
+    # --- round 11 greens (CORRECTNESS_r11.json: 50/50, zero errs) ---
+    | _R11_GREEN
     # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
     # 6 rows-only-by-design sketch/DTW/block entries) ---
     | {
@@ -368,7 +453,7 @@ _R03_STALE: frozenset[str] = frozenset(
     }
 )
 
-# Round-11 front tier: entries whose CODE or ORACLE changed this
+# Round-11 front tier: entries whose CODE or ORACLE changed that
 # round — changed code/oracle needs a fresh green row even though a
 # recent one exists (ADVICE r10 fixes, all four lows):
 #   - search_serving budget stage now derives n_tokens from the
@@ -443,22 +528,24 @@ _NEW_R10: frozenset[str] = frozenset(
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 11 rotation,
-    VERDICT r10 item 1).
+    """Sort key for a windowed CORRECTNESS run (round 12 rotation,
+    VERDICT r11 item 3).
 
-    The r10 window emptied the front tier and refreshed 23 of the 39
-    r02-era rows; the remaining staleness debt, strictly by evidence
-    age: 16 r02-era rows, then the 12 r03-era rows (the t2x tail +
-    the fixed-in-r03 six), then the 45-entry r04 tranche (the TPC-H
-    block — 7 rounds old, the oldest headline queries). Order:
-    (0) entries whose code or oracle changed this round (a fresh row
-    per change = most information per slot); (1) anything never
+    After the r11 fold the full-history staleness audit (all eleven
+    CORRECTNESS files) leaves exactly two tranches older than r06:
+    the 42-row r04 tail (the TPC-H block — 8 rounds old) and the
+    41-row r05 tail. Order: (0) entries whose code changed this
+    round (the dedup _pin refactor consumers — a fresh row per
+    change = most information per slot); (1) anything never
     driver-checked (new entries built this round); (2) stale tiers
-    strictly by evidence age; (9) recently-certified entries last.
-    Registration order within a tier. Keep auditing staleness against
-    ALL CORRECTNESS files, not the previous round's note."""
-    refreshed = _R07_GREEN | _R08_GREEN | _R09_GREEN | _R10_GREEN
-    if name in _NEW_R11:
+    strictly by evidence age: r04 tail, then r05 tail; (9)
+    recently-certified entries last. Registration order within a
+    tier. Keep auditing staleness against ALL CORRECTNESS files,
+    not the previous round's note."""
+    refreshed = (
+        _R07_GREEN | _R08_GREEN | _R09_GREEN | _R10_GREEN | _R11_GREEN
+    )
+    if name in _NEW_R12:
         return (0, 0, 0)
     if name not in _DRIVER_GREEN:
         fam = (
@@ -467,12 +554,10 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
             else 2
         )
         return (1, 0 if has_oracle else 1, fam)
-    if name in _R02_STALE and name not in refreshed:
+    if name in _R04_TAIL and name not in refreshed:
         return (2, 0, 0)
-    if name in _R03_STALE and name not in refreshed:
+    if name in _R05_TAIL and name not in refreshed:
         return (2, 1, 0)
-    if name in (_R03_GREEN | _R04_STALE) and name not in refreshed:
-        return (2, 2, 0)
     return (9, 0, 0)
 
 
