@@ -3804,3 +3804,206 @@ def t50_stream_hybrid_index(spark, sf_dir):
     return hybrid_serving(
         d, e, _ns._BM25_QUERIES, postings=postings, quantized=store
     )
+
+
+@q(
+    "t51_stream_winnowing_clusters",
+    _ns.ORACLES["x2_winnowing_clusters"],
+)
+def t51_stream_winnowing_clusters(spark, sf_dir):
+    """T51 — STREAMING MOSS end state (the cluster tier over t48's
+    maintained index, VERDICT r11 item 5): documents stream one file
+    per trigger landing fingerprint partials (row-local, complete
+    per doc — the t48 ingest stage verbatim); the merged index is a
+    plain union ≡ the one-shot index, so running the identical
+    downstream composition — fingerprint equi-join pairs →
+    pointer-jumping connected components → keep-best-by-DSIR
+    canonical (operators/selection.py:canonical_per_cluster) — over
+    it reproduces x2_winnowing_clusters EXACTLY; this entry carries
+    its oracle verbatim. The production shape: ingest fingerprints
+    each doc once (~2/(w+1) of its gram hashes), re-CLUSTERING after
+    corpus growth joins the maintained index and runs node-sized CC
+    rounds — history is never re-tokenized."""
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_fingerprints,
+    )
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t51_{uuid.uuid4().hex}"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t51_out_{uuid.uuid4().hex}"
+    )
+    sink, ck = os.path.join(base, "index"), os.path.join(base, "ck")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def land_fingerprints(batch_df, batch_id: int) -> None:
+        (
+            winnowing_fingerprints(
+                batch_df, "doc_id", "text", k=3, w=4,
+                token_hash=poly_token_hash,
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"batch={batch_id}"))
+        )
+
+    q_ = (
+        stream.writeStream.foreachBatch(land_fingerprints)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    fp = spark.read.parquet(os.path.join(sink, "batch=*"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("id_a", "id_b")
+    )
+    return canonical_per_cluster(d, pairs, F.col("lang") == "en")
+
+
+@q(
+    "t52_stream_hybrid_loop",
+    _ns.ORACLES["flagship_hybrid_serving"],
+)
+def t52_stream_hybrid_loop(spark, sf_dir):
+    """T52 — the hybrid serving loop END-TO-END, both sides streamed
+    (VERDICT r11 item 6): documents and embeddings stream in landing
+    the two maintained artifacts incrementally (postings partials +
+    int8-store partials — the t50 ingest discipline), THEN query
+    requests stream in and each micro-batch serves against the two
+    MERGED artifacts (the t49 request discipline). Each merged
+    artifact is a plain union ≡ its one-shot build and every serving
+    stage is per-query independent, so the landed result partials
+    union to flagship #10's output verbatim — this entry carries its
+    oracle. This is the complete production loop flagship #10
+    documents (plans/hybrid_serving.py "maintained artifacts"):
+    ingest grows both indexes at O(batch), serving reads whatever
+    version the artifacts are at, and neither side ever re-tokenizes
+    or re-quantizes history."""
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        term_postings,
+    )
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+    from eco_pulse_lakehouse_spark.plans.rag_context import int8_store
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    e = T(spark, sf_dir, "embeddings")
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t52_{uuid.uuid4().hex}"
+    )
+
+    # --- maintenance stream 1: the keyword index ---
+    d_stage = os.path.join(base, "docs_in")
+    d.repartition(4).write.parquet(d_stage)
+    d_sink = os.path.join(base, "postings")
+
+    def land_postings(batch_df, batch_id: int) -> None:
+        term_postings(batch_df, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d_sink, f"batch={batch_id}"))
+
+    q1 = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d_stage)
+        .writeStream.foreachBatch(land_postings)
+        .option("checkpointLocation", os.path.join(base, "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # --- maintenance stream 2: the int8 vector store ---
+    e_stage = os.path.join(base, "vecs_in")
+    e.repartition(4).write.parquet(e_stage)
+    e_sink = os.path.join(base, "store")
+
+    def land_store(batch_df, batch_id: int) -> None:
+        int8_store(batch_df).select("vec_id", "q_vec", "__n8").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(e_sink, f"batch={batch_id}"))
+
+    q2 = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(e_stage)
+        .writeStream.foreachBatch(land_store)
+        .option("checkpointLocation", os.path.join(base, "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    # --- serving stream over the two MERGED maintained artifacts ---
+    # pinned for the request loop (the t49 discipline: many request
+    # batches, one materialization; persist() on a real cluster)
+    postings = spark.read.parquet(
+        os.path.join(d_sink, "batch=*")
+    ).localCheckpoint(eager=True)
+    store = spark.read.parquet(
+        os.path.join(e_sink, "batch=*")
+    ).localCheckpoint(eager=True)
+
+    req = spark.createDataFrame(
+        [(qid, qtext) for qid, qtext in _ns._BM25_QUERIES],
+        "query_id long, query_text string",
+    )
+    r_stage = os.path.join(base, "requests_in")
+    req.repartition(2).write.parquet(r_stage)
+    r_sink = os.path.join(base, "results")
+
+    def serve_requests(batch_df, batch_id: int) -> None:
+        batch_queries = [
+            (r.query_id, r.query_text) for r in batch_df.collect()
+        ]
+        if not batch_queries:
+            return
+        (
+            hybrid_serving(
+                d, e, batch_queries, postings=postings, quantized=store
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(r_sink, f"batch={batch_id}"))
+        )
+
+    q3 = (
+        spark.readStream.schema(req.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(r_stage)
+        .writeStream.foreachBatch(serve_requests)
+        .option("checkpointLocation", os.path.join(base, "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination()
+
+    return spark.read.parquet(os.path.join(r_sink, "batch=*")).select(
+        "query_id", "doc_id", "rrf_score", "rk", "n_tokens", "cum_tokens"
+    )

@@ -541,3 +541,69 @@ def test_stream_gold_topk_equals_batch(spark):
         tuple(r) for r in gold_risk_events_topk(spark, sf, k=3).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_winnowing_clusters_equals_batch(spark):
+    """t51: the streamed fingerprint index merged by plain union,
+    then pairs -> CC -> keep-best canonical, must reproduce the
+    one-shot x2_winnowing_clusters composition EXACTLY (pairs are
+    deterministic, CC is a fixpoint, the canonical window is
+    deterministic under its (weight desc, id) total order)."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_pairs,
+    )
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t51_stream_winnowing_clusters"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    pairs = winnowing_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2,
+        token_hash=poly_token_hash,
+    )
+    batch = {
+        tuple(r)
+        for r in canonical_per_cluster(
+            d, pairs, F.col("lang") == "en"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_stream_hybrid_loop_equals_batch(spark):
+    """t52: the FULL loop — both artifacts stream-maintained AND
+    requests stream-served over the merged artifacts — must union to
+    the one-shot flagship-#10 output exactly (artifact partials are
+    row-local/complete-per-doc, serving is per-query independent)."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.northstar import _BM25_QUERIES
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t52_stream_hybrid_loop"](spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    e = load_table(spark, sf, "embeddings")
+    batch = {
+        tuple(r) for r in hybrid_serving(d, e, _BM25_QUERIES).collect()
+    }
+    assert streamed == batch and len(batch) > 0
