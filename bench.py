@@ -149,6 +149,10 @@ ONEOFF = [
     "x2_winnowing_clusters",   # MOSS pairs -> CC -> keep-canonical (r11,
     # iterative CC loop — the x2_canonical_per_cluster convention)
     "t50_stream_hybrid_index",  # dual-artifact ingest + serve drain (r11)
+    "t51_stream_winnowing_clusters",  # streamed MOSS index -> CC ->
+    # keep-best canonical (r12; iterative CC loop)
+    "t52_stream_hybrid_loop",  # ingest BOTH artifacts + stream-served
+    # requests — the full hybrid production loop (r12)
 ]
 
 
