@@ -157,6 +157,12 @@ def main() -> None:
         }
         n_ok += ok
         n_bad += not ok
+        # release pins between entries (the r12 bench hygiene —
+        # 342 entries in one JVM otherwise accumulate every
+        # localCheckpoint block; see SCALE.md "Pin RELEASE")
+        from bench import release_cached_state
+
+        release_cached_state(spark)
         json.dump(out, open(report, "w"), indent=1)  # flush per entry
         if not ok:
             print(f"FAIL {name}: {detail}", flush=True)
