@@ -4007,3 +4007,121 @@ def t52_stream_hybrid_loop(spark, sf_dir):
     return spark.read.parquet(os.path.join(r_sink, "batch=*")).select(
         "query_id", "doc_id", "rrf_score", "rk", "n_tokens", "cum_tokens"
     )
+
+
+@q(
+    "t53_stream_winnowing_incremental",
+    _ns.ORACLES["x2_winnowing_clusters"],
+)
+def t53_stream_winnowing_incremental(spark, sf_dir):
+    """T53 — INCREMENTAL winnowing-cluster maintenance (the t35
+    quotient-CC discipline over the MOSS tier; t51's re-resolve-all
+    composition replaced by per-batch affected-component relabeling):
+
+    1. Each batch lands its fingerprint partial (t48 stage —
+       fingerprints are row-local, DISTINCT (id, fp), complete per
+       doc) as idempotent epoch-keyed parquet.
+    2. New pairs = this batch's docs against the ACCUMULATED index:
+       fp equi-join, countDistinct(fp) ≥ 2 per normalized pair.
+       countDistinct makes same-batch pairs (discovered in both
+       orientations of the full×batch join) count each shared
+       fingerprint once, and every pair is complete in the batch of
+       its later endpoint — so the union of per-batch pair sets IS
+       winnowing_pairs' output.
+    3. Label merge on AFFECTED components only
+       (components.py:incremental_components_update — the root-graph
+       quotient keeps per-batch relabel cost O(new pairs + touched
+       memberships), independent of corpus size).
+    4. Serving: the final label table plugs into
+       canonical_per_cluster via its ``labels`` hook — the identical
+       keep-best-by-DSIR stage, so this entry carries
+       x2_winnowing_clusters' oracle verbatim.
+
+    vs t51: t51 re-runs CC over the full merged index per resolve
+    (simple, O(index) per resolve); t53 carries the label state so
+    each batch pays only for what it touched — the unbounded-ingest
+    shape. Both end states are identical."""
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"eco_pulse_t53_{uuid.uuid4().hex}"
+    )
+    stage = os.path.join(base, "docs")
+    docs.repartition(4).write.parquet(stage)
+
+    idx_root = os.path.join(base, "index")
+    state_root = os.path.join(base, "state")
+
+    def fold(batch_df, batch_id: int) -> None:
+        from eco_pulse_lakehouse_spark.operators.components import (
+            incremental_components_update,
+        )
+        from eco_pulse_lakehouse_spark.operators.dedup import (
+            poly_token_hash,
+            winnowing_fingerprints,
+        )
+
+        sp_ = batch_df.sparkSession
+        winnowing_fingerprints(
+            batch_df, "doc_id", "text", k=3, w=4,
+            token_hash=poly_token_hash,
+        ).write.mode("overwrite").parquet(
+            os.path.join(idx_root, f"epoch={batch_id}")
+        )
+
+        full = sp_.read.parquet(os.path.join(idx_root, "epoch=*"))
+        bat = sp_.read.parquet(
+            os.path.join(idx_root, f"epoch={batch_id}")
+        )
+        new_pairs = (
+            full.select(F.col("doc_id").alias("__ia"), "fp")
+            .join(bat.select(F.col("doc_id").alias("__ib"), "fp"), "fp")
+            .filter(F.col("__ia") != F.col("__ib"))
+            .select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                "fp",
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.countDistinct("fp").alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("id_a", "id_b")
+        )
+
+        prev = [e for e in _epochs(state_root) if e < batch_id]
+        if prev:
+            prior = sp_.read.parquet(
+                os.path.join(state_root, f"epoch={prev[-1]}")
+            )
+        else:
+            prior = sp_.createDataFrame([], "id BIGINT, comp BIGINT")
+        incremental_components_update(prior, new_pairs).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_root, f"epoch={batch_id}"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q_ = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+
+    final_epoch = _epochs(state_root)[-1]
+    labels = spark.read.parquet(
+        os.path.join(state_root, f"epoch={final_epoch}")
+    )
+    return canonical_per_cluster(
+        d, None, F.col("lang") == "en", labels=labels
+    )

@@ -283,6 +283,7 @@ def incremental_components_update(
     new_pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    max_iterations: int = 40,
 ) -> DataFrame:
     """One batch-step of INCREMENTAL connected components (t35): fold
     a batch of newly discovered pairs into a carried label table,
@@ -303,7 +304,16 @@ def incremental_components_update(
     Per-batch cost O(new pairs + members of touched clusters), with
     the loop itself independent of membership size — the shape that
     keeps an unbounded ingest stream viable even when a few clusters
-    grow huge. Returns the updated full label table (id, comp)."""
+    grow huge. Returns the updated full label table (id, comp).
+
+    ``max_iterations`` defaults HIGHER than connected_components' own
+    20: a single batch's root graph is a SUBGRAPH of the final pair
+    graph (it lacks the shortcut edges later batches contribute), so
+    its induced paths can be longer than anything the full graph
+    exhibits — t53's winnowing batch-0 subgraph at sf0.1 needed >20
+    rounds while the full graph converges well under it. The root
+    graph is touched-clusters-sized, so extra rounds are cheap, and
+    the loop still exits on convergence."""
     # root(x) = prior comp if known, else x itself (new node)
     ra = new_pairs.join(
         prior_labels.select(
@@ -323,7 +333,9 @@ def incremental_components_update(
         F.coalesce(F.col("__rb"), F.col(b_col)).alias("__rb"),
     )
     root_edges = rab.filter(F.col("__ra") != F.col("__rb"))
-    root_cc = connected_components(root_edges, "__ra", "__rb").select(
+    root_cc = connected_components(
+        root_edges, "__ra", "__rb", max_iterations=max_iterations
+    ).select(
         F.col("id").alias("__root"), F.col("comp").alias("__new")
     )
     # Self-merges (both endpoints already in one cluster) produce no

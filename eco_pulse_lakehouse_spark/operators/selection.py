@@ -288,12 +288,13 @@ def budget_select(
 
 def canonical_per_cluster(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     target_pred: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 128,
     fp_scale: int = FP_SCALE,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical-document selection: resolve near-dup PAIRS into
     clusters and keep the BEST copy of each — best by DSIR importance
@@ -308,12 +309,22 @@ def canonical_per_cluster(
     their own cluster via a LEFT join from the doc spine, one
     per-cluster ranking window over (weight desc, id). Returns
     (comp, id, weight_fp, n_members) — one row per cluster, comp =
-    the cluster's min doc id."""
-    from eco_pulse_lakehouse_spark.operators.components import (
-        connected_components,
-    )
+    the cluster's min doc id.
 
-    cc = connected_components(pairs, "id_a", "id_b")
+    ``labels``: optional precomputed (id, comp) label table replacing
+    the CC run — the incremental-maintenance hook (t53): a stream
+    that already carries the min-label star forest
+    (components.py:incremental_components_update preserves exactly
+    the invariant connected_components establishes) plugs its final
+    state in here and the canonical stage is byte-identical."""
+    if labels is None:
+        from eco_pulse_lakehouse_spark.operators.components import (
+            connected_components,
+        )
+
+        cc = connected_components(pairs, "id_a", "id_b")
+    else:
+        cc = labels.select("id", "comp")
     full = (
         docs.select(F.col(id_col))
         .join(cc, F.col(id_col) == F.col("id"), "left")

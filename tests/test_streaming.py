@@ -607,3 +607,43 @@ def test_stream_hybrid_loop_equals_batch(spark):
         tuple(r) for r in hybrid_serving(d, e, _BM25_QUERIES).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_winnowing_incremental_equals_batch(spark):
+    """t53: per-batch affected-component relabeling (quotient-CC over
+    the winnowing tier) must land the IDENTICAL final state as the
+    one-shot composition — pairs complete in the batch of their later
+    endpoint, incremental_components_update preserves the min-label
+    star-forest invariant, and the canonical stage consumes the
+    carried labels through canonical_per_cluster's labels hook."""
+    from pyspark.sql import functions as F
+
+    from eco_pulse_lakehouse_spark.catalog import load_table
+    from eco_pulse_lakehouse_spark.corpus.streaming_corpus import QUERIES
+    from eco_pulse_lakehouse_spark.operators.dedup import (
+        poly_token_hash,
+        winnowing_pairs,
+    )
+    from eco_pulse_lakehouse_spark.operators.selection import (
+        canonical_per_cluster,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r)
+        for r in QUERIES["t53_stream_winnowing_incremental"](
+            spark, sf
+        ).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    pairs = winnowing_pairs(
+        d, "doc_id", "text", k=3, w=4, min_shared=2,
+        token_hash=poly_token_hash,
+    )
+    batch = {
+        tuple(r)
+        for r in canonical_per_cluster(
+            d, pairs, F.col("lang") == "en"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
