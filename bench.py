@@ -153,6 +153,8 @@ ONEOFF = [
     # keep-best canonical (r12; iterative CC loop)
     "t52_stream_hybrid_loop",  # ingest BOTH artifacts + stream-served
     # requests — the full hybrid production loop (r12)
+    "t53_stream_winnowing_incremental",  # quotient-CC label upkeep
+    # over the MOSS tier — per-batch affected-component relabel (r12)
 ]
 
 

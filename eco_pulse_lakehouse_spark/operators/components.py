@@ -22,6 +22,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin_round(df: DataFrame) -> DataFrame:
+    """localCheckpoint for ITERATIVE-LOOP state, with the origin
+    plan's statistics stripped.
+
+    Spark's Dataset.localCheckpoint carries the optimized plan's
+    stats into the resulting LogicalRDD (normally desirable — it
+    keeps broadcast decisions working downstream). Inside a loop
+    whose round plan joins the previous round's state with ITSELF
+    (the pointer jump), those inherited sizeInBytes COMPOUND:
+    bits(stats_r) ≈ 2·bits(stats_{r-1}), so by round ~20 the driver
+    is doing multi-megabyte BigInteger arithmetic per stats lookup
+    and by round ~30 the BigInteger itself exceeds heap (observed:
+    t53's batch-0 winnowing subgraph at the sf1 rehearsal OOM'd in
+    SizeInBytesOnlyStatsPlanVisitor). Rebuilding the DataFrame over
+    the already-checkpointed RDD (internalCreateDataFrame — the same
+    JVM hook PySpark's own createDataFrame uses) drops the origin
+    stats: each round's state then reports the DEFAULT sizeInBytes,
+    which is constant across rounds. Loop-internal joins are
+    shuffle joins on corpus-scale state anyway, so nothing inside
+    the loop wanted those stats; the FINAL returned labels keep a
+    normal single-round plan whose stats are sane."""
+    df = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    jdf = df._jdf
+    rebuilt = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(rebuilt, spark)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -96,11 +126,13 @@ def connected_components(
             new_comp = F.least(
                 F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
             )
-        updated = half.select(
-            "id",
-            new_comp.alias("comp"),
-            F.col("comp").alias("__old"),
-        ).localCheckpoint(eager=True)
+        updated = _pin_round(
+            half.select(
+                "id",
+                new_comp.alias("comp"),
+                F.col("comp").alias("__old"),
+            )
+        )
         # one long to the driver per round: convergence check — a
         # near-free scan of the just-checkpointed partitions
         changed = updated.filter(F.col("comp") != F.col("__old")).count()
