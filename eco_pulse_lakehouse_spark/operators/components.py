@@ -45,11 +45,17 @@ def _pin_round(df: DataFrame) -> DataFrame:
     normal single-round plan whose stats are sane."""
     df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    jdf = df._jdf
-    rebuilt = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(rebuilt, spark)
+    try:
+        jdf = df._jdf
+        rebuilt = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(rebuilt, spark)
+    except AttributeError:
+        # non-classic session (Connect) — no JVM hook; the pinned
+        # frame still works, it just keeps the inherited stats (the
+        # pre-fix behavior, safe for shallow loops)
+        return df
 
 
 def connected_components(
