@@ -198,16 +198,23 @@ def release_cached_state(spark) -> None:
     blocks) and drop the table cache after each entry. Safe because
     no corpus fn memoizes a pinned frame across calls (grep-audited
     r12): every call rebuilds its pins from the parquet sources.
+
+    Release is BLOCKING (unpersist(True)) so block removal cannot
+    overlap the next entry's warm-up/timed runs, and a failure prints
+    a one-line warning instead of silently reintroducing the r11
+    late-entry inflation (ADVICE r12).
     """
     try:
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist(False)
-    except Exception:
-        pass
+            jrdd.unpersist(True)
+    except Exception as e:  # noqa: BLE001 — keep benching, but say so
+        print(f"WARN release_cached_state: RDD unpersist failed: {e!r}",
+              file=sys.stderr)
     try:
         spark.catalog.clearCache()
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN release_cached_state: clearCache failed: {e!r}",
+              file=sys.stderr)
 
 
 def stage_silver(spark, sf_dir: str) -> tuple[str, float]:

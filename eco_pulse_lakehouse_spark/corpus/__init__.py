@@ -238,6 +238,78 @@ _NEW_R12: frozenset[str] = frozenset(
     }
 )
 
+# Round-13 front tier (ADVICE r12 low 3): the r12 front tier listed
+# only the five dedup _pin consumers, but r12's one behavioral plan
+# change was _pin_round inside connected_components — these are its
+# corpus consumers whose latest driver row PREDATES that change
+# (t51/t53 got post-change r12 rows and are excluded; g1_pagerank /
+# g3_recursive_bfs / g2_triangles don't route through _pin_round),
+# plus x2_containment, which shares the r12-pinned
+# _shingle_pair_counts build and was likewise omitted. The r13
+# components.py edit (fallback broadened to Exception) touches the
+# same plans again.
+_NEW_R13: frozenset[str] = frozenset(
+    {
+        "x2_dedup_clusters",
+        "x2_canonical_per_cluster",
+        "x2_winnowing_clusters",
+        "x6_group_split",
+        "t35_stream_dedup_clusters",
+        "x2_containment",
+    }
+)
+
+# Round-12 driver window: 50/50 green on the full rows+schema+hash
+# triple (CORRECTNESS_r12.json — fifth consecutive zero-err window);
+# covers the five _pin-refactor dedup entries, the three never-
+# checked r12 stream compositions (t51/t52/t53) and the entire
+# 42-row r04 tail (the TPC-H block).
+_R12_GREEN: frozenset[str] = frozenset(
+    {
+        "x2_ngram_jaccard", "x2_minhash_lsh", "x2_winnowing_pairs",
+        "x2_winnowing_bounded", "x2_prefix_filter_jaccard",
+        "t51_stream_winnowing_clusters", "t52_stream_hybrid_loop",
+        "t53_stream_winnowing_incremental", "w7_sessionize",
+        "skew4_hot_key_count", "skew5_hot_key_join", "s22_xml_roundtrip",
+        "s23_binary_file", "j5_lateral_topk", "w26_rolling_median",
+        "g3_recursive_bfs", "f_param_sql", "f_pipe_syntax",
+        "u3_python_udtf", "w24_match_recognize", "a30_spacesaving",
+        "q12_psi_drift", "w23_twap", "w25_twap_gap_days", "tpch_q6",
+        "tpch_q4", "tpch_scalar_subquery", "tpch_q10", "tpch_q18",
+        "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q13", "tpch_q14",
+        "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q21",
+        "tpch_q22", "tpch_q2", "tpch_q11", "tpch_q20", "x3_mrl_sweep",
+        "x2_dup_ngram_frac", "x6_temperature_mixture", "x7_dataset_card",
+        "flagship_training_export", "t27_stream_patterns",
+        "t29_stream_dataset_card",
+    }
+)
+
+# Round-6 driver window greens (CORRECTNESS_r06.json: 44 hash_match
+# + the 6 rows-only-by-design sketch/DTW/block entries) — named for
+# the r13 staleness rotation: after the r12 fold these are the
+# SECOND-oldest standing rows (the r05 tail leads).
+_R06_GREEN: frozenset[str] = frozenset(
+    {
+        "a10_approx_quantiles", "a17_hll_mergeable", "a20_theta_setops",
+        "a21_kll_quantiles", "cat_bucketed_join_agg", "f_agg_predicates",
+        "f_explode_tokens", "f_haversine", "f_regexp_suite", "f_sql_udf",
+        "f_try_arithmetic", "f_variant_extract", "g1_pagerank",
+        "g2_triangles", "j4_asof_forward", "j6_interval_join",
+        "j7_bloom_join", "j9_asof_tolerance", "m2_snapshot_diff",
+        "m3_scd2", "o4_distributed_global_rank", "q10_mad_outliers",
+        "q11_ks_drift", "q13_benford", "q14_profile_diff",
+        "s20_versioned_history", "s21_text_source", "skew1_salted_count",
+        "skew2_salted_sum", "skew3_salted_join", "t34_stream_hw_seasonal",
+        "t35_stream_dedup_clusters", "w21_dtw_motif_pairs",
+        "w30_hw_seasonal", "w31_hw_mase", "x2_containment",
+        "x2_snm_multipass", "x2_sorted_neighborhood",
+        "x3_cosine_topk_block", "x3_pq_distortion_sweep", "x3_semdedup",
+        "x4_bigram_logprob", "x5_audio_segments",
+        "x6_semantic_decontaminate", "x7_curriculum",
+    }
+)
+
 # Entries a past driver round already CORRECTNESS-checked green
 # (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The driver windows
 # the registry from the front, so never-checked entries must lead;
@@ -340,26 +412,12 @@ _DRIVER_GREEN = frozenset(
     | _R10_GREEN
     # --- round 11 greens (CORRECTNESS_r11.json: 50/50, zero errs) ---
     | _R11_GREEN
+    # --- round 12 greens (CORRECTNESS_r12.json: 50/50, zero errs) ---
+    | _R12_GREEN
     # --- round 6 greens (CORRECTNESS_r06.json: 44 hash_match + the
-    # 6 rows-only-by-design sketch/DTW/block entries) ---
-    | {
-        "a10_approx_quantiles", "a17_hll_mergeable", "a20_theta_setops",
-        "a21_kll_quantiles", "cat_bucketed_join_agg", "f_agg_predicates",
-        "f_explode_tokens", "f_haversine", "f_regexp_suite", "f_sql_udf",
-        "f_try_arithmetic", "f_variant_extract", "g1_pagerank",
-        "g2_triangles", "j4_asof_forward", "j6_interval_join",
-        "j7_bloom_join", "j9_asof_tolerance", "m2_snapshot_diff",
-        "m3_scd2", "o4_distributed_global_rank", "q10_mad_outliers",
-        "q11_ks_drift", "q13_benford", "q14_profile_diff",
-        "s20_versioned_history", "s21_text_source", "skew1_salted_count",
-        "skew2_salted_sum", "skew3_salted_join", "t34_stream_hw_seasonal",
-        "t35_stream_dedup_clusters", "w21_dtw_motif_pairs",
-        "w30_hw_seasonal", "w31_hw_mase", "x2_containment",
-        "x2_snm_multipass", "x2_sorted_neighborhood",
-        "x3_cosine_topk_block", "x3_pq_distortion_sweep", "x3_semdedup",
-        "x4_bigram_logprob", "x5_audio_segments",
-        "x6_semantic_decontaminate", "x7_curriculum",
-    }
+    # 6 rows-only-by-design sketch/DTW/block entries) — named
+    # _R06_GREEN for the r13 staleness rotation ---
+    | _R06_GREEN
 )
 
 # Oldest-certified entries (round-1 greens still standing on their
@@ -528,24 +586,27 @@ _NEW_R10: frozenset[str] = frozenset(
 
 
 def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
-    """Sort key for a windowed CORRECTNESS run (round 12 rotation,
-    VERDICT r11 item 3).
+    """Sort key for a windowed CORRECTNESS run (round 13 rotation,
+    VERDICT r12 item 1 + ADVICE r12 low 3).
 
-    After the r11 fold the full-history staleness audit (all eleven
-    CORRECTNESS files) leaves exactly two tranches older than r06:
-    the 42-row r04 tail (the TPC-H block — 8 rounds old) and the
-    41-row r05 tail. Order: (0) entries whose code changed this
-    round (the dedup _pin refactor consumers — a fresh row per
-    change = most information per slot); (1) anything never
-    driver-checked (new entries built this round); (2) stale tiers
-    strictly by evidence age: r04 tail, then r05 tail; (9)
-    recently-certified entries last. Registration order within a
-    tier. Keep auditing staleness against ALL CORRECTNESS files,
-    not the previous round's note."""
+    After the r12 fold (which certified the whole 42-row r04 tail)
+    the full-history staleness audit (all twelve CORRECTNESS files)
+    leaves the 41-row r05 tail as the oldest standing tranche, then
+    the r06 window's rows. Order: (0) entries whose CODE changed —
+    the connected_components consumers ADVICE r12 flagged as missing
+    from the r12 front tier (their plans changed with the r12
+    _pin_round stats rebuild and changed again with the r13 fallback
+    broadening) plus x2_containment (shares the r12-changed
+    _shingle_pair_counts, likewise omitted); (1) anything never
+    driver-checked; (2) stale tiers strictly by evidence age: r05
+    tail, then the r06 tranche; (9) recently-certified entries last.
+    Registration order within a tier. Keep auditing staleness
+    against ALL CORRECTNESS files, not the previous round's note."""
     refreshed = (
         _R07_GREEN | _R08_GREEN | _R09_GREEN | _R10_GREEN | _R11_GREEN
+        | _R12_GREEN
     )
-    if name in _NEW_R12:
+    if name in _NEW_R13:
         return (0, 0, 0)
     if name not in _DRIVER_GREEN:
         fam = (
@@ -554,9 +615,9 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
             else 2
         )
         return (1, 0 if has_oracle else 1, fam)
-    if name in _R04_TAIL and name not in refreshed:
-        return (2, 0, 0)
     if name in _R05_TAIL and name not in refreshed:
+        return (2, 0, 0)
+    if name in _R06_GREEN and name not in refreshed:
         return (2, 1, 0)
     return (9, 0, 0)
 

@@ -41,8 +41,18 @@ def _pin_round(df: DataFrame) -> DataFrame:
     stats: each round's state then reports the DEFAULT sizeInBytes,
     which is constant across rounds. Loop-internal joins are
     shuffle joins on corpus-scale state anyway, so nothing inside
-    the loop wanted those stats; the FINAL returned labels keep a
-    normal single-round plan whose stats are sane."""
+    the loop wanted those stats.
+
+    The FINAL labels :func:`connected_components` returns are built
+    from the last round's rebuilt state, so they too report the
+    default sizeInBytes (measured: constant 63-bit default vs the
+    plain form's 20→2431-bit doubling over 8 rounds; a plain
+    localCheckpoint of the converged labels inherits the same
+    default, so it would not help). That costs no real capability —
+    the pre-fix labels carried the astronomically compounded stats,
+    so auto-broadcast downstream never fired either way. Callers
+    that KNOW their label table is small (e.g. a bounded pair graph)
+    should wrap it in ``F.broadcast`` explicitly before joining."""
     df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     try:
@@ -51,10 +61,16 @@ def _pin_round(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(rebuilt, spark)
-    except AttributeError:
-        # non-classic session (Connect) — no JVM hook; the pinned
-        # frame still works, it just keeps the inherited stats (the
-        # pre-fix behavior, safe for shallow loops)
+    except Exception:
+        # No usable JVM hook: AttributeError on non-classic sessions
+        # (Connect — no _jsparkSession), but a JVM session that lacks
+        # or renames internalCreateDataFrame (a private[sql] hook, not
+        # API) surfaces as py4j.Py4JError/Py4JJavaError AT CALL TIME,
+        # so the guard must be broader than AttributeError (ADVICE
+        # r12). The pinned frame still works, it just keeps the
+        # inherited stats (the pre-fix behavior, safe for shallow
+        # loops); tests/test_analytics_ops.py pins the classic-session
+        # hook so an upgrade that silently lands here fails loudly.
         return df
 
 

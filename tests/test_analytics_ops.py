@@ -813,3 +813,46 @@ def test_incremental_components_update_merges_only_affected(spark):
     )
     batch = {r.id: r.comp for r in connected_components(full_edges).collect()}
     assert out == batch
+
+
+def test_pin_round_stats_constant_across_rounds(spark):
+    """Regression pin for the r12 iterative-CC stats fix (VERDICT r12
+    item 4): _pin_round must REBUILD the round state over the
+    checkpointed RDD so the optimized plan reports the constant
+    default sizeInBytes. Plain localCheckpoint inherits the origin
+    plan's stats, and a self-join loop SQUARES them per round
+    (bit length ~doubles — measured 20→2431 bits over 8 rounds),
+    OOM-ing the driver's BigInteger stats arithmetic by ~round 30 at
+    sf1. If a PySpark upgrade renames internalCreateDataFrame the
+    broadened Exception fallback silently reverts to the inheriting
+    behavior — this test then fails loudly on the doubling instead
+    of resurfacing the OOM at scale."""
+    from eco_pulse_lakehouse_spark.operators.components import _pin_round
+
+    def bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    state = spark.range(64).select(F.col("id"), F.col("id").alias("comp"))
+    seen = []
+    for _ in range(10):
+        jumped = state.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
+        nxt = state.join(
+            jumped, state["comp"] == jumped["__jid"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce("__jcomp", "comp")
+            ).alias("comp"),
+        )
+        state = _pin_round(nxt)
+        seen.append(bits(state))
+    # the rebuilt state reports the DEFAULT sizeInBytes every round:
+    # constant bit length, and small enough that ten rounds of
+    # compounding would have blown far past it (10 doublings of the
+    # initial plan's stats exceed 1000 bits; the default is 63)
+    assert len(set(seen)) == 1, f"round stats not constant: {seen}"
+    assert seen[0] <= 64, f"round stats not the default size: {seen}"

@@ -11,19 +11,21 @@ controls do), the swing was mixed-run/host state; if a suspect stays
 inflated while controls sit at their records, it's a real plan/code
 regression.
 
-Round 12 target set (VERDICT r11 item 1): the five >1.5x normalized
-r10->r11 swings — none had code changes in r11. The r11 hypothesis
-under test: bench-process cache pressure (the r11 localCheckpoint
-pins were never released between entries, and all five suspects sit
-LATE in the headline order), not plan regressions. This run applies
-the same release_cached_state() hygiene bench.py now uses, so a
-clean verdict here + a clean full-bench re-run closes the question.
+Round 13 target set (VERDICT r12 item 2, the two perf watch items —
+neither had code changes in r12/r13):
+- w16_sax_motif_pairs: r12 p50 drifted 5.22 -> 7.26 normalized
+  (p95 12.3) but its min-run 5.49 ~= the r11 level and the plan
+  (timeseries.py SAX-bucket equi-join + HOF refine) is unchanged —
+  hypothesis: the documented host heavy-tail. Record band 5.2.
+- x6_budget_select: bounced 2.6-4.5 normalized across r12 runs
+  (1.86 in the final clean run; isolated r12 verdict 0.95x of the
+  r10 record 2.77, twice-vindicated). Record band 2.77.
 
 Records compared are HOST-NORMALIZED p50s (queries_norm from the
-shipped BENCH_r10/BENCH_r11 stdout tails), so the host-speed swing
-between those runs and this one cancels.
+shipped BENCH_DETAIL maps), so the host-speed swing between those
+runs and this one cancels.
 
-Writes `isolated_rebench_r12` into BENCH_DETAIL.json (merge, never
+Writes `isolated_rebench_r13` into BENCH_DETAIL.json (merge, never
 overwrite — the sidecar holds other tools' sections).
 
 Run:  python tools/isolated_rebench.py    (never alongside another
@@ -49,23 +51,23 @@ from bench import (  # noqa: E402
     stage_silver,
 )
 
-# (name, is_suspect, r10 shipped NORM p50, r11 shipped NORM p50) —
-# from the BENCH_r10/BENCH_r11 queries_norm maps.
+# (name, is_suspect, record-band NORM p50, latest suspect NORM p50)
+# — record bands from the shipped queries_norm history (w16: the
+# r11 level its r12 min-run still matched; budget_select: the r10
+# record its r12 isolated verdict sat at 0.95x of); latest = the
+# shipped r12 final-run p50 (w16) / the top of the r12 observed
+# band (budget_select, which bounced 2.6-4.5 across r12 runs).
 QUERIES = [
-    ("a29_heavy_hitters", True, 1.752, 10.864),
-    ("x4_nb_lang_id", True, 2.138, 6.976),
-    ("x6_budget_select", True, 2.771, 7.663),
-    ("x2_prefix_filter_jaccard", True, 5.030, 8.286),
-    ("x4_perplexity_buckets", True, 1.942, 3.295),
-    ("tpch_q1", False, 0.238, 0.251),
-    ("a7_summary", False, 0.434, 0.457),
-    ("x4_bm25", False, 2.007, 1.910),
-    ("w16_sax_motif_pairs", False, 5.158, 5.216),
+    ("w16_sax_motif_pairs", True, 5.216, 7.257),
+    ("x6_budget_select", True, 2.771, 4.500),
+    ("tpch_q1", False, 0.241, 0.241),
+    ("a7_summary", False, 0.457, 0.554),
+    ("x4_bm25", False, 1.910, 1.939),
 ]
 N_RUNS = 5
-SECTION = "isolated_rebench_r12"
-PREV_KEY = "r10"  # the record band suspects must return to
-LAST_KEY = "r11"  # the inflated round under adjudication
+SECTION = "isolated_rebench_r13"
+PREV_KEY = "record"  # the record band suspects must return to
+LAST_KEY = "r12"  # the inflated round under adjudication
 
 
 def main() -> None:
@@ -152,8 +154,9 @@ def main() -> None:
 
     section = {
         "note": (
-            f"clean-JVM isolated re-run of the five >1.5x {PREV_KEY}->"
-            f"{LAST_KEY} normalized swings + 4 untouched controls "
+            "clean-JVM isolated re-run of the two r12 perf watch "
+            "items (w16 p50 drift, budget_select band) + 3 untouched "
+            "controls "
             f"({N_RUNS} timed runs x 2 interleaved passes each after "
             "warm-up; best-pass p50, 3-probe mean normalization; "
             "release_cached_state between entries = the r12 bench "

@@ -70,31 +70,201 @@ def _fit(points):
 # Single source of truth for the twin registry keys: the CLI parser
 # below and the `twins` dict in main() are both checked against this
 # tuple, so adding a twin in one place but not the other fails loudly
-# instead of silently mis-parsing argv (ADVICE r11).
-TWIN_NAMES = ("t40", "t41", "t48")
+# instead of silently mis-parsing argv (ADVICE r11). t52 (the
+# 3-stream hybrid loop, VERDICT r12 item 3) runs through its own
+# dedicated flow (run_t52) — its three stages have different cost
+# models, so the generic docs-stream replay doesn't fit it.
+TWIN_NAMES = ("t40", "t41", "t48", "t52")
 
 
 def _parse_args(argv: list[str]) -> tuple[str, list[str]]:
     """Positional args in any order: twin names (from TWIN_NAMES)
-    filter the run; exactly one non-twin arg, which must be an
-    existing directory, overrides sf_dir. Anything else is an error —
-    no positional guessing (`t4x_cost_split.py t48 /path/to/sf` used
-    to drop the path silently)."""
+    filter the run; exactly one non-twin arg overrides sf_dir —
+    accepted whether or not it is a LOCAL directory, so remote URIs
+    (s3a://, hdfs://) pass through to the reader like any Spark path
+    (ADVICE r12: isdir was a gate, which rejected every non-local
+    sf_dir). A second non-twin arg is still an error — no positional
+    guessing (`t4x_cost_split.py t48 /path/to/sf` used to drop the
+    path silently)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     wanted: list[str] = []
     seen_dir = False
     for a in argv:
         if a in TWIN_NAMES:
             wanted.append(a)
-        elif os.path.isdir(a) and not seen_dir:
+        elif not seen_dir:
             sf_dir, seen_dir = a, True
         else:
             raise SystemExit(
                 f"unrecognized arg {a!r}: not a twin name "
-                f"{sorted(TWIN_NAMES)} and not an existing sf_dir "
-                "(usage: t4x_cost_split.py [sf_dir] [twin ...])"
+                f"{sorted(TWIN_NAMES)} and a second sf_dir candidate "
+                f"(already have {sf_dir!r}; usage: "
+                "t4x_cost_split.py [sf_dir] [twin ...])"
             )
     return sf_dir, wanted
+
+
+def _run_t52(spark, sf_dir, docs, timed, floor_sec, base):
+    """t52 cost split (VERDICT r12 item 3): the 3-stream hybrid loop
+    decomposed by stage. The two MAINTENANCE streams (postings
+    partials, int8-store partials) get the standard fixed+slope·rows
+    fit at 4- and 8-file granularity — per-batch work is one linear
+    pass over the batch. The SERVE stream is fit per-REQUEST over the
+    pinned merged artifacts (sec ≈ fixed + slope·n_requests), and a
+    corpus-scale contrast re-runs the identical 3-query serve against
+    artifacts built from the sf0.01 corpus vs this sf_dir's — the
+    per-request serving DAG reads only the query terms' postings rows
+    and the top-k pools, so serve time should be nearly flat across a
+    10× corpus (the t49/t52 'per-batch work is index-only' claim,
+    measured instead of asserted)."""
+    from eco_pulse_lakehouse_spark.corpus import northstar as _ns
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        term_postings,
+    )
+    from eco_pulse_lakehouse_spark.plans.hybrid_serving import (
+        hybrid_serving,
+    )
+    from eco_pulse_lakehouse_spark.plans.rag_context import int8_store
+
+    docs = docs.select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def postings_body(batch_df, sink):
+        term_postings(batch_df, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(sink)
+
+    def store_body(batch_df, sink):
+        int8_store(batch_df).select("vec_id", "q_vec", "__n8").write.mode(
+            "overwrite"
+        ).parquet(sink)
+
+    out = {"trivial_job_floor_sec": round(floor_sec, 4), "sf_dir": sf_dir}
+
+    # --- the two maintenance streams: fixed + slope*rows ------------
+    for stage_name, src, body in (
+        ("postings_ingest", docs, postings_body),
+        ("store_ingest", e, store_body),
+    ):
+        points, batches = [], []
+        for n_files in (4, 8):
+            stage_dir = os.path.join(base, f"t52_{stage_name}_{n_files}")
+            src.repartition(n_files).write.parquet(stage_dir)
+            files = sorted(
+                os.path.join(stage_dir, f)
+                for f in os.listdir(stage_dir)
+                if f.endswith(".parquet")
+            )
+            for i, path in enumerate(files):
+                batch_df = spark.read.schema(src.schema).parquet(path)
+                rows = batch_df.count()
+                sink = os.path.join(
+                    base, f"t52_{stage_name}_{n_files}_{i}"
+                )
+                body(batch_df, sink + "_warm")  # warm pass untimed
+                sec, jobs = timed(
+                    f"t52:{stage_name}:{n_files}:{i}",
+                    lambda: body(batch_df, sink),
+                )
+                points.append((rows, sec))
+                batches.append(
+                    {
+                        "granularity_files": n_files,
+                        "batch": i,
+                        "rows": rows,
+                        "sec": round(sec, 3),
+                        "jobs": jobs,
+                    }
+                )
+        fixed, slope, r2 = _fit(points)
+        out[stage_name] = {
+            "batches": batches,
+            "fit_fixed_sec_per_batch": round(fixed, 3),
+            "fit_slope_sec_per_1k_rows": round(slope * 1000, 4),
+            "fit_r2": round(r2, 3),
+        }
+
+    # --- the serve stream: fixed + slope*n_requests over the pinned
+    # merged artifacts (t49 discipline: one materialization, many
+    # request batches) --------------------------------------------
+    postings_full = term_postings(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    store_full = (
+        int8_store(e)
+        .select("vec_id", "q_vec", "__n8")
+        .localCheckpoint(eager=True)
+    )
+    queries = list(_ns._BM25_QUERIES)
+
+    def serve(batch, sink):
+        hybrid_serving(
+            docs, e, batch, postings=postings_full, quantized=store_full
+        ).write.mode("overwrite").parquet(sink)
+
+    serve_points, serve_batches = [], []
+    batchings = [[q] for q in queries] + [queries]
+    for i, batch in enumerate(batchings):
+        sink = os.path.join(base, f"t52_serve_{i}")
+        serve(batch, sink + "_warm")
+        sec, jobs = timed(f"t52:serve:{i}", lambda: serve(batch, sink))
+        serve_points.append((len(batch), sec))
+        serve_batches.append(
+            {"n_requests": len(batch), "sec": round(sec, 3), "jobs": jobs}
+        )
+    s_fixed, s_slope, s_r2 = _fit(serve_points)
+    out["serve"] = {
+        "batches": serve_batches,
+        "fit_fixed_sec_per_batch": round(s_fixed, 3),
+        "fit_slope_sec_per_request": round(s_slope, 4),
+        "fit_r2": round(s_r2, 3),
+    }
+
+    # --- corpus-scale contrast: identical 3-query serve against
+    # artifacts built from a 10x-smaller corpus ---------------------
+    contrast = {}
+    for tag, cdir in (("sf0.01", "/root/testdata/sf0.01"), ("sf_dir", sf_dir)):
+        cd = load_table(spark, cdir, "documents").select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+        )
+        ce = load_table(spark, cdir, "embeddings")
+        cp = term_postings(cd, "doc_id", "text").localCheckpoint(eager=True)
+        cs = (
+            int8_store(ce)
+            .select("vec_id", "q_vec", "__n8")
+            .localCheckpoint(eager=True)
+        )
+
+        def cserve(sink, cd=cd, ce=ce, cp=cp, cs=cs):
+            hybrid_serving(
+                cd, ce, queries, postings=cp, quantized=cs
+            ).write.mode("overwrite").parquet(sink)
+
+        sink = os.path.join(base, f"t52_contrast_{tag}")
+        cserve(sink + "_warm")
+        sec, jobs = timed(f"t52:contrast:{tag}", lambda: cserve(sink))
+        contrast[tag] = {
+            "corpus_rows": cd.count(),
+            "serve_sec": round(sec, 3),
+            "jobs": jobs,
+        }
+    contrast["serve_ratio_vs_10x_corpus"] = round(
+        contrast["sf_dir"]["serve_sec"]
+        / max(contrast["sf0.01"]["serve_sec"], 1e-9),
+        3,
+    )
+    out["serve_corpus_contrast"] = contrast
+    out["note"] = (
+        "3-stream decomposition: both maintenance streams fit "
+        "fixed + slope*rows (ingest-linear with a per-batch "
+        "constant, the t40/t41/t48 class); the serve stream fits "
+        "fixed + slope*n_requests over the pinned merged artifacts, "
+        "and the corpus contrast re-runs the identical request set "
+        "against artifacts from a 10x-smaller corpus — a ratio near "
+        "1 shows per-request serving work is index-probe-only, not "
+        "corpus-scan"
+    )
+    return {"t52_cost_split": out}
 
 
 def main() -> None:
@@ -219,9 +389,10 @@ def main() -> None:
         )
 
     twins = {"t40": t40_batch, "t41": t41_batch, "t48": t48_batch}
-    assert set(twins) == set(TWIN_NAMES), (
+    assert set(twins) | {"t52"} == set(TWIN_NAMES), (
         "twins dict and TWIN_NAMES drifted — update both"
     )
+    want_t52 = (not wanted) or ("t52" in wanted)
     if wanted:
         twins = {k: v for k, v in twins.items() if k in wanted}
     if "t40" in twins:
@@ -235,7 +406,7 @@ def main() -> None:
         )
     results = {name: {"points": [], "batches": []} for name in twins}
 
-    for n_files in (4, 8):
+    for n_files in (4, 8) if twins else ():
         stage = os.path.join(base, f"stage_{n_files}")
         docs.repartition(n_files).write.parquet(stage)
         files = sorted(
@@ -268,6 +439,8 @@ def main() -> None:
                 )
 
     out = {}
+    if want_t52:
+        out.update(_run_t52(spark, sf_dir, docs, timed, floor_sec, base))
     for name, res in results.items():
         fixed, slope, r2 = _fit(res["points"])
         out[f"{name}_cost_split"] = {
