@@ -500,3 +500,26 @@ def test_observe_metrics_on_batch_plan(spark):
     got = obs.get
     assert got["n_rows"] == 4  # observed BEFORE the filter
     assert got["n_null_v"] == 2
+
+
+def test_release_cached_state_unpersists_every_pin(spark):
+    """Pin-release contract (SCALE.md "Pin RELEASE is part of the pin
+    contract", the r11 late-entry-inflation root cause): bench's
+    release_cached_state must leave ZERO persistent RDDs behind —
+    blocking, so the blocks are gone when it returns, not draining
+    into the next timed entry."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from bench import release_cached_state
+
+    pinned = [
+        spark.range(1000 * (i + 1)).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    for df in pinned:
+        assert df.count() > 0
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() >= 3, "localCheckpoint should register pins"
+    release_cached_state(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -817,3 +817,51 @@ class TestHilbertReference:
         }
         assert got == {(x, y): xy2d(x, y) for x, y in pts}
         assert len(set(got.values())) == len(got)  # injective
+
+
+class TestIncrementalComponentsEqualsFull:
+    """Incremental CC maintenance vs the one-shot truth on RANDOM
+    graphs and RANDOM batch splits (generalizes the crafted bridge
+    case in test_analytics_ops.py): folding any partition of an edge
+    list through incremental_components_update — starting from an
+    EMPTY prior state — must land the exact label table
+    connected_components produces on the full list. Random splits
+    exercise every path at once: new-node entry, cross-batch
+    cluster merges (including min-label takeover by a LATER batch's
+    smaller id), self-merges inside an existing cluster, and
+    untouched-component carry-forward."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        raw=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=10,
+        ),
+        n_batches=st.integers(1, 3),
+    )
+    def test_fold_equals_one_shot(self, spark, raw, n_batches):
+        from hypothesis import assume
+
+        from eco_pulse_lakehouse_spark.operators.components import (
+            connected_components,
+            incremental_components_update,
+        )
+
+        edges = [(a, b) for a, b in raw if a != b]
+        assume(edges)
+        state = spark.createDataFrame([], "id LONG, comp LONG")
+        k = max(1, -(-len(edges) // n_batches))  # ceil split
+        for i in range(0, len(edges), k):
+            batch = spark.createDataFrame(
+                edges[i : i + k], "id_a LONG, id_b LONG"
+            )
+            state = incremental_components_update(
+                state, batch
+            ).localCheckpoint(eager=True)
+        inc = {r.id: r.comp for r in state.collect()}
+        full = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+        truth = {
+            r.id: r.comp for r in connected_components(full).collect()
+        }
+        assert inc == truth
