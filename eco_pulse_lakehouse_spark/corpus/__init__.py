@@ -617,7 +617,14 @@ def _priority(name: str, has_oracle: bool) -> tuple[int, int, int]:
         return (1, 0 if has_oracle else 1, fam)
     if name in _R05_TAIL and name not in refreshed:
         return (2, 0, 0)
-    if name in _R06_GREEN and name not in refreshed:
+    # r06 staleness tier: the named r06 window plus the two entries
+    # tools/staleness_audit.py found whose LATEST green is also r06
+    # (they were folded via the r05 list but re-certified in r06 and
+    # never since)
+    if (
+        name in _R06_GREEN
+        or name in ("x7_length_buckets", "t18_stream_lsh_index")
+    ) and name not in refreshed:
         return (2, 1, 0)
     return (9, 0, 0)
 
