@@ -425,81 +425,88 @@ def perceptual_phash(mm: DataFrame) -> DataFrame:
             ).alias("__m")
         )
     )
-    dense = cells_map.select(
+    # Everything downstream of the per-doc cell map is ROW-LOCAL
+    # integer math (r13 optimization, guide §2.4 "remove shuffles
+    # outright"): the dense 0..63 grid, both separable DCT stages,
+    # the exact 63-value median and the bit pack are unrolled
+    # literal-coefficient BIGINT expressions over the one 64-entry
+    # map. The previous dense-explode → two basis joins → median
+    # window → pack-aggregation shape not only paid ~6 post-map
+    # exchanges — Catalyst evaluated the WHOLE upstream pipeline
+    # (scan → byte explode → cell sums → map) TWICE, once under the
+    # median branch and once under the bits branch of the final
+    # join (plans/r13/x5_image_phash_before.txt, operators 1-43 vs
+    # 44-87). Results are bit-identical: every stage is integer
+    # addition/multiplication (order-free), and the median is the
+    # same 32nd-smallest of the 63 non-DC coefficients the rank-32
+    # window row selected. Each intermediate array is referenced
+    # many times by its consumer, so CollapseProject keeps the
+    # stage boundaries and every array evaluates once per row.
+    # The whole tail is ONE generated-SQL expression (a single F.expr
+    # / py4j call — the same tree built Column-by-Column costs ~4600
+    # py4j round-trips and 10-38 s of DRIVER time per construction,
+    # measured before this form replaced it). Each stage's array is
+    # bound ONCE per row through a single-element transform lambda
+    # ("let"): Catalyst cannot substitute an expression through a
+    # lambda binding, so the dense grid / s1 / coefficients / median
+    # each evaluate exactly once per row — stacking them as plain
+    # withColumn projections would let CollapseProject inline the
+    # single-reference stages into the consuming lambda, where they
+    # would re-evaluate per ELEMENT (compounding to ~300k ops/row).
+    carr = "array({})".format(
+        ",".join(
+            f"{PHASH_DCT[u][x]}L" for u in range(8) for x in range(8)
+        )
+    )
+    grays = "array({})".format(
+        ",".join(
+            f"coalesce(element_at(__m, {j}), 0L)" for j in range(64)
+        )
+    )
+    # s1[u*8+y] = Σ_x C[u][x] · gray(x, y), gray(x, y) = g[8y+x]
+    s1 = (
+        "transform(sequence(0, 63), i -> aggregate(sequence(0, 7), 0L,"
+        f" (acc, x) -> acc + element_at({carr},"
+        " CAST((i div 8) * 8 + x + 1 AS INT))"
+        " * element_at(g, CAST((i % 8) * 8 + x + 1 AS INT))))"
+    )
+    # coef[u*8+v] = Σ_y C[v][y] · s1[u*8+y]
+    cf = (
+        "transform(sequence(0, 63), i -> aggregate(sequence(0, 7), 0L,"
+        f" (acc, y) -> acc + element_at({carr},"
+        " CAST((i % 8) * 8 + y + 1 AS INT))"
+        " * element_at(s, CAST((i div 8) * 8 + y + 1 AS INT))))"
+    )
+    med = "element_at(array_sort(slice(c, 2, 63)), 32)"
+
+    def _pack(lo: int) -> str:
+        return (
+            "aggregate(sequence(0, 31), 0L, (acc, j) -> acc +"
+            f" (CASE WHEN element_at(c, CAST(j + {lo + 1} AS INT)) > m"
+            " THEN shiftleft(1L, j) ELSE 0L END))"
+        )
+
+    tail = (
+        f"element_at(transform(array({grays}), g -> "
+        f"element_at(transform(array({s1}), s -> "
+        f"element_at(transform(array({cf}), c -> "
+        f"element_at(transform(array({med}), m -> "
+        f"named_struct('b_lo', {_pack(0)}, 'b_hi', {_pack(32)})"
+        "), 1)), 1)), 1)), 1)"
+    )
+    hashed = cells_map.withColumn("__h", F.expr(tail)).select(
         "doc_id",
-        F.col("__n"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.coalesce(
-                    F.element_at(F.col("__m"), j.cast("int")),
-                    F.lit(0).cast("bigint"),
-                ),
-            )
-        ).alias("j", "gray"),
+        F.col("__n").alias("n_bytes"),
+        F.col("__h.b_lo").alias("b_lo"),
+        F.col("__h.b_hi").alias("b_hi"),
     )
     empty = base.filter(F.col("__n") == 0).select(
         "doc_id",
-        F.col("__n"),
-        F.posexplode(
-            F.array_repeat(F.lit(0).cast("bigint"), 64)
-        ).alias("j", "gray"),
-    )
-    cells = dense.unionByName(empty).select(
-        "doc_id",
         F.col("__n").alias("n_bytes"),
-        (F.col("j") % 8).alias("x"),
-        (F.col("j") / 8).cast("int").alias("y"),
-        "gray",
+        F.lit(0).cast("bigint").alias("b_lo"),
+        F.lit(0).cast("bigint").alias("b_hi"),
     )
-    basis = mm.sparkSession.createDataFrame(
-        [(u, x, PHASH_DCT[u][x]) for u in range(8) for x in range(8)],
-        "u int, x int, c long",
-    )
-    stage1 = (
-        cells.join(F.broadcast(basis), "x")
-        .groupBy("doc_id", "n_bytes", "u", "y")
-        .agg(F.sum(F.col("c") * F.col("gray")).alias("__s1"))
-    )
-    basis_v = basis.select(
-        F.col("u").alias("v"), F.col("x").alias("y"), F.col("c")
-    )
-    coefs = (
-        stage1.join(F.broadcast(basis_v), "y")
-        .groupBy("doc_id", "n_bytes", "u", "v")
-        .agg(F.sum(F.col("c") * F.col("__s1")).alias("coef"))
-    )
-    w_med = Window.partitionBy("doc_id").orderBy(
-        F.col("coef").asc(), F.col("u").asc(), F.col("v").asc()
-    )
-    med = (
-        coefs.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
-        .withColumn("__rn", F.row_number().over(w_med))
-        .filter(F.col("__rn") == 32)
-        .select("doc_id", F.col("coef").alias("__med"))
-    )
-    bits = coefs.join(med, "doc_id").select(
-        "doc_id",
-        "n_bytes",
-        (F.col("u") * 8 + F.col("v")).alias("__bit"),
-        F.when(F.col("coef") > F.col("__med"), 1).otherwise(0).alias("__b"),
-    )
-    return (
-        bits.groupBy("doc_id", "n_bytes")
-        .agg(
-            F.expr(
-                "CAST(SUM(CASE WHEN __bit < 32 THEN __b * shiftleft("
-                "CAST(1 AS BIGINT), CAST(__bit AS INT)) ELSE 0 END)"
-                " AS BIGINT)"
-            ).alias("b_lo"),
-            F.expr(
-                "CAST(SUM(CASE WHEN __bit >= 32 THEN __b * shiftleft("
-                "CAST(1 AS BIGINT), CAST(__bit - 32 AS INT)) ELSE 0 END)"
-                " AS BIGINT)"
-            ).alias("b_hi"),
-        )
-        .select("doc_id", "n_bytes", "b_lo", "b_hi")
-    )
+    return hashed.unionByName(empty)
 
 
 def _hash_block(start: int, end: int) -> Column:
