@@ -2109,18 +2109,35 @@ def x4_rrf_fusion(spark, sf_dir):
     oracle-exact; the oracle shares _BM25_CTES with x4_bm25 so the
     retriever definitions cannot drift."""
     from eco_pulse_lakehouse_spark.operators.retrieval import (
-        bm25_topk,
+        bm25_from_postings,
+        bm25_shared_stats,
         rrf_fuse,
-        term_overlap_topk,
+        term_overlap_from_postings,
+        term_postings,
     )
 
     d = T(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint"), "text"
     )
-    a = bm25_topk(
-        d, "doc_id", "text", _BM25_QUERIES, k1=1.2, b=0.75, k=20
+    # ONE pinned postings build + shared dl/df_t/stats for both
+    # retrievers (r13, guide §2.4): the bm25_topk/term_overlap_topk
+    # pair re-tokenized the corpus 5x (the before plan's 5 text
+    # scans). term_overlap_topk IS term_overlap_from_postings over
+    # term_postings (retrieval.py:249), so the fusion input — and
+    # the oracle-checked output — is unchanged row for row.
+    q_terms = spark.createDataFrame(
+        [(qid, t) for qid, qtext in _BM25_QUERIES for t in qtext.split(" ")],
+        "query_id long, term string",
+    ).distinct()
+    postings = term_postings(d, "doc_id", "text").localCheckpoint(
+        eager=True
     )
-    b = term_overlap_topk(d, "doc_id", "text", _BM25_QUERIES, k=20)
+    dl, df_t, stats = bm25_shared_stats(postings, "doc_id")
+    a = bm25_from_postings(
+        postings, "doc_id", q_terms, 1.2, 0.75, 20,
+        dl=dl, df_t=df_t, stats=stats,
+    )
+    b = term_overlap_from_postings(postings, "doc_id", q_terms, k=20)
     return rrf_fuse(a, b, k=10)
 
 

@@ -146,9 +146,51 @@ def _bm25_score(
     Fixed-point contributions — see :func:`bm25_topk` for the
     determinism contract. ``k <= 0`` keeps every matched candidate
     (callers that re-rank, e.g. the phrase-boost variant, cut later
-    — the top-k window must run AFTER any score adjustment)."""
-    postings = term_postings(docs, id_col, text_col)
-    return bm25_from_postings(postings, id_col, q_terms, k1, b, k)
+    — the top-k window must run AFTER any score adjustment).
+
+    The postings build is PINNED (r13): unpinned, its explode +
+    groupBy re-ran once per consumer — dl, df_t and the contribution
+    join each re-tokenized the corpus (4 text scans in the x4_bm25
+    before plan); the shared lazy (dl, df_t, stats) triple then
+    derives from the one pin."""
+    postings = term_postings(docs, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    dl, df_t, stats = bm25_shared_stats(postings, id_col, pin=False)
+    return bm25_from_postings(
+        postings, id_col, q_terms, k1, b, k, dl=dl, df_t=df_t, stats=stats
+    )
+
+
+def bm25_shared_stats(
+    postings: DataFrame, id_col: str, pin: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ``(dl, df_t, stats)`` triple every BM25-family consumer
+    re-derives from postings, computed ONCE (r13, guide §2.4): a
+    PRF serving DAG aggregates the full postings table for per-doc
+    lengths and per-term document frequencies in the feedback pass,
+    again in the final pass, and a third time for budget token
+    counts — each a full-postings shuffle. ``pin=True``
+    localCheckpoints the doc-sized ``dl`` and vocab-sized ``df_t``
+    (persist() on a real cluster — both are index-sized artifacts a
+    serving platform maintains next to the postings themselves);
+    ``stats`` is a 1-row aggregate over ``dl`` and stays lazy.
+    Expressions are exactly the per-call forms, so scores are
+    unchanged."""
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    if pin:
+        dl = dl.localCheckpoint(eager=True)
+        df_t = df_t.localCheckpoint(eager=True)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    return dl, df_t, stats
 
 
 def bm25_from_postings(
@@ -158,6 +200,9 @@ def bm25_from_postings(
     k1: float,
     b: float,
     k: int,
+    dl: DataFrame | None = None,
+    df_t: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 scoring from a ``(id, term, tf)`` POSTINGS table — split
     out of :func:`_bm25_score` because postings are LINEAR partials
@@ -166,17 +211,22 @@ def bm25_from_postings(
     which is what lets a streaming ingest maintain the search index
     incrementally and serve the exact batch ranking
     (t32_stream_bm25). dl / df / corpus stats all derive from the
-    postings alone."""
-    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("__n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "__avgdl"
-        ),
-    )
-    df_t = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
+    postings alone; multi-stage callers pass a
+    :func:`bm25_shared_stats` triple so the derivation runs once per
+    DAG instead of once per stage."""
+    if dl is None:
+        dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    if stats is None:
+        stats = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("__n_docs"),
+            (
+                F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("__avgdl"),
+        )
+    if df_t is None:
+        df_t = postings.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
     idf = F.round(
         F.log(
             (F.col("__n_docs") - F.col("df") + F.lit(0.5))
@@ -341,6 +391,9 @@ def prf_expand_terms(
     b: float = 0.75,
     fb_k: int = 5,
     n_expand: int = 3,
+    dl: DataFrame | None = None,
+    df_t: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback term selection (the RM3-family
     expansion step, Lavrenko & Croft 2001 / Abdul-Jaleel et al.
@@ -357,9 +410,9 @@ def prf_expand_terms(
     documents' postings rows; the per-query candidate pool is at most
     fb_k document vocabularies, ranked by one window. Returns
     (query_id, term) expansion rows."""
-    fb = bm25_from_postings(postings, id_col, q_terms, k1, b, fb_k).select(
-        "query_id", id_col
-    )
+    fb = bm25_from_postings(
+        postings, id_col, q_terms, k1, b, fb_k, dl=dl, df_t=df_t, stats=stats
+    ).select("query_id", id_col)
     orig = q_terms.withColumn("__orig", F.lit(1))
     cand = (
         postings.join(F.broadcast(fb), id_col)
@@ -416,13 +469,20 @@ def bm25_prf_topk(
     postings = term_postings(docs, id_col, text_col).localCheckpoint(
         eager=True
     )
+    # dl/df_t/stats once for BOTH passes (r13, guide §2.4): the
+    # feedback pass and the final pass each re-aggregated the full
+    # postings pin for per-doc lengths and document frequencies.
+    dl, df_t, stats = bm25_shared_stats(postings, id_col)
     expansion = prf_expand_terms(
-        postings, q_terms, id_col, k1, b, fb_k, n_expand
+        postings, q_terms, id_col, k1, b, fb_k, n_expand,
+        dl=dl, df_t=df_t, stats=stats,
     )
     # no distinct needed: q_terms is already distinct and expansion
     # rows are disjoint from it by construction (originals excluded)
     q2 = q_terms.union(expansion)
-    return bm25_from_postings(postings, id_col, q2, k1, b, k)
+    return bm25_from_postings(
+        postings, id_col, q2, k1, b, k, dl=dl, df_t=df_t, stats=stats
+    )
 
 
 def rake_keyphrases(

@@ -254,6 +254,16 @@ def sax_motif_pairs(
     )
     if max_bucket_windows is not None:
         sax = _cap_hot_words(sax, key_col, max_bucket_windows)
+    # Pin the shared window/zvec build before the self-join: both
+    # join sides consume it, and unpinned each re-ran the whole
+    # collect_list -> explode -> z-normalize pipeline (the before
+    # plan's duplicated subtrees 1-8 / 9-16,
+    # plans/r13/w16_sax_motif_pairs_before.txt). The dedup-module
+    # pin contract applies (localCheckpoint here; persist() on a
+    # real cluster); release via the caller's usual pin hygiene.
+    from eco_pulse_lakehouse_spark.operators.dedup import _pin
+
+    sax = _pin(sax)
     a = sax.select(
         F.col(key_col).alias("key_a"),
         F.col("win_start").alias("start_a"),

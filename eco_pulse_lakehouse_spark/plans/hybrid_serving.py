@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.operators.retrieval import (
     bm25_from_postings,
+    bm25_shared_stats,
     prf_expand_terms,
     rrf_fuse,
     term_postings,
@@ -108,12 +109,16 @@ def hybrid_serving(
         quantized = int8_store(embeddings, vec_col)
 
     # --- keyword half: PRF-expanded BM25 (the flagship-#9 recall
-    # pass — its expression tree verbatim) ---
+    # pass — its expression tree verbatim). dl/df_t/stats computed
+    # once for the whole DAG (r13, guide §2.4) instead of per stage.
+    dl, df_t, stats = bm25_shared_stats(postings, id_col)
     expansion = prf_expand_terms(
-        postings, q_terms, id_col, k1, b, fb_k, n_expand
+        postings, q_terms, id_col, k1, b, fb_k, n_expand,
+        dl=dl, df_t=df_t, stats=stats,
     )
     kw = bm25_from_postings(
-        postings, id_col, q_terms.union(expansion), k1, b, retriever_k
+        postings, id_col, q_terms.union(expansion), k1, b, retriever_k,
+        dl=dl, df_t=df_t, stats=stats,
     )
 
     # --- dense half: exact BIGINT int8 dot top-k over the pinned
@@ -144,8 +149,9 @@ def hybrid_serving(
     # rrf_fuse is flagship #9's combiner; n_tokens = sum(tf) over the
     # pinned postings equals token_count under the shared tokenizer) --
     fused = rrf_fuse(kw, dense, id_col=id_col, k=k)
-    toks = postings.groupBy(id_col).agg(
-        F.sum("tf").cast("bigint").alias("n_tokens")
+    # n_tokens IS the shared dl (same sum(tf)-per-doc aggregation).
+    toks = dl.select(
+        id_col, F.col("dl").cast("bigint").alias("n_tokens")
     )
     w = (
         Window.partitionBy("query_id")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.operators.retrieval import (
     bm25_from_postings,
+    bm25_shared_stats,
     prf_expand_terms,
     rrf_fuse,
     term_overlap_from_postings,
@@ -69,11 +70,19 @@ def search_serving(
         postings = term_postings(docs, id_col, text_col).localCheckpoint(
             eager=True
         )
+    # dl/df_t/stats once for the WHOLE DAG (r13, guide §2.4): the PRF
+    # feedback pass, the final BM25 pass and the budget token counts
+    # each re-aggregated the full postings pin before this.
+    dl, df_t, stats = bm25_shared_stats(postings, id_col)
     expansion = prf_expand_terms(
-        postings, q_terms, id_col, k1, b, fb_k, n_expand
+        postings, q_terms, id_col, k1, b, fb_k, n_expand,
+        dl=dl, df_t=df_t, stats=stats,
     )
     qt2 = q_terms.union(expansion)
-    bm = bm25_from_postings(postings, id_col, qt2, k1, b, retriever_k)
+    bm = bm25_from_postings(
+        postings, id_col, qt2, k1, b, retriever_k,
+        dl=dl, df_t=df_t, stats=stats,
+    )
     ov = term_overlap_from_postings(postings, id_col, q_terms, retriever_k)
     fused = rrf_fuse(bm, ov, id_col=id_col, k=k)
     # Token counts come from the PINNED index, not a corpus rescan:
@@ -81,9 +90,10 @@ def search_serving(
     # under the shared tokens() tokenizer, and every fused doc has
     # >= 1 postings row (it matched a query term), so the inner join
     # below is row-identical to the docs-derived form. This keeps the
-    # t47 request stream's per-batch work index-only.
-    toks = postings.groupBy(id_col).agg(
-        F.sum("tf").cast("bigint").alias("n_tokens")
+    # t47 request stream's per-batch work index-only. n_tokens IS the
+    # shared dl (same sum(tf)-per-doc aggregation, just re-typed).
+    toks = dl.select(
+        id_col, F.col("dl").cast("bigint").alias("n_tokens")
     )
     w = (
         Window.partitionBy("query_id")
