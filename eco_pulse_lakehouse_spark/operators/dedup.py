@@ -1341,8 +1341,19 @@ def line_dedup_keep_first(
             ),
         ).alias("__clean"),
     )
-    base = ch.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    # n_chunks row-locally from the text (r13, guide §2.4): the old
+    # groupBy over the exploded chunk stream re-ran the whole
+    # doc_chunks explode a second time just to count rows. posexplode
+    # emits exactly ceil(|tokens|/chunk_tokens) rows per non-null
+    # text (>= 1 — '' tokenizes to ['']), and null-text docs emit
+    # none, so the filter keeps the row set identical.
+    from eco_pulse_lakehouse_spark.functions.text import tokens
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.ceil(
+            F.size(tokens(F.col(text_col))) / F.lit(float(chunk_tokens))
+        ).cast("bigint").alias("n_chunks"),
     )
     return base.join(rebuilt, id_col, "left").select(
         F.col(id_col),

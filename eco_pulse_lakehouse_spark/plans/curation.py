@@ -82,8 +82,13 @@ def curation_select(
     (raw layout). persist() replaces localCheckpoint on a
     cluster."""
     is_pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
-    dd = exact_dedup(docs, ["text"], "doc_id").select(
-        "doc_id", "lang", "source", "text"
+    # Pinned (r13): dd feeds BOTH the line-dedup stage and the
+    # metadata join below — unpinned, the exact-dedup window (a full
+    # shuffle of the text) ran twice. persist() on a real cluster.
+    dd = (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select("doc_id", "lang", "source", "text")
+        .localCheckpoint(eager=True)
     )
     ld = line_dedup_keep_first(dd, "doc_id", "text", chunk_tokens)
     cleaned = (

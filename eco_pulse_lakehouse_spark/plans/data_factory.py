@@ -88,8 +88,13 @@ def data_factory_manifest(
         doc-bucket featurize pass (only the flag differs); scoring
         still runs over the kept docs."""
     is_pos = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
-    dd = exact_dedup(docs, ["text"], "doc_id").select(
-        "doc_id", "lang", "source", "text"
+    # Pinned (r13, the curation_select fix): dd feeds both the
+    # line-dedup stage and the metadata join — unpinned, the
+    # exact-dedup window ran twice. persist() on a real cluster.
+    dd = (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select("doc_id", "lang", "source", "text")
+        .localCheckpoint(eager=True)
     )
     ld = line_dedup_keep_first(dd, "doc_id", "text", chunk_tokens)
     cleaned = (
