@@ -296,6 +296,16 @@ def perceptual_ahash(mm: DataFrame) -> DataFrame:
     # Spark split('', '') yields [''] where DuckDB string_split
     # yields [] — guard the empty payload to the empty byte stream
     # so both engines agree on n_bytes = 0.
+    #
+    # Shape (r13): the original 64 interpreted slice-folds per row
+    # benched 4.9 s at sf0.1; this is the pHash discipline instead —
+    # ONE posexplode + map-side-combinable cell-sum groupBy + per-doc
+    # 64-entry map, then a row-local generated-SQL tail (cell lengths
+    # come from the slice-boundary formula, so only sums are
+    # carried). Bit-identical: the inverted cell assignment
+    # j = (64·(p+1) − 1) div n is the exact inverse of the
+    # floor(j·n/64) slice boundaries, sums are integer, and the
+    # bit rule s·n > tot·l compares the same integers.
     txt = F.decode(F.col("payload"), "UTF-8")
     codes = F.when(
         F.length(txt) > 0,
@@ -305,39 +315,72 @@ def perceptual_ahash(mm: DataFrame) -> DataFrame:
         "doc_id",
         codes.alias("__cd"),
         F.size(codes).cast("bigint").alias("__n"),
-    ).withColumn(
-        "__tot",
-        F.aggregate(
-            F.col("__cd"), F.lit(0).cast("bigint"), lambda a, x: a + x
-        ),
     )
+    bytes_ = base.select(
+        "doc_id",
+        F.col("__n"),
+        F.posexplode_outer(F.col("__cd")).alias("__p", "__c"),
+    )
+    cells_map = (
+        bytes_.filter(F.col("__c").isNotNull())
+        .withColumn(
+            "j", F.expr("CAST((64 * (__p + 1) - 1) div __n AS INT)")
+        )
+        .groupBy("doc_id", "__n", "j")
+        .agg(F.sum("__c").alias("__s"))
+        .groupBy("doc_id", "__n")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("j", "__s"))
+            ).alias("__m")
+        )
+    )
+    # sums[j], lens[j] (slice-boundary formula), tot = Σ sums, then
+    # the integer cross-multiplication bit rule — one generated-SQL
+    # expression with each stage bound once per row (the pHash
+    # let-binding form).
+    sums = "array({})".format(
+        ",".join(
+            f"coalesce(element_at(__m, {j}), 0L)" for j in range(64)
+        )
+    )
+    lens = "array({})".format(
+        ",".join(
+            f"CAST((({j + 1}) * __n) div 64 - (({j}) * __n) div 64"
+            " AS BIGINT)"
+            for j in range(64)
+        )
+    )
+    tot = "aggregate(s, 0L, (acc, x) -> acc + x)"
 
-    def cell_sum(j: int):
-        n = F.col("__n")
-        start = F.floor((F.lit(j) * n) / F.lit(64.0)).cast("int")
-        end = F.floor((F.lit(j + 1) * n) / F.lit(64.0)).cast("int")
-        return F.aggregate(
-            F.slice(F.col("__cd"), start + 1, end - start),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
-        ), (end - start).cast("bigint")
+    def _pack(lo: int) -> str:
+        return (
+            "aggregate(sequence(0, 31), 0L, (acc, j) -> acc +"
+            f" (CASE WHEN element_at(s, CAST(j + {lo + 1} AS INT)) * __n"
+            f" > t * element_at(l, CAST(j + {lo + 1} AS INT))"
+            " THEN shiftleft(1L, j) ELSE 0L END))"
+        )
 
-    def pack(lo: int) -> Column:
-        out = F.lit(0).cast("bigint")
-        for j in range(32):
-            s, ln = cell_sum(lo + j)
-            out = out + F.when(
-                s * F.col("__n") > F.col("__tot") * ln,
-                F.lit(1 << j).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        return out
-
-    return base.select(
+    tail = (
+        f"element_at(transform(array({sums}), s -> "
+        f"element_at(transform(array({lens}), l -> "
+        f"element_at(transform(array({tot}), t -> "
+        f"named_struct('b_lo', {_pack(0)}, 'b_hi', {_pack(32)})"
+        "), 1)), 1)), 1)"
+    )
+    hashed = cells_map.withColumn("__h", F.expr(tail)).select(
         "doc_id",
         F.col("__n").alias("n_bytes"),
-        pack(0).alias("b_lo"),
-        pack(32).alias("b_hi"),
+        F.col("__h.b_lo").alias("b_lo"),
+        F.col("__h.b_hi").alias("b_hi"),
     )
+    empty = base.filter(F.col("__n") == 0).select(
+        "doc_id",
+        F.col("__n").alias("n_bytes"),
+        F.lit(0).cast("bigint").alias("b_lo"),
+        F.lit(0).cast("bigint").alias("b_hi"),
+    )
+    return hashed.unionByName(empty)
 
 
 # Integer DCT-II basis for the 8-point transform, rounded to a 1e4
