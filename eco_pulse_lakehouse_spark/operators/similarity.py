@@ -1618,9 +1618,15 @@ def semantic_dedup(
         m_segments=1, k_codes=n_clusters, dim=dim,
         iterations=cluster_iterations,
     )
+    # Pinned (r13): ``scored`` feeds both sides of the within-cluster
+    # pair join AND the final anti-join — unpinned, the quantize +
+    # encode + centroid-dot projection (interpreted HOF dots) re-ran
+    # per consumer (the before plan re-scanned the embeddings 18x).
+    # Measured 2.29 -> 2.04 s at sf0.1, identical survivors.
+    # persist() on a real cluster.
     scored = semdedup_assign(
         quantized, coarse, id_col, vec_col, n_clusters, dim
-    )
+    ).localCheckpoint(eager=True)
     drops = semdedup_drops(
         scored, scored, id_col, vec_col, min_dot, ordered_pairs=True
     )
