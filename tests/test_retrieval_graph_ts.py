@@ -706,6 +706,58 @@ def test_sax_motif_cap_bounds_hot_bucket(spark):
     assert over[0].uncapped_pairs == 54 * 53 // 2
 
 
+def test_sax_motif_prefilter_lossless_at_boundary(spark):
+    """The per-coordinate refine prefilter (r14) must be LOSSLESS:
+    identical pair sets with the bound off, the default full-window
+    form, and a sparse subset — including a pair sitting EXACTLY at
+    dist == max_dist (the inclusive boundary the ½-quantum + 1e-9
+    slack exists to protect)."""
+    from eco_pulse_lakehouse_spark.operators.timeseries import (
+        sax_motif_pairs,
+    )
+
+    rows = []
+    motif = [1, 9, 2, 8] * 4
+    for u in range(4):
+        # same shape, per-user jitter → same sax word, varied dists
+        rows += [
+            (u, i, i, float(motif[i % 16]) + 0.13 * u * ((i * 7) % 5))
+            for i in range(32)
+        ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts INT, event_id INT, value DOUBLE"
+    )
+    kw = dict(
+        key_col="user_id", order_cols=("ts", "event_id"),
+        value_col="value", window_len=16, stride=8, paa_segments=4,
+    )
+    allp = sax_motif_pairs(
+        df, **kw, max_dist=1e9, prefilter_coords=None
+    ).collect()
+    assert len(allp) >= 3, "fixture must produce comparable pairs"
+    dists = sorted(r.dist for r in allp)
+    boundary = dists[len(dists) // 2]
+    assert boundary > 0
+    variants = {
+        "off": None,
+        "default": "auto",
+        "sparse": (1, 6, 11, 16),
+    }
+    got = {}
+    for name, coords in variants.items():
+        got[name] = {
+            (r.key_a, r.start_a, r.key_b, r.start_b, r.dist)
+            for r in sax_motif_pairs(
+                df, **kw, max_dist=boundary, prefilter_coords=coords
+            ).collect()
+        }
+    assert got["default"] == got["off"], "default prefilter lost pairs"
+    assert got["sparse"] == got["off"], "sparse prefilter lost pairs"
+    assert any(p[4] == boundary for p in got["off"]), (
+        "the dist == max_dist boundary pair must be kept"
+    )
+
+
 def test_pmi_ranks_true_collocation_above_independents(spark):
     """A bigram that only ever occurs as a unit ('new york') must get
     higher PMI than bigrams formed by independently-shuffled fillers,
