@@ -175,9 +175,9 @@ def w7_sessionize(spark, sf_dir):
     "w8_range_frame",
     """
     SELECT event_id, user_id, epoch_s,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY epoch_s
-             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              AS trailing_30m_sum
     FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
           FROM events)
@@ -379,8 +379,8 @@ def a11_grouping_sets(spark, sf_dir):
     FROM (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS s2
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS s2
       FROM lineitem GROUP BY l_returnflag
     )
     """,
@@ -1199,7 +1199,7 @@ ORACLES["a32_ams_f2"] = _a32_oracle()
     "a15_cube",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1398,7 +1398,7 @@ def x4_textrank_keywords(spark, sf_dir):
     "s15_compaction",
     """
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -1749,7 +1749,7 @@ def f_param_sql(spark, sf_dir):
     """
     WITH pd AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS v
       FROM events WHERE user_id < 30 GROUP BY 1, 2
     ), bounds AS (
       SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM pd GROUP BY 1
@@ -2135,7 +2135,7 @@ def w13_journey_pattern(spark, sf_dir):
     """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
              AS total_qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2157,8 +2157,7 @@ def f_pipe_syntax(spark, sf_dir):
         FROM lineitem
         |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |> AGGREGATE COUNT(*) AS n,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                          AS DOUBLE) AS total_qty
+                     CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_qty
            GROUP BY l_returnflag
         |> SELECT l_returnflag, n, total_qty
         """
@@ -3238,14 +3237,11 @@ def f_try_arithmetic(spark, sf_dir):
     FROM (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8)))
-                  AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8)))
-                  AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
-                  AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     """,
@@ -3304,13 +3300,12 @@ def a24_exact_corr(spark, sf_dir):
       SELECT l_returnflag, n, s2, s3, s4, s1 / n AS mu FROM (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8)))
-                    AS DOUBLE) AS s2,
-               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
-                             AS DECIMAL(28,8))) AS DOUBLE) AS s3,
-               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
-                             AS DECIMAL(28,8))) AS DOUBLE) AS s4
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,8))) AS STRING) AS DOUBLE) AS s2,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS s3,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS s4
         FROM lineitem GROUP BY l_returnflag
       )
     )

@@ -1080,7 +1080,7 @@ def x3_ann_refined(spark, sf_dir):
       FROM unique_docs
     )
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(CAST(q AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+           CAST(CAST(SUM(CAST(q AS DECIMAL(18,12))) AS STRING) AS DOUBLE) / COUNT(*)
              AS avg_quality,
            COUNT(DISTINCT fp) AS distinct_fingerprints
     FROM scored GROUP BY lang
@@ -2577,7 +2577,7 @@ def x6_domain_mixture(spark, sf_dir):
       FROM feat
     ), agg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST(w AS DECIMAL(18,4))) AS DOUBLE) AS score
+             CAST(CAST(SUM(CAST(w AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS score
       FROM wts GROUP BY doc_id
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, score,

@@ -185,7 +185,7 @@ def s7_csv_roundtrip(spark, sf_dir):
     "s12_orc_roundtrip",
     """
     SELECT o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
     FROM orders WHERE o_orderstatus = 'O'
     GROUP BY o_orderpriority
     """,
@@ -831,7 +831,7 @@ def w2_keep_best(spark, sf_dir):
     "w3_rolling_avg",
     """
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS STRING) AS DOUBLE)
              / COUNT(value) OVER w AS roll_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -914,9 +914,9 @@ def w5_rank(spark, sf_dir):
     "w6_running_sum",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              AS running_spend
     FROM orders
     """,

@@ -1030,7 +1030,7 @@ def t20_stream_versioned_gold(spark, sf_dir):
       FROM events WHERE event_id % 3 != 0
     )
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
     FROM head GROUP BY event_type
     """,
 )
@@ -3518,6 +3518,14 @@ def t47_stream_search_serving(spark, sf_dir):
     store = term_postings(d, "doc_id", "text").localCheckpoint(
         eager=True
     )  # the pinned index artifact
+    # maintained stats triple next to the store (r14, ADVICE r13):
+    # without it every request batch re-pinned dl/df_t — leaked
+    # blocks + 2 eager jobs per batch in a long-lived serving loop
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_shared_stats,
+    )
+
+    shared_stats = bm25_shared_stats(store, "doc_id")
 
     req = spark.createDataFrame(
         [(qid, qtext) for qid, qtext in _ns._BM25_QUERIES],
@@ -3546,7 +3554,10 @@ def t47_stream_search_serving(spark, sf_dir):
         if not batch_queries:
             return
         (
-            search_serving(d, batch_queries, postings=store)
+            search_serving(
+                d, batch_queries, postings=store,
+                shared_stats=shared_stats,
+            )
             .write.mode("overwrite")
             .parquet(os.path.join(sink, f"batch={batch_id}"))
         )
@@ -3674,6 +3685,15 @@ def t49_stream_hybrid_serving(spark, sf_dir):
         eager=True
     )  # pinned keyword index
     store = int8_store(e).localCheckpoint(eager=True)  # pinned vectors
+    # the (dl, df_t, stats) triple is maintained ONCE next to the
+    # postings store and passed per request batch (r14, ADVICE r13):
+    # the per-batch serve otherwise re-pinned dl/df_t every batch —
+    # leaked blocks + 2 eager jobs per batch in a long-lived loop
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_shared_stats,
+    )
+
+    shared_stats = bm25_shared_stats(postings, "doc_id")
 
     req = spark.createDataFrame(
         [(qid, qtext) for qid, qtext in _ns._BM25_QUERIES],
@@ -3703,7 +3723,8 @@ def t49_stream_hybrid_serving(spark, sf_dir):
             return
         (
             hybrid_serving(
-                d, e, batch_queries, postings=postings, quantized=store
+                d, e, batch_queries, postings=postings, quantized=store,
+                shared_stats=shared_stats,
             )
             .write.mode("overwrite")
             .parquet(os.path.join(sink, f"batch={batch_id}"))
@@ -3970,6 +3991,14 @@ def t52_stream_hybrid_loop(spark, sf_dir):
     store = spark.read.parquet(
         os.path.join(e_sink, "batch=*")
     ).localCheckpoint(eager=True)
+    # maintained stats triple next to the merged postings (r14,
+    # ADVICE r13): computed once for the whole request loop instead
+    # of re-pinned per batch
+    from eco_pulse_lakehouse_spark.operators.retrieval import (
+        bm25_shared_stats,
+    )
+
+    shared_stats = bm25_shared_stats(postings, "doc_id")
 
     req = spark.createDataFrame(
         [(qid, qtext) for qid, qtext in _ns._BM25_QUERIES],
@@ -3987,7 +4016,8 @@ def t52_stream_hybrid_loop(spark, sf_dir):
             return
         (
             hybrid_serving(
-                d, e, batch_queries, postings=postings, quantized=store
+                d, e, batch_queries, postings=postings, quantized=store,
+                shared_stats=shared_stats,
             )
             .write.mode("overwrite")
             .parquet(os.path.join(r_sink, f"batch={batch_id}"))

@@ -25,12 +25,12 @@ def _sql(spark, sf_dir: str, query: str):
 
 _Q1 = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS STRING) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -46,7 +46,7 @@ def tpch_q1(spark, sf_dir):
 
 
 _Q6 = """
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -65,7 +65,7 @@ def tpch_q6(spark, sf_dir):
 
 _Q3 = """
     SELECT /*+ MERGE(lineitem) */ l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -116,7 +116,7 @@ _QSCALAR = """
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice >
-      (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
               / COUNT(*) * 1.5
        FROM orders)
 """
@@ -132,8 +132,8 @@ def tpch_scalar_subquery(spark, sf_dir):
 
 _Q10 = """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -177,7 +177,7 @@ def tpch_q12(spark, sf_dir):
 
 _Q18 = """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_qty
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderkey IN (
       SELECT l_orderkey FROM lineitem
@@ -198,7 +198,7 @@ def tpch_q18(spark, sf_dir):
 
 _Q5 = """
     SELECT /*+ MERGE(lineitem) */ r_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS revenue,
            COUNT(DISTINCT o_orderkey) AS n_orders
     FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -255,8 +255,8 @@ def tpch_q7(spark, sf_dir):
 
 _Q8 = """
     SELECT yr,
-           CAST(SUM(CASE WHEN nat = 'NATION_3' THEN vol
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           CAST(CAST(SUM(CASE WHEN nat = 'NATION_3' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS STRING) AS DOUBLE)
              / CAST(SUM(vol) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
@@ -328,10 +328,10 @@ def tpch_q13(spark, sf_dir):
 
 _Q14 = """
     SELECT 100.00
-           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+           * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS STRING) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -349,7 +349,7 @@ def tpch_q14(spark, sf_dir):
 _Q15 = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -388,12 +388,12 @@ def tpch_q16(spark, sf_dir):
 
 
 _Q17 = """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / 7.0
              AS avg_yearly
     FROM lineitem l JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (
-        SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        SELECT 0.5 * CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                    / COUNT(*)
         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
       )
@@ -409,7 +409,7 @@ def tpch_q17(spark, sf_dir):
 
 
 _Q19 = """
-    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -455,12 +455,12 @@ def tpch_q21(spark, sf_dir):
 
 _Q22 = """
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS totacctbal
     FROM (
       SELECT SUBSTRING(c_name, 10, 1) AS cntrycode, c_acctbal AS acctbal
       FROM customer c
       WHERE c_acctbal > (
-          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*)
           FROM customer WHERE c_acctbal > 0.0
         )
         AND NOT EXISTS (SELECT 1 FROM orders
@@ -513,14 +513,14 @@ def tpch_q2(spark, sf_dir):
 
 _Q11 = """
     SELECT l_partkey,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
              AS value
     FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                   JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_1'
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) >
-      (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+    HAVING CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) >
+      (SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
               * 0.0005
        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                      JOIN nation ON s_nationkey = n_nationkey
@@ -563,7 +563,7 @@ _Q20 = """
 
 _BUCKETED_ORACLE = """
     SELECT o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -586,8 +586,8 @@ def cat_bucketed_join_agg(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT /*+ MERGE(l) */ o.o_orderpriority,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM {db}.lineitem l JOIN {db}.orders o
           ON l.l_orderkey = o.o_orderkey

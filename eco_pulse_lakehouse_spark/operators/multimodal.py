@@ -290,7 +290,15 @@ def perceptual_ahash(mm: DataFrame) -> DataFrame:
 
     Row-local HOF arithmetic only — no shuffle, no Python; scales
     linearly and column-prunes to the payload. Returns
-    (doc_id, n_bytes, b_lo, b_hi)."""
+    (doc_id, n_bytes, b_lo, b_hi).
+
+    PRECONDITION (ADVICE r13): ``doc_id`` rows must be UNIQUE — the
+    r13 explode+groupBy form aggregates cell sums by (doc_id, n),
+    so equal-length duplicate doc_id rows would merge into one
+    summed output row where the r12 per-row form hashed each
+    independently. perceptual_phash shares the same precondition;
+    the mm corpus is keyed by doc_id, and a caller with duplicate
+    ids should aggregate on a row-unique key instead."""
     # ASCII payloads make byte values char codes (the x5 oracle
     # trick): ascii() over split characters == the byte stream.
     # Spark split('', '') yields [''] where DuckDB string_split

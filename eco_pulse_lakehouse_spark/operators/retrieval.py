@@ -141,6 +141,7 @@ def _bm25_score(
     k1: float,
     b: float,
     k: int,
+    pin: bool = True,
 ) -> DataFrame:
     """Shared BM25 scoring core over a (query_id, term) DataFrame.
     Fixed-point contributions — see :func:`bm25_topk` for the
@@ -152,10 +153,14 @@ def _bm25_score(
     groupBy re-ran once per consumer — dl, df_t and the contribution
     join each re-tokenized the corpus (4 text scans in the x4_bm25
     before plan); the shared lazy (dl, df_t, stats) triple then
-    derives from the one pin."""
-    postings = term_postings(docs, id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    derives from the one pin. ``pin=False`` (r14, ADVICE r13) is the
+    escape hatch for plan-inspection and long-lived-session callers:
+    the eager localCheckpoint otherwise runs the full tokenize +
+    shuffle job at DataFrame-CONSTRUCTION time and its blocks are
+    never auto-released (the dedup pin contract)."""
+    postings = term_postings(docs, id_col, text_col)
+    if pin:
+        postings = postings.localCheckpoint(eager=True)
     dl, df_t, stats = bm25_shared_stats(postings, id_col, pin=False)
     return bm25_from_postings(
         postings, id_col, q_terms, k1, b, k, dl=dl, df_t=df_t, stats=stats
@@ -889,11 +894,24 @@ def unigram_logprob_score(
     order, and one final division + 6dp round yields the score —
     oracle-exact (x4_unigram_logprob)."""
     from eco_pulse_lakehouse_spark.functions.text import tokens
+    from eco_pulse_lakehouse_spark.operators.dedup import _pin
 
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+    # ONE tokenize pass (r14, guide §2.4): the old form exploded the
+    # token stream twice — once to build the LM counts, once for the
+    # scoring join. The stream is now aggregated ONCE into a pinned
+    # per-document word-count table; the LM is Σk by word over it and
+    # the per-document sums are Σ k·s_fp — exact integer sums, so
+    # results are bit-identical to the per-token form (and the table
+    # is distinct-words-per-doc sized, smaller than the raw stream).
+    # persist() replaces localCheckpoint on a real cluster.
+    twc = _pin(
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w")
+        )
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__k"))
     )
-    lm = tok.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    lm = twc.groupBy("__w").agg(F.sum("__k").alias("__c"))
     n_total = lm.agg(F.sum("__c").alias("__n"))
     surprisal_fp = F.round(
         -F.log(F.col("__c").cast("double") / F.col("__n").cast("double"))
@@ -901,12 +919,12 @@ def unigram_logprob_score(
         0,
     ).cast("bigint")
     scored = (
-        tok.join(F.broadcast(lm), "__w")
+        twc.join(F.broadcast(lm), "__w")
         .crossJoin(F.broadcast(n_total))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(surprisal_fp).alias("__s"),
+            F.sum("__k").alias("n_tokens"),
+            F.sum(F.col("__k") * surprisal_fp).alias("__s"),
         )
     )
     return scored.select(

@@ -135,23 +135,47 @@ def dsir_weights(
     Returns (id_col, n_feats, weight_fp): ``weight_fp`` is the exact
     BIGINT sum of per-feature fixed-point bucket ratios — divide by
     ``fp_scale`` for nats. The ≤``n_buckets``-row ratio table
-    broadcasts onto the exploded feature stream, so the only
-    document-keyed shuffle carries two longs per document."""
-    ratios = bucket_log_ratios(
-        docs, target_pred, text_col, n_buckets, fp_scale
+    broadcasts onto the doc-bucket table, so the only document-keyed
+    shuffle carries a handful of longs per document.
+
+    ONE featurize pass (r14, guide §2.4): the old form tokenized and
+    hashed the corpus twice — once for the bucket count table
+    (:func:`bucket_log_ratios`) and once for the per-document sums.
+    Now the exploded feature stream is aggregated ONCE into a pinned
+    (id, is_target, bucket, n) doc-bucket table — the artifact
+    plans/curation.py already builds — and both consumers derive from
+    it: the count table as Σn by bucket, the weights as Σ n·w_fp by
+    document. All integer sums, so results are bit-identical to the
+    two-pass form (Σ_bucket n·w_fp ≡ Σ_features w_fp); the
+    interpreted per-character hash folds — the measured hot stage —
+    run once per token instead of twice. persist() replaces
+    localCheckpoint on a real cluster (the dedup pin contract)."""
+    from eco_pulse_lakehouse_spark.operators.dedup import _pin
+
+    dbc = _pin(
+        docs.select(
+            F.col(id_col),
+            target_pred.alias("__is_t"),
+            F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "__is_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
-    feat = docs.select(
-        F.col(id_col),
-        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
-            "bucket"
-        ),
+    counts = dbc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("__n")).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+        F.sum("__n").cast("bigint").alias("c_raw"),
     )
+    ratios = ratio_table(counts, n_buckets, fp_scale)
     return (
-        feat.join(F.broadcast(ratios.select("bucket", "w_fp")), "bucket")
+        dbc.join(F.broadcast(ratios.select("bucket", "w_fp")), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.sum("w_fp").alias("weight_fp"),
+            F.sum("__n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("__n") * F.col("w_fp")).alias("weight_fp"),
         )
     )
 
@@ -264,15 +288,19 @@ def budget_select(
     the sanctioned collect). Returns the selected manifest
     (id, weight_fp, n_tokens, run_tokens) with run_tokens the
     inclusive cumulative count."""
-    from eco_pulse_lakehouse_spark.functions.text import token_count
     from eco_pulse_lakehouse_spark.operators.rank import global_running_sum
 
     w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets, fp_scale)
-    toks = docs.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    # n_tokens derived from the weight pass's own feature count (r14):
+    # the DSIR feature stream is unigrams + word bigrams, so a doc
+    # with n tokens carries exactly n + max(n−1, 0) = 2n−1 features
+    # (split(text, ' ') yields ≥1 token for ANY string, so n ≥ 1 and
+    # the formula never degenerates) — n_tokens = (n_feats + 1) div 2,
+    # exact integer math, ≡ token_count(text). Replaces a second full
+    # corpus scan + tokenize + document-keyed join (guide §2.4).
+    joined = w.withColumn(
+        "n_tokens", F.expr("(n_feats + 1) div 2").cast("bigint")
     )
-    joined = w.join(toks, id_col)
     run = global_running_sum(
         joined,
         [F.col("weight_fp").desc(), F.col(id_col).asc()],
@@ -493,23 +521,68 @@ def nb_classify(
     class base rate; the gate composed pipelines want when the
     positive class is a minority)."""
     tr = docs if train is None else train
-    w = nb_log_odds(tr, label_pred, text_col, n_buckets, fp_scale)
     pri = nb_prior(tr, label_pred, fp_scale)
-    feat = docs.select(
-        F.col(id_col),
-        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
-            "bucket"
-        ),
-    )
     margin = F.col("__sw") + F.col("prior_fp")
-    return (
-        feat.join(F.broadcast(w.select("bucket", "w_fp")), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.sum("w_fp").alias("__sw"),
+    if train is None:
+        # Self-training (weak-label) case: the scored pool IS the
+        # training pool, so the old form tokenized the corpus TWICE —
+        # once inside nb_log_odds for the bucket counts, once for the
+        # scoring stream. One featurize pass (r14, guide §2.4): a
+        # pinned (id, label, bucket, n) doc-bucket table feeds both
+        # the class counts (Σn by bucket and label) and the
+        # per-document sums (Σ n·w_fp) — exact integer sums, results
+        # bit-identical to the two-pass form (the plans/curation.py
+        # artifact; persist() replaces localCheckpoint on a cluster).
+        from eco_pulse_lakehouse_spark.operators.dedup import _pin
+
+        spark = docs.sparkSession
+        dbc = _pin(
+            docs.select(
+                F.col(id_col),
+                label_pred.alias("__is_p"),
+                F.explode(
+                    _hashed_features(F.col(text_col), n_buckets)
+                ).alias("bucket"),
+            )
+            .groupBy(id_col, "__is_p", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
         )
-        .crossJoin(F.broadcast(pri.select("prior_fp")))
+        counts = dbc.groupBy("bucket").agg(
+            F.sum(F.when(F.col("__is_p"), F.col("__n")).otherwise(0))
+            .cast("bigint")
+            .alias("c_target"),
+            F.sum(F.when(F.col("__is_p"), 0).otherwise(F.col("__n")))
+            .cast("bigint")
+            .alias("c_raw"),
+        )
+        dense = densify_counts(counts, n_buckets, spark)
+        w = ratio_table(dense, n_buckets, fp_scale)
+        scored = (
+            dbc.join(F.broadcast(w.select("bucket", "w_fp")), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("__n").cast("bigint").alias("n_feats"),
+                F.sum(F.col("__n") * F.col("w_fp")).alias("__sw"),
+            )
+        )
+    else:
+        w = nb_log_odds(tr, label_pred, text_col, n_buckets, fp_scale)
+        feat = docs.select(
+            F.col(id_col),
+            F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        scored = (
+            feat.join(F.broadcast(w.select("bucket", "w_fp")), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+                F.sum("w_fp").alias("__sw"),
+            )
+        )
+    return (
+        scored.crossJoin(F.broadcast(pri.select("prior_fp")))
         .select(
             id_col,
             "n_feats",
@@ -550,14 +623,33 @@ def nb_multiclass_classify(
     (id_col, pred_<label>, score_fp, n_feats)."""
     spark = docs.sparkSession
     tr = docs.filter(train_pred) if train_pred is not None else docs
-    feat_t = tr.select(
-        F.col(label_col).alias("__cls"),
-        F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
-            "bucket"
-        ),
+    # ONE featurize pass (r14, guide §2.4): the training rows are a
+    # subset of the scored pool, so the old form tokenized+hashed the
+    # train half twice (class counts) on top of the full-pool scoring
+    # pass. A pinned (id, label, is_train, bucket, n) doc-bucket table
+    # now feeds BOTH the class×bucket counts (Σn over train rows) and
+    # the per-(doc, class) scores (Σ n·w_fp) — exact integer sums,
+    # bit-identical to the two-pass form (the plans/curation.py
+    # artifact; persist() replaces localCheckpoint on a cluster).
+    from eco_pulse_lakehouse_spark.operators.dedup import _pin
+
+    tr_flag = train_pred if train_pred is not None else F.lit(True)
+    dbc = _pin(
+        docs.select(
+            F.col(id_col),
+            F.col(label_col).alias("__lbl"),
+            tr_flag.alias("__tr"),
+            F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(id_col, "__lbl", "__tr", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    cc = feat_t.groupBy("__cls", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_bc")
+    cc = (
+        dbc.filter(F.col("__tr"))
+        .groupBy(F.col("__lbl").alias("__cls"), "bucket")
+        .agg(F.sum("n").cast("bigint").alias("c_bc"))
     )
     nc = cc.groupBy("__cls").agg(F.sum("c_bc").cast("bigint").alias("__nc"))
     grid = nc.crossJoin(
@@ -591,16 +683,6 @@ def nb_multiclass_classify(
     priors = dcounts.crossJoin(F.broadcast(dtot)).select(
         "__cls",
         F.round(F.log(pp) * fp_scale, 0).cast("bigint").alias("prior_fp"),
-    )
-    dbc = (
-        docs.select(
-            F.col(id_col),
-            F.explode(_hashed_features(F.col(text_col), n_buckets)).alias(
-                "bucket"
-            ),
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     scores = (
         dbc.join(F.broadcast(wts), "bucket")

@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.catalog import load_table
-from eco_pulse_lakehouse_spark.functions.text import token_count
 from eco_pulse_lakehouse_spark.operators.dedup import (
     exact_dedup,
     line_dedup_keep_first,
@@ -91,30 +90,37 @@ def curation_select(
         .localCheckpoint(eager=True)
     )
     ld = line_dedup_keep_first(dd, "doc_id", "text", chunk_tokens)
+    # r14 (guide §2.4): doc metadata (lang, provenance label) rides
+    # IN the doc-bucket table's group keys — they are constant per
+    # doc_id, so the granularity is unchanged and the two metadata
+    # joins (jb = dbc ⋈ meta for the NB stage, jk's lang join for
+    # DSIR) plus the final manifest join against the cleaned text
+    # disappear; n_tokens is derived from the table's own feature
+    # count (2n−1 features per n-token doc, see budget_select).
+    # `cleaned` then has ONE consumer, so its r13 pin is dropped too.
     cleaned = (
         dd.select("doc_id", "lang", "source")
         .join(ld.select("doc_id", "text_clean"), "doc_id")
         .filter(F.col("text_clean") != "")
         .select("doc_id", "lang", "source", F.col("text_clean").alias("text"))
-        .localCheckpoint(eager=True)  # 3 consumers: dbc, meta, manifest
     )
-    meta = cleaned.select("doc_id", "lang", is_pos.alias("__is_p"))
     dbc = (
         cleaned.select(
             "doc_id",
+            "lang",
+            is_pos.alias("__is_p"),
             F.explode(_hashed_features(F.col("text"), n_buckets)).alias(
                 "bucket"
             ),
         )
-        .groupBy("doc_id", "bucket")
+        .groupBy("doc_id", "lang", "__is_p", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=True)  # the one featurize pass
     )
 
     # NB gate: class counts + evidence from the doc-bucket table
     # (evidence is prior-free, so the gate needs no prior row).
-    jb = dbc.join(meta.select("doc_id", "__is_p"), "doc_id")
-    nb_counts = jb.groupBy("bucket").agg(
+    nb_counts = dbc.groupBy("bucket").agg(
         F.sum(F.when(F.col("__is_p"), F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("c_target"),
@@ -131,7 +137,7 @@ def curation_select(
         n_buckets,
     )
     kept_ids = (
-        jb.join(F.broadcast(nb_wts.select("bucket", "w_fp")), "bucket")
+        dbc.join(F.broadcast(nb_wts.select("bucket", "w_fp")), "bucket")
         .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("w_fp")).alias("__ev"))
         .filter(F.col("__ev") >= 0)
@@ -139,9 +145,7 @@ def curation_select(
     )
 
     # DSIR over the gated pool: same dbc, target = lang='en'
-    jk = dbc.join(kept_ids, "doc_id").join(
-        meta.select("doc_id", "lang"), "doc_id"
-    )
+    jk = dbc.join(kept_ids, "doc_id")
     ds_counts = jk.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
         .cast("bigint")
@@ -151,16 +155,21 @@ def curation_select(
     ds_wts = ratio_table(ds_counts, n_buckets)
     w = (
         jk.join(F.broadcast(ds_wts.select("bucket", "w_fp")), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"),
+            F.sum("n").alias("__nf"),
+        )
     )
     return (
-        w.join(cleaned, "doc_id")
-        .select(
+        w.select(
             "doc_id",
             "lang",
             "weight_fp",
-            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            # n_tokens ≡ token_count(cleaned text): the feature stream
+            # is unigrams + bigrams, 2n−1 features for n ≥ 1 tokens
+            # (text_clean != '' ⇒ n ≥ 1) — exact integer inversion
+            F.expr("(__nf + 1) div 2").cast("bigint").alias("n_tokens"),
         )
         .orderBy(F.col("weight_fp").desc(), F.col("doc_id").asc())
         .limit(k)

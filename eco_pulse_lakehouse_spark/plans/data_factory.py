@@ -51,7 +51,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eco_pulse_lakehouse_spark.catalog import load_table
-from eco_pulse_lakehouse_spark.functions.text import token_count
 from eco_pulse_lakehouse_spark.operators.dedup import (
     exact_dedup,
     line_dedup_keep_first,
@@ -105,26 +104,31 @@ def data_factory_manifest(
         .localCheckpoint(eager=True)
     )
     ppx = perplexity_buckets(cleaned, "doc_id", "text", "lang", n_buckets=3)
+    # r14 (guide §2.4, the curation_select rewrite): doc metadata
+    # rides in the doc-bucket group keys (constant per doc_id — same
+    # granularity), killing the jb/meta joins and the final manifest
+    # join; n_tokens derives from the feature count (2n−1 per n-token
+    # doc). `pool` then has one consumer, so its pin is dropped.
     pool = cleaned.join(
         ppx.filter(F.col("ppx_bucket") <= keep_buckets).select("doc_id"),
         "doc_id",
-    ).localCheckpoint(eager=True)
+    )
 
-    meta = pool.select("doc_id", "lang", is_pos.alias("__is_p"))
     dbc = (
         pool.select(
             "doc_id",
+            "lang",
+            is_pos.alias("__is_p"),
             F.explode(_hashed_features(F.col("text"), n_buckets)).alias(
                 "bucket"
             ),
         )
-        .groupBy("doc_id", "bucket")
+        .groupBy("doc_id", "lang", "__is_p", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .localCheckpoint(eager=True)  # the one featurize pass
     )
 
-    jb = dbc.join(meta.select("doc_id", "__is_p"), "doc_id")
-    nb_counts = jb.groupBy("bucket").agg(
+    nb_counts = dbc.groupBy("bucket").agg(
         F.sum(F.when(F.col("__is_p"), F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("c_target"),
@@ -139,7 +143,7 @@ def data_factory_manifest(
         n_buckets,
     )
     kept_ids = (
-        jb.join(F.broadcast(nb_wts.select("bucket", "w_fp")), "bucket")
+        dbc.join(F.broadcast(nb_wts.select("bucket", "w_fp")), "bucket")
         .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("w_fp")).alias("__ev"))
         .filter(F.col("__ev") >= 0)
@@ -147,9 +151,7 @@ def data_factory_manifest(
     )
 
     if dsir_target == "en":
-        jk = dbc.join(kept_ids, "doc_id").join(
-            meta.select("doc_id", "lang"), "doc_id"
-        )
+        jk = dbc.join(kept_ids, "doc_id")
         ds_counts = jk.groupBy("bucket").agg(
             F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
             .cast("bigint")
@@ -173,19 +175,20 @@ def data_factory_manifest(
     else:
         raise ValueError(f"unknown dsir_target {dsir_target!r}")
     ds_wts = ratio_table(ds_counts, n_buckets)
-    w = (
+    joined = (
         jk.join(F.broadcast(ds_wts.select("bucket", "w_fp")), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"))
-    )
-
-    joined = w.join(
-        pool.select(
-            "doc_id",
-            "lang",
-            token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        ),
-        "doc_id",
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("n") * F.col("w_fp")).alias("weight_fp"),
+            F.sum("n").alias("__nf"),
+        )
+        .withColumn(
+            # n_tokens ≡ token_count(pool text): 2n−1 features for
+            # n ≥ 1 tokens (text_clean != '' ⇒ n ≥ 1) — exact inverse
+            "n_tokens",
+            F.expr("(__nf + 1) div 2").cast("bigint"),
+        )
+        .drop("__nf")
     )
     run = global_running_sum(
         joined,

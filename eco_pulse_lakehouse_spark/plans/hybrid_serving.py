@@ -71,6 +71,7 @@ def hybrid_serving(
     token_budget: int = 300,
     postings: DataFrame | None = None,
     quantized: DataFrame | None = None,
+    shared_stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Run the hybrid serving DAG for a request batch. Each request
     is (query_id, query_text); its dense form is the int8 store row
@@ -110,8 +111,13 @@ def hybrid_serving(
 
     # --- keyword half: PRF-expanded BM25 (the flagship-#9 recall
     # pass — its expression tree verbatim). dl/df_t/stats computed
-    # once for the whole DAG (r13, guide §2.4) instead of per stage.
-    dl, df_t, stats = bm25_shared_stats(postings, id_col)
+    # once for the whole DAG (r13, guide §2.4) instead of per stage;
+    # a long-lived serving loop (t49/t52) passes the triple it
+    # maintains next to the postings store so request batches don't
+    # re-pin dl/df_t per batch (r14, ADVICE r13).
+    if shared_stats is None:
+        shared_stats = bm25_shared_stats(postings, id_col)
+    dl, df_t, stats = shared_stats
     expansion = prf_expand_terms(
         postings, q_terms, id_col, k1, b, fb_k, n_expand,
         dl=dl, df_t=df_t, stats=stats,

@@ -47,6 +47,7 @@ def search_serving(
     k: int = 10,
     token_budget: int = 300,
     postings: DataFrame | None = None,
+    shared_stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Run the full serving DAG for a literal query batch. Returns
     (query_id, doc_id, rrf_score, rk, n_tokens, cum_tokens) — the
@@ -73,7 +74,14 @@ def search_serving(
     # dl/df_t/stats once for the WHOLE DAG (r13, guide §2.4): the PRF
     # feedback pass, the final BM25 pass and the budget token counts
     # each re-aggregated the full postings pin before this.
-    dl, df_t, stats = bm25_shared_stats(postings, id_col)
+    # ``shared_stats`` (r14, ADVICE r13): a LONG-LIVED serving loop
+    # (the t47 per-request-batch twin) passes the triple it maintains
+    # next to the postings store, so a request batch neither re-pins
+    # dl/df_t (leaked blocks per batch) nor pays their eager
+    # materialization jobs per batch.
+    if shared_stats is None:
+        shared_stats = bm25_shared_stats(postings, id_col)
+    dl, df_t, stats = shared_stats
     expansion = prf_expand_terms(
         postings, q_terms, id_col, k1, b, fb_k, n_expand,
         dl=dl, df_t=df_t, stats=stats,
