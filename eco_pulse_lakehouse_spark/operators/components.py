@@ -80,6 +80,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iterations: int = 20,
     pointer_jump: bool = True,
+    check_every: int = 1,
 ) -> DataFrame:
     """Resolve an undirected pair list into (id, component) where
     ``component`` is the minimum node id reachable from ``id``.
@@ -122,8 +123,22 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
+    # ``check_every`` (r14, guide §2.6 driver round-trips): the
+    # convergence count is a separate driver ACTION after each
+    # round's pin — 2 jobs/round. Counting every K-th round nearly
+    # halves the per-round driver barrier at the cost of up to K−1
+    # extra (already-converged, hence no-op) rounds before the break.
+    # The fixed point is unchanged — converged labels are idempotent
+    # under further rounds — so results are identical for any K
+    # (pinned by test_cc_check_every_identical). DEFAULT 1: on a
+    # corpus-scale batch graph an extra no-op round (edge joins) can
+    # cost far more than the counts it saves. The incremental path
+    # (incremental_components_update) passes K=2: its root graphs are
+    # touched-clusters-sized by construction, so every round sits at
+    # the ~77 ms local job floor and the driver barrier IS the cost
+    # (BENCH_DETAIL.t35_batch_cost_split).
     changed = None
-    for _ in range(max_iterations):
+    for _i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -155,9 +170,14 @@ def connected_components(
                 F.col("comp").alias("__old"),
             )
         )
-        # one long to the driver per round: convergence check — a
-        # near-free scan of the just-checkpointed partitions
-        changed = updated.filter(F.col("comp") != F.col("__old")).count()
+        # one long to the driver per CHECK round: convergence check —
+        # a near-free scan of the just-checkpointed partitions
+        if (_i + 1) % check_every == 0 or _i == max_iterations - 1:
+            changed = updated.filter(
+                F.col("comp") != F.col("__old")
+            ).count()
+        else:
+            changed = None
         labels = updated.drop("__old")
         if changed == 0:
             break
@@ -388,7 +408,12 @@ def incremental_components_update(
     )
     root_edges = rab.filter(F.col("__ra") != F.col("__rb"))
     root_cc = connected_components(
-        root_edges, "__ra", "__rb", max_iterations=max_iterations
+        root_edges, "__ra", "__rb", max_iterations=max_iterations,
+        # root graphs are touched-clusters-sized: every propagation
+        # round sits at the local job floor, so the batched
+        # convergence check (K=2) trades a possible tiny no-op round
+        # for half the per-round driver barriers (r14)
+        check_every=2,
     ).select(
         F.col("id").alias("__root"), F.col("comp").alias("__new")
     )

@@ -136,6 +136,33 @@ def test_connected_components_chain_diameter(spark):
     assert len(comp) == 12
 
 
+def test_cc_check_every_identical(spark):
+    """The r14 batched convergence check (count every K-th round)
+    must not change the fixed point: a multi-round path graph plus a
+    separate cluster yields identical labels for K = 1, 2, 5 — and
+    the default K must still break (not raise) well under
+    max_iterations."""
+    from eco_pulse_lakehouse_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101), (101, 102)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    ref = {
+        r.id: r.comp
+        for r in connected_components(pairs, check_every=1).collect()
+    }
+    for k in (2, 5):
+        got = {
+            r.id: r.comp
+            for r in connected_components(pairs, check_every=k).collect()
+        }
+        assert got == ref, f"check_every={k} changed the labels"
+    assert set(ref.values()) == {0, 100}
+
+
 def test_stratified_sample_partitioning_invariant(spark):
     """The same rows survive the per-class cap under any layout, and
     no class exceeds the cap."""
