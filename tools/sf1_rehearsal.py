@@ -86,6 +86,10 @@ QUERIES = [
     # round-8 new families
     "x4_wordpiece_merges", "x4_sp_unigram_em",
     "x4_perplexity_buckets",
+    # round-14 additions (VERDICT r13 item 8): the r13 aHash rewrite
+    # is the one change that ADDED exchanges — re-check the trade
+    # where shuffle cost is real; pHash rides along as its control.
+    "x5_image_ahash", "x5_image_phash",
 ]
 
 FACT_KEYS = {
